@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed readers for the driver testdata (`/root/repo/TESTDATA.md`).
+  *
+  * Schemas are declared explicitly (not inferred) so that:
+  *   - scans skip footer-based schema merging on wide multi-file tables,
+  *   - column pruning / predicate pushdown operate on stable types,
+  *   - the 100 TB deployment can swap the path for a partitioned table root
+  *     without touching call sites.
+  *
+  * Role mapping to the reference's pharma star schema (SURVEY.md §7.1):
+  * salestxn -> lineitem/orders (fact), products -> part, customers ->
+  * customer, reps -> supplier, country/region -> nation/region. The [EXT]
+  * tables `events`, `documents`, `embeddings` back the streaming / text /
+  * similarity operators mandated by BASELINE.json.
+  */
+object Tables {
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  // events.ts is physically TIMESTAMP(NANOS); Spark reads it as LongType
+  // when spark.sql.legacy.parquet.nanosAsLong=true (set in every session
+  // builder of this project). The reader truncates to microseconds, which
+  // matches DuckDB's CAST(ts AS TIMESTAMP) oracle semantics exactly.
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def read(spark: SparkSession, dir: String, name: String,
+                   schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "region", regionSchema)
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "nation", nationSchema)
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "customer", customerSchema)
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "supplier", supplierSchema)
+  def part(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "part", partSchema)
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "lineitem", lineitemSchema)
+
+  /** Events with `ts` converted ns-long -> TimestampType (microsecond,
+    * truncated — identical to the oracle's CAST(ts AS TIMESTAMP)). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "events", eventsRawSchema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings", embeddingsSchema)
+}
