@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Relational}
+import graft.operators.{Breadth, Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Breadth.queries
+    Relational.queries ++ Breadth.queries ++ Dedup.queries ++
+      TextOps.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Breadth.oracles
+    Relational.oracles ++ Breadth.oracles ++ Dedup.oracles ++
+      TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] deduplication operators for LLM-data pipelines (BASELINE.json
+  * mandate): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+  * cosine near-dup.
+  *
+  * Scale design (the whole point of these): nothing here is pairwise over
+  * the corpus. Every candidate-generation step is a shuffle on a content
+  * key (hash / band signature / shingle), so cost is O(corpus + sum over
+  * buckets of bucket^2) — the standard LSH trade. At 100 TB the knobs are
+  * the band count (recall vs bucket size) and a hot-bucket cap (drop or
+  * salt buckets above a frequency ceiling — exact-duplicate clusters are
+  * better handled by q31 first, then LSH on survivors). Hashing is
+  * md5-based (engine-portable) rather than murmur, so the DuckDB oracle
+  * verifies the *same* signatures, not just row counts.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(words) >= 3
+          |     THEN transform(sequence(1, size(words) - 2),
+          |                    i -> concat_ws(' ', slice(words, i, 3)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+
+  /** q31 — exact dedup: canonical id = min doc_id per identical text
+    * (hash-groupBy; the mandatory first pass before any LSH). */
+  def q31DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val groups = docs.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("canonical_id"),
+           count(lit(1)).as("group_size"))
+    docs.join(groups, Seq("text_hash"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"),
+              (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures: 16 permutations over 60-bit shingle hashes. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .withColumn("x", Hashing.md5Hash60(col("shingle")))
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("h", Hashing.minHashPerm(col("j"), col("x")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
+      .withColumn("band", expr("j div 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws("_", expr(
+        "transform(sort_array(collect_list(struct(j, mh))), s -> CAST(s.mh AS STRING))")))
+        .as("band_sig"))
+
+  /** q32 — MinHash + LSH banding near-dup: shingle -> 16 minhashes ->
+    * 4 bands of 4 -> band-bucket self-join. Candidate pairs ranked by how
+    * many bands agree (4/4 ~ J≈1). */
+  def q32DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val a = bands.select(col("doc_id").as("id1"), col("band"), col("band_sig"))
+    val b = bands.select(col("doc_id").as("id2"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(countDistinct(col("band")).as("n_shared_bands"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Per-(doc, bit) signed weight sums for SimHash over 60-bit word
+    * hashes, weighted by term frequency. */
+  private def simhashBitSums(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("word", explode(split(col("text"), " ")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Hashing.md5Hash60(col("word")))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn("contrib", expr(
+        "CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN cnt ELSE -cnt END"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+
+  /** q33 — SimHash near-dup: 60-bit signature from signed bit sums,
+    * banded 6 x 10 bits (pigeonhole: hamming <= 5 implies >= 1 clean
+    * band), verified with exact hamming via xor + bit_count. */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = simhashBitSums(spark, dir)
+    val sigs = bitSums.groupBy("doc_id").agg(
+      sum(expr("CASE WHEN s > 0 AND b < 30 THEN shiftleft(1, CAST(b AS INT)) ELSE 0 END"))
+        .as("sig_lo"),
+      sum(expr("CASE WHEN s > 0 AND b >= 30 THEN shiftleft(1, CAST(b - 30 AS INT)) ELSE 0 END"))
+        .as("sig_hi"))
+    val bands = bitSums
+      .withColumn("k", expr("b div 10"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1, CAST(b % 10 AS INT)) ELSE 0 END"))
+        .as("band_val"))
+    val ca = bands.select(col("doc_id").as("id1"), col("k"), col("band_val"))
+    val cb = bands.select(col("doc_id").as("id2"), col("k"), col("band_val"))
+    val candidates = ca.join(cb, Seq("k", "band_val"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sigs.select(col("doc_id").as("id1"),
+      col("sig_lo").as("lo1"), col("sig_hi").as("hi1"))
+    val s2 = sigs.select(col("doc_id").as("id2"),
+      col("sig_lo").as("lo2"), col("sig_hi").as("hi2"))
+    candidates.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("hamming",
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+         bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("int"))
+      .filter(col("hamming") <= 5)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  /** q34 — n-gram Jaccard near-dup: distinct shingle sets, intersection
+    * via shingle-key self-join (shuffle on shingle, never pairwise),
+    * J = |A∩B| / (|A|+|B|-|A∩B|) >= 0.8. */
+  def q34DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** Per-vector L2 norm in double precision (left-fold, index order). */
+  private[operators] val normExpr: Column = sqrt(expr(
+    "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+
+  /** Pairwise dot product of two embedding columns `ea`/`eb` in double. */
+  private[operators] val dotExpr: Column = expr(
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** q35 — embedding cosine near-dup: brute pair scan with in-row
+    * zip_with/aggregate dot products (codegen, no UDF). This is the
+    * verification kernel; at 100 TB candidate pairs come from q37's LSH
+    * buckets instead of the full cross product. */
+  def q35DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normExpr.as("nrm"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(dotExpr / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("id1", "id2", "cosine")
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_dedup_exact" -> (q31DedupExact _),
+    "q32_dedup_minhash" -> (q32DedupMinhash _),
+    "q33_dedup_simhash" -> (q33DedupSimhash _),
+    "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
+    "q35_dedup_embedding" -> (q35DedupEmbedding _))
+
+  /** Shared oracle CTE: distinct word-3-gram shingles per doc. */
+  private val shinglesCte: String =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+      |               unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+      |        FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q31_dedup_exact" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
+        |SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+        |       count(*) OVER (PARTITION BY text_hash) AS group_size,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
+        |FROM docs ORDER BY doc_id""".stripMargin,
+    "q32_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+         |  FROM shingles),
+         |perms AS (
+         |  SELECT doc_id, x, unnest(generate_series(0, 15)) AS j
+         |  FROM hashed),
+         |minhashes AS (
+         |  SELECT doc_id, j,
+         |         min((((2654435761 * (j + 1)) % 1000000007) * (x % 1000000007)
+         |              + ((123456789 * (j + 1) + 987654321) % 1000000007))
+         |             % 1000000007) AS mh
+         |  FROM perms GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band_sig
+         |  FROM minhashes GROUP BY doc_id, j // 4)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       count(DISTINCT a.band) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_dedup_simhash" ->
+      """WITH wc AS (
+        |  SELECT doc_id, word, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((('0x' || substr(md5(word), 1, 15))::BIGINT >> b) & 1) = 1
+        |                  THEN cnt ELSE -cnt END) AS s
+        |  FROM wc, generate_series(0, 59) t(b)
+        |  GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 AND b < 30 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig_lo,
+        |         CAST(sum(CASE WHEN s > 0 AND b >= 30 THEN (1::BIGINT << (b - 30)) ELSE 0 END) AS BIGINT) AS sig_hi
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, b // 10 AS k,
+        |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (b % 10)) ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2),
+        |candidates AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |       CAST(bit_count(xor(s1.sig_lo, s2.sig_lo))
+        |            + bit_count(xor(s1.sig_hi, s2.sig_hi)) AS INT) AS hamming
+        |FROM candidates
+        |JOIN sigs s1 ON s1.doc_id = id1
+        |JOIN sigs s2 ON s2.doc_id = id2
+        |WHERE bit_count(xor(s1.sig_lo, s2.sig_lo))
+        |      + bit_count(xor(s1.sig_hi, s2.sig_hi)) <= 5
+        |ORDER BY id1, id2""".stripMargin,
+    "q34_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |       round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6)
+         |         AS jaccard
+         |FROM inter
+         |JOIN sizes z1 ON z1.doc_id = id1
+         |JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    "q35_dedup_embedding" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |FROM dots
+        |JOIN norms n1 ON n1.vec_id = id1
+        |JOIN norms n2 ON n2.vec_id = id2
+        |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin)
+}

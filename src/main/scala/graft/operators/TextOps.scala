@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] text-analysis operators for LLM-data pipelines (BASELINE.json
+  * mandate; SURVEY.md §2.11): language ID, quality scoring, token
+  * counting, document fingerprinting, multimodal (binary) column
+  * plumbing. All are single-pass, codegen-friendly column expressions —
+  * no UDFs — so they stay inside WholeStageCodegen and scale linearly
+  * with the 100 TB document corpus (embarrassingly parallel, no shuffle
+  * except final ORDER BY for the oracle compare).
+  */
+object TextOps {
+
+  /** Occurrences of `marker` in column `padded` via length-difference,
+    * using non-regex `replace` — exactly mirrorable in DuckDB SQL.
+    * Integer-valued by construction. */
+  private def occ(padded: String, marker: String): Column =
+    ((length(col(padded)) - length(expr(s"replace($padded, '$marker', '')")))
+      / marker.length).cast("int")
+
+  /** q38 — language ID by marker-word counting (n-gram heuristic family).
+    * Scores = occurrence counts of per-language marker words; prediction
+    * = first maximal score in fixed language order (deterministic
+    * tie-break). The synthetic corpus shares one vocabulary across langs,
+    * so this demonstrates the operator shape, not linguistics. */
+  def q38LangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "de" -> " der ", "en" -> " the ", "es" -> " el ",
+      "fr" -> " le ", "zh" -> " spark ")
+    val padded = concat(lit(" "), col("text"), lit(" ")).as("padded")
+    val withScores = markers.foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), padded)) {
+      case (df, (lang, marker)) =>
+        df.withColumn(s"score_$lang", occ("padded", marker))
+    }
+    val langs = markers.map(_._1)
+    // first maximal score in alphabetical lang order
+    val pred = markers.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case (((lang, _), i), elseCol) =>
+        if (i == markers.size - 1) elseCol
+        else {
+          val isMax = langs.drop(i + 1).map(o =>
+            col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _)
+          when(isMax, lit(lang)).otherwise(elseCol)
+        }
+    }
+    withScores
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("is_correct"),
+        col("score_de"), col("score_en"), col("score_es"),
+        col("score_fr"), col("score_zh"))
+      .orderBy("doc_id")
+  }
+
+  /** q39 — document quality scoring: length / word / stopword statistics
+    * and a composite score (the length-punct-stopword family used for
+    * pretraining-data filtering). */
+  def q39QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("n_chars_actual", length(col("text")))
+      .withColumn("n_words", size(split(trim(col("text")), " ")))
+      .withColumn("n_stopwords", (occ("padded", " the ") + occ("padded", " a ")))
+      .select(col("doc_id"), col("n_chars_actual"), col("n_words"),
+        round((length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_words")), 6).as("avg_word_len"),
+        col("n_stopwords"),
+        round(col("n_stopwords").cast("double") / col("n_words"), 6)
+          .as("stopword_ratio"),
+        round(log(lit(1.0) + col("n_words"))
+          * (lit(1.0) - col("n_stopwords").cast("double") / col("n_words")), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q40 — token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  def q40TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("int").as("n_bpe_tokens"),
+        round(length(col("text")).cast("double") /
+          size(split(trim(col("text")), "\\s+")), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** q41 — document fingerprinting: canonical text normalization then a
+    * stable 128-bit fingerprint + 60-bit numeric fingerprint
+    * (join/partition-friendly). */
+  def q41Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .withColumn("normalized", normalized)
+      .select(col("doc_id"),
+        md5(col("normalized")).as("fingerprint"),
+        Hashing.md5Hash60(col("normalized")).as("fingerprint60"))
+      .orderBy("doc_id")
+  }
+
+  /** q42 — multimodal column plumbing, SQL-visible half: treat content as
+    * an opaque binary payload with typed metadata (the schema a 100 TB
+    * image/audio pipeline uses; here payload = utf8 text bytes since the
+    * container ships no media libs — SURVEY.md scope note). Byte length
+    * and checksum are computed on the BINARY column. The typed
+    * batch-decode half is [[Multimodal.decodeBatches]] (ScalaTest-covered,
+    * q43 rows-only). */
+  def q42MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        lit("utf8-text").as("media_kind"),
+        struct(col("n_chars").as("width"), lit(1L).as("height")).as("meta"))
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        col("media_kind"), col("meta.width").as("meta_width"),
+        col("meta.height").as("meta_height"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_lang_id" -> (q38LangId _),
+    "q39_quality_score" -> (q39QualityScore _),
+    "q40_token_count" -> (q40TokenCount _),
+    "q41_fingerprint" -> (q41Fingerprint _),
+    "q42_multimodal_meta" -> (q42MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q38_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INT) AS score_de,
+        |    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT) AS score_en,
+        |    CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INT) AS score_es,
+        |    CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INT) AS score_fr,
+        |    CAST((length(p) - length(replace(p, ' spark ', ''))) / 7 AS INT) AS score_zh
+        |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents))
+        |SELECT doc_id, lang,
+        |       CASE
+        |         WHEN score_de >= score_en AND score_de >= score_es
+        |              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |         WHEN score_en >= score_es AND score_en >= score_fr
+        |              AND score_en >= score_zh THEN 'en'
+        |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |         WHEN score_fr >= score_zh THEN 'fr'
+        |         ELSE 'zh'
+        |       END AS pred_lang,
+        |       (CASE
+        |         WHEN score_de >= score_en AND score_de >= score_es
+        |              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |         WHEN score_en >= score_es AND score_en >= score_fr
+        |              AND score_en >= score_zh THEN 'en'
+        |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |         WHEN score_fr >= score_zh THEN 'fr'
+        |         ELSE 'zh'
+        |       END = lang) AS is_correct,
+        |       score_de, score_en, score_es, score_fr, score_zh
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q39_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, ' ' || text || ' ' AS p,
+        |         length(text) AS n_chars_actual,
+        |         len(string_split(trim(text), ' ')) AS n_words
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, text, n_chars_actual, n_words,
+        |         CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |              + (length(p) - length(replace(p, ' a ', ''))) / 3 AS INT)
+        |           AS n_stopwords
+        |  FROM base)
+        |SELECT doc_id, n_chars_actual, CAST(n_words AS INT) AS n_words,
+        |       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_words, 6)
+        |         AS avg_word_len,
+        |       n_stopwords,
+        |       round(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |       round(ln(1.0 + n_words)
+        |             * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words), 6) AS quality
+        |FROM counted ORDER BY doc_id""".stripMargin,
+    "q40_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+        |         AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |            AS INT) AS n_bpe_tokens,
+        |       round(CAST(length(text) AS DOUBLE)
+        |             / len(string_split_regex(trim(text), '\s+')), 6)
+        |         AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                             ' +', ' ', 'g')) AS normalized
+        |  FROM documents)
+        |SELECT doc_id, md5(normalized) AS fingerprint,
+        |       ('0x' || substr(md5(normalized), 1, 15))::BIGINT AS fingerprint60
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    "q42_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       md5(text) AS checksum,
+        |       'utf8-text' AS media_kind,
+        |       n_chars AS meta_width,
+        |       CAST(1 AS BIGINT) AS meta_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
