@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] streaming surface (SURVEY.md §2.10) over
+  * `events(ts, user_id, event_type, value, props)`.
+  *
+  * Design: every transform is written against a plain DataFrame so the
+  * SAME code runs in two modes:
+  *   - batch (driver testdata parquet) -> DuckDB-oracle-checkable
+  *     queries q44-q47 below;
+  *   - streaming (readStream / MemoryStream) -> exercised in
+  *     StreamingSpec with watermarks and late data.
+  * This mirrors the reference's only "streaming" behavior — incremental
+  * batch appends (`LoadXML2DB.ChatterjeeP.R:198-452`) — upgraded to real
+  * event-time processing. Watermarks bound state at 100 TB/day rates;
+  * every aggregation below keys its state by (window x small key), never
+  * by raw event id.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Same, with a 10-minute watermark for streaming mode (late rows
+    * beyond the watermark are dropped; state is bounded). */
+  def tumblingCountsStreaming(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "10 minutes"))
+
+  /** Sliding 1-hour windows advancing every 15 minutes (each event
+    * contributes to 4 windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user with a 4-hour inactivity gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  def sessionCountsStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "4 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming dedup by business key within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — streaming mode only. */
+  def dedupStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** File-based streaming source over an events directory — the
+    * production entry (micro-batch tailing of arriving parquet). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---- batch-mode oracle-checkable queries ----
+
+  /** q44 — tumbling-window aggregation (batch mode of the streaming
+    * transform; epoch-aligned hourly windows == date_trunc). */
+  def q44TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  /** q45 — sliding-window aggregation (4 overlapping windows/event). */
+  def q45SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir))
+      .orderBy("window_start")
+
+  /** q46 — session-window aggregation (gaps-and-islands semantics). */
+  def q46SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionCounts(Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+
+  /** q47 — dedup-by-key keeping the earliest event (batch analogue of
+    * dropDuplicatesWithinWatermark with an unbounded horizon). */
+  def q47StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_events"))
+      .orderBy("user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_tumbling_window" -> (q44TumblingWindow _),
+    "q45_sliding_window" -> (q45SlidingWindow _),
+    "q46_session_window" -> (q46SessionWindow _),
+    "q47_stream_dedup" -> (q47StreamDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q44_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q45_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         - k * INTERVAL '15 minutes' AS window_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events, generate_series(0, 3) t(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                 > INTERVAL '4 hours'
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q47_stream_dedup" ->
+      """SELECT user_id, event_type,
+        |       min(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |       count(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

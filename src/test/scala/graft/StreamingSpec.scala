@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.Streams
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** True streaming-mode tests (SURVEY.md §2.10): MemoryStream micro-batches
+  * through the same transforms the batch oracle queries use, plus
+  * watermark late-data and stateful-dedup behavior that only exists in
+  * streaming mode. */
+class StreamingSpec extends SparkTestBase {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window counts over micro-batches (complete mode)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:55:00"), 2, "click", 2.0),
+        Ev(t("2024-01-01 11:05:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:30:00"), 3, "click", 8.0))
+      q.processAllAvailable()
+      val rows = sess.table("tumbling_t")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 3L, 11.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows beyond horizon (append mode)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.tumblingCountsStreaming(input.toDF())
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:20:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window (+10 min horizon)
+      input.addData(Ev(t("2024-01-01 13:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      // this row is hours behind the watermark -> must be dropped
+      input.addData(Ev(t("2024-01-01 10:45:00"), 4, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 15:00:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      val w10 = sess.table("late_t")
+        .filter($"window_start" === t("2024-01-01 10:00:00"))
+        .collect()
+      assert(w10.length == 1)
+      assert(w10(0).getLong(2) == 2L, "late row must not be counted")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by key across batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStreaming(input.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:02:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val n = sess.table("dedup_t")
+        .filter($"user_id" === 1 && $"event_type" === "click").count()
+      assert(n == 1L, "duplicates within watermark horizon must collapse")
+    } finally q.stop()
+  }
+
+  test("session windows close after gap + watermark (append mode)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionCountsStreaming(input.toDF())
+      .writeStream.format("memory").queryName("session_t")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 11:00:00"), 1, "click", 1.0), // same session (<4h gap)
+        Ev(t("2024-01-01 18:00:00"), 1, "click", 1.0)) // new session
+      q.processAllAvailable()
+      // push watermark far ahead so all sessions close
+      input.addData(Ev(t("2024-01-03 00:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-04 00:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val u1 = sess.table("session_t").filter($"user_id" === 1)
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSet
+      assert(u1 == Set(("2024-01-01 10:00:00.0", 2L),
+                       ("2024-01-01 18:00:00.0", 1L)))
+    } finally q.stop()
+  }
+}
