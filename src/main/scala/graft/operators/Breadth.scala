@@ -268,7 +268,33 @@ object Breadth {
       .orderBy("user_id")
   }
 
+  /** q49 — approximate distinct count (A5): HLL++ `approx_count_distinct`
+    * next to the exact count. No oracle (DuckDB's sketch differs by
+    * construction) — rows-only check + error-bound assertion in
+    * ScalaTest. At 100 TB the approx variant is the one that matters: it
+    * needs no per-key shuffle state, only a mergeable sketch. */
+  def q49ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** q50 — statistical aggregate family (A7): avg / stddev / exact
+    * interpolated percentile / min / max. */
+  def q50StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 4).as("avg_price"),
+           round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+           min(col("l_extendedprice")).as("min_price"),
+           max(col("l_extendedprice")).as("max_price"))
+      .orderBy("returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_approx_distinct" -> (q49ApproxDistinct _),
+    "q50_stats_agg" -> (q50StatsAgg _),
     "q13_semi_join" -> (q13SemiJoin _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_full_outer_join" -> (q15FullOuterJoin _),
@@ -289,6 +315,15 @@ object Breadth {
     "q30_asof_join" -> (q30AsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q50_stats_agg" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_semi_join" ->
       """SELECT c_mktsegment AS mktsegment, count(*) AS n_customers
         |FROM customer c

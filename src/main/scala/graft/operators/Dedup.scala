@@ -146,19 +146,22 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** Per-vector L2 norm in double precision (left-fold, index order). */
-  private[operators] val normExpr: Column = sqrt(expr(
-    "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+  /** Per-vector L2 norm in double precision. Uses the native codegen
+    * [[graft.plans.VectorDot]] kernel (left-to-right fold, bit-identical
+    * to the higher-order-function formulation it replaced but inside
+    * WholeStageCodegen instead of interpreted CodegenFallback). */
+  private[operators] val normExpr: Column =
+    sqrt(expr("graft_dot(embedding, embedding)"))
 
   /** Pairwise dot product of two embedding columns `ea`/`eb` in double. */
-  private[operators] val dotExpr: Column = expr(
-    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  private[operators] val dotExpr: Column = expr("graft_dot(ea, eb)")
 
   /** q35 — embedding cosine near-dup: brute pair scan with in-row
     * zip_with/aggregate dot products (codegen, no UDF). This is the
     * verification kernel; at 100 TB candidate pairs come from q37's LSH
     * buckets instead of the full cross product. */
   def q35DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normExpr.as("nrm"))
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("ea"),

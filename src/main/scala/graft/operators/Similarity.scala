@@ -46,6 +46,7 @@ object Similarity {
     * against the corpus scan; rank per query with a per-partition-key
     * window. Exact baseline for ANN recall measurement. */
   def q36AnnBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val scored = broadcast(queryVecs(spark, dir))
       .crossJoin(corpusVecs(spark, dir))
       .filter(col("qid") =!= col("cid"))
@@ -73,10 +74,7 @@ object Similarity {
       .withColumn("sig", expr(
         """aggregate(
           |  transform(planes, p ->
-          |    CASE WHEN aggregate(zip_with(p, embedding,
-          |                                 (a, x) -> a * CAST(x AS DOUBLE)),
-          |                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
-          |         THEN 1 ELSE 0 END),
+          |    CASE WHEN graft_dot(p, embedding) > 0 THEN 1 ELSE 0 END),
           |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
       .withColumn("bands", expr(
         "transform(sequence(0, 3), k -> named_struct('k', k, 'v', shiftright(sig, k * 4) & 15))"))
@@ -86,6 +84,7 @@ object Similarity {
     * recall vs q36 is asserted in ScalaTest). Corpus is bucketed once by
     * band value; only same-bucket candidates are scored. */
   def q37AnnLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val q = withSignature(
       Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0))
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),

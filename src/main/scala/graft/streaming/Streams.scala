@@ -67,12 +67,14 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
-  /** File-based streaming source over an events directory — the
-    * production entry (micro-batch tailing of arriving parquet). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  /** File-based streaming source over a DIRECTORY of arriving events
+    * parquet files — the production entry (micro-batch tailing; each
+    * newly-landed file becomes a batch, the streaming upgrade of the
+    * reference's per-file append ingest). */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
     spark.readStream
       .schema(Tables.eventsRawSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   // ---- batch-mode oracle-checkable queries ----
