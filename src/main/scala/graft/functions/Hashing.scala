@@ -16,6 +16,14 @@ object Hashing {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Scala-side twin of [[md5Hash60]] (same value for the same string). */
+  def md5Hash60Value(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Prime modulus for the MinHash permutation family (fits 31 bits, so
     * a*x+b stays within Long). */
   val MinHashP: Long = 1000000007L

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, MinHashAggregator}
+import graft.operators.Skew
+
+/** Mergeable-sketch and skew-handling semantics. */
+class AggregatorSkewSpec extends SparkTestBase {
+
+  test("MinHashAggregator signature == q32 pipeline signature") {
+    val sess = spark
+    import sess.implicits._
+    // per-doc signatures via the typed Aggregator
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(words) >= 3
+          |     THEN transform(sequence(1, size(words) - 2),
+          |                    i -> concat_ws(' ', slice(words, i, 3)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("doc_id"), col("shingle")).distinct()
+      .withColumn("x", Hashing.md5Hash60(col("shingle")))
+    val viaAgg = docs.select(col("doc_id"), col("x")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MinHashAggregator.toColumn.name("sig"))
+      .collect().toMap
+    // same signatures via the relational groupBy-min formulation
+    val viaSql = docs
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("h", Hashing.minHashPerm(col("j"), col("x")))
+      .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(j, mh))), s -> s.mh)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaAgg.keySet == viaSql.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(sig.toSeq == viaSql(id).toSeq, s"doc $id")
+    }
+  }
+
+  test("MinHash sketches merge associatively (split-and-merge == whole)") {
+    val xs = (1L to 1000L).map(i => Hashing.md5Hash60Value(s"shingle-$i"))
+    val whole = xs.foldLeft(MinHashAggregator.zero)(MinHashAggregator.reduce)
+    val (l, r) = xs.splitAt(317)
+    val merged = MinHashAggregator.merge(
+      l.foldLeft(MinHashAggregator.zero)(MinHashAggregator.reduce),
+      r.foldLeft(MinHashAggregator.zero)(MinHashAggregator.reduce))
+    assert(whole.toSeq == merged.toSeq)
+    assert(MinHashAggregator.estimateJaccard(whole, merged) == 1.0)
+  }
+
+  test("salted aggregation equals plain groupBy aggregation") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val salted = Skew.saltedAggSum(li, Seq("l_returnflag"), "l_quantity")
+      .select(col("l_returnflag"), round(col("sum_l_quantity"), 2).as("s"),
+        col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = li.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}
