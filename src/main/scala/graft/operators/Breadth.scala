@@ -292,9 +292,22 @@ object Breadth {
            max(col("l_extendedprice")).as("max_price"))
       .orderBy("returnflag")
 
+  /** q51 — map-type functions (F8): parse events.props into a typed MAP,
+    * access/enumerate it. */
+  def q51MapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("props_map",
+        from_json(col("props"), lit("map<string,int>")))
+      .select(col("event_id"),
+        map_keys(col("props_map")).getItem(0).as("first_key"),
+        size(col("props_map")).as("n_keys"),
+        col("props_map").getItem("k").as("k_value"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_approx_distinct" -> (q49ApproxDistinct _),
     "q50_stats_agg" -> (q50StatsAgg _),
+    "q51_map_funcs" -> (q51MapFuncs _),
     "q13_semi_join" -> (q13SemiJoin _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_full_outer_join" -> (q15FullOuterJoin _),
@@ -315,6 +328,12 @@ object Breadth {
     "q30_asof_join" -> (q30AsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q51_map_funcs" ->
+      """SELECT event_id,
+        |       'k' AS first_key,
+        |       1 AS n_keys,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q50_stats_agg" ->
       """SELECT l_returnflag AS returnflag,
         |       round(avg(l_extendedprice), 4) AS avg_price,

@@ -31,11 +31,30 @@ object Relational {
     * oracle regardless of FP summation order. */
   private def money(c: Column): Column = round(c, 2)
 
+  /** Materialized-aggregate-fact cache: the reference builds
+    * product_facts/rep_facts ONCE (CTAS,
+    * `LoadDataWarehouse.ChatterjeeP.R:90-133`) and every analytics query
+    * re-aggregates them. Mirroring that, fact DataFrames are persisted
+    * per (session, dir) so q03-q08 re-aggregate ~|groups| cached rows
+    * instead of re-running the star join over the full fact scan — the
+    * same two-layer design that makes the warehouse viable at 100 TB. */
+  private val factCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def materialized(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    factCache.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** product_facts analogue: grain (brand, year, quarter, customer-nation).
     * Reference: CTAS at `LoadDataWarehouse.ChatterjeeP.R:90-104` (grain
     * product x year x quarter x customer-country).
     */
-  def productFacts(spark: SparkSession, dir: String): DataFrame = {
+  def productFacts(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "product_facts")(buildProductFacts(spark, dir))
+
+  private def buildProductFacts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val part = Tables.part(spark, dir)
@@ -55,7 +74,10 @@ object Relational {
 
   /** rep_facts analogue: grain (supplier, year, quarter, brand).
     * Reference: CTAS at `LoadDataWarehouse.ChatterjeeP.R:118-133`. */
-  def repFacts(spark: SparkSession, dir: String): DataFrame = {
+  def repFacts(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "rep_facts")(buildRepFacts(spark, dir))
+
+  private def buildRepFacts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
     val part = Tables.part(spark, dir)
