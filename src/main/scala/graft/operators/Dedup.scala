@@ -76,35 +76,27 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** Per-(doc, bit) signed weight sums for SimHash over 60-bit word
-    * hashes, weighted by term frequency. */
-  private def simhashBitSums(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** q33 — SimHash near-dup: 60-bit signature over tf-weighted word
+    * hashes, banded 6 x 10 bits (pigeonhole: hamming <= 5 implies >= 1
+    * clean band), verified with exact hamming via xor + bit_count.
+    * Signatures come from the one-pass mergeable
+    * [[graft.functions.SimHashAggregator]] (no per-bit row explosion —
+    * one shuffle on doc_id instead of three). */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val simhashUdaf = udaf(graft.functions.SimHashAggregator)
+    val sigStructs = Tables.documents(spark, dir)
       .withColumn("word", explode(split(col("text"), " ")))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", Hashing.md5Hash60(col("word")))
-      .withColumn("b", explode(sequence(lit(0), lit(59))))
-      .withColumn("contrib", expr(
-        "CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN cnt ELSE -cnt END"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-
-  /** q33 — SimHash near-dup: 60-bit signature from signed bit sums,
-    * banded 6 x 10 bits (pigeonhole: hamming <= 5 implies >= 1 clean
-    * band), verified with exact hamming via xor + bit_count. */
-  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = simhashBitSums(spark, dir)
-    val sigs = bitSums.groupBy("doc_id").agg(
-      sum(expr("CASE WHEN s > 0 AND b < 30 THEN shiftleft(1, CAST(b AS INT)) ELSE 0 END"))
-        .as("sig_lo"),
-      sum(expr("CASE WHEN s > 0 AND b >= 30 THEN shiftleft(1, CAST(b - 30 AS INT)) ELSE 0 END"))
-        .as("sig_hi"))
-    val bands = bitSums
-      .withColumn("k", expr("b div 10"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1, CAST(b % 10 AS INT)) ELSE 0 END"))
-        .as("band_val"))
+      .groupBy("doc_id")
+      .agg(simhashUdaf(col("h"), col("cnt")).as("sig"))
+      .select(col("doc_id"), col("sig.sig_lo").as("sig_lo"),
+        col("sig.sig_hi").as("sig_hi"), col("sig.bands").as("bands"))
+      .persist()
+    val sigs = sigStructs.select("doc_id", "sig_lo", "sig_hi")
+    val bands = sigStructs
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "band_val")))
     val ca = bands.select(col("doc_id").as("id1"), col("k"), col("band_val"))
     val cb = bands.select(col("doc_id").as("id2"), col("k"), col("band_val"))
     val candidates = ca.join(cb, Seq("k", "band_val"))

@@ -105,9 +105,54 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** q52 — IVF-style ANN top-k (no SQL oracle; recall vs q36 asserted in
+    * ScalaTest). Coarse quantizer = deterministically sampled centroids
+    * (every 43rd vector — at scale, k-means centroids slot in here
+    * unchanged); every vector is assigned to its nearest centroid cell
+    * (one broadcast of the small centroid set, no corpus shuffle beyond
+    * the cell key), queries probe their nprobe=2 nearest cells and score
+    * only those cells' members. This is the inverted-file layout: at
+    * 100 TB the corpus is written bucketed by cell id, so a query reads
+    * only its probed cells' files. */
+  def q52AnnIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val nprobe = 2
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Dedup.normExpr.as("nrm"))
+    val centroids = all.filter(col("vec_id") % 43 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("nrm").as("cnrm"))
+    val centSim = round(
+      expr("graft_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6)
+    def nearestCells(vecs: DataFrame, n: Int, rankCol: String): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(desc("cent_sim"), asc("cent_id"))
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("cent_sim", centSim)
+        .withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= n)
+    }
+    val assigned = nearestCells(all, 1, "crank")
+      .select(col("vec_id").as("cid"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("cent_id").as("cell"))
+    val probes = nearestCells(all.filter(col("vec_id") % 100 === 0), nprobe, "prank")
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), simCol)
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
-    "q37_ann_lsh_topk" -> (q37AnnLshTopK _))
+    "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
+    "q52_ann_ivf_topk" -> (q52AnnIvfTopK _))
 
   val oracles: Map[String, String] = Map(
     "q36_ann_brute_topk" ->

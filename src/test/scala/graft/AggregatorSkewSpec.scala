@@ -51,6 +51,23 @@ class AggregatorSkewSpec extends SparkTestBase {
     assert(MinHashAggregator.estimateJaccard(whole, merged) == 1.0)
   }
 
+  test("graft_dot evaluates via SQL and the extensions injector applies") {
+    // injector is structurally sound (what spark.sql.extensions invokes)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    // runtime registration path + SQL evaluation + null/length semantics
+    val s2 = spark.newSession()
+    graft.plans.GraftFunctions.register(s2)
+    val r = s2.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_dot(array(CAST(1.0 AS FLOAT)), array(2.0D, 9.0D)) AS mixed,
+        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 2.0) // min-length semantics
+    assert(r.isNullAt(2))
+  }
+
   test("salted aggregation equals plain groupBy aggregation") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val salted = Skew.saltedAggSum(li, Seq("l_returnflag"), "l_quantity")

@@ -43,6 +43,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"LSH recall@10 = $recall")
   }
 
+  test("IVF ANN achieves >=30% recall@10 vs brute force") {
+    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q52AnnIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(ivf.contains).toDouble / truth.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+    info(s"IVF recall@10 = $recall")
+  }
+
   test("cosine similarity is symmetric and bounded") {
     val rows = Dedup.q35DedupEmbedding(spark, sf).collect()
     rows.foreach { r =>
