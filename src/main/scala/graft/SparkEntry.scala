@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Dedup, Multimodal, Relational, Similarity, TextOps, XmlShred}
+import graft.operators.{Breadth, Dedup, Multimodal, Relational, Similarity, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Breadth.queries ++ Dedup.queries ++
       TextOps.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streams.queries ++ XmlShred.queries
+      Streams.queries ++ XmlShred.queries ++ TrainingPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Breadth.oracles ++ Dedup.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Streams.oracles ++ XmlShred.oracles
+      Streams.oracles ++ XmlShred.oracles ++ TrainingPipeline.oracles
 }
