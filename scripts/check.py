@@ -22,10 +22,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # exact float compare (bit-level via repr): verified to hold for every
+    # oracle query at sf0.01 — Spark round() and DuckDB round() agree
+    # exactly on this data, so don't mask ulp regressions with formatting
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return repr(v)
     return v
 
 

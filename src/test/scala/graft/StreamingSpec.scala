@@ -41,6 +41,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to 4 overlapping windows") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").start()
+    try {
+      input.addData(Ev(t("2024-01-01 10:22:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      val starts = sess.table("sliding_t")
+        .collect().map(_.getTimestamp(0).toString).sorted.toSeq
+      assert(starts == Seq("2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+        "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0"))
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond horizon (append mode)") {
     val sess = spark
     import sess.implicits._
