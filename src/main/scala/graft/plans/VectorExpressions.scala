@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    extensions.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
