@@ -328,10 +328,12 @@ object Breadth {
     "q30_asof_join" -> (q30AsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    // json_keys (not hardcoded 'k'/1) so map_keys/size semantics are
+    // actually differential-tested on multi-key props (ADVICE.md r01)
     "q51_map_funcs" ->
       """SELECT event_id,
-        |       'k' AS first_key,
-        |       1 AS n_keys,
+        |       json_keys(props)[1] AS first_key,
+        |       CAST(len(json_keys(props)) AS INT) AS n_keys,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_value
         |FROM events ORDER BY event_id""".stripMargin,
     "q50_stats_agg" ->

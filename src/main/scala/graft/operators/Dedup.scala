@@ -22,15 +22,12 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Distinct word-3-gram shingles per document — computed once per
     * (session, dir) and persisted, since MinHash (q32) and Jaccard (q34)
     * both consume it (at 100 TB this is the materialized shingle table a
     * dedup campaign writes once and reuses across methods). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"shingles|$dir")(
       Tables.documents(spark, dir)
         .withColumn("words", split(col("text"), " "))
         .withColumn("shingle", explode(expr(
@@ -39,8 +36,7 @@ object Dedup {
             |                    i -> concat_ws(' ', slice(words, i, 3)))
             |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
         .select(col("doc_id"), col("shingle"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .distinct())
 
   /** q31 — exact dedup: canonical id = min doc_id per identical text
     * (hash-groupBy; the mandatory first pass before any LSH). */
@@ -92,16 +88,16 @@ object Dedup {
     * one shuffle on doc_id instead of three). */
   def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val simhashUdaf = udaf(graft.functions.SimHashAggregator)
-    val sigStructs = Tables.documents(spark, dir)
-      .withColumn("word", explode(split(col("text"), " ")))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", Hashing.md5Hash60(col("word")))
-      .groupBy("doc_id")
-      .agg(simhashUdaf(col("h"), col("cnt")).as("sig"))
-      .select(col("doc_id"), col("sig.sig_lo").as("sig_lo"),
-        col("sig.sig_hi").as("sig_hi"), col("sig.bands").as("bands"))
-      .persist()
+    val sigStructs = graft.sources.DfCache.df(spark, s"simhash_sigs|$dir")(
+      Tables.documents(spark, dir)
+        .withColumn("word", explode(split(col("text"), " ")))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h", Hashing.md5Hash60(col("word")))
+        .groupBy("doc_id")
+        .agg(simhashUdaf(col("h"), col("cnt")).as("sig"))
+        .select(col("doc_id"), col("sig.sig_lo").as("sig_lo"),
+          col("sig.sig_hi").as("sig_hi"), col("sig.bands").as("bands")))
     val sigs = sigStructs.select("doc_id", "sig_lo", "sig_hi")
     val bands = sigStructs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "band_val")))

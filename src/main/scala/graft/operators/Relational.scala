@@ -38,14 +38,9 @@ object Relational {
     * per (session, dir) so q03-q08 re-aggregate ~|groups| cached rows
     * instead of re-running the star join over the full fact scan — the
     * same two-layer design that makes the warehouse viable at 100 TB. */
-  private val factCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
   private def materialized(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    factCache.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, name),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.sources.DfCache.df(spark, s"$name|$dir")(build)
 
   /** product_facts analogue: grain (brand, year, quarter, customer-nation).
     * Reference: CTAS at `LoadDataWarehouse.ChatterjeeP.R:90-104` (grain

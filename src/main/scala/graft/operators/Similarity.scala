@@ -59,25 +59,44 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Deterministic random-hyperplane matrix: 16 planes x 64 dims,
-    * seed 42. Materialized as a literal array-of-arrays column so the
-    * signature computation stays a pure Catalyst expression. */
-  private[operators] def hyperplanes: Seq[Seq[Double]] = {
+  private val NPlanes = 24
+  private val NBands = 6 // 6 bands x 4 bits: higher recall than 4 x 4
+
+  /** Embedding dimensionality, probed once per (session, dir) from the
+    * data (a limit-1 scan) instead of hardcoding it — a corpus with a
+    * different dimension gets correctly-sized hyperplanes rather than a
+    * silently truncated projection (ADVICE.md r01). */
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    graft.sources.DfCache.value(spark, s"embedding_dim|$dir") {
+      Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    }
+
+  /** Deterministic random-hyperplane matrix: NPlanes x dim, seed 42.
+    * Materialized as a literal array-of-arrays column so the signature
+    * computation stays a pure Catalyst expression. */
+  private[operators] def hyperplanes(dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(NPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** 16-bit hyperplane signature of `embedding` (bit j = sign of dot with
-    * plane j), plus its 4 x 4-bit bands for LSH bucketing. */
-  private def withSignature(df: DataFrame): DataFrame =
-    df.withColumn("planes", typedLit(hyperplanes))
+  /** NPlanes-bit hyperplane signature of `embedding` (bit j = sign of dot
+    * with plane j), plus its NBands x 4-bit bands for LSH bucketing. A row
+    * whose embedding dimension differs from the probed corpus dimension
+    * raises instead of silently degrading the signature. */
+  private def withSignature(df: DataFrame, dim: Int): DataFrame =
+    df.withColumn("planes", typedLit(hyperplanes(dim)))
       .withColumn("sig", expr(
-        """aggregate(
-          |  transform(planes, p ->
-          |    CASE WHEN graft_dot(p, embedding) > 0 THEN 1 ELSE 0 END),
-          |  0, (acc, bit) -> acc * 2 + bit)""".stripMargin))
+        s"""CASE WHEN size(embedding) != $dim THEN
+           |  CAST(raise_error(concat('graft LSH: embedding dim ',
+           |                          size(embedding), ' != $dim')) AS INT)
+           |ELSE aggregate(
+           |  transform(planes, p ->
+           |    CASE WHEN graft_dot(p, embedding) > 0 THEN 1 ELSE 0 END),
+           |  0, (acc, bit) -> acc * 2 + bit)
+           |END""".stripMargin))
       .withColumn("bands", expr(
-        "transform(sequence(0, 3), k -> named_struct('k', k, 'v', shiftright(sig, k * 4) & 15))"))
+        s"transform(sequence(0, ${NBands - 1}), k -> named_struct('k', k, 'v', shiftright(sig, k * 4) & 15))"))
       .drop("planes")
 
   /** q37 — LSH-bucketed ANN top-k (no SQL oracle — rows-only check;
@@ -85,11 +104,12 @@ object Similarity {
     * band value; only same-bucket candidates are scored. */
   def q37AnnLshTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    val dim = embeddingDim(spark, dir)
     val q = withSignature(
-      Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0))
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0), dim)
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         Dedup.normExpr.as("na"), explode(col("bands")).as("band"))
-    val c = withSignature(Tables.embeddings(spark, dir))
+    val c = withSignature(Tables.embeddings(spark, dir), dim)
       .select(col("vec_id").as("cid"), col("embedding").as("eb"),
         Dedup.normExpr.as("nb"), explode(col("bands")).as("band"))
     val candidates = q.join(c, q("band") === c("band"))

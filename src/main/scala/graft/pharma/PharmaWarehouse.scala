@@ -78,11 +78,13 @@ object PharmaWarehouse {
       .orderBy("quarter")
 
   /** DW-Q3 top-1 (`LoadDataWarehouse.ChatterjeeP.R:179-192`; the comment
-    * there says 2022, the SQL filters 2020 — the SQL wins). */
+    * there says 2022, the SQL filters 2020 — the SQL wins). The reference
+    * SQL orders by total_sold alone; product_name tie-break added so the
+    * LIMIT is deterministic under ties (same answer on tie-free data). */
   def dwQ3(productFacts: DataFrame): DataFrame =
     productFacts.filter(col("year") === 2020)
       .groupBy("product_name").agg(sum("total_sold").as("total_sold"))
-      .orderBy(desc("total_sold")).limit(1)
+      .orderBy(desc("total_sold"), asc("product_name")).limit(1)
 
   /** DW-Q4 (`LoadDataWarehouse.ChatterjeeP.R:199-210`). */
   def dwQ4(repFacts: DataFrame): DataFrame =
@@ -90,11 +92,14 @@ object PharmaWarehouse {
       .groupBy("first_name", "last_name")
       .agg(sum("total_sold").as("total_sales"))
 
-  /** Rmd-Q1 — global ORDER BY + LIMIT 5 (`AnalyzeData.ChatterjeeP.Rmd:38-44`). */
+  /** Rmd-Q1 — global ORDER BY + LIMIT 5 (`AnalyzeData.ChatterjeeP.Rmd:38-44`).
+    * Rep-name tie-break keeps the LIMIT deterministic under ties (the
+    * reference data has none, so the golden answer is unchanged). */
   def rmdQ1(repFacts: DataFrame): DataFrame =
     repFacts.groupBy("year", "first_name", "last_name")
       .agg(sum("total_sold").as("total_sales"))
-      .orderBy(desc("year"), desc("total_sales"))
+      .orderBy(desc("year"), desc("total_sales"),
+        asc("last_name"), asc("first_name"))
       .limit(5)
 
   /** Rmd-Q2 (`AnalyzeData.ChatterjeeP.Rmd:63-68`). */

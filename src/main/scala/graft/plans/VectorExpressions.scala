@@ -21,12 +21,18 @@ import org.apache.spark.sql.SparkSessionExtensions
   * allocation. Accumulation is left-to-right in double, bit-identical to
   * the lambda formulation and the DuckDB oracle.
   *
-  * Semantics: length = min(len(a), len(b)); null if either side null
-  * (null array elements are treated as 0 — embeddings are non-null by
-  * schema). Accepts ARRAY<FLOAT> and ARRAY<DOUBLE> on either side.
+  * Semantics: length = min(len(a), len(b)); NULL if either side is null
+  * OR any visited element is null — exactly what the lambda formulation
+  * computes (null propagates through `x*y` and `acc+v`), so
+  * [[RewriteDotProduct]] is semantics-preserving for every input,
+  * including arrays whose schema says containsNull=true (ADVICE.md r01).
+  * Accepts ARRAY<FLOAT> and ARRAY<DOUBLE> on either side.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // result can be NULL on a null element even when both inputs are non-null
+  override def nullable: Boolean = true
 
   private def isNumericArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -58,6 +64,7 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -77,6 +84,7 @@ case class VectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.$xGet($i) * (double) $b.$yGet($i);
          |}
          |${ev.value} = $acc;

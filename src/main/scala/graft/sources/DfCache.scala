@@ -1,0 +1,52 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped cache for persisted intermediate DataFrames (the
+  * materialized aggregate facts of Relational, the shared shingle table
+  * of Dedup, the LSH plane dimension of Similarity).
+  *
+  * Keyed by `spark.sessionUUID` — stable and collision-free, unlike an
+  * identityHashCode which can be reused after GC and would pin plans of
+  * stopped sessions forever (ADVICE.md r01). Entries are evicted when the
+  * owning application ends, so a long-lived JVM hosting many short-lived
+  * sessions (a test suite, a notebook server) does not leak persisted
+  * plans.
+  */
+private[graft] object DfCache {
+
+  private val dfs = TrieMap.empty[(String, String), DataFrame]
+  private val vals = TrieMap.empty[(String, String), Any]
+  private val hooked = TrieMap.empty[String, Boolean]
+
+  /** Build-once-per-(session, key) persisted DataFrame. */
+  def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
+    hookEviction(spark, sid)
+    dfs.getOrElseUpdate((sid, key),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Build-once-per-(session, key) plain value (e.g. a probed dimension). */
+  def value[T](spark: SparkSession, key: String)(build: => T): T = {
+    val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
+    hookEviction(spark, sid)
+    vals.getOrElseUpdate((sid, key), build).asInstanceOf[T]
+  }
+
+  private def hookEviction(spark: SparkSession, sid: String): Unit =
+    if (hooked.putIfAbsent(sid, true).isEmpty) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = {
+          dfs.keys.filter(_._1 == sid).foreach(dfs.remove)
+          vals.keys.filter(_._1 == sid).foreach(vals.remove)
+          hooked.remove(sid)
+        }
+      })
+    }
+}
