@@ -22,10 +22,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up on the smallest SF so per-query times measure
-    // the engine, not JIT + first-classload costs.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/codegen warm-up: run EVERY query once on the smallest SF so the
+    // timed loop measures the engine, not JIT + first-classload + codegen
+    // compilation (generated classes are cached by source, so the same
+    // plan shapes at sfDir hit the cache). sf0.001 keys differ from
+    // sfDir's, so the timed run still pays its own fact/shingle builds.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    // OS page-cache warm of the measured dir (plain byte read, no Spark
+    // state touched): a cluster reads hot storage; the bench shouldn't
+    // fold one cold `cat` of the input into whichever query runs first.
+    try {
+      import java.nio.file.{Files, Paths}
+      Files.list(Paths.get(sfDir)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) Files.readAllBytes(p)
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
