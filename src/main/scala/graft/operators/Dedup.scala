@@ -52,19 +52,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signatures: 16 permutations over 60-bit shingle hashes. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+  /** MinHash signatures: 16 permutations over 60-bit shingle hashes.
+    * All 16 minima are computed as parallel aggregate columns in ONE
+    * map-side-combinable shuffle on doc_id — no 16x row explosion and no
+    * second shuffle (the band signature is a scalar md5 over 4 of the 16
+    * columns). At 100 TB this is the difference between shuffling the
+    * shingle table once vs 16 copies of it twice. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(spark, dir)
       .withColumn("x", Hashing.md5Hash60(col("shingle")))
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("h", Hashing.minHashPerm(col("j"), col("x")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("mh"))
-      .withColumn("band", expr("j div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("_", expr(
-        "transform(sort_array(collect_list(struct(j, mh))), s -> CAST(s.mh AS STRING))")))
-        .as("band_sig"))
+    val minCols = (0 to 15).map(j =>
+      min(Hashing.minHashPerm(lit(j), col("x"))).as(s"mh$j"))
+    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 to 3).map { b =>
+      val sig = md5(concat_ws("_",
+        (0 to 3).map(i => col(s"mh${b * 4 + i}").cast("string")): _*))
+      struct(lit(b).as("band"), sig.as("band_sig"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
 
   /** q32 — MinHash + LSH banding near-dup: shingle -> 16 minhashes ->
     * 4 bands of 4 -> band-bucket self-join. Candidate pairs ranked by how
