@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: per-qid ANN recall@10 for LSH and IVF at each SF dir. */
+object RecallScan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val truth = Similarity.q36AnnBruteTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      for ((label, rows) <- Seq(
+          "lsh" -> Similarity.lshTopK(spark, dir).collect(),
+          "ivf" -> Similarity.ivfTopK(spark, dir).collect())) {
+        val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recalls = truth.groupBy(_._1).map { case (qid, t) =>
+          qid -> t.count(approx.contains).toDouble / t.length
+        }
+        val rs = recalls.values
+        println(f"[recall] $sf $label nq=${recalls.size} " +
+          f"min=${rs.min}%.2f avg=${rs.sum / rs.size}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -269,15 +269,21 @@ object Breadth {
   }
 
   /** q49 — approximate distinct count (A5): HLL++ `approx_count_distinct`
-    * next to the exact count. No oracle (DuckDB's sketch differs by
-    * construction) — rows-only check + error-bound assertion in
-    * ScalaTest. At 100 TB the approx variant is the one that matters: it
-    * needs no per-key shuffle state, only a mergeable sketch. */
+    * checked against the exact count. DuckDB's sketch differs by
+    * construction, so the oracle verifies the exact count plus the
+    * ACCURACY CONTRACT of the sketch (relative error within 3x the
+    * default 5% rsd) — a real differential test of the property an
+    * approx-distinct must honor, not a rows-only check. At 100 TB the
+    * approx variant is the one that matters: no per-key shuffle state,
+    * only a mergeable sketch. */
   def q49ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
            approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.15).as("approx_within_15pct"))
       .orderBy("event_type")
 
   /** q50 — statistical aggregate family (A7): avg / stddev / exact
@@ -328,6 +334,11 @@ object Breadth {
     "q30_asof_join" -> (q30AsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q49_approx_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_15pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // json_keys (not hardcoded 'k'/1) so map_keys/size semantics are
     // actually differential-tested on multi-key props (ADVICE.md r01)
     "q51_map_funcs" ->

@@ -34,23 +34,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("LSH ANN achieves >=40% recall@10 vs brute force") {
+  private def perQidRecall(approx: Array[org.apache.spark.sql.Row])
+      : Map[Long, Double] = {
     val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.q37AnnLshTopK(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = truth.count(lsh.contains).toDouble / truth.size
-    assert(recall >= 0.4, s"LSH recall@10 = $recall")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.groupBy(_._1).map { case (qid, rows) =>
+      qid -> rows.count(approxSet.contains).toDouble / rows.length
+    }
   }
 
-  test("IVF ANN achieves >=30% recall@10 vs brute force") {
-    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.q52AnnIvfTopK(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = truth.count(ivf.contains).toDouble / truth.size
-    assert(recall >= 0.3, s"IVF recall@10 = $recall")
-    info(s"IVF recall@10 = $recall")
+  test("LSH ANN achieves >=50% recall@10 per query vs brute force") {
+    val recalls = perQidRecall(Similarity.lshTopK(spark, sf).collect())
+    assert(recalls.nonEmpty)
+    val worst = recalls.minBy(_._2)
+    info(s"LSH per-qid recall: min=$worst avg=${
+      recalls.values.sum / recalls.size}")
+    // the q37 oracle contract asserts >= 0.5 per qid; keep margin here
+    assert(worst._2 >= 0.5, s"LSH worst recall@10 $worst")
+    // and the registered contract query itself must be all-true
+    val ok = Similarity.q37AnnLshTopK(spark, sf).collect()
+    assert(ok.forall(_.getBoolean(1)), "q37 recall contract violated")
+  }
+
+  test("IVF ANN achieves >=30% average recall@10 vs brute force") {
+    val recalls = perQidRecall(Similarity.ivfTopK(spark, sf).collect())
+    val avgR = recalls.values.sum / recalls.size
+    info(s"IVF per-qid recall: min=${recalls.values.min} avg=$avgR")
+    assert(avgR >= 0.3, s"IVF avg recall@10 $avgR")
+    val ok = Similarity.q52AnnIvfTopK(spark, sf).collect()
+    assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
 
   test("cosine similarity is symmetric and bounded") {
