@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Dedup, Multimodal, Relational, Similarity, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{Breadth, Breadth2, Curation, Dedup, Multimodal, Relational, Similarity, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,14 +21,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Breadth.queries ++ Dedup.queries ++
-      TextOps.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streams.queries ++ XmlShred.queries ++ TrainingPipeline.queries
+    Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
+      Dedup.queries ++ TextOps.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
+      TrainingPipeline.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Breadth.oracles ++ Dedup.oracles ++
-      TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Streams.oracles ++ XmlShred.oracles ++ TrainingPipeline.oracles
+    Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
+      Dedup.oracles ++ TextOps.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
+      TrainingPipeline.oracles ++ Curation.oracles
 }

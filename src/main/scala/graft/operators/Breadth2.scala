@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] second wave of relational operator breadth (SURVEY.md §2 A6/A7,
+  * §2.5, F8): pivot/unpivot reshaping, multi-quantile and correlation/
+  * regression aggregates, conditional aggregation, lateral explode,
+  * date-spine generation, RANGE window frames, distribution ranking, and
+  * value-window functions. Declarative DataFrame API throughout; every
+  * output totally ordered for the oracle hash compare.
+  */
+object Breadth2 {
+
+  private def money(c: Column) = round(c, 2)
+
+  /** q54 — PIVOT: quarterly revenue reshaped to one column per quarter
+    * (wide fact snapshot, the BI-surface counterpart of q03). Pivot
+    * values are declared, so the plan is a single pass with conditional
+    * aggregation — no second job to discover the pivot domain. */
+  def q54Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("sale_year"),
+              quarter(col("o_orderdate")).as("sale_quarter"),
+              col("o_totalprice"))
+      .groupBy("sale_year")
+      .pivot("sale_quarter", Seq(1, 2, 3, 4))
+      .agg(money(sum(col("o_totalprice"))))
+      .select(col("sale_year"), col("1").as("q1"), col("2").as("q2"),
+              col("3").as("q3"), col("4").as("q4"))
+      .orderBy("sale_year")
+
+  /** q55 — UNPIVOT (melt): wide per-flag aggregates back to long
+    * (metric, value) rows — the inverse reshaping primitive. */
+  def q55Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(money(sum(col("l_quantity"))).as("sum_qty"),
+           money(sum(col("l_extendedprice"))).as("sum_price"),
+           count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+        Array(col("returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy("returnflag", "metric")
+  }
+
+  /** q56 — multi-quantile aggregate (A7): exact interpolated percentiles
+    * at 4 points per group. At 100 TB swap `percentile` for
+    * `percentile_approx` (mergeable t-digest-style sketch, no per-group
+    * sort state) — the exact variant here doubles as its oracle. */
+  def q56Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+           round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("returnflag")
+
+  /** q57 — correlation / covariance / linear-regression aggregates (A7)
+    * between quantity and price per flag. */
+  def q57CorrRegr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+           round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"))
+      .orderBy("returnflag")
+
+  /** q58 — conditional aggregation (F8/A7): count_if / bool_and /
+    * bool_or — one scan, no self-joins. */
+  def q58ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count_if(col("c_acctbal") > 5000).as("n_high_bal"),
+           count_if(col("c_acctbal") < 0).as("n_negative"),
+           bool_and(col("c_name").isNotNull).as("all_have_name"),
+           bool_or(col("c_acctbal") > 9000).as("any_very_high"))
+      .orderBy("mktsegment")
+
+  /** q59 — lateral explode with position (UDTF surface, SURVEY.md §2.11):
+    * token stream with ordinality for a deterministic doc subset. */
+  def q59LateralExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 200 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+
+  /** q60 — sequence generation (date spine): each sampled order expanded
+    * to the 4 month-starts from its order month — the standard
+    * gap-filling/spine pattern for time series. */
+  def q60DateSpine(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 5000 === 0)
+      .select(col("o_orderkey"),
+        explode(expr(
+          """sequence(CAST(date_trunc('month', o_orderdate) AS DATE),
+            |         add_months(CAST(date_trunc('month', o_orderdate) AS DATE), 3),
+            |         interval 1 month)""".stripMargin)).as("month_start"))
+      .orderBy("o_orderkey", "month_start")
+
+  /** q61 — RANGE window frame: trailing-7-day revenue over the daily
+    * series. Revenue is held in exact cents (BIGINT) inside the frame so
+    * the sliding sum is associativity-proof — double accumulation order
+    * inside RANGE frames is engine-specific and would break bit parity
+    * (and at scale, reproducibility). */
+  def q61RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .select(col("day"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round((sum(col("cents")).over(w)) / 100.0, 2).as("trailing_7d"))
+      .orderBy("day")
+  }
+
+  /** q62 — distribution ranking (§2.5): revenue quartile, percent_rank
+    * and cume_dist per supplier. */
+  def q62Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val rev = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("s_name").as("rep_name"))
+      .agg(money(sum(col("l_extendedprice"))).as("revenue"))
+    val w = Window.orderBy(desc("revenue"), asc("rep_name"))
+    rev.select(col("rep_name"), col("revenue"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("rep_name")
+  }
+
+  /** q63 — value window functions (§2.5): first/last/2nd month revenue
+    * within each year (whole-partition frame). */
+  def q63ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("sale_year"),
+               month(col("o_orderdate")).as("sale_month"))
+      .agg(money(sum(col("o_totalprice"))).as("revenue"))
+    val w = Window.partitionBy("sale_year").orderBy("sale_month")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    monthly.select(col("sale_year"), col("sale_month"), col("revenue"),
+        first(col("revenue")).over(w).as("first_month_rev"),
+        last(col("revenue")).over(w).as("last_month_rev"),
+        nth_value(col("revenue"), 2).over(w).as("second_month_rev"))
+      .orderBy("sale_year", "sale_month")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_pivot" -> (q54Pivot _),
+    "q55_unpivot" -> (q55Unpivot _),
+    "q56_percentiles" -> (q56Percentiles _),
+    "q57_corr_regr" -> (q57CorrRegr _),
+    "q58_conditional_agg" -> (q58ConditionalAgg _),
+    "q59_lateral_explode" -> (q59LateralExplode _),
+    "q60_date_spine" -> (q60DateSpine _),
+    "q61_range_frame" -> (q61RangeFrame _),
+    "q62_ntile" -> (q62Ntile _),
+    "q63_value_windows" -> (q63ValueWindows _))
+
+  val oracles: Map[String, String] = Map(
+    "q54_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS sale_year,
+        |       round(sum(o_totalprice) FILTER (quarter(o_orderdate) = 1), 2) AS q1,
+        |       round(sum(o_totalprice) FILTER (quarter(o_orderdate) = 2), 2) AS q2,
+        |       round(sum(o_totalprice) FILTER (quarter(o_orderdate) = 3), 2) AS q3,
+        |       round(sum(o_totalprice) FILTER (quarter(o_orderdate) = 4), 2) AS q4
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag AS returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT returnflag, metric, value FROM (
+        |  SELECT returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL
+        |  SELECT returnflag, 'n_rows', n_rows FROM wide)
+        |ORDER BY returnflag, metric""".stripMargin,
+    "q56_percentiles" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_corr_regr" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_conditional_agg" ->
+      """SELECT c_mktsegment AS mktsegment,
+        |       count(*) FILTER (c_acctbal > 5000) AS n_high_bal,
+        |       count(*) FILTER (c_acctbal < 0) AS n_negative,
+        |       bool_and(c_name IS NOT NULL) AS all_have_name,
+        |       bool_or(c_acctbal > 9000) AS any_very_high
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_lateral_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |             unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |      FROM documents WHERE doc_id % 200 = 0)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q60_date_spine" ->
+      """SELECT o_orderkey,
+        |       CAST(unnest(generate_series(
+        |         CAST(date_trunc('month', o_orderdate) AS DATE),
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 3 MONTH,
+        |         INTERVAL 1 MONTH)) AS DATE) AS month_start
+        |FROM orders WHERE o_orderkey % 5000 = 0
+        |ORDER BY o_orderkey, month_start""".stripMargin,
+    "q61_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+        |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT day,
+        |       round(cents / 100.0, 2) AS revenue,
+        |       round(sum(cents) OVER (ORDER BY day_num
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 2)
+        |         AS trailing_7d
+        |FROM daily ORDER BY day""".stripMargin,
+    "q62_ntile" ->
+      """WITH rev AS (
+        |  SELECT s_name AS rep_name, round(sum(l_extendedprice), 2) AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT rep_name, revenue,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM rev
+        |WINDOW w AS (ORDER BY revenue DESC, rep_name ASC)
+        |ORDER BY rep_name""".stripMargin,
+    "q63_value_windows" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS sale_year,
+        |         CAST(month(o_orderdate) AS INT) AS sale_month,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT sale_year, sale_month, revenue,
+        |       first_value(revenue) OVER w AS first_month_rev,
+        |       last_value(revenue) OVER w AS last_month_rev,
+        |       nth_value(revenue, 2) OVER w AS second_month_rev
+        |FROM monthly
+        |WINDOW w AS (PARTITION BY sale_year ORDER BY sale_month
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY sale_year, sale_month""".stripMargin)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] corpus-curation operators for LLM training-data pipelines
+  * (BASELINE.json mandate, complementing Dedup/TextOps): boilerplate
+  * stripping, PII scrubbing, benchmark-contamination detection,
+  * repetition scoring, deterministic stratified sampling, and vocabulary
+  * extraction — each over the `documents` table with a DuckDB oracle.
+  *
+  * Scale notes: every operator is one or two shuffles on content keys
+  * (word / shingle / doc_id); nothing is pairwise over the corpus except
+  * contamination, which joins corpus shingles against the (tiny,
+  * broadcastable) benchmark shingle set. Sampling uses content hashes,
+  * not rand(), so results are reproducible under any partitioning —
+  * at 100 TB a rerun-stable sample is the difference between a
+  * debuggable pipeline and a flaky one.
+  */
+object Curation {
+
+  private def words = split(col("text"), " ")
+
+  /** q64 — boilerplate strip: the corpus's 5 most frequent words (by doc
+    * frequency, tie-broken on the word) are removed from every document,
+    * order-preserved. The two-phase shape — tiny corpus-wide frequency
+    * table broadcast against a per-doc rewrite — is exactly how
+    * boilerplate/stopword scrubbing runs at 100 TB. */
+  def q64BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top5 = docs
+      .select(col("doc_id"), explode(array_distinct(words)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word")).limit(5)
+      .select(col("word"))
+    val tokens = docs
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "word")))
+    val kept = tokens.join(broadcast(top5), Seq("word"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(sort_array(collect_list(struct(pos, word))), s -> s.word)"))
+        .as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+      .join(docs.select(col("doc_id"), size(words).as("n_words")), Seq("doc_id"))
+      .select(col("doc_id"), md5(col("cleaned_text")).as("cleaned_md5"),
+        col("n_kept"), (col("n_words") - col("n_kept")).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** q65 — PII scrub: email / phone / IPv4 patterns redacted and counted.
+    * The synthetic corpus contains none (counts verify as 0 row-by-row
+    * against the oracle's regex engine) — the differential check is the
+    * regex semantics and the scrub plumbing, which is what matters before
+    * pointing it at real data. */
+  def q65PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+    val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ipv4), lit(0))).as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ipv4, "<IP>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q66 — benchmark contamination: corpus documents sharing any word
+    * 5-gram with the held-out "benchmark" slice (doc_id % 97 == 0). The
+    * benchmark shingle set is tiny and broadcast; the corpus side is one
+    * shingle explode — no quadratic step. The standard pre-training
+    * decontamination check. */
+  def q66Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame) = df
+      .withColumn("ws", words)
+      .withColumn("gram", explode(expr(
+        """CASE WHEN size(ws) >= 5
+          |     THEN transform(sequence(1, size(ws) - 4),
+          |                    i -> concat_ws(' ', slice(ws, i, 5)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("doc_id"), col("gram")).distinct()
+    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val corpus = grams(docs.filter(col("doc_id") % 97 =!= 0))
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+           countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** q67 — repetition score (quality signal): fraction of a document's
+    * word 3-grams that are repeats of an earlier occurrence — high values
+    * flag the degenerate loops that poison training data. One explode +
+    * one doc_id-partitioned aggregation. */
+  def q67RepetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws", words)
+      .filter(size(col("ws")) >= 3)
+      .withColumn("gram", explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           countDistinct(col("gram")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 6).as("repetition_ratio"))
+      .orderBy("doc_id")
+
+  /** q68 — deterministic stratified sampling: downsample the dominant
+    * language (en keeps 20%) while keeping the rest, selecting on a
+    * 60-bit content hash of (lang, doc_id) — reproducible under any
+    * partitioning or retry, unlike rand()-based sampling. */
+  def q68StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 20).otherwise(100)
+    Tables.documents(spark, dir)
+      .withColumn("keep",
+        pmod(Hashing.md5Hash60(concat_ws("|", col("lang"),
+          col("doc_id").cast("string"))), lit(100)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           count_if(col("keep")).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** q69 — vocabulary extraction: top-20 tokens by document frequency
+    * with total occurrence counts — the corpus-statistics pass a
+    * tokenizer build starts from. Map-side-combinable aggregation on the
+    * token; the top-k is a TakeOrdered over |vocab|, not |corpus|. */
+  def q69Vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+           count(lit(1)).as("total_count"))
+      .orderBy(desc("doc_freq"), desc("total_count"), asc("word"))
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_boilerplate_strip" -> (q64BoilerplateStrip _),
+    "q65_pii_scrub" -> (q65PiiScrub _),
+    "q66_contamination" -> (q66Contamination _),
+    "q67_repetition_score" -> (q67RepetitionScore _),
+    "q68_stratified_sample" -> (q68StratifiedSample _),
+    "q69_vocab" -> (q69Vocab _))
+
+  val oracles: Map[String, String] = Map(
+    "q64_boilerplate_strip" ->
+      """WITH top5 AS (
+        |  SELECT word FROM (
+        |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 5),
+        |tokens AS (
+        |  SELECT doc_id, i AS pos, words[i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents)),
+        |kept AS (
+        |  SELECT doc_id, pos, word FROM tokens
+        |  WHERE word NOT IN (SELECT word FROM top5)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned_text,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(r.cleaned_text) AS cleaned_md5, r.n_kept,
+        |       len(string_split(d.text, ' ')) - r.n_kept AS n_removed
+        |FROM documents d JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q65_pii_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text,
+        |         '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+        |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q66_contamination" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(words[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id,
+        |       count(DISTINCT b.bench_id) AS n_bench_docs,
+        |       count(DISTINCT c.gram) AS n_shared_grams
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q67_repetition_score" ->
+      """WITH grams AS (
+        |  SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+        |        FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 3))
+        |SELECT doc_id, count(*) AS n_grams,
+        |       round(CAST(count(*) - count(DISTINCT gram) AS DOUBLE)
+        |             / count(*), 6) AS repetition_ratio
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q68_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        |       count(*) FILTER (
+        |         ('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 100 END)
+        |         AS n_kept
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q69_vocab" ->
+      """SELECT word, count(DISTINCT doc_id) AS doc_freq,
+        |       count(*) AS total_count
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word
+        |ORDER BY doc_freq DESC, total_count DESC, word ASC
+        |LIMIT 20""".stripMargin)
+}
