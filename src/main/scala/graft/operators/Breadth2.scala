@@ -155,7 +155,29 @@ object Breadth2 {
       .orderBy("sale_year", "sale_month")
   }
 
+  /** q70 — NATIVE as-of join: q30's semantics on the custom
+    * [[graft.plans.AsofJoin]] LogicalPlan + Strategy + Exec (one
+    * clustered shuffle + sort per side, O(1)-state streaming merge)
+    * instead of the union+window composition. Differentially tested
+    * against DuckDB's real ASOF LEFT JOIN, and asserted row-identical
+    * to q30 in ScalaTest. */
+  def q70AsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    graft.plans.AsofJoin
+      .asofJoin(purchases, signups,
+        Seq("user_id"), Seq("s_user_id"), "ts", "signup_ts")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+           count(col("signup_ts")).as("n_with_prior_signup"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_asof_native" -> (q70AsofNative _),
     "q54_pivot" -> (q54Pivot _),
     "q55_unpivot" -> (q55Unpivot _),
     "q56_percentiles" -> (q56Percentiles _),
@@ -168,6 +190,17 @@ object Breadth2 {
     "q63_value_windows" -> (q63ValueWindows _))
 
   val oracles: Map[String, String] = Map(
+    "q70_asof_native" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id AS user_id,
+        |       count(*) AS n_purchases,
+        |       count(s.ts) AS n_with_prior_signup
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_pivot" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS sale_year,
         |       round(sum(o_totalprice) FILTER (quarter(o_orderdate) = 1), 2) AS q1,

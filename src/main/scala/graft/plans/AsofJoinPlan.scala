@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF JOIN — the whole-operator custom-plan path (SURVEY.md
+  * §4.3 / builder mandate option (c)): a `LogicalPlan` node, a
+  * `SparkStrategy`, and a `SparkPlan` registered via
+  * [[GraftExtensions]] / [[AsofJoin.ensureStrategy]].
+  *
+  * Semantics (left-outer as-of): for every left row, the single right
+  * row with equal keys and the greatest right-time <= left-time; null
+  * right columns when none exists. Matches DuckDB `ASOF LEFT JOIN`
+  * (the q30 oracle), which is what the composition-based q30 emulates
+  * with a union + window.
+  *
+  * Why a custom operator: Spark has no as-of join. The composition
+  * (union both sides, window `last(_, ignoreNulls)` over
+  * unbounded-preceding) works but materializes window state and gives
+  * AQE an opaque window stage. This node declares the real requirement —
+  * `ClusteredDistribution` on the keys and (key, time) sort within
+  * partitions — so EnsureRequirements plans ONE co-partitioning shuffle
+  * per side (reusing any existing partitioning/sort for free), and the
+  * merge itself is a streaming single pass per partition: O(1) state
+  * (one held right row), no window buffers, no candidate blowup. That
+  * is the right shape at 100 TB: shuffle each side once, then linear
+  * merge.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+
+  /** Build the as-of join DataFrame; key/time columns resolved by name
+    * against each side (keeps the public API free of internals). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in ${plan.output.map(_.name)}"))
+    val node = AsofJoin(lPlan, rPlan,
+      leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+      resolve(lPlan, leftTime), resolve(rPlan, rightTime))
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
+  }
+
+  /** Idempotently add the planner strategy to a session (the
+    * `spark.sql.extensions=graft.plans.GraftExtensions` route injects it
+    * at session build instead). */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    }
+}
+
+/** Plans the logical [[AsofJoin]] into [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: requires both children clustered on their keys
+  * and sorted by (keys, time); executes as a per-partition streaming
+  * merge holding exactly one candidate right row. */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rightWidth = right.output.size
+    val timeType = leftTime.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeBound = BindReferences.bindReference(leftTime, left.output)
+      val rTimeBound = BindReferences.bindReference(rightTime, right.output)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+      val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(timeType)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(output, output)
+
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      def advanceRight(): Unit =
+        rRow = if (rIter.hasNext) rIter.next() else null
+      // the single held candidate: the latest right row whose time is
+      // <= the current left row's time, with its key pinned by copy
+      var heldRow: InternalRow = null
+      var heldKey: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeV = lTimeBound.eval(lRow)
+        val probeValid = lTimeV != null && !lKey.anyNull
+        if (probeValid) {
+          var continue = true
+          while (continue && rRow != null) {
+            val rKey = rKeyProj(rRow)
+            if (rKey.anyNull) advanceRight() // null keys never match
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { heldRow = null; heldKey = null; advanceRight() }
+              else if (c > 0) continue = false
+              else {
+                val rTimeV = rTimeBound.eval(rRow)
+                if (rTimeV == null) advanceRight()
+                else if (timeOrd.asInstanceOf[Ordering[Any]]
+                    .compare(rTimeV, lTimeV) <= 0) {
+                  heldRow = rRow.copy()
+                  heldKey = rKey.copy()
+                  advanceRight()
+                } else continue = false
+              }
+            }
+          }
+        }
+        val matched = probeValid && heldRow != null &&
+          keyOrd.compare(heldKey, lKey) == 0
+        outProj(joined(lRow, if (matched) heldRow else nullRight))
+      }
+    }
+  }
+}

@@ -124,5 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
+    extensions.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }

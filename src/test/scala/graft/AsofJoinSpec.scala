@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Breadth, Breadth2}
+import graft.plans.{AsofJoin, AsofJoinExec}
+
+/** The custom as-of join operator: semantics on constructed edges,
+  * equivalence with both the composition-based q30 and (via Verify) the
+  * DuckDB ASOF JOIN oracle, and the physical plan shape. */
+class AsofJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def asof(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "t", "rt")
+
+  test("picks greatest right time <= left time, inclusive, per key") {
+    val left = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "t")
+    val right = Seq(("a", 10L, "x"), ("a", 15L, "y"), ("a", 25L, "z"),
+      ("b", 6L, "late")).toDF("rk", "rt", "v")
+    val got = asof(left, right).select("k", "t", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", 10L, "x"),   // inclusive match at equal time
+      ("a", 20L, "y"),   // greatest <= 20 is 15
+      ("b", 5L, null)))  // only right time is later -> null
+  }
+
+  test("left rows with unmatched keys null-extend; right dups take latest") {
+    val left = Seq(("a", 100L), ("c", 100L)).toDF("k", "t")
+    val right = Seq(("a", 1L, "old"), ("a", 50L, "new")).toDF("rk", "rt", "v")
+    val got = asof(left, right).select("k", "v").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "new"), ("c", null)))
+  }
+
+  test("survives multi-partition shuffles (keys spread over partitions)") {
+    val left = (1 to 500).map(i => (s"k${i % 50}", i.toLong * 2))
+      .toDF("k", "t").repartition(13)
+    val right = (1 to 500).map(i => (s"k${i % 50}", i.toLong * 2 - 1, i))
+      .toDF("rk", "rt", "v").repartition(7)
+    val out = asof(left, right)
+    // every left row has some right row with rt <= t for its key
+    assert(out.filter(col("v").isNull).count() == 0)
+    // spot-check: the chosen v is the max rt <= t per (k, t)
+    val byKey = right.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    out.collect().foreach { r =>
+      val (k, t, v) = (r.getString(0), r.getLong(1), r.getInt(4))
+      val expect = byKey(k).filter(_._2 <= t).maxBy(_._2)._3
+      assert(v == expect, s"key $k t $t: got $v expect $expect")
+    }
+  }
+
+  test("q70 native as-of equals the q30 union+window composition") {
+    val native = Breadth2.q70AsofNative(spark, sf).collect().map(_.toString)
+    val composed = Breadth.q30AsofJoin(spark, sf).collect().map(_.toString)
+    assert(native.sameElements(composed))
+  }
+
+  test("physical plan uses AsofJoinExec with one exchange per side") {
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec; disable it so
+    // the static plan is inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Breadth2.q70AsofNative(spark, sf).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val asofNodes = plan.collect { case e: AsofJoinExec => e }
+    assert(asofNodes.nonEmpty, s"no AsofJoinExec in:\n$plan")
+    val exchanges = asofNodes.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 2, s"expected 2 exchanges, got $exchanges")
+  }
+}
