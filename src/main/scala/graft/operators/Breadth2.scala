@@ -55,10 +55,14 @@ object Breadth2 {
   def q56Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-           round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      // one array-argument percentile = one sort buffer per group, not 4
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.95D))")
+        .as("ps"))
+      .select(col("returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"))
       .orderBy("returnflag")
 
   /** q57 — correlation / covariance / linear-regression aggregates (A7)
