@@ -67,6 +67,38 @@ object Streams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream (or batch) INTERVAL JOIN: each purchase matched to
+    * the same user's signups within the preceding 7 days. In streaming
+    * mode, watermarks on BOTH sides plus the time-range condition let
+    * Spark bound join state (right rows older than watermark+range are
+    * evicted) — the only join shape that stays O(window) at an unbounded
+    * 100 TB/day stream. Caller supplies pre-filtered/renamed sides. */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") >= col("ts") - expr("INTERVAL 7 DAYS") &&
+        col("s_ts") <= col("ts"))
+
+  /** Arbitrary stateful processing (`mapGroupsWithState`): running
+    * per-user event count that survives across micro-batches — the
+    * custom-state escape hatch (SURVEY.md §2.10) when windows/dedup
+    * built-ins can't express the semantics. State is one Long per user:
+    * bounded by |users|, not by stream length. */
+  def runningUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
@@ -103,13 +135,38 @@ object Streams {
       .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_events"))
       .orderBy("user_id", "event_type")
 
+  /** q71 — interval join (batch mode of [[purchaseSignupJoin]]): signups
+    * within 7 days before each purchase, counted per user. */
+  def q71IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    purchaseSignupJoin(p, s)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_interval_join" -> (q71IntervalJoin _),
     "q44_tumbling_window" -> (q44TumblingWindow _),
     "q45_sliding_window" -> (q45SlidingWindow _),
     "q46_session_window" -> (q46SessionWindow _),
     "q47_stream_dedup" -> (q47StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q71_interval_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id AS user_id, count(*) AS n_pairs
+        |FROM p JOIN s
+        |  ON p.user_id = s.user_id
+        | AND s.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q44_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type,

@@ -36,4 +36,60 @@ class FormatsSpec extends SparkTestBase {
       .json(s"$tmp/li_json")
     assert(canon(back) == canon(sample))
   }
+
+  test("ORC round-trip preserves values (schema embedded)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(s"$tmp/li_orc")
+    val back = spark.read.orc(s"$tmp/li_orc")
+    assert(canon(back) == canon(sample))
+  }
+
+  test("partitioned write prunes partitions on read (scale path)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    sample.withColumn("flag", col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("flag").parquet(s"$tmp/li_part")
+    val flags = sample.select("l_returnflag").distinct()
+      .collect().map(_.getString(0))
+    assert(flags.length > 1)
+    val one = spark.read.parquet(s"$tmp/li_part")
+      .filter(col("flag") === flags.head)
+    // the partition filter must prune directories, not scan-and-filter
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter not pushed")
+    assert(one.count() ==
+      sample.filter(col("l_returnflag") === flags.head).count())
+  }
+
+  test("bucketed tables co-locate joins: no exchange in the join plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    sample.select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").limit(500)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed").join(
+        spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
 }

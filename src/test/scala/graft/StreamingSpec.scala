@@ -134,4 +134,59 @@ class StreamingSpec extends SparkTestBase {
                        ("2024-01-01 18:00:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the 7-day range") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val p = purchases.toDF().withWatermark("ts", "1 minute")
+      .select($"user_id", $"ts")
+    val s = signups.toDF().withWatermark("ts", "1 minute")
+      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"))
+    val q = Streams.purchaseSignupJoin(p, s)
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      signups.addData(
+        Ev(t("2024-01-10 00:00:00"), 1, "signup", 0.0),  // 5d before: match
+        Ev(t("2024-01-01 00:00:00"), 2, "signup", 0.0),  // 14d before: no
+        Ev(t("2024-01-16 00:00:00"), 3, "signup", 0.0))  // after: no
+      q.processAllAvailable()
+      purchases.addData(
+        Ev(t("2024-01-15 00:00:00"), 1, "purchase", 9.0),
+        Ev(t("2024-01-15 00:00:00"), 2, "purchase", 9.0),
+        Ev(t("2024-01-15 00:00:00"), 3, "purchase", 9.0))
+      q.processAllAvailable()
+      val matches = sess.table("ssj_t").collect()
+        .map(r => r.getLong(0)).toSet
+      assert(matches == Set(1L), s"only user 1 in range, got $matches")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.runningUserCounts(input.toDF())
+      .toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:02:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // last update per user reflects the accumulated state
+      val latest = sess.table("state_t").groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max($"n_events").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
 }
