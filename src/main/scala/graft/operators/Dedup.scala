@@ -130,19 +130,26 @@ object Dedup {
 
   /** q34 — n-gram Jaccard near-dup: distinct shingle sets, intersection
     * via shingle-key self-join (shuffle on shingle, never pairwise),
-    * J = |A∩B| / (|A|+|B|-|A∩B|) >= 0.8. */
+    * J = |A∩B| / (|A|+|B|-|A∩B|) >= 0.8.
+    *
+    * Length pruning (the standard similarity-join filter): J >= 0.8
+    * forces min(|A|,|B|) >= 0.8 * max(|A|,|B|), so the (broadcast) size
+    * table rides along with each shingle row and incompatible pairs are
+    * dropped BEFORE the pair aggregation — at 100 TB that shrinks the
+    * pair-shuffle, the dominant cost, without changing the answer. */
   def q34DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
+    val a = sh.join(broadcast(sizes), Seq("doc_id"))
+      .select(col("doc_id").as("id1"), col("shingle"), col("sz").as("sz1"))
+    val b = sh.join(broadcast(sizes), Seq("doc_id"))
+      .select(col("doc_id").as("id2"), col("shingle"), col("sz").as("sz2"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2") &&
+        col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
       .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .agg(count(lit(1)).as("n_inter"),
+           first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("sz1") + col("sz2") - col("n_inter")), 6))
