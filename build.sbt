@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~70 queries x (warmup + timed reps) of whole-stage-codegen classes
+  // overflow the default 240m code cache; when it fills, the JIT shuts
+  // off and hot kernels run interpreted (measured 3-10x slowdowns late
+  // in a bench run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -38,6 +38,16 @@ private[graft] object DfCache {
     vals.getOrElseUpdate((sid, key), build).asInstanceOf[T]
   }
 
+  /** Unpersist and drop every entry for this session (used by Bench to
+    * make repeated timed runs pay the full build cost each time). */
+  def clear(spark: SparkSession): Unit = {
+    val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
+    dfs.keys.filter(_._1 == sid).foreach { k =>
+      dfs.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    vals.keys.filter(_._1 == sid).foreach(vals.remove)
+  }
+
   private def hookEviction(spark: SparkSession, sid: String): Unit =
     if (hooked.putIfAbsent(sid, true).isEmpty) {
       spark.sparkContext.addSparkListener(new SparkListener {
