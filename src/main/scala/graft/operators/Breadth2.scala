@@ -180,7 +180,29 @@ object Breadth2 {
       .orderBy("user_id")
   }
 
+  /** q72 — approximate percentile (A5/A7 scale path): the mergeable
+    * KLL-style sketch behind `percentile_approx` is what replaces q56's
+    * exact per-group sort buffers at 100 TB. Like q49, the oracle checks
+    * the ACCURACY CONTRACT: with accuracy=10000 the sketch's p50/p95
+    * must land within 1% relative error of the exact interpolated
+    * quantiles (rank error 1/10000 gives wide margin). */
+  def q72ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("exact"),
+           expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+             .as("approx"))
+      .select(col("returnflag"),
+        round(element_at(col("exact"), 1), 4).as("exact_p50"),
+        round(element_at(col("exact"), 2), 4).as("exact_p95"),
+        (abs(element_at(col("approx"), 1) - element_at(col("exact"), 1)) /
+          element_at(col("exact"), 1) <= 0.01 &&
+         abs(element_at(col("approx"), 2) - element_at(col("exact"), 2)) /
+          element_at(col("exact"), 2) <= 0.01).as("approx_within_1pct"))
+      .orderBy("returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_approx_percentile" -> (q72ApproxPercentile _),
     "q70_asof_native" -> (q70AsofNative _),
     "q54_pivot" -> (q54Pivot _),
     "q55_unpivot" -> (q55Unpivot _),
@@ -194,6 +216,12 @@ object Breadth2 {
     "q63_value_windows" -> (q63ValueWindows _))
 
   val oracles: Map[String, String] = Map(
+    "q72_approx_percentile" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+        |       TRUE AS approx_within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_asof_native" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),

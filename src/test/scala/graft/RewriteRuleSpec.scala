@@ -42,6 +42,38 @@ class RewriteRuleSpec extends SparkTestBase {
     assert(viaRule == viaLambda)
   }
 
+  test("null array elements: rewrite preserves the lambda's NULL result") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteDotProduct
+    try {
+      // lambda: null element propagates through x*y and acc+v -> NULL;
+      // VectorDot must agree (ADVICE r01), in both eval paths. The
+      // repartition keeps ConvertToLocalRelation from pre-evaluating
+      // the projection before the rewrite can fire.
+      val sess = spark
+      import sess.implicits._
+      val df = Seq(Seq[java.lang.Double](1.0, null, 3.0),
+                   Seq[java.lang.Double](1.0, 2.0))
+        .toDF("a").repartition(1)
+        .selectExpr(
+          """aggregate(zip_with(a, a, (x, y) -> x * y),
+            |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[VectorDot])), "rewrite must fire")
+      val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSet == Set(None, Some(5.0)))
+      // direct graft_dot agrees (codegen path)
+      graft.plans.GraftFunctions.register(spark)
+      val direct = spark.sql(
+        """SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS d""")
+        .collect()(0)
+      assert(direct.isNullAt(0))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+    }
+  }
+
   test("rule does NOT fire for two different arrays (ragged-null semantics)") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RewriteDotProduct
