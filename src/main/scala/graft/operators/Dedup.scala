@@ -188,7 +188,55 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q73 — dedup cluster resolution: connected components over the q34
+    * near-dup pair graph by iterative min-label propagation, the step
+    * that turns a pair list into per-document survivors (cluster id =
+    * min doc_id in the component; canonical = that doc).
+    *
+    * Scale shape: each round is one join + one map-side-combinable
+    * min-aggregation — the standard large-graph CC loop (cf. the
+    * large-star/small-star formulation); rounds = graph diameter, and
+    * near-dup components are shallow (pairs come from a similarity
+    * threshold), so a handful of rounds converge. Intermediate labels
+    * are persisted per round and the loop exits on a distributed
+    * convergence check (no label changed) — the only driver-side value
+    * is that single boolean count. */
+  def q73DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q34DedupNgramJaccard(spark, dir).select("id1", "id2")
+    val edges = pairs
+      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist()
+    var labels = edges.select(col("id1").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("node"))
+        .groupBy(edges("id1").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_dedup_clusters" -> (q73DedupClusters _),
     "q31_dedup_exact" -> (q31DedupExact _),
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
@@ -204,6 +252,30 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q73_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id,
+         |       least(u, min(v)) AS cluster_id,
+         |       u = least(u, min(v)) AS is_canonical
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q31_dedup_exact" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
         |SELECT doc_id,

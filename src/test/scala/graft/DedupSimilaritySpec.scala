@@ -66,6 +66,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
 
+  test("dedup clusters: every near-dup pair lands in one cluster, " +
+      "canonical is the component minimum") {
+    val pairs = Dedup.q34DedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val cluster = Dedup.q73DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid canonical not minimum")
+    }
+  }
+
   test("cosine similarity is symmetric and bounded") {
     val rows = Dedup.q35DedupEmbedding(spark, sf).collect()
     rows.foreach { r =>
