@@ -201,7 +201,29 @@ object Breadth2 {
           element_at(col("exact"), 2) <= 0.01).as("approx_within_1pct"))
       .orderBy("returnflag")
 
+  /** q74 — theta/band join (J5): near-size part pairs within a brand.
+    * The equi prefix (brand) carries the shuffle so the theta condition
+    * (|size diff| <= 1, key ordering) evaluates inside co-located
+    * partitions — the only theta-join shape that scales; a bare
+    * inequality join would be a cross product. */
+  def q74ThetaBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val a = p.select(col("p_brand").as("brand"),
+      col("p_partkey").as("pk1"), col("p_size").as("sz1"))
+    val b = p.select(col("p_brand").as("brand"),
+      col("p_partkey").as("pk2"), col("p_size").as("sz2"))
+    a.join(b, Seq("brand"))
+      .filter(col("pk1") < col("pk2") &&
+        abs(col("sz1") - col("sz2")) <= 1)
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_pairs"),
+           round(avg(abs(col("sz1") - col("sz2"))), 6).as("avg_gap"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_theta_band_join" -> (q74ThetaBandJoin _),
     "q72_approx_percentile" -> (q72ApproxPercentile _),
     "q70_asof_native" -> (q70AsofNative _),
     "q54_pivot" -> (q54Pivot _),
@@ -216,6 +238,15 @@ object Breadth2 {
     "q63_value_windows" -> (q63ValueWindows _))
 
   val oracles: Map[String, String] = Map(
+    "q74_theta_band_join" ->
+      """SELECT a.p_brand AS brand,
+        |       count(*) AS n_pairs,
+        |       round(avg(abs(a.p_size - b.p_size)), 6) AS avg_gap
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND a.p_partkey < b.p_partkey
+        | AND abs(a.p_size - b.p_size) <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q72_approx_percentile" ->
       """SELECT l_returnflag AS returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,

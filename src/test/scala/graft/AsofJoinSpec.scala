@@ -61,6 +61,33 @@ class AsofJoinSpec extends SparkTestBase {
     assert(native.sameElements(composed))
   }
 
+  test("property: random inputs match a brute-force as-of reference") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val leftRows = (1 to 120).map { _ =>
+        (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong)
+      }
+      // unique (key, time) on the right so the winner is unambiguous
+      val rightRows = (1 to 120).map { i =>
+        (s"k${rnd.nextInt(nKeys + 1)}", rnd.nextInt(40).toLong, i)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out = asof(
+          leftRows.toDF("k", "t").repartition(1 + rnd.nextInt(8)),
+          rightRows.toDF("rk", "rt", "v").repartition(1 + rnd.nextInt(8)))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))
+        .sorted
+      val expected = leftRows.map { case (k, t) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+        val pick = if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3)
+        (k, t, pick)
+      }.sorted
+      assert(out.toSeq == expected.toSeq, s"trial $trial mismatch")
+    }
+  }
+
   test("physical plan uses AsofJoinExec with one exchange per side") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec; disable it so
     // the static plan is inspectable
