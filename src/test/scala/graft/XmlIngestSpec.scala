@@ -30,6 +30,32 @@ class XmlIngestSpec extends SparkTestBase {
     assert(back == orig)
   }
 
+  test("whole XML FILE of repeated records ingests via wholetext + explode (S1)") {
+    // the reference's actual input: one file, root element, repeated
+    // <rep> records (LoadXML2DB shape). wholetext read -> from_xml with
+    // an array schema -> explode = the distributed file-ingest path.
+    val dir = getClass.getResource("/pharma").getPath
+    val reps = spark.read.parquet(s"$dir/reps.parquet")
+    val doc = reps.collect().map { r =>
+      s"""<rep rID="${r.getString(0)}"><first>${r.getString(1)}</first>""" +
+        s"<last>${r.getString(2)}</last>" +
+        s"<territory>${r.getString(3)}</territory></rep>"
+    }.mkString("<reps>", "", "</reps>")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xmlfile")
+    java.nio.file.Files.writeString(tmp.resolve("pharmaReps.xml"), doc)
+    val schema =
+      "`rep` ARRAY<STRUCT<`_rID`: STRING, `first`: STRING, `last`: STRING, `territory`: STRING>>"
+    val back = spark.read.option("wholetext", "true")
+      .text(tmp.toString)
+      .select(explode(from_xml(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema).asInstanceOf[org.apache.spark.sql.types.StructType]
+      ).getField("rep")).as("r"))
+      .select(col("r._rID").as("rep_id"), col("r.first").as("first_name"),
+        col("r.last").as("last_name"), col("r.territory").as("territory"))
+    assert(back.collect().map(_.toSeq).toSet ==
+      reps.collect().map(_.toSeq).toSet)
+  }
+
   test("q48 txn XML round-trip preserves doubles and keys") {
     val n = XmlShred.shred(XmlShred.ordersAsXml(spark, sf)).count()
     val base = graft.sources.Tables.orders(spark, sf).count()
