@@ -217,15 +217,19 @@ object Dedup {
         .join(labels, edges("id2") === labels("node"))
         .groupBy(edges("id1").as("node"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry the per-node changed flag out of the same join, so the
+      // convergence probe is one action on the persisted frame instead
+      // of a second join per round
       val next = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("new_label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("changed"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("changed")).isEmpty
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("node"), col("new_label").as("label"))
       rounds += 1
     }
     edges.unpersist(blocking = false)
