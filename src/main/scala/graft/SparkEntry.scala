@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Breadth2, Curation, Dedup, Multimodal, Relational, Similarity, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{Breadth, Breadth2, Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
       Dedup.queries ++ TextOps.queries ++ Similarity.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
-      TrainingPipeline.queries ++ Curation.queries
+      TrainingPipeline.queries ++ Curation.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
       Dedup.oracles ++ TextOps.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
-      TrainingPipeline.oracles ++ Curation.oracles
+      TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew-handling utilities (SURVEY.md §4.2 / the 100 TB mandate).
   *
@@ -29,4 +31,27 @@ object Skew {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
            sum(col("__pcnt")).as("n_rows"))
   }
+
+  /** q75 — salted aggregation on an inherently hot key space (lineitem
+    * has only 3 return flags: without salting 600k+ rows land on 3
+    * reducers; with it the first shuffle spreads over 3x16 buckets).
+    * The oracle is the PLAIN group-by — salting must be invisible in
+    * the result. */
+  def q75SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedAggSum(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"), "l_extendedprice")
+      .select(col("l_returnflag").as("returnflag"),
+        round(col("sum_l_extendedprice"), 2).as("total_price"),
+        col("n_rows"))
+      .orderBy("returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_salted_agg" -> (q75SaltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q75_salted_agg" ->
+      """SELECT l_returnflag AS returnflag,
+        |       round(sum(l_extendedprice), 2) AS total_price,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }
