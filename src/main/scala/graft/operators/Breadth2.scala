@@ -222,7 +222,48 @@ object Breadth2 {
       .orderBy("brand")
   }
 
+  /** q77 — scalar subquery: orders above the global mean price, grouped
+    * by quarter. Catalyst plans the subquery as an independent stage
+    * whose single-row result broadcasts into the filter — no per-row
+    * re-evaluation. */
+  def q77ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_sq")
+    spark.sql(
+      """SELECT CAST(year(o_orderdate) AS INT) AS sale_year,
+        |       CAST(quarter(o_orderdate) AS INT) AS sale_quarter,
+        |       count(*) AS n_big_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM graft_orders_sq
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_sq)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** q78 — SCD type-1 upsert as a full-outer merge: an incoming snapshot
+    * overwrites matching keys, inserts new ones, leaves the rest — the
+    * MERGE INTO shape on plain immutable storage (rewrite-on-merge;
+    * at scale, partition the dim so only touched partitions rewrite). */
+  def q78Scd1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val current = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey").as("k"), col("s_name").as("cur_name"),
+        col("s_acctbal").as("cur_bal"))
+    val incoming = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 3 === 0)
+      .select(col("s_suppkey").as("k"), col("s_name").as("new_name"),
+        round(col("s_acctbal") + 100, 2).as("new_bal"))
+    current.join(incoming, Seq("k"), "full_outer")
+      .select(col("k").as("suppkey"),
+        coalesce(col("new_name"), col("cur_name")).as("name"),
+        round(coalesce(col("new_bal"), col("cur_bal")), 2).as("acctbal"),
+        when(col("cur_name").isNull, "inserted")
+          .when(col("new_name").isNull, "unchanged")
+          .otherwise("updated").as("change_type"))
+      .orderBy("suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_scalar_subquery" -> (q77ScalarSubquery _),
+    "q78_scd1_upsert" -> (q78Scd1Upsert _),
     "q74_theta_band_join" -> (q74ThetaBandJoin _),
     "q72_approx_percentile" -> (q72ApproxPercentile _),
     "q70_asof_native" -> (q70AsofNative _),
@@ -238,6 +279,30 @@ object Breadth2 {
     "q63_value_windows" -> (q63ValueWindows _))
 
   val oracles: Map[String, String] = Map(
+    "q77_scalar_subquery" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS sale_year,
+        |       CAST(quarter(o_orderdate) AS INT) AS sale_quarter,
+        |       count(*) AS n_big_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_scd1_upsert" ->
+      """WITH cur AS (
+        |  SELECT s_suppkey AS k, s_name AS cur_name, s_acctbal AS cur_bal
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |inc AS (
+        |  SELECT s_suppkey AS k, s_name AS new_name,
+        |         round(s_acctbal + 100, 2) AS new_bal
+        |  FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT coalesce(cur.k, inc.k) AS suppkey,
+        |       coalesce(new_name, cur_name) AS name,
+        |       round(coalesce(new_bal, cur_bal), 2) AS acctbal,
+        |       CASE WHEN cur_name IS NULL THEN 'inserted'
+        |            WHEN new_name IS NULL THEN 'unchanged'
+        |            ELSE 'updated' END AS change_type
+        |FROM cur FULL OUTER JOIN inc ON cur.k = inc.k
+        |ORDER BY suppkey""".stripMargin,
     "q74_theta_band_join" ->
       """SELECT a.p_brand AS brand,
         |       count(*) AS n_pairs,

@@ -72,8 +72,27 @@ object Multimodal {
         round(element_at(col("feature"), 4), 6).as("f3"))
       .orderBy("doc_id")
 
+  /** q76 — frame sampling: the payload chunked into fixed-width frames,
+    * every 4th frame kept (the video/audio frame-sample shape: decode
+    * only sampled frames, never the whole asset). Frames here are
+    * 16-char windows of the text payload so the DuckDB oracle can
+    * recompute each frame's md5 — with a real codec only `transform`'s
+    * lambda changes, not the explode/filter plumbing. */
+  def q76FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1),
+          |          i -> substring(text, i * 16 + 1, 16))""".stripMargin))
+        .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43_multimodal_decode" -> (q43MultimodalDecode _))
+    "q43_multimodal_decode" -> (q43MultimodalDecode _),
+    "q76_frame_sample" -> (q76FrameSample _))
 
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
@@ -83,5 +102,15 @@ object Multimodal {
         |       round(ascii(substr(text, 2, 1)) / 255.0, 6) AS f1,
         |       round(ascii(substr(text, 3, 1)) / 255.0, 6) AS f2,
         |       round(ascii(substr(text, 4, 1)) / 255.0, 6) AS f3
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q76_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(length(substr(text, i * 16 + 1, 16)) AS INT) AS frame_len,
+        |       md5(substr(text, i * 16 + 1, 16)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(0,
+        |               CAST(ceil(length(text) / 16.0) AS BIGINT) - 1)) AS i
+        |      FROM documents)
+        |WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }
