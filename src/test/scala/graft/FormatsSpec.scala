@@ -37,6 +37,37 @@ class FormatsSpec extends SparkTestBase {
     assert(canon(back) == canon(sample))
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, FAILFAST raises") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/bad.csv"),
+      "k,v\n1,10\nnot_a_number,20\n3,30\n")
+    val schema = "k LONG, v LONG, _corrupt STRING"
+    val permissive = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$tmp/bad.csv")
+    val rows = permissive.cache()
+    assert(rows.count() == 3)
+    assert(rows.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(rows.filter(col("k").isNull).count() == 1)
+    val failfast = spark.read
+      .schema("k LONG, v LONG")
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(s"$tmp/bad.csv")
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+    rows.unpersist()
+  }
+
+  test("zstd-compressed parquet round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zstd").toString
+    sample.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$tmp/li_zstd")
+    assert(canon(spark.read.parquet(s"$tmp/li_zstd")) == canon(sample))
+  }
+
   test("ORC round-trip preserves values (schema embedded)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sample.write.mode("overwrite").orc(s"$tmp/li_orc")
