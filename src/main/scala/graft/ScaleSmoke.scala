@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: build a pseudo-sf1 dataset (10x sf0.1, key-shifted copies)
+  * under /tmp and time representative queries on it, to measure how the
+  * operator plans scale with data volume (docs/SCALE.md). Correctness at
+  * this size is NOT oracle-checked (DuckDB would take minutes); the same
+  * plans are bit-verified at sf0.01/sf0.1.
+  *
+  * Usage: runMain graft.ScaleSmoke [build|run|all]
+  */
+object ScaleSmoke {
+  private val SrcDir = "/root/testdata/sf0.1"
+  private val OutDir = "/tmp/graft_sfx1"
+  private val Copies = 10
+
+  private def replicate(spark: SparkSession, table: String, keyCols: Seq[String],
+      offset: Long): DataFrame = {
+    val base = spark.read.parquet(s"$SrcDir/$table.parquet")
+    base.crossJoin(
+        spark.range(Copies).select(col("id").as("__copy")))
+      .select(base.columns.map { c =>
+        if (keyCols.contains(c)) (col(c) + col("__copy") * offset).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  def build(spark: SparkSession): Unit = {
+    // facts scale 10x with shifted keys; dims stay (same selectivity
+    // shape as a bigger SF: more facts per dim row)
+    Seq(
+      ("lineitem", Seq("l_orderkey"), 100000000L),
+      ("orders", Seq("o_orderkey"), 100000000L),
+      ("events", Seq("event_id"), 100000000L),
+      ("documents", Seq("doc_id"), 10000000L),
+      ("embeddings", Seq("vec_id"), 10000000L)
+    ).foreach { case (t, keys, off) =>
+      replicate(spark, t, keys, off)
+        .write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$SrcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
+    }
+    println(s"[scale] built $OutDir")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (mode == "build" || mode == "all") build(spark)
+    if (mode == "run" || mode == "all") {
+      val queries = Seq(
+        "q01_product_facts", "q02_rep_facts", "q31_dedup_exact",
+        "q32_dedup_minhash", "q34_dedup_ngram_jaccard",
+        "q44_tumbling_window", "q51_map_funcs",
+        "q36_ann_brute_topk", "q37_ann_lsh_topk")
+      // warm code paths at the small SF first (same rationale as Bench)
+      queries.foreach { n =>
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      queries.foreach { name =>
+        Seq(SrcDir -> "sf0.1", OutDir -> "sfx1").foreach { case (dir, label) =>
+          graft.sources.DfCache.clear(spark)
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            println(f"[scale] $name $label: $dt%.2f s")
+          } catch { case e: Throwable =>
+            println(s"[scale] $name $label FAILED: ${e.getMessage}")
+          }
+        }
+      }
+      // the documented production order for near-dup at scale: exact
+      // dedup FIRST (collapses identical-text clusters), then Jaccard
+      // over the survivors — measure the difference on the pathological
+      // 10-identical-copies corpus
+      graft.sources.DfCache.clear(spark)
+      val t0 = System.nanoTime()
+      val survivors = operators.Dedup.q31DedupExact(spark, OutDir)
+        .filter(!col("is_duplicate")).select("doc_id")
+      val survivorDocs = spark.read.parquet(s"$OutDir/documents.parquet")
+        .join(survivors, Seq("doc_id"))
+      val tmpSurv = s"$OutDir/__survivors"
+      survivorDocs.write.mode("overwrite")
+        .parquet(s"$tmpSurv/documents.parquet")
+      operators.Dedup.q34DedupNgramJaccard(spark, tmpSurv)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scale] q34_after_exact_dedup sfx1: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
