@@ -13,14 +13,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: run EVERY query once on the smallest SF so the
     // timed loop measures the engine, not JIT + first-classload + codegen
@@ -54,15 +47,22 @@ object Bench {
       graft.sources.DfCache.clear(spark)
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // a failed rep's time-to-failure must not become the reported
+        // minimum; -1 in the output flags an all-reps failure loudly
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
     val results = names.map { case (name, _) =>
-      name -> runs.map(_.toMap.apply(name)).min
+      val ts = runs.flatMap(_.toMap.apply(name))
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

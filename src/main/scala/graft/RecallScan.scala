@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: per-qid ANN recall@10 for LSH and IVF at each SF dir. */
 object RecallScan {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = DevSession.make()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Similarity
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {

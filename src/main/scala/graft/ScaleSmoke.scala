@@ -49,34 +49,32 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "build" || mode == "all") build(spark)
     if (mode == "run" || mode == "all") {
-      val queries = Seq(
+      // lsh_topk is measured DIRECTLY (Similarity.lshTopK), not via the
+      // registered q37, which is the recall CONTRACT and recomputes the
+      // brute-force ground truth — timing it would mostly measure brute
+      val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "q01_product_facts", "q02_rep_facts", "q31_dedup_exact",
         "q32_dedup_minhash", "q34_dedup_ngram_jaccard",
-        "q44_tumbling_window", "q51_map_funcs",
-        "q36_ann_brute_topk", "q37_ann_lsh_topk")
+        "q44_tumbling_window", "q51_map_funcs", "q36_ann_brute_topk")
+        .map(n => n -> SparkEntry.queries(n)) :+
+        ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.lshTopK(s, d)))
       // warm code paths at the small SF first (same rationale as Bench)
-      queries.foreach { n =>
-        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      queries.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      queries.foreach { name =>
+      queries.foreach { case (name, fn) =>
         Seq(SrcDir -> "sf0.1", OutDir -> "sfx1").foreach { case (dir, label) =>
           graft.sources.DfCache.clear(spark)
           val t0 = System.nanoTime()
           try {
-            SparkEntry.queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
             println(f"[scale] $name $label: $dt%.2f s")
           } catch { case e: Throwable =>

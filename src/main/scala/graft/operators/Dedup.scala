@@ -201,15 +201,19 @@ object Dedup {
     * are persisted per round and the loop exits on a distributed
     * convergence check (no label changed) — the only driver-side value
     * is that single boolean count. */
-  def q73DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def q73DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"dedup_clusters|$dir") {
     val pairs = q34DedupNgramJaccard(spark, dir).select("id1", "id2")
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
-    var labels = edges.select(col("id1").as("node"))
+    // `persisted` tracks the ROUND's cached frame; `labels` is a
+    // projection over it (unpersisting the projection would be a no-op)
+    var persisted = edges.select(col("id1").as("node"))
       .distinct()
       .withColumn("label", col("node"))
       .persist()
+    var labels = persisted
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -227,16 +231,24 @@ object Dedup {
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .as("changed"))
         .persist()
-      converged = next.filter(col("changed")).isEmpty
-      labels.unpersist(blocking = false)
+      // count() (not isEmpty) fully materializes `next`, so the
+      // previous round's frame can be released immediately after
+      converged = next.filter(col("changed")).count() == 0
+      persisted.unpersist(blocking = false)
+      persisted = next
       labels = next.select(col("node"), col("new_label").as("label"))
       rounds += 1
     }
-    edges.unpersist(blocking = false)
-    labels
+    val result = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
+    // materialize the (tiny) result through DfCache's persist, then
+    // release the last round frame and the edge cache
+    val out = result.localCheckpoint(eager = true)
+    persisted.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

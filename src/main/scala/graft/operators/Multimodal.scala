@@ -80,9 +80,14 @@ object Multimodal {
     * lambda changes, not the explode/filter plumbing. */
   def q76FrameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // empty-text guard: Spark's sequence(0,-1) DESCENDS ([0,-1]) while
+      // the oracle's generate_series(0,-1) is empty — zero-length
+      // payloads must produce zero frames on both sides
       .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1),
-          |          i -> substring(text, i * 16 + 1, 16))""".stripMargin))
+        """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1),
+          |               i -> substring(text, i * 16 + 1, 16))
+          |END""".stripMargin))
         .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % 4 === 0)
       .select(col("doc_id"), col("frame_idx"),

@@ -62,9 +62,24 @@ object AsofJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: no column '$name' in ${plan.output.map(_.name)}"))
-    val node = AsofJoin(lPlan, rPlan,
-      leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime))
+    val lk = leftKeys.map(resolve(lPlan, _))
+    val rk = rightKeys.map(resolve(rPlan, _))
+    val lt = resolve(lPlan, leftTime)
+    val rt = resolve(rPlan, rightTime)
+    // fail at build time on type mismatches: the merge compares raw
+    // row fields with orderings derived from the LEFT types, so a
+    // mismatched right side would silently mis-join, not error
+    require(lk.length == rk.length,
+      s"asofJoin: ${lk.length} left keys vs ${rk.length} right keys")
+    lk.zip(rk).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asofJoin: key type mismatch ${l.name}: ${l.dataType.simpleString}" +
+          s" vs ${r.name}: ${r.dataType.simpleString}")
+    }
+    require(lt.dataType == rt.dataType,
+      s"asofJoin: time type mismatch ${lt.dataType.simpleString} vs " +
+        rt.dataType.simpleString)
+    val node = AsofJoin(lPlan, rPlan, lk, rk, lt, rt)
     org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
   }
 

@@ -12,10 +12,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Keyed by `spark.sessionUUID` — stable and collision-free, unlike an
   * identityHashCode which can be reused after GC and would pin plans of
-  * stopped sessions forever (ADVICE.md r01). Entries are evicted when the
-  * owning application ends, so a long-lived JVM hosting many short-lived
-  * sessions (a test suite, a notebook server) does not leak persisted
-  * plans.
+  * stopped sessions forever (ADVICE.md r01). Eviction: automatic when
+  * the application (SparkContext) ends; Spark exposes no session-close
+  * hook, so a long-lived context hosting many short-lived sessions
+  * should call [[clear]] when done with a session — entries of a
+  * stopped session are inert but stay registered until then.
   */
 private[graft] object DfCache {
 

@@ -50,7 +50,9 @@ class DedupSimilaritySpec extends SparkTestBase {
     val worst = recalls.minBy(_._2)
     info(s"LSH per-qid recall: min=$worst avg=${
       recalls.values.sum / recalls.size}")
-    // the q37 oracle contract asserts >= 0.5 per qid; keep margin here
+    // the q37 oracle contract floor is 0.4 per qid; this test enforces
+    // a stricter 0.5 so a drift toward the contract floor surfaces in
+    // CI before it threatens the oracle gate
     assert(worst._2 >= 0.5, s"LSH worst recall@10 $worst")
     // and the registered contract query itself must be all-true
     val ok = Similarity.q37AnnLshTopK(spark, sf).collect()
