@@ -144,7 +144,35 @@ object Curation {
       .orderBy(desc("doc_freq"), desc("total_count"), asc("word"))
       .limit(20)
 
+  /** q79 — fuzzy entity matching: noisy names resolved back to their
+    * canonical rows by edit distance, with key-range BLOCKING so the
+    * comparison space is O(block^2), never corpus^2 — the standard
+    * entity-resolution shape (block -> compare -> rank). The noisy side
+    * is a deterministic digit-swap corruption of the sampled names. */
+  def q79FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("c_custkey div 100").as("block"))
+    // corruption = swap of the last two characters (edit distance 2)
+    val noisy = base.select(col("k").as("nk"),
+      concat(
+        expr("substring(name, 1, length(name) - 2)"),
+        expr("substring(name, length(name), 1)"),
+        expr("substring(name, length(name) - 1, 1)")).as("noisy_name"),
+      col("block"))
+    base.join(noisy, Seq("block"))
+      .withColumn("lev", levenshtein(col("name"), col("noisy_name")))
+      .filter(col("lev") <= 2)
+      .groupBy("k")
+      .agg(min(struct(col("lev"), col("nk"))).as("best"))
+      .select(col("k"), col("best.nk").as("matched_k"),
+        col("best.lev").as("edit_distance"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_fuzzy_match" -> (q79FuzzyMatch _),
     "q64_boilerplate_strip" -> (q64BoilerplateStrip _),
     "q65_pii_scrub" -> (q65PiiScrub _),
     "q66_contamination" -> (q66Contamination _),
@@ -153,6 +181,28 @@ object Curation {
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    "q79_fuzzy_match" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         c_custkey // 100 AS block
+        |  FROM customer WHERE c_custkey % 20 = 0),
+        |noisy AS (
+        |  SELECT k AS nk,
+        |         substring(name, 1, length(name) - 2)
+        |           || substring(name, length(name), 1)
+        |           || substring(name, length(name) - 1, 1) AS noisy_name,
+        |         block
+        |  FROM base),
+        |cand AS (
+        |  SELECT base.k, noisy.nk,
+        |         CAST(levenshtein(base.name, noisy.noisy_name) AS INT) AS lev
+        |  FROM base JOIN noisy USING (block)
+        |  WHERE levenshtein(base.name, noisy.noisy_name) <= 2)
+        |SELECT k, nk AS matched_k, lev AS edit_distance
+        |FROM (SELECT k, nk, lev,
+        |             row_number() OVER (PARTITION BY k ORDER BY lev, nk) AS rn
+        |      FROM cand)
+        |WHERE rn = 1 ORDER BY k""".stripMargin,
     "q64_boilerplate_strip" ->
       """WITH top5 AS (
         |  SELECT word FROM (
