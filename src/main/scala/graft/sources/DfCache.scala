@@ -24,19 +24,35 @@ private[graft] object DfCache {
   private val vals = TrieMap.empty[(String, String), Any]
   private val hooked = TrieMap.empty[String, Boolean]
 
-  /** Build-once-per-(session, key) persisted DataFrame. */
+  // builds run under a lock: TrieMap.getOrElseUpdate is atomic for the
+  // INSERT but not the builder, so two concurrent callers could both
+  // build+persist and one persisted frame would leak unreferenced
+  private val buildLock = new Object
+
+  /** Build-once-per-(session, key) persisted DataFrame (thread-safe:
+    * concurrent queries sharing an intermediate get one build). */
   def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
     hookEviction(spark, sid)
-    dfs.getOrElseUpdate((sid, key),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    dfs.get((sid, key)) match {
+      case Some(cached) => cached
+      case None => buildLock.synchronized {
+        dfs.getOrElseUpdate((sid, key),
+          build.persist(StorageLevel.MEMORY_AND_DISK))
+      }
+    }
   }
 
   /** Build-once-per-(session, key) plain value (e.g. a probed dimension). */
   def value[T](spark: SparkSession, key: String)(build: => T): T = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
     hookEviction(spark, sid)
-    vals.getOrElseUpdate((sid, key), build).asInstanceOf[T]
+    vals.get((sid, key)) match {
+      case Some(cached) => cached.asInstanceOf[T]
+      case None => buildLock.synchronized {
+        vals.getOrElseUpdate((sid, key), build).asInstanceOf[T]
+      }
+    }
   }
 
   /** Unpersist and drop every entry for this session (used by Bench to
