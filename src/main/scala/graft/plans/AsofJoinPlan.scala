@@ -37,7 +37,8 @@ case class AsofJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -53,7 +54,8 @@ object AsofJoin {
     * against each side (keeps the public API free of internals). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -79,7 +81,13 @@ object AsofJoin {
     require(lt.dataType == rt.dataType,
       s"asofJoin: time type mismatch ${lt.dataType.simpleString} vs " +
         rt.dataType.simpleString)
-    val node = AsofJoin(lPlan, rPlan, lk, rk, lt, rt)
+    toleranceMicros.foreach { tol =>
+      require(tol >= 0, s"asofJoin: negative tolerance $tol")
+      require(AsofJoinExec.integralTimeType(lt.dataType),
+        s"asofJoin: tolerance requires an integral/timestamp time " +
+          s"column, got ${lt.dataType.simpleString}")
+    }
+    val node = AsofJoin(lPlan, rPlan, lk, rk, lt, rt, toleranceMicros)
     org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
   }
 
@@ -94,10 +102,27 @@ object AsofJoin {
 }
 
 /** Plans the logical [[AsofJoin]] into [[AsofJoinExec]]. */
+object AsofJoinExec {
+  /** Time types whose internal representation is an integral the
+    * tolerance can subtract on (timestamps are long microseconds,
+    * dates int days). */
+  def integralTimeType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+}
+
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -110,6 +135,7 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -155,6 +181,14 @@ case class AsofJoinExec(
       // <= the current left row's time, with its key pinned by copy
       var heldRow: InternalRow = null
       var heldKey: UnsafeRow = null
+      var heldTime: Any = null
+      def asLong(v: Any): Long = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => other.asInstanceOf[Number].longValue()
+      }
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -176,6 +210,7 @@ case class AsofJoinExec(
                     .compare(rTimeV, lTimeV) <= 0) {
                   heldRow = rRow.copy()
                   heldKey = rKey.copy()
+                  heldTime = rTimeV
                   advanceRight()
                 } else continue = false
               }
@@ -183,7 +218,9 @@ case class AsofJoinExec(
           }
         }
         val matched = probeValid && heldRow != null &&
-          keyOrd.compare(heldKey, lKey) == 0
+          keyOrd.compare(heldKey, lKey) == 0 &&
+          toleranceMicros.forall(tol =>
+            asLong(lTimeV) - asLong(heldTime) <= tol)
         outProj(joined(lRow, if (matched) heldRow else nullRight))
       }
     }

@@ -61,6 +61,23 @@ class AsofJoinSpec extends SparkTestBase {
     assert(native.sameElements(composed))
   }
 
+  test("tolerance bounds the match gap (merge_asof semantics)") {
+    val left = Seq(("a", 100L), ("a", 200L)).toDF("k", "t")
+    val right = Seq(("a", 95L, "near"), ("a", 50L, "far")).toDF("rk", "rt", "v")
+    val got = AsofJoin.asofJoin(left, right,
+        Seq("k"), Seq("rk"), "t", "rt", toleranceMicros = Some(10L))
+      .select("t", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // t=100 matches rt=95 (gap 5 <= 10); t=200's best is rt=95 (gap 105
+    // > 10) -> null, NOT the even-older rt=50
+    assert(got == Set((100L, "near"), (200L, null)))
+    // invalid tolerance configs fail at build time
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        toleranceMicros = Some(-1L))
+    }
+  }
+
   test("property: random inputs match a brute-force as-of reference") {
     val rnd = new scala.util.Random(7)
     (1 to 5).foreach { trial =>
