@@ -201,8 +201,22 @@ object Dedup {
     * are persisted per round and the loop exits on a distributed
     * convergence check (no label changed) — the only driver-side value
     * is that single boolean count. */
-  def q73DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.DfCache.df(spark, s"dedup_clusters|$dir") {
+  def q73DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // round-state frames to release once the result has materialized
+    // into the session cache (they back its lineage until then)
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = graft.sources.DfCache.df(spark, s"dedup_clusters|$dir") {
+      buildClusters(spark, dir, toRelease)
+    }
+    if (toRelease.nonEmpty) { // first build: force, then free the rounds
+      out.count()
+      toRelease.foreach(_.unpersist(blocking = false))
+    }
+    out
+  }
+
+  private def buildClusters(spark: SparkSession, dir: String,
+      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val pairs = q34DedupNgramJaccard(spark, dir).select("id1", "id2")
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
@@ -239,16 +253,12 @@ object Dedup {
       labels = next.select(col("node"), col("new_label").as("label"))
       rounds += 1
     }
-    val result = labels
+    toRelease += persisted
+    toRelease += edges
+    labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
-    // materialize the (tiny) result through DfCache's persist, then
-    // release the last round frame and the edge cache
-    val out = result.localCheckpoint(eager = true)
-    persisted.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

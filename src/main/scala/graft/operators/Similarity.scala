@@ -156,17 +156,23 @@ object Similarity {
     val dim = embeddingDim(spark, dir)
     val q = withProbeBands(
       Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0), dim)
-      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
-        Dedup.normExpr.as("na"), explode(col("bands")).as("band"))
+      .select(col("vec_id").as("qid"), explode(col("bands")).as("band"))
     val c = withSignature(Tables.embeddings(spark, dir), dim)
-      .select(col("vec_id").as("cid"), col("embedding").as("eb"),
-        Dedup.normExpr.as("nb"), explode(col("bands")).as("band"))
+      .select(col("vec_id").as("cid"), explode(col("bands")).as("band"))
+    // dedup on the NARROW (qid, cid) pair first — multi-probe emits the
+    // same pair from up to 5x more buckets, and carrying the embedding
+    // arrays through that distinct would multiply the widest shuffle by
+    // the duplication factor. Vectors re-attach after the dedup.
     val candidates = q.join(c, q("band") === c("band"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "ea", "na", "cid", "eb", "nb")
+      .select("qid", "cid")
       .distinct()
+    val qVecs = queryVecs(spark, dir)
+    val cVecs = corpusVecs(spark, dir)
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
     candidates
+      .join(broadcast(qVecs), Seq("qid"))
+      .join(cVecs, Seq("cid"))
       .select(col("qid"), col("cid"), simCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

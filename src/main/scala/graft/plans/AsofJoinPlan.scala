@@ -103,16 +103,18 @@ object AsofJoin {
 
 /** Plans the logical [[AsofJoin]] into [[AsofJoinExec]]. */
 object AsofJoinExec {
-  /** Time types whose internal representation is an integral the
-    * tolerance can subtract on (timestamps are long microseconds,
-    * dates int days). */
+  /** Time types the tolerance may subtract on: timestamps (internal
+    * long microseconds, so toleranceMicros means what it says) and
+    * plain integral columns (tolerance in the column's own unit).
+    * DateType is deliberately excluded — its internal unit is DAYS and
+    * a caller passing microseconds would get a silently unbounded
+    * tolerance. */
   def integralTimeType(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.DateType |
            org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
@@ -219,8 +221,12 @@ case class AsofJoinExec(
         }
         val matched = probeValid && heldRow != null &&
           keyOrd.compare(heldKey, lKey) == 0 &&
-          toleranceMicros.forall(tol =>
-            asLong(lTimeV) - asLong(heldTime) <= tol)
+          toleranceMicros.forall { tol =>
+            // heldTime <= lTime by the merge invariant, so a negative
+            // difference can only be Long overflow -> gap too large
+            val gap = asLong(lTimeV) - asLong(heldTime)
+            gap >= 0 && gap <= tol
+          }
         outProj(joined(lRow, if (matched) heldRow else nullRight))
       }
     }

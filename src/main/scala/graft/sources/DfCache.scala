@@ -24,21 +24,26 @@ private[graft] object DfCache {
   private val vals = TrieMap.empty[(String, String), Any]
   private val hooked = TrieMap.empty[String, Boolean]
 
-  // builds run under a lock: TrieMap.getOrElseUpdate is atomic for the
-  // INSERT but not the builder, so two concurrent callers could both
-  // build+persist and one persisted frame would leak unreferenced
-  private val buildLock = new Object
+  // builds run under a PER-KEY lock: TrieMap.getOrElseUpdate is atomic
+  // for the INSERT but not the builder, so two concurrent callers could
+  // both build+persist and one persisted frame would leak unreferenced.
+  // Per-key (not global) locking keeps unrelated builds parallel — one
+  // thread materializing a slow intermediate must not serialize every
+  // other cache miss in the JVM.
+  private val locks = TrieMap.empty[(String, String), Object]
+  private def lockFor(k: (String, String)): Object =
+    locks.getOrElseUpdate(k, new Object)
 
   /** Build-once-per-(session, key) persisted DataFrame (thread-safe:
     * concurrent queries sharing an intermediate get one build). */
   def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
     hookEviction(spark, sid)
-    dfs.get((sid, key)) match {
+    val k = (sid, key)
+    dfs.get(k) match {
       case Some(cached) => cached
-      case None => buildLock.synchronized {
-        dfs.getOrElseUpdate((sid, key),
-          build.persist(StorageLevel.MEMORY_AND_DISK))
+      case None => lockFor(k).synchronized {
+        dfs.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
       }
     }
   }
@@ -47,20 +52,30 @@ private[graft] object DfCache {
   def value[T](spark: SparkSession, key: String)(build: => T): T = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
     hookEviction(spark, sid)
-    vals.get((sid, key)) match {
+    val k = (sid, key)
+    vals.get(k) match {
       case Some(cached) => cached.asInstanceOf[T]
-      case None => buildLock.synchronized {
-        vals.getOrElseUpdate((sid, key), build).asInstanceOf[T]
+      case None => lockFor(k).synchronized {
+        vals.getOrElseUpdate(k, build).asInstanceOf[T]
       }
     }
   }
 
   /** Unpersist and drop every entry for this session (used by Bench to
-    * make repeated timed runs pay the full build cost each time). */
+    * make repeated timed runs pay the full build cost each time).
+    * Removal synchronizes on each key's build lock, so an in-flight
+    * build of a KNOWN key completes before its entry is dropped; a
+    * build whose key was never seen when clear runs can still land
+    * after it — callers needing a guaranteed-cold session must
+    * quiesce their own query threads first. */
   def clear(spark: SparkSession): Unit = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
-    dfs.keys.filter(_._1 == sid).foreach { k =>
-      dfs.remove(k).foreach(_.unpersist(blocking = false))
+    (dfs.keys ++ locks.keys).filter(_._1 == sid).toSet.foreach {
+      (k: (String, String)) =>
+        lockFor(k).synchronized {
+          dfs.remove(k).foreach(_.unpersist(blocking = false))
+        }
+        locks.remove(k)
     }
     vals.keys.filter(_._1 == sid).foreach(vals.remove)
   }
@@ -72,6 +87,7 @@ private[graft] object DfCache {
             end: SparkListenerApplicationEnd): Unit = {
           dfs.keys.filter(_._1 == sid).foreach(dfs.remove)
           vals.keys.filter(_._1 == sid).foreach(vals.remove)
+          locks.keys.filter(_._1 == sid).foreach(locks.remove)
           hooked.remove(sid)
         }
       })
