@@ -222,10 +222,13 @@ object Dedup {
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
     // `persisted` tracks the ROUND's cached frame; `labels` is a
-    // projection over it (unpersisting the projection would be a no-op)
-    var persisted = edges.select(col("id1").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+    // projection over it (unpersisting the projection would be a no-op).
+    // Round 1 is fused into the initialization: with labels starting at
+    // node ids, the first propagation is exactly min(node, min-neighbor)
+    // — one aggregation, no join against a prior label table.
+    var persisted = edges
+      .groupBy(col("id1").as("node"))
+      .agg(least(col("node"), min(col("id2"))).as("label"))
       .persist()
     var labels = persisted
     var converged = false
