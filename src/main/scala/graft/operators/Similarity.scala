@@ -251,9 +251,9 @@ object Similarity {
 
   // floors hold with margin at sf0.001/0.01/0.1 (see DedupSimilaritySpec
   // + RecallScan): multi-probe LSH per-qid min observed 1.0 at every SF;
-  // IVF avg observed >= 0.56
+  // IVF avg observed >= 0.56 (deterministic — fixed centroids/queries)
   private val LshRecallFloor = 0.8
-  private val IvfRecallFloor = 0.3
+  private val IvfRecallFloor = 0.4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
