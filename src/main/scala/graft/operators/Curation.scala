@@ -56,7 +56,10 @@ object Curation {
     * regex semantics and the scrub plumbing, which is what matters before
     * pointing it at real data. */
   def q65PiiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    // widened [A-Za-z] classes (not (?i)): Upper@Example.COM-style PII must
+    // match, and explicit classes keep the Spark and DuckDB regex engines
+    // trivially in sync (ADVICE.md r02)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
     val ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     Tables.documents(spark, dir)
@@ -228,13 +231,13 @@ object Curation {
     "q65_pii_scrub" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text,
-        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(text,
         |         '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}')) AS INT) AS n_phones,
         |       CAST(len(regexp_extract_all(text,
         |         '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INT) AS n_ips,
         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |         '\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
         |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

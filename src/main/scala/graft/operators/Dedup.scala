@@ -258,6 +258,14 @@ object Dedup {
     }
     toRelease += persisted
     toRelease += edges
+    if (!converged)
+      // a silent cap-exit would persist partial labels into DfCache and
+      // serve wrong clusters for the session (ADVICE.md r02): a component
+      // with diameter > the round cap needs more rounds, so fail loudly
+      throw new IllegalStateException(
+        s"dedup cluster label propagation did not converge after $rounds " +
+          "rounds: a near-dup component has diameter exceeding the cap; " +
+          "raise the round cap for this corpus")
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_canonical"))

@@ -105,7 +105,11 @@ object Similarity {
   private def embeddingDim(spark: SparkSession, dir: String): Int =
     graft.sources.DfCache.value(spark, s"embedding_dim|$dir") {
       Tables.embeddings(spark, dir)
-        .select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+        .select(size(col("embedding"))).limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"embeddings table at $dir is empty: cannot probe the " +
+            "embedding dimension for LSH/IVF indexing"))
+        .getInt(0)
     }
 
   /** Deterministic random-hyperplane matrix: NPlanes x dim, seed 42.

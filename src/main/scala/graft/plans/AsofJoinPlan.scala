@@ -60,10 +60,19 @@ object AsofJoin {
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // honor the session's name-resolution semantics (spark.sql.caseSensitive)
+    // instead of exact matching, and reject ambiguous duplicate-name
+    // outputs instead of silently picking the first (ADVICE.md r02)
+    val resolver = spark.sessionState.conf.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"asofJoin: no column '$name' in ${plan.output.map(_.name)}"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"asofJoin: no column '$name' in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"asofJoin: ambiguous column '$name' matches " +
+            s"${many.map(_.name)}; disambiguate the input projections")
+      }
     val lk = leftKeys.map(resolve(lPlan, _))
     val rk = rightKeys.map(resolve(rPlan, _))
     val lt = resolve(lPlan, leftTime)

@@ -82,13 +82,18 @@ private[graft] object DfCache {
 
   private def hookEviction(spark: SparkSession, sid: String): Unit =
     if (hooked.putIfAbsent(sid, true).isEmpty) {
-      spark.sparkContext.addSparkListener(new SparkListener {
+      val sc = spark.sparkContext
+      sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit = {
           dfs.keys.filter(_._1 == sid).foreach(dfs.remove)
           vals.keys.filter(_._1 == sid).foreach(vals.remove)
           locks.keys.filter(_._1 == sid).foreach(locks.remove)
           hooked.remove(sid)
+          // deregister ourselves too — a long-lived context hosting many
+          // short-lived sessions must not accumulate one listener per
+          // session on the bus (ADVICE.md r02)
+          sc.removeSparkListener(this)
         }
       })
     }
