@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Breadth2, Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{Breadth, Breadth2, Breadth3, Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
+      Breadth3.queries ++
       Dedup.queries ++ TextOps.queries ++ Similarity.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
       TrainingPipeline.queries ++ Curation.queries ++ Skew.queries
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
+      Breadth3.oracles ++
       Dedup.oracles ++ TextOps.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
       TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles

@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] third wave of operator breadth: the event-analytics patterns a
+  * warehouse team runs daily on top of the reference's star schema —
+  * slowly-changing-dimension history (SCD2), gap-based sessionization,
+  * funnel conversion, cohort retention, Markov transition matrices, and
+  * equal-width histograms. All are single-pass window/aggregate plans
+  * (no self-joins, no driver loops): at 100 TB each is one shuffle on
+  * its natural key (customer / user) followed by narrow window state.
+  *
+  * Reference anchor: these generalize the reference's quarterly trend
+  * analytics (`AnalyzeData.ChatterjeeP.Rmd:63-68`) from calendar
+  * bucketing to entity-history bucketing; the SCD2 build is the
+  * principled version of the reference's overwrite-only dimension load
+  * (`LoadXML2DB.ChatterjeeP.R:88,146-147` keeps no history at all).
+  */
+object Breadth3 {
+
+  /** q80 — SCD2 dimension history: collapse each customer's order-priority
+    * timeline into validity ranges (valid_from / valid_to / is_current).
+    * One window pass marks change points, a cumulative sum numbers the
+    * versions, one aggregate collapses them — the standard
+    * change-data-capture shape. Partitioned by custkey: at 100 TB this is
+    * one hash shuffle and per-key sorted state, no self-join. */
+  def q80Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("custkey").orderBy("ts", "o_orderkey")
+    val versioned = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("ts"), col("o_orderkey"))
+      .withColumn("prev", lag(col("priority"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("priority"), 1)
+          .otherwise(0))
+      .withColumn("version", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+    val vers = versioned.groupBy("custkey", "version")
+      .agg(min(col("priority")).as("priority"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val wv = Window.partitionBy("custkey").orderBy("version")
+    vers
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(col("custkey"), col("version"), col("priority"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_orders"))
+      .orderBy("custkey", "version")
+  }
+
+  /** q81 — gap-based sessionization in batch: a new session starts after
+    * >30 min of inactivity. lag + cumulative-sum islands — the batch
+    * equivalent of q46's `session_window`, and the shape that scales:
+    * shuffle once on user_id, then per-user sorted window state. */
+  def q81SessionizeGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+          1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .withColumn("duration_sec", expr(
+        "(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q82 — funnel conversion view -> click -> purchase: per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that; then per-step user counts and step-over-step
+    * conversion. Cascaded conditional-min aggregates joined on user_id
+    * (each join side is a per-user aggregate, orders of magnitude
+    * smaller than the event log). */
+  def q82Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val steps = v.agg(count(lit(1)).as("n_users"))
+      .withColumn("step", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .withColumn("step", lit("3_purchase")))
+    steps
+      .withColumn("conv_from_prev", round(
+        col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(Window.orderBy("step")), 4))
+      .select(col("step"), col("n_users"), col("conv_from_prev"))
+      .orderBy("step")
+  }
+
+  /** q83 — cohort retention: users grouped by first-activity week, distinct
+    * actives per (cohort_week, week_offset). The first-seen aggregate is a
+    * per-user reduction (broadcastable back), the retention matrix one
+    * count-distinct — no per-week self-joins. */
+  def q83CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val firstSeen = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    ev.join(firstSeen, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(to_date(date_trunc("week", col("ts"))),
+          col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q84 — event-type transition matrix (first-order Markov): counts and
+    * row-normalized probabilities of each (type -> next type) step per
+    * user timeline. One window pass + one aggregate. */
+  def q84TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("event_type")), 6))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** q85 — equal-width histogram of l_extendedprice (20 buckets): global
+    * min/max via a scalar aggregate broadcast against the scan, bucket
+    * arithmetic inline. Money summed in exact cents (BIGINT) — double
+    * accumulation order is not portable across engines. */
+  def q85Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(19), floor(
+        (col("l_extendedprice") - col("lo")) * 20.0 / (col("hi") - col("lo"))))
+        .cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("sum_price_cents"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_scd2_history" -> (q80Scd2History _),
+    "q81_sessionize_gaps" -> (q81SessionizeGaps _),
+    "q82_funnel" -> (q82Funnel _),
+    "q83_cohort_retention" -> (q83CohortRetention _),
+    "q84_transition_matrix" -> (q84TransitionMatrix _),
+    "q85_histogram" -> (q85Histogram _))
+
+  val oracles: Map[String, String] = Map(
+    "q80_scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |         o_orderdate AS ts, o_orderkey
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(priority) OVER w IS NULL
+        |                   OR lag(priority) OVER w <> priority
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY custkey ORDER BY ts, o_orderkey)),
+        |versioned AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY custkey
+        |              ORDER BY ts, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |            AS INT) AS version
+        |  FROM marked),
+        |vers AS (
+        |  SELECT custkey, version, min(priority) AS priority,
+        |         min(ts) AS valid_from, count(*) AS n_orders
+        |  FROM versioned GROUP BY custkey, version)
+        |SELECT custkey, version, priority, valid_from,
+        |       lead(valid_from) OVER w2 AS valid_to,
+        |       (lead(valid_from) OVER w2 IS NULL) AS is_current,
+        |       n_orders
+        |FROM vers WINDOW w2 AS (PARTITION BY custkey ORDER BY version)
+        |ORDER BY custkey, version""".stripMargin,
+    "q81_sessionize_gaps" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+        |                   > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sessions AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |            AS INT) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q82_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |  GROUP BY e.user_id),
+        |steps AS (
+        |  SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+        |SELECT step, n_users,
+        |       round(CAST(n_users AS DOUBLE) /
+        |             lag(n_users) OVER (ORDER BY step), 4) AS conv_from_prev
+        |FROM steps ORDER BY step""".stripMargin,
+    "q83_cohort_retention" ->
+      """WITH firstseen AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+        |           AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |       CAST(date_diff('day', f.cohort_week,
+        |              CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE))
+        |            // 7 AS INT) AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q84_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM pairs WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM counts ORDER BY event_type, next_type""".stripMargin,
+    "q85_histogram" ->
+      """WITH bounds AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT least(19, CAST(floor((l_extendedprice - lo) * 20.0
+        |                            / (hi - lo)) AS INT)) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_price_cents
+        |FROM lineitem CROSS JOIN bounds
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
