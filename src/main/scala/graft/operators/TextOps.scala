@@ -125,7 +125,60 @@ object TextOps {
         col("meta.height").as("meta_height"))
       .orderBy("doc_id")
 
+  /** q86 — TF-IDF: top-3 terms per document by tf * ln(N/df), ranked with
+    * a lexical tie-break. Term frequencies and document frequencies are
+    * two hash aggregates over the exploded token table; N arrives as a
+    * broadcast scalar (never a driver-side collect). The canonical
+    * relevance-weighting operator for corpus search/labeling. */
+  def q86Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    tf.join(dfreq, Seq("word")).crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("word"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** q87 — token-distribution entropy per document: Shannon entropy of
+    * the unigram distribution plus its ln(V)-normalized form — the
+    * repetitiveness/diversity signal used alongside q39's quality score
+    * for pretraining-data filtering. Two hash aggregates, no shuffle
+    * beyond the doc_id key. */
+  def q87Entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double")))
+          .as("sum_tlnt"))
+      // H = ln(n) - (1/n) * sum(tf * ln tf): one pass, no per-word p column
+      .withColumn("entropy", round(
+        log(col("n_tokens").cast("double")) -
+          col("sum_tlnt") / col("n_tokens"), 4))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1, round(
+          (log(col("n_tokens").cast("double")) -
+            col("sum_tlnt") / col("n_tokens")) /
+            log(col("n_distinct").cast("double")), 4)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_tfidf" -> (q86Tfidf _),
+    "q87_entropy" -> (q87Entropy _),
     "q38_lang_id" -> (q38LangId _),
     "q39_quality_score" -> (q39QualityScore _),
     "q40_token_count" -> (q40TokenCount _),
@@ -133,6 +186,47 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q86_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM tokens GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.word,
+        |         round(CAST(t.tf AS DOUBLE)
+        |               * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY score DESC, word) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, word, score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q87_entropy" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM tokens GROUP BY doc_id, word),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS sum_tlnt
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       round(ln(CAST(n_tokens AS DOUBLE)) - sum_tlnt / n_tokens, 4)
+        |         AS entropy,
+        |       CASE WHEN n_distinct > 1 THEN
+        |         round((ln(CAST(n_tokens AS DOUBLE)) - sum_tlnt / n_tokens)
+        |               / ln(CAST(n_distinct AS DOUBLE)), 4)
+        |       END AS norm_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q38_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,
