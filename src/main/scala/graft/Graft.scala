@@ -33,15 +33,18 @@ object Graft {
 
   /** Native as-of join (custom LogicalPlan/Strategy/Exec): for each left
     * row, the right row with equal keys and greatest rightTime <=
-    * leftTime; unmatched rows null-extend. `toleranceMicros` bounds the
-    * accepted gap (merge_asof semantics; units of the time column's
-    * internal representation — microseconds for timestamps). */
+    * leftTime (`direction = "backward"`, default) or smallest rightTime
+    * >= leftTime (`"forward"`); unmatched rows null-extend.
+    * `toleranceMicros` bounds the accepted gap (merge_asof semantics;
+    * units of the time column's internal representation — microseconds
+    * for timestamps). */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      toleranceMicros: Option[Long] = None): DataFrame =
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame =
     plans.AsofJoin.asofJoin(left, right, leftKeys, rightKeys,
-      leftTime, rightTime, toleranceMicros)
+      leftTime, rightTime, toleranceMicros, direction)
 
   /** Register graft's native SQL functions (`graft_dot`) on a session. */
   def registerFunctions(spark: SparkSession): Unit =

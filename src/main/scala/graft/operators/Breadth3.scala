@@ -161,7 +161,34 @@ object Breadth3 {
       .orderBy("bucket")
   }
 
+  /** q88 — FORWARD as-of join with tolerance on the native
+    * [[graft.plans.AsofJoin]] exec: each signup matched to the first
+    * purchase at-or-after it by the same user, kept only within 7 days
+    * (time-to-convert attribution). Same O(1)-state streaming merge as
+    * the backward q70 — forward needs no held row at all, it peeks the
+    * first undiscarded right row. Oracle: DuckDB ASOF LEFT JOIN with
+    * `p.ts >= s.ts` plus the tolerance as a post-filter (equivalent
+    * because both pick the nearest following row). */
+  def q88AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    graft.plans.AsofJoin
+      .asofJoin(signups, purchases, Seq("user_id"), Seq("p_user_id"),
+        "ts", "p_ts", Some(7L * 86400L * 1000000L), "forward")
+      .withColumn("gap_sec",
+        expr("(unix_micros(p_ts) - unix_micros(ts)) div 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("p_ts")).as("n_converted_7d"),
+        sum(col("gap_sec")).as("sum_gap_sec"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_asof_forward" -> (q88AsofForward _),
     "q80_scd2_history" -> (q80Scd2History _),
     "q81_sessionize_gaps" -> (q81SessionizeGaps _),
     "q82_funnel" -> (q82Funnel _),
@@ -170,6 +197,27 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q88_asof_forward" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT s.user_id, s.ts, p.ts AS p_ts
+        |  FROM s ASOF LEFT JOIN p
+        |    ON s.user_id = p.user_id AND p.ts >= s.ts),
+        |m2 AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN p_ts IS NOT NULL
+        |                AND epoch_us(p_ts) - epoch_us(ts)
+        |                    <= CAST(604800000000 AS BIGINT)
+        |              THEN p_ts END AS p_ts
+        |  FROM m)
+        |SELECT user_id, count(*) AS n_signups,
+        |       count(p_ts) AS n_converted_7d,
+        |       CAST(sum((epoch_us(p_ts) - epoch_us(ts)) // 1000000)
+        |            AS BIGINT) AS sum_gap_sec
+        |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_scd2_history" ->
       """WITH base AS (
         |  SELECT o_custkey AS custkey, o_orderpriority AS priority,

@@ -14,10 +14,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * [[GraftExtensions]] / [[AsofJoin.ensureStrategy]].
   *
   * Semantics (left-outer as-of): for every left row, the single right
-  * row with equal keys and the greatest right-time <= left-time; null
-  * right columns when none exists. Matches DuckDB `ASOF LEFT JOIN`
-  * (the q30 oracle), which is what the composition-based q30 emulates
-  * with a union + window.
+  * row with equal keys and the greatest right-time <= left-time
+  * (backward, the default), or the smallest right-time >= left-time
+  * (`forward = true`); null right columns when none exists. Matches
+  * DuckDB `ASOF LEFT JOIN` with `r.t <= l.t` / `r.t >= l.t`
+  * respectively (the q30/q88 oracles).
   *
   * Why a custom operator: Spark has no as-of join. The composition
   * (union both sides, window `last(_, ignoreNulls)` over
@@ -38,7 +39,8 @@ case class AsofJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -55,8 +57,15 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: direction must be 'backward' or 'forward', got '$other'")
+    }
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
@@ -96,7 +105,7 @@ object AsofJoin {
         s"asofJoin: tolerance requires an integral/timestamp time " +
           s"column, got ${lt.dataType.simpleString}")
     }
-    val node = AsofJoin(lPlan, rPlan, lk, rk, lt, rt, toleranceMicros)
+    val node = AsofJoin(lPlan, rPlan, lk, rk, lt, rt, toleranceMicros, forward)
     org.apache.spark.sql.graft.Bridge.ofRows(spark, node)
   }
 
@@ -132,21 +141,27 @@ object AsofJoinExec {
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join: requires both children clustered on their keys
   * and sorted by (keys, time); executes as a per-partition streaming
-  * merge holding exactly one candidate right row. */
+  * merge. Backward holds exactly one candidate right row (the latest
+  * seen with time <= left time); forward holds none — it discards right
+  * rows strictly before the left time and peeks the first remaining one.
+  * Both are O(1)-state single passes: discarding is safe because left
+  * times are non-decreasing within a key, so a right row too early for
+  * this left row is too early for every later one. */
 case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -201,7 +216,50 @@ case class AsofJoinExec(
         case other => other.asInstanceOf[Number].longValue()
       }
 
-      lIter.map { lRow =>
+      if (forward) lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeV = lTimeBound.eval(lRow)
+        val probeValid = lTimeV != null && !lKey.anyNull
+        if (probeValid) {
+          // discard right rows with smaller key, null key/time, or time
+          // strictly before this left row; the survivor (if key-equal)
+          // is the smallest right-time >= left-time. No copy needed:
+          // rRow is only mutated by the advance that replaces it.
+          var continue = true
+          while (continue && rRow != null) {
+            val rKey = rKeyProj(rRow)
+            if (rKey.anyNull) advanceRight()
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) advanceRight()
+              else if (c > 0) continue = false
+              else {
+                val rTimeV = rTimeBound.eval(rRow)
+                if (rTimeV == null) advanceRight()
+                else if (timeOrd.asInstanceOf[Ordering[Any]]
+                    .compare(rTimeV, lTimeV) < 0) advanceRight()
+                else continue = false
+              }
+            }
+          }
+        }
+        val matched = probeValid && rRow != null && {
+          val rKey = rKeyProj(rRow)
+          !rKey.anyNull && keyOrd.compare(rKey, lKey) == 0 && {
+            val rTimeV = rTimeBound.eval(rRow)
+            rTimeV != null &&
+              timeOrd.asInstanceOf[Ordering[Any]].compare(rTimeV, lTimeV) >= 0 &&
+              toleranceMicros.forall { tol =>
+                // rTime >= lTime by the merge invariant, so a negative
+                // difference can only be Long overflow -> gap too large
+                val gap = asLong(rTimeV) - asLong(lTimeV)
+                gap >= 0 && gap <= tol
+              }
+          }
+        }
+        outProj(joined(lRow, if (matched) rRow else nullRight))
+      }
+      else lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeV = lTimeBound.eval(lRow)
         val probeValid = lTimeV != null && !lKey.anyNull

@@ -105,6 +105,79 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
+  test("forward direction picks smallest right time >= left time") {
+    val left = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 1L))
+      .toDF("k", "t")
+    val right = Seq(("a", 10L, "x"), ("a", 15L, "y"), ("a", 25L, "z"),
+      ("b", 3L, "early")).toDF("rk", "rt", "v")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "forward")
+      .select("k", "t", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a", 10L, "x"),   // inclusive match at equal time
+      ("a", 20L, "z"),   // smallest >= 20 is 25
+      ("b", 5L, null),   // only right time is earlier -> null
+      ("c", 1L, null)))  // unmatched key -> null
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        direction = "sideways")
+    }
+  }
+
+  test("forward tolerance bounds the gap; one right row serves many lefts") {
+    val left = Seq(("a", 100L), ("a", 101L), ("a", 200L)).toDF("k", "t")
+    val right = Seq(("a", 105L, "soon"), ("a", 400L, "late"))
+      .toDF("rk", "rt", "v")
+    val got = AsofJoin.asofJoin(left, right, Seq("k"), Seq("rk"), "t", "rt",
+        toleranceMicros = Some(10L), direction = "forward")
+      .select("t", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // 100 and 101 both match 105 (gaps 5, 4); 200's nearest following is
+    // 400 (gap 200 > 10) -> null, NOT skipped ahead to nothing
+    assert(got == Set((100L, "soon"), (101L, "soon"), (200L, null)))
+  }
+
+  test("property: forward random inputs match a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val leftRows = (1 to 120).map { _ =>
+        (s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong)
+      }
+      val rightRows = (1 to 120).map { i =>
+        (s"k${rnd.nextInt(nKeys + 1)}", rnd.nextInt(40).toLong, i)
+      }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out = AsofJoin.asofJoin(
+          leftRows.toDF("k", "t").repartition(1 + rnd.nextInt(8)),
+          rightRows.toDF("rk", "rt", "v").repartition(1 + rnd.nextInt(8)),
+          Seq("k"), Seq("rk"), "t", "rt", direction = "forward")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(4)) None else Some(r.getInt(4))))
+        .sorted
+      val expected = leftRows.map { case (k, t) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 >= t)
+        val pick = if (cands.isEmpty) None else Some(cands.minBy(_._2)._3)
+        (k, t, pick)
+      }.sorted
+      assert(out.toSeq == expected.toSeq, s"trial $trial mismatch")
+    }
+  }
+
+  test("ambiguous column names are rejected, resolution is case-aware") {
+    val left = Seq(("a", 1L)).toDF("k", "t")
+    val dup = left.select(col("k"), col("t"), col("t").as("T2"))
+      .withColumnRenamed("T2", "t") // two columns literally named t
+    val right = Seq(("a", 1L)).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(dup, right, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    // default session is case-insensitive: 'T' resolves to column t
+    val got = AsofJoin.asofJoin(left, right, Seq("K"), Seq("RK"), "T", "RT")
+    assert(got.count() == 1)
+  }
+
   test("physical plan uses AsofJoinExec with one exchange per side") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec; disable it so
     // the static plan is inspectable
