@@ -187,7 +187,59 @@ object Breadth3 {
       .orderBy("user_id")
   }
 
+  /** q89 — OHLC time-series resampling: per (user, hour) bars with
+    * open/close picked by `min_by`/`max_by` (no self-join, no window) and
+    * high/low/volume as plain aggregates. One hash aggregate keyed on
+    * (user, bar) — the downsampling shape that holds at any scale.
+    * Determinism: (user_id, ts) is unique in the corpus, so the
+    * min_by/max_by selection is unambiguous. */
+  def q89OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bar", date_trunc("hour", col("ts")))
+      .groupBy("user_id", "bar")
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "bar")
+
+  /** q90 — forward fill (gap fill): carry each user's last observed
+    * purchase value onto every subsequent event via
+    * `last(..., ignoreNulls)` over a running frame — the standard
+    * missing-data imputation for irregular time series, one window pass
+    * partitioned on the entity key. */
+  def q90ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q91 — higher-moment aggregates: population skewness and excess
+    * kurtosis per group. Spark's `skewness`/`kurtosis` are population
+    * moments; the oracle converts DuckDB's sample skewness with the
+    * exact algebraic factor (n-2)/sqrt(n(n-1)) and uses kurtosis_pop
+    * directly — definitional parity, not numeric fudging. */
+  def q91HigherMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(skewness(col("l_extendedprice")), 4).as("skew_pop"),
+        round(kurtosis(col("l_extendedprice")), 4).as("kurt_pop"))
+      .orderBy("returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_ohlc_bars" -> (q89OhlcBars _),
+    "q90_forward_fill" -> (q90ForwardFill _),
+    "q91_higher_moments" -> (q91HigherMoments _),
     "q88_asof_forward" -> (q88AsofForward _),
     "q80_scd2_history" -> (q80Scd2History _),
     "q81_sessionize_gaps" -> (q81SessionizeGaps _),
@@ -197,6 +249,31 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q89_ohlc_bars" ->
+      """SELECT user_id,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+        |       arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_forward_fill" ->
+      """SELECT user_id, event_id, event_type,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS last_purchase_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q91_higher_moments" ->
+      """SELECT l_returnflag AS returnflag, count(*) AS n,
+        |       round(skewness(l_extendedprice)
+        |             * (count(*) - 2)
+        |             / sqrt(count(*) * (count(*) - 1.0)), 4) AS skew_pop,
+        |       round(kurtosis_pop(l_extendedprice), 4) AS kurt_pop
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q88_asof_forward" ->
       """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'signup'),
