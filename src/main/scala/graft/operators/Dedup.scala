@@ -137,7 +137,15 @@ object Dedup {
     * table rides along with each shingle row and incompatible pairs are
     * dropped BEFORE the pair aggregation — at 100 TB that shrinks the
     * pair-shuffle, the dominant cost, without changing the answer. */
-  def q34DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q34DedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // the pair list is cached per (session, dir): q73's cluster
+    // resolution consumes it, and a dedup campaign always reads the
+    // pair table more than once (rank, cluster, report)
+    graft.sources.DfCache.df(spark, s"jaccard_pairs|$dir") {
+      buildNgramJaccard(spark, dir)
+    }
+
+  private def buildNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.join(broadcast(sizes), Seq("doc_id"))
@@ -189,18 +197,19 @@ object Dedup {
   }
 
   /** q73 — dedup cluster resolution: connected components over the q34
-    * near-dup pair graph by iterative min-label propagation, the step
-    * that turns a pair list into per-document survivors (cluster id =
-    * min doc_id in the component; canonical = that doc).
+    * near-dup pair graph, the step that turns a pair list into
+    * per-document survivors (cluster id = min doc_id in the component;
+    * canonical = that doc).
     *
-    * Scale shape: each round is one join + one map-side-combinable
-    * min-aggregation — the standard large-graph CC loop (cf. the
-    * large-star/small-star formulation); rounds = graph diameter, and
-    * near-dup components are shallow (pairs come from a similarity
-    * threshold), so a handful of rounds converge. Intermediate labels
-    * are persisted per round and the loop exits on a distributed
-    * convergence check (no label changed) — the only driver-side value
-    * is that single boolean count. */
+    * SIZE-ADAPTIVE, like Spark's broadcast-vs-shuffle join choice: pair
+    * graphs up to [[DriverCcMaxEdges]] resolve by driver union-find (one
+    * collect of the — already similarity-thresholded, hence sparse —
+    * pair list; exact, O(E α(E))); larger graphs take the distributed
+    * min-label-propagation loop, where each round is one join + one
+    * map-side-combinable min-aggregation (cf. the large-star/small-star
+    * formulation), rounds = graph diameter, labels persisted per round,
+    * convergence checked distributively (the only driver-side value is
+    * one boolean count). Both paths produce identical labels. */
   def q73DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // round-state frames to release once the result has materialized
     // into the session cache (they back its lineage until then)
@@ -215,22 +224,74 @@ object Dedup {
     out
   }
 
+  /** Pair graphs at or below this edge count resolve by driver-side
+    * union-find (a 1M-edge collect is ~16 MB — the same order as a
+    * broadcast-join build side); larger graphs take the distributed
+    * label-propagation loop. Similarity-thresholded near-dup graphs are
+    * SPARSE relative to the corpus (pairs, not documents), so even a
+    * 100 TB campaign usually lands in the small path after q31's exact
+    * pass — the loop is the correctness backstop for the genuinely
+    * huge-graph case, size-adaptivity is the fast path, exactly the
+    * broadcast-vs-shuffle-join trade. */
+  private[operators] val DriverCcMaxEdges = 1000000L
+
+  private[graft] def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // union by MIN root: the root of every tree is the least id of its
+    // component, so cluster_id = find(node) needs no second pass
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n), n == find(n)))
+      .toDF("doc_id", "cluster_id", "is_canonical")
+      .orderBy("doc_id")
+  }
+
   private def buildClusters(spark: SparkSession, dir: String,
       toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val pairs = q34DedupNgramJaccard(spark, dir).select("id1", "id2")
+    // pairs is DfCache-persisted by q34, so this count is an O(pairs)
+    // action on the cached frame, not a recompute
+    if (pairs.count() <= DriverCcMaxEdges) driverUnionFind(spark, pairs)
+    else propagateLabels(spark, pairs, toRelease)
+  }
+
+  /** Distributed min-label propagation over an (id1, id2) pair frame —
+    * the large-graph path of [[buildClusters]]; see the q73 Scaladoc.
+    * `private[graft]` so the equivalence property test can drive it
+    * directly below the [[DriverCcMaxEdges]] threshold. */
+  private[graft] def propagateLabels(spark: SparkSession, pairs: DataFrame,
+      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
-    // `persisted` tracks the ROUND's cached frame; `labels` is a
-    // projection over it (unpersisting the projection would be a no-op).
-    // Round 1 is fused into the initialization: with labels starting at
-    // node ids, the first propagation is exactly min(node, min-neighbor)
-    // — one aggregation, no join against a prior label table.
-    var persisted = edges
+    // Every round ends in localCheckpoint(): persist alone truncates
+    // EXECUTION but not the LOGICAL plan, and since each round references
+    // the previous labels twice, the analyzed tree doubles per round —
+    // at diameter ~15+ the driver OOMs just stringifying the plan
+    // (found by the CC-equivalence property test). Checkpointing keeps
+    // the plan O(1) deep, the mandatory shape for iterative DataFrame
+    // algorithms. Round 1 is fused into the initialization: with labels
+    // starting at node ids, the first propagation is exactly
+    // min(node, min-neighbor) — one aggregation, no join against a
+    // prior label table.
+    var labels = edges
       .groupBy(col("id1").as("node"))
       .agg(least(col("node"), min(col("id2"))).as("label"))
-      .persist()
-    var labels = persisted
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -239,24 +300,19 @@ object Dedup {
         .groupBy(edges("id1").as("node"))
         .agg(min(col("label")).as("nbr_label"))
       // carry the per-node changed flag out of the same join, so the
-      // convergence probe is one action on the persisted frame instead
-      // of a second join per round
+      // convergence probe is one action on the checkpointed frame
+      // instead of a second join per round
       val next = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("new_label"),
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .as("changed"))
-        .persist()
-      // count() (not isEmpty) fully materializes `next`, so the
-      // previous round's frame can be released immediately after
+        .localCheckpoint() // eager: materializes and truncates lineage
       converged = next.filter(col("changed")).count() == 0
-      persisted.unpersist(blocking = false)
-      persisted = next
       labels = next.select(col("node"), col("new_label").as("label"))
       rounds += 1
     }
-    toRelease += persisted
     toRelease += edges
     if (!converged)
       // a silent cap-exit would persist partial labels into DfCache and

@@ -83,6 +83,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("CC paths agree: driver union-find == distributed label propagation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (1 to 3).foreach { trial =>
+      // random sparse graph incl. a 12-edge chain (deep diameter forces
+      // many propagation rounds and a deep checkpointed lineage)
+      val n = 200
+      val chain = (0 until 12).map(i => (i.toLong * 3, i.toLong * 3 + 3))
+      val random = (1 to 150).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      val pairs = (chain ++ random).distinct.toDF("id1", "id2")
+      val uf = Dedup.driverUnionFind(spark, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      val toRelease =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      val lp = Dedup.propagateLabels(spark, pairs, toRelease).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      toRelease.foreach(_.unpersist(blocking = false))
+      assert(uf.toSeq == lp.toSeq, s"trial $trial: CC paths disagree")
+    }
+  }
+
   test("cosine similarity is symmetric and bounded") {
     val rows = Dedup.q35DedupEmbedding(spark, sf).collect()
     rows.foreach { r =>
