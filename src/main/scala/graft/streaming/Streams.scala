@@ -79,6 +79,15 @@ object Streams {
         col("s_ts") >= col("ts") - expr("INTERVAL 7 DAYS") &&
         col("s_ts") <= col("ts"))
 
+  /** Stream-static enrichment join: the unbounded stream side joined to
+    * a bounded dimension. Stateless — each micro-batch hash-joins against
+    * the (broadcast) static relation, no watermark and no join state, so
+    * it scales with the dimension, not the stream. The streaming upgrade
+    * of the reference's per-row dimension-map probe
+    * (`LoadXML2DB.ChatterjeeP.R:170-171,186-187`). */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   /** Arbitrary stateful processing (`mapGroupsWithState`): running
     * per-user event count that survives across micro-batches — the
     * custom-state escape hatch (SURVEY.md §2.10) when windows/dedup

@@ -59,6 +59,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from a static dim") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = Streams.enrichEvents(input.toDF(), dim)
+      .select("user_id", "event_type", "tier")
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(t("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Ev(t("2024-01-01 10:06:00"), 2, "view", 2.0),
+        Ev(t("2024-01-01 10:07:00"), 9, "view", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = sess.table("enrich_t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (1L, "click", "gold"),
+        (2L, "view", "basic"),
+        (9L, "view", null))) // left-outer keeps unmatched stream rows
+    } finally q.stop()
+  }
+
   test("watermark drops late rows beyond horizon (append mode)") {
     val sess = spark
     import sess.implicits._
