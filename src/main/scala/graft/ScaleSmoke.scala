@@ -59,7 +59,9 @@ object ScaleSmoke {
       val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "q01_product_facts", "q02_rep_facts", "q31_dedup_exact",
         "q32_dedup_minhash", "q34_dedup_ngram_jaccard",
-        "q44_tumbling_window", "q51_map_funcs", "q36_ann_brute_topk")
+        "q44_tumbling_window", "q51_map_funcs", "q36_ann_brute_topk",
+        "q73_dedup_clusters", "q80_scd2_history", "q81_sessionize_gaps",
+        "q86_tfidf", "q88_asof_forward", "q89_ohlc_bars")
         .map(n => n -> SparkEntry.queries(n)) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d)))

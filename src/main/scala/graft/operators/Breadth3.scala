@@ -236,7 +236,37 @@ object Breadth3 {
         round(kurtosis(col("l_extendedprice")), 4).as("kurt_pop"))
       .orderBy("returnflag")
 
+  /** q92 — Count-Min frequency sketch (A5 family, alongside q49's HLL
+    * and q72's KLL): per-type event counts estimated from a mergeable
+    * CMS built in one distributed pass (`stat.countMinSketch` merges
+    * per-partition sketches), probed via a closure over the tiny sketch.
+    * Like q49/q72 the oracle checks the ACCURACY CONTRACT: CMS never
+    * undercounts, and overshoot is bounded by 2*eps*N (eps = 0.001 gives
+    * width 2719, so 5 distinct keys collide with ~nothing). At 100 TB
+    * the sketch is the servable artifact: KBs per column, mergeable
+    * across partitions/days, answering point frequency queries without
+    * rescanning the corpus. */
+  def q92CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val eps = 0.001
+    val sketch = graft.sources.DfCache.value(spark, s"cms_event_type|$dir") {
+      ev.stat.countMinSketch("event_type", eps, 0.99, 42)
+    }
+    val probe = udf((s: String) => sketch.estimateCount(s))
+    val w = Window.partitionBy()
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      .withColumn("total_n", sum(col("exact_n")).over(w))
+      .withColumn("est_n", probe(col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          (col("est_n") - col("exact_n")).cast("double") <=
+            lit(2 * eps) * col("total_n")).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_count_min" -> (q92CountMin _),
     "q89_ohlc_bars" -> (q89OhlcBars _),
     "q90_forward_fill" -> (q90ForwardFill _),
     "q91_higher_moments" -> (q91HigherMoments _),
@@ -249,6 +279,9 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q92_count_min" ->
+      """SELECT event_type, count(*) AS exact_n, TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_ohlc_bars" ->
       """SELECT user_id,
         |       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
