@@ -265,7 +265,55 @@ object Breadth3 {
       .orderBy("event_type")
   }
 
+  /** q93 — rolling z-score anomaly detection: each event's value scored
+    * against the mean/stddev of the SAME user's preceding 20 events
+    * (frame excludes the current row — no self-leakage). One window pass
+    * per user timeline; the batch shape of streaming outlier detection.
+    * z is emitted rounded; the flag uses a strict threshold on the
+    * rounded value so both engines compare identical doubles. */
+  def q93RollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("n_prev", count(col("value")).over(w))
+      .withColumn("avg_prev", avg(col("value")).over(w))
+      .withColumn("std_prev", stddev_samp(col("value")).over(w))
+      .filter(col("n_prev") >= 5 && col("std_prev") > 0)
+      // + 0.0 collapses IEEE -0.0 to +0.0 (a tiny-negative z rounds to
+      // -0.0, and the two zeros hash differently across engines)
+      .withColumn("z", round(
+        (col("value") - col("avg_prev")) / col("std_prev"), 4) + lit(0.0))
+      .select(col("user_id"), col("event_id"), col("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q94 — data profiling: per-column row/null/distinct counts and
+    * lexical min/max over a column set, the standard warehouse
+    * inspection pass (the principled version of the reference's
+    * print-and-eyeball validation, `LoadDataWarehouse.ChatterjeeP.R:
+    * 107-110,136-139`). One aggregate per column unioned — each is a
+    * map-side-combinable scan, no shuffle beyond |columns| rows. */
+  def q94ProfileStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def profile(c: String) =
+      li.agg(count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_str"),
+        max(col(c).cast("string")).as("max_str"))
+        .withColumn("column_name", lit(c))
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+      .map(profile).reduce(_ unionByName _)
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_rolling_zscore" -> (q93RollingZscore _),
+    "q94_profile_stats" -> (q94ProfileStats _),
     "q92_count_min" -> (q92CountMin _),
     "q89_ohlc_bars" -> (q89OhlcBars _),
     "q90_forward_fill" -> (q90ForwardFill _),
@@ -279,6 +327,56 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q93_rolling_zscore" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_id, value FROM events),
+        |wf AS (
+        |  SELECT user_id, event_id, value,
+        |         count(value) OVER w AS n_prev,
+        |         avg(value) OVER w AS avg_prev,
+        |         stddev_samp(value) OVER w AS std_prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |       round((value - avg_prev) / std_prev, 4) + 0.0 AS z,
+        |       abs(round((value - avg_prev) / std_prev, 4)) > 3.0
+        |         AS is_anomaly
+        |FROM wf WHERE n_prev >= 5 AND std_prev > 0
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q94_profile_stats" ->
+      """WITH cols AS (
+        |  SELECT 'l_linestatus' AS column_name, count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_null,
+        |         count(DISTINCT l_linestatus) AS n_distinct,
+        |         min(CAST(l_linestatus AS VARCHAR)) AS min_str,
+        |         max(CAST(l_linestatus AS VARCHAR)) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*),
+        |         CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         count(DISTINCT l_partkey),
+        |         min(CAST(l_partkey AS VARCHAR)),
+        |         max(CAST(l_partkey AS VARCHAR))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*),
+        |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         count(DISTINCT l_quantity),
+        |         min(CAST(l_quantity AS VARCHAR)),
+        |         max(CAST(l_quantity AS VARCHAR))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         count(DISTINCT l_returnflag),
+        |         min(CAST(l_returnflag AS VARCHAR)),
+        |         max(CAST(l_returnflag AS VARCHAR))
+        |  FROM lineitem)
+        |SELECT * FROM cols ORDER BY column_name""".stripMargin,
     "q92_count_min" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS within_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
