@@ -252,16 +252,20 @@ object Breadth3 {
     val sketch = graft.sources.DfCache.value(spark, s"cms_event_type|$dir") {
       ev.stat.countMinSketch("event_type", eps, 0.99, 42)
     }
-    val probe = udf((s: String) => sketch.estimateCount(s))
+    // null-safe: a null key can't live in the sketch (stat.countMinSketch
+    // counts non-null values), so the null group is vacuously in-bound
+    // rather than an NPE inside estimateCount
+    val probe = udf((s: String) => if (s == null) 0L else sketch.estimateCount(s))
     val w = Window.partitionBy()
     Tables.events(spark, dir)
       .groupBy("event_type").agg(count(lit(1)).as("exact_n"))
       .withColumn("total_n", sum(col("exact_n")).over(w))
       .withColumn("est_n", probe(col("event_type")))
       .select(col("event_type"), col("exact_n"),
-        (col("est_n") >= col("exact_n") &&
-          (col("est_n") - col("exact_n")).cast("double") <=
-            lit(2 * eps) * col("total_n")).as("within_bound"))
+        (col("event_type").isNull ||
+          (col("est_n") >= col("exact_n") &&
+            (col("est_n") - col("exact_n")).cast("double") <=
+              lit(2 * eps) * col("total_n"))).as("within_bound"))
       .orderBy("event_type")
   }
 

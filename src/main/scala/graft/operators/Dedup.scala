@@ -211,29 +211,33 @@ object Dedup {
     * convergence checked distributively (the only driver-side value is
     * one boolean count). Both paths produce identical labels. */
   def q73DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // round-state frames to release once the result has materialized
-    // into the session cache (they back its lineage until then)
-    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // release actions for state that must outlive the build only until
+    // the result has materialized into the session cache (it backs the
+    // result's lineage until then)
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val out = graft.sources.DfCache.df(spark, s"dedup_clusters|$dir") {
       buildClusters(spark, dir, toRelease)
     }
     if (toRelease.nonEmpty) { // first build: force, then free the rounds
       out.count()
-      toRelease.foreach(_.unpersist(blocking = false))
+      toRelease.foreach(_.apply())
     }
     out
   }
 
   /** Pair graphs at or below this edge count resolve by driver-side
-    * union-find (a 1M-edge collect is ~16 MB — the same order as a
-    * broadcast-join build side); larger graphs take the distributed
-    * label-propagation loop. Similarity-thresholded near-dup graphs are
-    * SPARSE relative to the corpus (pairs, not documents), so even a
-    * 100 TB campaign usually lands in the small path after q31's exact
-    * pass — the loop is the correctness backstop for the genuinely
-    * huge-graph case, size-adaptivity is the fast path, exactly the
-    * broadcast-vs-shuffle-join trade. */
-  private[operators] val DriverCcMaxEdges = 1000000L
+    * union-find; larger graphs take the distributed label-propagation
+    * loop. 200k collected rows plus the boxed parent map is some tens
+    * of MB of transient driver heap — the same order as a broadcast
+    * join build side, safe on any reasonably-sized driver (a 1M-edge
+    * threshold would be several hundred MB: Row objects + boxed
+    * HashMap + the sorted result seq). Similarity-thresholded near-dup
+    * graphs are SPARSE relative to the corpus (pairs, not documents),
+    * so even a 100 TB campaign usually lands in the small path after
+    * q31's exact pass — the loop is the correctness backstop for the
+    * genuinely huge-graph case, size-adaptivity is the fast path,
+    * exactly the broadcast-vs-shuffle-join trade. */
+  private[operators] val DriverCcMaxEdges = 200000L
 
   private[graft] def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -261,7 +265,7 @@ object Dedup {
   }
 
   private def buildClusters(spark: SparkSession, dir: String,
-      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      toRelease: scala.collection.mutable.ArrayBuffer[() => Unit]): DataFrame = {
     val pairs = q34DedupNgramJaccard(spark, dir).select("id1", "id2")
     // pairs is DfCache-persisted by q34, so this count is an O(pairs)
     // action on the cached frame, not a recompute
@@ -269,63 +273,106 @@ object Dedup {
     else propagateLabels(spark, pairs, toRelease)
   }
 
+  /** Materialize one round of iterative state: persist the computed rows
+    * and rewrap them as a plan-truncating leaf DataFrame. Persist alone
+    * truncates EXECUTION but not the LOGICAL plan, and an iterative
+    * algorithm referencing the previous round twice doubles the analyzed
+    * tree per round — driver OOM at diameter ~15+ (found by the
+    * CC-equivalence property test). Returns the leaf frame plus a
+    * release action for deterministic cleanup — the public
+    * `localCheckpoint` offers no way to free its blocks. When the
+    * context has a reliable checkpoint dir configured, uses
+    * `Dataset.checkpoint` instead: on a real cluster the manual
+    * persisted-RDD round state (like local checkpoints) lives on
+    * executors and dies with executor churn, while reliable checkpoints
+    * survive and keep a days-long 100 TB campaign restartable. */
+  private def materializeRound(spark: SparkSession, df: DataFrame)
+      : (DataFrame, () => Unit) =
+    if (spark.sparkContext.getCheckpointDir.isDefined) {
+      val chk = df.checkpoint() // reliable; files cleaned by ContextCleaner
+      (chk, () => ())
+    } else {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (org.apache.spark.sql.graft.Bridge
+        .internalCreateDataFrame(spark, rdd, df.schema),
+        () => { rdd.unpersist(blocking = false); () })
+    }
+
   /** Distributed min-label propagation over an (id1, id2) pair frame —
     * the large-graph path of [[buildClusters]]; see the q73 Scaladoc.
     * `private[graft]` so the equivalence property test can drive it
     * directly below the [[DriverCcMaxEdges]] threshold. */
   private[graft] def propagateLabels(spark: SparkSession, pairs: DataFrame,
-      toRelease: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+      toRelease: scala.collection.mutable.ArrayBuffer[() => Unit]): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist()
-    // Every round ends in localCheckpoint(): persist alone truncates
-    // EXECUTION but not the LOGICAL plan, and since each round references
-    // the previous labels twice, the analyzed tree doubles per round —
-    // at diameter ~15+ the driver OOMs just stringifying the plan
-    // (found by the CC-equivalence property test). Checkpointing keeps
-    // the plan O(1) deep, the mandatory shape for iterative DataFrame
-    // algorithms. Round 1 is fused into the initialization: with labels
-    // starting at node ids, the first propagation is exactly
-    // min(node, min-neighbor) — one aggregation, no join against a
-    // prior label table.
-    var labels = edges
-      .groupBy(col("id1").as("node"))
-      .agg(least(col("node"), min(col("id2"))).as("label"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val neighborMin = edges
-        .join(labels, edges("id2") === labels("node"))
-        .groupBy(edges("id1").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      // carry the per-node changed flag out of the same join, so the
-      // convergence probe is one action on the checkpointed frame
-      // instead of a second join per round
-      val next = labels.join(neighborMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("new_label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label"))
-            .as("changed"))
-        .localCheckpoint() // eager: materializes and truncates lineage
-      converged = next.filter(col("changed")).count() == 0
-      labels = next.select(col("node"), col("new_label").as("label"))
-      rounds += 1
+    // every piece of round state currently holding executor storage; on
+    // any abort (non-convergence, job failure) it is ALL released, so a
+    // retried call in a long-lived session starts clean instead of
+    // stacking leaked edges/label tables per attempt
+    val live = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    live += (() => { edges.unpersist(blocking = false); () })
+    def materialize(df: DataFrame): (DataFrame, () => Unit) = {
+      val (frame, release) = materializeRound(spark, df)
+      live += release
+      (frame, release)
     }
-    toRelease += edges
-    if (!converged)
-      // a silent cap-exit would persist partial labels into DfCache and
-      // serve wrong clusters for the session (ADVICE.md r02): a component
-      // with diameter > the round cap needs more rounds, so fail loudly
-      throw new IllegalStateException(
-        s"dedup cluster label propagation did not converge after $rounds " +
-          "rounds: a near-dup component has diameter exceeding the cap; " +
-          "raise the round cap for this corpus")
-    labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        (col("node") === col("label")).as("is_canonical"))
-      .orderBy("doc_id")
+    try {
+      // Round 1 is fused into the initialization: with labels starting
+      // at node ids, the first propagation is exactly
+      // min(node, min-neighbor) — one aggregation, no join against a
+      // prior label table.
+      var (current, releaseCurrent) = materialize(edges
+        .groupBy(col("id1").as("node"))
+        .agg(least(col("node"), min(col("id2"))).as("label")))
+      var labels = current
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges
+          .join(labels, edges("id2") === labels("node"))
+          .groupBy(edges("id1").as("node"))
+          .agg(min(col("label")).as("nbr_label"))
+        // carry the per-node changed flag out of the same join, so the
+        // convergence probe is one action on the materialized frame
+        // instead of a second join per round
+        val (next, releaseNext) = materialize(
+          labels.join(neighborMin, Seq("node"), "left_outer")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nbr_label"), col("label")))
+                .as("new_label"),
+              (coalesce(col("nbr_label"), col("label")) < col("label"))
+                .as("changed")))
+        converged = next.filter(col("changed")).count() == 0
+        // next is fully materialized by the count, so the previous
+        // round's storage is released immediately and deterministically
+        releaseCurrent()
+        live -= releaseCurrent
+        current = next
+        releaseCurrent = releaseNext
+        labels = next.select(col("node"), col("new_label").as("label"))
+        rounds += 1
+      }
+      if (!converged)
+        // a silent cap-exit would persist partial labels into DfCache and
+        // serve wrong clusters for the session (ADVICE.md r02): a component
+        // with diameter > the round cap needs more rounds, so fail loudly
+        throw new IllegalStateException(
+          s"dedup cluster label propagation did not converge after $rounds " +
+            "rounds: a near-dup component has diameter exceeding the cap; " +
+            "raise the round cap for this corpus")
+      // success: the final round backs the returned frame's lineage, so
+      // it (and edges) transfer to the caller, released only after the
+      // result materializes
+      toRelease ++= live
+      live.clear()
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          (col("node") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
+    } finally live.foreach(_.apply())
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -125,6 +125,16 @@ object TextOps {
         col("meta.height").as("meta_height"))
       .orderBy("doc_id")
 
+  /** Per-(doc, word) term frequencies — the shared base of q86 (TF-IDF)
+    * and q87 (entropy), cached per (session, dir) like the Dedup
+    * shingle table: the tokenize-explode-aggregate pass over the corpus
+    * is the dominant cost of both consumers. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"term_freqs|$dir")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+
   /** q86 — TF-IDF: top-3 terms per document by tf * ln(N/df), ranked with
     * a lexical tie-break. Term frequencies and document frequencies are
     * two hash aggregates over the exploded token table; N arrives as a
@@ -133,9 +143,7 @@ object TextOps {
   def q86Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(spark, dir)
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
@@ -153,11 +161,8 @@ object TextOps {
     * repetitiveness/diversity signal used alongside q39's quality score
     * for pretraining-data filtering. Two hash aggregates, no shuffle
     * beyond the doc_id key. */
-  def q87Entropy(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    tf.groupBy("doc_id")
+  def q87Entropy(spark: SparkSession, dir: String): DataFrame =
+    termFreqs(spark, dir).groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         sum(col("tf").cast("double") * log(col("tf").cast("double")))
@@ -174,7 +179,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("entropy"), col("norm_entropy"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_tfidf" -> (q86Tfidf _),

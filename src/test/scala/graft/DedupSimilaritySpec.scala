@@ -99,10 +99,10 @@ class DedupSimilaritySpec extends SparkTestBase {
       val uf = Dedup.driverUnionFind(spark, pairs).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
       val toRelease =
-        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+        scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       val lp = Dedup.propagateLabels(spark, pairs, toRelease).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
-      toRelease.foreach(_.unpersist(blocking = false))
+      toRelease.foreach(_.apply())
       assert(uf.toSeq == lp.toSeq, s"trial $trial: CC paths disagree")
     }
   }
