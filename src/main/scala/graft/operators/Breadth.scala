@@ -293,9 +293,17 @@ object Breadth {
       .groupBy(col("l_returnflag").as("returnflag"))
       .agg(round(avg(col("l_extendedprice")), 4).as("avg_price"),
            round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
-           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
            min(col("l_extendedprice")).as("min_price"),
            max(col("l_extendedprice")).as("max_price"))
+      // median from the shared per-flag percentile frame (element 2 =
+      // p50) — the exact-percentile value buffer is built once per
+      // session for q50/q56/q72 instead of three times
+      .join(Breadth2.flagPercentiles(spark, dir)
+        .select(col("returnflag"),
+          round(element_at(col("ps"), 2), 4).as("median_price")),
+        Seq("returnflag"))
+      .select(col("returnflag"), col("avg_price"), col("stddev_price"),
+        col("median_price"), col("min_price"), col("max_price"))
       .orderBy("returnflag")
 
   /** q51 — map-type functions (F8): parse events.props into a typed MAP,
