@@ -93,6 +93,39 @@ class FormatsSpec extends SparkTestBase {
       sample.filter(col("l_returnflag") === flags.head).count())
   }
 
+  test("z-order layout prunes multi-dim range scans that random layout can't") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    // baseline: 16 arbitrary slices — every file spans the full value
+    // range of both dims, so row-group stats prune nothing
+    li.repartition(16).write.mode("overwrite").parquet(s"$tmp/random")
+    // z-ordered: range-partition + sort by the Morton key, so each file
+    // covers a narrow box in (partkey, suppkey) space
+    li.withColumn("zkey", graft.functions.Zorder.interleave16(
+        col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(s"$tmp/zordered")
+    val Seq(pMax, sMax) = li.agg(max("l_partkey"), max("l_suppkey"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1))).head
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey") <= pMax / 4 && col("l_suppkey") <= sMax / 4)
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.get
+    }
+    val (randomScanned, zScanned) = (scannedRows(s"$tmp/random"),
+      scannedRows(s"$tmp/zordered"))
+    // same answer, far fewer rows surfaced by the scan (row groups
+    // outside the query box are skipped by their min/max stats)
+    assert(zScanned < randomScanned / 2,
+      s"z-order should prune: random=$randomScanned z=$zScanned")
+  }
+
   test("bucketed tables co-locate joins: no exchange in the join plan") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
