@@ -315,7 +315,28 @@ object Breadth3 {
       .orderBy("column_name")
   }
 
+  /** q95 — sequence pattern matching: each user's event-type timeline
+    * collapsed to an ordered string, matched with regular expressions
+    * (funnel-with-gaps via `view.*purchase`, adjacent-step counts via a
+    * literal pair). collect_list + sort_array keeps it one aggregate per
+    * user — per-user timelines are bounded, and the regex evaluates
+    * distributed, not on the driver. The MATCH_RECOGNIZE-lite of event
+    * analytics. */
+  def q95SequenceMatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(concat_ws(",", expr(
+        """transform(sort_array(collect_list(struct(ts, event_id, event_type))),
+          |          s -> s.event_type)""".stripMargin)).as("seq"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("seq").rlike("view.*purchase").as("has_conversion"),
+        regexp_count(col("seq"), lit("view,purchase")).cast("int")
+          .as("n_adjacent_conv"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_sequence_match" -> (q95SequenceMatch _),
     "q93_rolling_zscore" -> (q93RollingZscore _),
     "q94_profile_stats" -> (q94ProfileStats _),
     "q92_count_min" -> (q92CountMin _),
@@ -331,6 +352,18 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q95_sequence_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, ','
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       regexp_matches(seq, 'view.*purchase') AS has_conversion,
+        |       CAST(len(regexp_extract_all(seq, 'view,purchase')) AS INT)
+        |         AS n_adjacent_conv
+        |FROM seqs ORDER BY user_id""".stripMargin,
     "q93_rolling_zscore" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  event_id, value FROM events),

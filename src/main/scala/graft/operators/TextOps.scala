@@ -180,7 +180,48 @@ object TextOps {
         col("entropy"), col("norm_entropy"))
       .orderBy("doc_id")
 
+  /** q96 — BM25 retrieval: documents ranked against a deterministic
+    * query (the corpus's 3 highest-df words, so the query derives from
+    * the data, not a hardcoded vocabulary) with the standard
+    * k1=1.2 / b=0.75 saturation + length normalization. Reuses the
+    * shared term-frequency table; doc lengths and the corpus constants
+    * ride along as broadcast scalars. Output = top-20 docs by rounded
+    * score with doc_id tie-break. */
+  def q96Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = 1.2
+    val b = 0.75
+    val tf = termFreqs(spark, dir)
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val queryTerms = dfreq
+      .orderBy(desc("df"), asc("word")).limit(3).select("word", "df")
+    tf.join(broadcast(queryTerms), Seq("word"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score", col("idf") *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 4).as("bm25"),
+        count(lit(1)).as("n_matched_terms"))
+      // global top-20 via orderBy+limit (TakeOrderedAndProject — no
+      // single-partition window over the full corpus); the rank window
+      // then runs over just the 20 survivors
+      .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("bm25"),
+        col("n_matched_terms"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_bm25" -> (q96Bm25 _),
     "q86_tfidf" -> (q86Tfidf _),
     "q87_entropy" -> (q87Entropy _),
     "q38_lang_id" -> (q38LangId _),
@@ -190,6 +231,34 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q96_bm25" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM tokens GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |qt AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+        |               * (t.tf * (1.2 + 1)) /
+        |                 (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl))),
+        |               4) AS bm25,
+        |         count(*) AS n_matched_terms
+        |  FROM tf t JOIN qt q USING (word) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats
+        |  GROUP BY t.doc_id),
+        |top AS (SELECT doc_id, bm25, n_matched_terms FROM scored
+        |        ORDER BY bm25 DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |         AS rank,
+        |       doc_id, bm25, n_matched_terms
+        |FROM top ORDER BY rank""".stripMargin,
     "q86_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
