@@ -93,6 +93,28 @@ class FormatsSpec extends SparkTestBase {
       sample.filter(col("l_returnflag") === flags.head).count())
   }
 
+  test("Morton interleave matches a bit-by-bit reference on random inputs") {
+    val sess = spark
+    import sess.implicits._
+    def reference(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc |
+          (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(5)
+    val rows = Seq((0, 0), (65535, 65535), (1, 0), (0, 1)) ++
+      (1 to 200).map(_ => (rnd.nextInt(65536), rnd.nextInt(65536)))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.Zorder.interleave16(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(z == reference(a, b), s"interleave16($a, $b)")
+    }
+  }
+
   test("z-order layout prunes multi-dim range scans that random layout can't") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val li = graft.sources.Tables.lineitem(spark, sf)
