@@ -325,13 +325,19 @@ object Breadth3 {
   def q95SequenceMatch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")
-      .agg(concat_ws(",", expr(
+      // sentinel commas wrap the sequence so every token is
+      // comma-delimited on both sides: ',view,' can never match inside
+      // a future 'preview' token (RE2 has no lookaround, so boundary
+      // anchoring must come from the data). The adjacent count is of
+      // NON-overlapping ',view,purchase,' occurrences — identical
+      // regex semantics in both engines.
+      .agg(concat(lit(","), concat_ws(",", expr(
         """transform(sort_array(collect_list(struct(ts, event_id, event_type))),
-          |          s -> s.event_type)""".stripMargin)).as("seq"),
+          |          s -> s.event_type)""".stripMargin)), lit(",")).as("seq"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"),
-        col("seq").rlike("view.*purchase").as("has_conversion"),
-        regexp_count(col("seq"), lit("view,purchase")).cast("int")
+        col("seq").rlike(",view,(.*,)?purchase,").as("has_conversion"),
+        regexp_count(col("seq"), lit(",view,purchase,")).cast("int")
           .as("n_adjacent_conv"))
       .orderBy("user_id")
 
@@ -355,13 +361,14 @@ object Breadth3 {
     "q95_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id,
-        |         string_agg(event_type, ','
-        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq,
+        |         ',' || string_agg(event_type, ','
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) || ',' AS seq,
         |         count(*) AS n_events
         |  FROM events GROUP BY user_id)
         |SELECT user_id, n_events,
-        |       regexp_matches(seq, 'view.*purchase') AS has_conversion,
-        |       CAST(len(regexp_extract_all(seq, 'view,purchase')) AS INT)
+        |       regexp_matches(seq, ',view,(.*,)?purchase,')
+        |         AS has_conversion,
+        |       CAST(len(regexp_extract_all(seq, ',view,purchase,')) AS INT)
         |         AS n_adjacent_conv
         |FROM seqs ORDER BY user_id""".stripMargin,
     "q93_rolling_zscore" ->

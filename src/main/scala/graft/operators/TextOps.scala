@@ -125,15 +125,20 @@ object TextOps {
         col("meta.height").as("meta_height"))
       .orderBy("doc_id")
 
-  /** Per-(doc, word) term frequencies — the shared base of q86 (TF-IDF)
-    * and q87 (entropy), cached per (session, dir) like the Dedup
-    * shingle table: the tokenize-explode-aggregate pass over the corpus
-    * is the dominant cost of both consumers. */
+  /** Per-(doc, word) term frequencies — the shared base of q86 (TF-IDF),
+    * q87 (entropy), and q96 (BM25), cached per (session, dir) like the
+    * Dedup shingle table: the tokenize-explode-aggregate pass over the
+    * corpus is the dominant cost of every consumer. */
   private def termFreqs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DfCache.df(spark, s"term_freqs|$dir")(
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+
+  /** Per-word document frequencies over [[termFreqs]] (q86 + q96). */
+  private def docFreqs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"doc_freqs|$dir")(
+      termFreqs(spark, dir).groupBy("word").agg(count(lit(1)).as("df")))
 
   /** q86 — TF-IDF: top-3 terms per document by tf * ln(N/df), ranked with
     * a lexical tie-break. Term frequencies and document frequencies are
@@ -144,7 +149,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val tf = termFreqs(spark, dir)
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfreq = docFreqs(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
     tf.join(dfreq, Seq("word")).crossJoin(broadcast(nDocs))
@@ -195,7 +200,7 @@ object TextOps {
     val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfreq = docFreqs(spark, dir)
     val queryTerms = dfreq
       .orderBy(desc("df"), asc("word")).limit(3).select("word", "df")
     tf.join(broadcast(queryTerms), Seq("word"))

@@ -131,19 +131,22 @@ class FormatsSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$tmp/zordered")
     val Seq(pMax, sMax) = li.agg(max("l_partkey"), max("l_suppkey"))
       .collect().map(r => Seq(r.getLong(0), r.getLong(1))).head
-    def scannedRows(path: String): Long = {
+    def scanned(path: String): (Long, Seq[Seq[Any]]) = {
       val df = spark.read.parquet(path)
         .filter(col("l_partkey") <= pMax / 4 && col("l_suppkey") <= sMax / 4)
-      df.collect()
-      df.queryExecution.executedPlan.collectFirst {
+      val answer = df.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString(","))
+      val rows = df.queryExecution.executedPlan.collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.metrics("numOutputRows").value
       }.get
+      (rows, answer)
     }
-    val (randomScanned, zScanned) = (scannedRows(s"$tmp/random"),
-      scannedRows(s"$tmp/zordered"))
-    // same answer, far fewer rows surfaced by the scan (row groups
-    // outside the query box are skipped by their min/max stats)
+    val (randomScanned, randomAnswer) = scanned(s"$tmp/random")
+    val (zScanned, zAnswer) = scanned(s"$tmp/zordered")
+    // identical answers (pruning must drop only non-matching row
+    // groups), far fewer rows surfaced by the z-ordered scan
+    assert(zAnswer == randomAnswer, "layouts must return the same rows")
     assert(zScanned < randomScanned / 2,
       s"z-order should prune: random=$randomScanned z=$zScanned")
   }
