@@ -174,7 +174,54 @@ object Curation {
       .orderBy("k")
   }
 
+  /** q97 — deterministic train/val/test split: each document lands in a
+    * split by a salted 60-bit content hash (80/10/10), so assignment is
+    * reproducible under any partitioning, retry, or cluster size, and
+    * stays STABLE as the corpus grows (new docs never move old ones —
+    * the property rand()- or row_number()-based splits lack). Output is
+    * the per-(lang, split) accounting a data-mix report needs. */
+  def q97TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Hashing.md5Hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(10))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** q98 — context-window sequence packing: documents packed into
+    * fixed-token-budget bins (2048) by running token count, the
+    * pre-training batch-prep step that turns a corpus into dense
+    * context windows. Packing is per SHARD (doc_id div 1000) so the
+    * running-sum window partitions by shard instead of a single global
+    * ordering — the only shape that scales; bins are keyed
+    * (shard, local bin). */
+  def q98PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("doc_id div 1000").as("shard"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_packed"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens_packed").cast("double") / budget, 4))
+      .orderBy("shard", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_train_split" -> (q97TrainSplit _),
+    "q98_pack_sequences" -> (q98PackSequences _),
     "q79_fuzzy_match" -> (q79FuzzyMatch _),
     "q64_boilerplate_strip" -> (q64BoilerplateStrip _),
     "q65_pii_scrub" -> (q65PiiScrub _),
@@ -184,6 +231,37 @@ object Curation {
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    "q97_train_split" ->
+      """WITH buckets AS (
+        |  SELECT lang, n_chars,
+        |         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |                         1, 15))::BIGINT % 10 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket < 9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM buckets GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q98_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id // 1000 AS shard,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+        |              ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS cum_before
+        |  FROM toks)
+        |SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill_ratio
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q79_fuzzy_match" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_name AS name,
