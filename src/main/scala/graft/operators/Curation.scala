@@ -219,7 +219,32 @@ object Curation {
       .orderBy("shard", "bin")
   }
 
+  /** q99 — data-mix rebalancing: every source downsampled to the
+    * smallest source's size (a uniform target mix) by a deterministic
+    * per-doc hash threshold `hash % n_source < min_n`, so the selection
+    * is reproducible and stable while hitting the target rate in
+    * expectation. The per-source accounting is what a mixture report
+    * ships; the same keep predicate filters the actual corpus. */
+  def q99DataMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+      .withColumn("min_n", min(col("n_total")).over(w))
+    Tables.documents(spark, dir).select(col("source"), col("doc_id"))
+      .join(broadcast(counts), Seq("source"))
+      .withColumn("keep", pmod(Hashing.md5Hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))),
+        col("n_total")) < col("min_n"))
+      .groupBy("source")
+      .agg(min(col("n_total")).as("n_total"),
+        count_if(col("keep")).as("n_kept"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_data_mix" -> (q99DataMix _),
     "q97_train_split" -> (q97TrainSplit _),
     "q98_pack_sequences" -> (q98PackSequences _),
     "q79_fuzzy_match" -> (q79FuzzyMatch _),
@@ -231,6 +256,22 @@ object Curation {
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    "q99_data_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_total,
+        |         min(count(*)) OVER () AS min_n
+        |  FROM documents GROUP BY source),
+        |marked AS (
+        |  SELECT d.source, c.n_total,
+        |         (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+        |                          1, 15))::BIGINT % c.n_total) < c.min_n
+        |           AS keep
+        |  FROM documents d JOIN counts c USING (source))
+        |SELECT source, CAST(min(n_total) AS BIGINT) AS n_total,
+        |       count(*) FILTER (WHERE keep) AS n_kept,
+        |       round(CAST(count(*) FILTER (WHERE keep) AS DOUBLE)
+        |             / min(n_total), 4) AS achieved_rate
+        |FROM marked GROUP BY source ORDER BY source""".stripMargin,
     "q97_train_split" ->
       """WITH buckets AS (
         |  SELECT lang, n_chars,
