@@ -61,7 +61,9 @@ object ScaleSmoke {
         "q32_dedup_minhash", "q34_dedup_ngram_jaccard",
         "q44_tumbling_window", "q51_map_funcs", "q36_ann_brute_topk",
         "q73_dedup_clusters", "q80_scd2_history", "q81_sessionize_gaps",
-        "q86_tfidf", "q88_asof_forward", "q89_ohlc_bars")
+        "q86_tfidf", "q88_asof_forward", "q89_ohlc_bars",
+        "q93_rolling_zscore", "q95_sequence_match", "q96_bm25",
+        "q98_pack_sequences")
         .map(n => n -> SparkEntry.queries(n)) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d)))
