@@ -341,7 +341,32 @@ object Breadth3 {
           .as("n_adjacent_conv"))
       .orderBy("user_id")
 
+  /** q100 — mergeable HLL sketch export + union: per-(type, day) user
+    * sketches built once (`hll_sketch_agg`, the storable artifact an
+    * incremental pipeline persists per partition), then merged across
+    * days (`hll_union_agg`) and estimated — distinct-count rollup
+    * WITHOUT rescanning history, the A5 "mergeable exported sketch"
+    * path at 100 TB/day rates. Contract oracle like q49: the merged
+    * estimate must land within 15% of the exact distinct count. */
+  def q100HllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_day_sketches"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_day_sketches"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.15).as("merged_within_15pct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_hll_union" -> (q100HllUnion _),
     "q95_sequence_match" -> (q95SequenceMatch _),
     "q93_rolling_zscore" -> (q93RollingZscore _),
     "q94_profile_stats" -> (q94ProfileStats _),
@@ -358,6 +383,13 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q100_hll_union" ->
+      """SELECT event_type,
+        |       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+        |         AS n_day_sketches,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS merged_within_15pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id,
