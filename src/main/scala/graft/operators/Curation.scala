@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -175,11 +176,14 @@ object Curation {
   }
 
   /** q97 — deterministic train/val/test split: each document lands in a
-    * split by a salted 60-bit content hash (80/10/10), so assignment is
-    * reproducible under any partitioning, retry, or cluster size, and
-    * stays STABLE as the corpus grows (new docs never move old ones —
-    * the property rand()- or row_number()-based splits lack). Output is
-    * the per-(lang, split) accounting a data-mix report needs. */
+    * split by a salted 60-bit hash of its doc_id (80/10/10), so
+    * assignment is reproducible under any partitioning or cluster size
+    * and STABLE as the corpus grows (new docs never move old ones — the
+    * property rand()- or row_number()-based splits lack). The hash key
+    * is the ID, so stability holds as long as ids are stable; a
+    * pipeline that renumbers ids on re-ingestion should key on the q41
+    * content fingerprint instead. Output is the per-(lang, split)
+    * accounting a data-mix report needs. */
   def q97TrainSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(Hashing.md5Hash60(
       concat(lit("split:"), col("doc_id").cast("string"))), lit(10))
@@ -200,9 +204,8 @@ object Curation {
     * (shard, local bin). */
   def q98PackSequences(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr("doc_id div 1000").as("shard"),
         size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
@@ -226,7 +229,7 @@ object Curation {
     * expectation. The per-source accounting is what a mixture report
     * ships; the same keep predicate filters the actual corpus. */
   def q99DataMix(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val w = Window.partitionBy()
     val counts = Tables.documents(spark, dir)
       .groupBy("source").agg(count(lit(1)).as("n_total"))
       .withColumn("min_n", min(col("n_total")).over(w))
