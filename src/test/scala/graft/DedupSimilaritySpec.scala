@@ -107,6 +107,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("driver union-find handles an empty pair graph") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.driverUnionFind(spark, empty).count() == 0)
+  }
+
+  test("q98 packing matches an independent sequential reimplementation") {
+    val got = graft.operators.Curation.q98PackSequences(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // simulate the pack doc-by-doc on the driver (split(str, " ", -1)
+    // mirrors Spark's split keeping interior empties)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    val expected = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long, Long, Long)]
+    val cum = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (id, n) =>
+      val shard = id / 1000
+      val before = cum.getOrElse(shard, 0L)
+      val bin = before / 2048L
+      val (nd, nt, first, last) =
+        expected.getOrElse((shard, bin), (0L, 0L, id, id))
+      expected((shard, bin)) =
+        (nd + 1, nt + n, math.min(first, id), math.max(last, id))
+      cum(shard) = before + n
+    }
+    assert(got == expected.toMap, "packing bins diverge from simulation")
+  }
+
   test("cosine similarity is symmetric and bounded") {
     val rows = Dedup.q35DedupEmbedding(spark, sf).collect()
     rows.foreach { r =>
