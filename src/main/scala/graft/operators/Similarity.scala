@@ -259,12 +259,51 @@ object Similarity {
   private val LshRecallFloor = 0.8
   private val IvfRecallFloor = 0.4
 
+  /** q101 — labeled-embedding centroid evaluation: per-label centroid
+    * (per-dimension mean via posexplode — no UDF array math) and each
+    * member's cosine to its own centroid, averaged per label. The
+    * standard embedding-space quality probe (tight clusters => high
+    * intra-label cosine) run after training or before using labels for
+    * supervised filtering. Centroids are |labels| x dim — broadcast. */
+  def q101CentroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+    ex.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("nv"),
+        sqrt(sum(col("c") * col("c"))).as("nc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dot") / (col("nv") * col("nc"))), 4)
+          .as("avg_cosine_to_centroid"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_centroid_eval" -> (q101CentroidEval _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
     "q52_ann_ivf_topk" -> (q52AnnIvfTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q101_centroid_eval" ->
+      """WITH ex AS (
+        |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT e.label, e.vec_id, sum(e.v * c.c) AS dot,
+        |         sqrt(sum(e.v * e.v)) AS nv, sqrt(sum(c.c * c.c)) AS nc
+        |  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(dot / (nv * nc)), 4) AS avg_cosine_to_centroid
+        |FROM dots GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_ann_brute_topk" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
