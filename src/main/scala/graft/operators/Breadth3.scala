@@ -150,10 +150,15 @@ object Breadth3 {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
     val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
       max(col("l_extendedprice")).as("hi"))
+    // hi == lo (single-value corpus) would be 0/0 -> NaN, where Spark's
+    // floor(NaN) cast yields a silent bucket but DuckDB's CAST errors —
+    // pin the degenerate corpus to bucket 0 in BOTH engines instead
     li.crossJoin(broadcast(bounds))
-      .withColumn("bucket", least(lit(19), floor(
-        (col("l_extendedprice") - col("lo")) * 20.0 / (col("hi") - col("lo"))))
-        .cast("int"))
+      .withColumn("bucket", when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(19), floor(
+            (col("l_extendedprice") - col("lo")) * 20.0 /
+              (col("hi") - col("lo"))))
+          .cast("int")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         sum(round(col("l_extendedprice") * 100).cast("bigint"))
@@ -328,16 +333,20 @@ object Breadth3 {
       // sentinel commas wrap the sequence so every token is
       // comma-delimited on both sides: ',view,' can never match inside
       // a future 'preview' token (RE2 has no lookaround, so boundary
-      // anchoring must come from the data). The adjacent count is of
-      // NON-overlapping ',view,purchase,' occurrences — identical
-      // regex semantics in both engines.
+      // anchoring must come from the data). The adjacent count doubles
+      // every delimiter first: non-overlapping matches of
+      // ',view,,purchase,' then leave one comma behind on each side, so
+      // back-to-back conversions ('view,purchase,view,purchase') count
+      // as 2, not 1 — TRUE adjacent-pair counting without lookahead,
+      // identical regex semantics in both engines (ADVICE.md r03).
       .agg(concat(lit(","), concat_ws(",", expr(
         """transform(sort_array(collect_list(struct(ts, event_id, event_type))),
           |          s -> s.event_type)""".stripMargin)), lit(",")).as("seq"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"),
         col("seq").rlike(",view,(.*,)?purchase,").as("has_conversion"),
-        regexp_count(col("seq"), lit(",view,purchase,")).cast("int")
+        regexp_count(regexp_replace(col("seq"), ",", ",,"),
+          lit(",view,,purchase,")).cast("int")
           .as("n_adjacent_conv"))
       .orderBy("user_id")
 
@@ -408,7 +417,8 @@ object Breadth3 {
         |SELECT user_id, n_events,
         |       regexp_matches(seq, ',view,(.*,)?purchase,')
         |         AS has_conversion,
-        |       CAST(len(regexp_extract_all(seq, ',view,purchase,')) AS INT)
+        |       CAST(len(regexp_extract_all(replace(seq, ',', ',,'),
+        |                                   ',view,,purchase,')) AS INT)
         |         AS n_adjacent_conv
         |FROM seqs ORDER BY user_id""".stripMargin,
     "q93_rolling_zscore" ->
@@ -607,8 +617,10 @@ object Breadth3 {
       """WITH bounds AS (
         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
         |  FROM lineitem)
-        |SELECT least(19, CAST(floor((l_extendedprice - lo) * 20.0
-        |                            / (hi - lo)) AS INT)) AS bucket,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE least(19, CAST(floor((l_extendedprice - lo) * 20.0
+        |                                      / (hi - lo)) AS INT)) END
+        |         AS bucket,
         |       count(*) AS n,
         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |            AS BIGINT) AS sum_price_cents
