@@ -281,23 +281,41 @@ object Dedup {
     * CC-equivalence property test). Returns the leaf frame plus a
     * release action for deterministic cleanup — the public
     * `localCheckpoint` offers no way to free its blocks. When the
-    * context has a reliable checkpoint dir configured, uses
-    * `Dataset.checkpoint` instead: on a real cluster the manual
-    * persisted-RDD round state (like local checkpoints) lives on
-    * executors and dies with executor churn, while reliable checkpoints
-    * survive and keep a days-long 100 TB campaign restartable. */
+    * context has a reliable checkpoint dir configured, the round is
+    * ALSO reliably checkpointed: on a real cluster the persisted-RDD
+    * round state (like local checkpoints) lives on executors and dies
+    * with executor churn, while reliable checkpoints survive and keep a
+    * days-long 100 TB campaign restartable. The release action deletes
+    * the round's checkpoint files itself — Spark's ContextCleaner only
+    * removes them when `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is enabled (default false), so relying on it would leak one
+    * directory per propagation round for the life of the app
+    * (ADVICE.md r03). */
   private def materializeRound(spark: SparkSession, df: DataFrame)
-      : (DataFrame, () => Unit) =
-    if (spark.sparkContext.getCheckpointDir.isDefined) {
-      val chk = df.checkpoint() // reliable; files cleaned by ContextCleaner
-      (chk, () => ())
-    } else {
-      val rdd = df.queryExecution.toRdd.map(_.copy())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (org.apache.spark.sql.graft.Bridge
-        .internalCreateDataFrame(spark, rdd, df.schema),
-        () => { rdd.unpersist(blocking = false); () })
-    }
+      : (DataFrame, () => Unit) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release: () => Unit =
+      if (spark.sparkContext.getCheckpointDir.isDefined) {
+        rdd.checkpoint()
+        // an action materializes the checkpoint now (reading the rows
+        // back from the persisted blocks, not a recompute); afterwards
+        // the RDD's lineage is the checkpoint files
+        rdd.count()
+        () => {
+          rdd.unpersist(blocking = false)
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            catch { case _: java.io.IOException => () } // best effort
+          }
+        }
+      } else
+        () => { rdd.unpersist(blocking = false); () }
+    (org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, rdd, df.schema), release)
+  }
 
   /** Distributed min-label propagation over an (id1, id2) pair frame —
     * the large-graph path of [[buildClusters]]; see the q73 Scaladoc.

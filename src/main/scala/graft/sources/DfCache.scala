@@ -22,7 +22,12 @@ private[graft] object DfCache {
 
   private val dfs = TrieMap.empty[(String, String), DataFrame]
   private val vals = TrieMap.empty[(String, String), Any]
-  private val hooked = TrieMap.empty[String, Boolean]
+  // one eviction listener per CONTEXT (keyed by applicationId), not per
+  // session: a long-lived context hosting many short-lived sessions must
+  // not accumulate one listener per session on the bus (ADVICE.md r03 —
+  // the old per-session listeners only removed themselves at application
+  // end, exactly when it no longer mattered)
+  private val hookedApps = TrieMap.empty[String, Boolean]
 
   // builds run under a PER-KEY lock: TrieMap.getOrElseUpdate is atomic
   // for the INSERT but not the builder, so two concurrent callers could
@@ -38,7 +43,7 @@ private[graft] object DfCache {
     * concurrent queries sharing an intermediate get one build). */
   def df(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
-    hookEviction(spark, sid)
+    hookEviction(spark)
     val k = (sid, key)
     dfs.get(k) match {
       case Some(cached) => cached
@@ -51,7 +56,7 @@ private[graft] object DfCache {
   /** Build-once-per-(session, key) plain value (e.g. a probed dimension). */
   def value[T](spark: SparkSession, key: String)(build: => T): T = {
     val sid = org.apache.spark.sql.graft.SessionIds.uuid(spark)
-    hookEviction(spark, sid)
+    hookEviction(spark)
     val k = (sid, key)
     vals.get(k) match {
       case Some(cached) => cached.asInstanceOf[T]
@@ -80,21 +85,23 @@ private[graft] object DfCache {
     vals.keys.filter(_._1 == sid).foreach(vals.remove)
   }
 
-  private def hookEviction(spark: SparkSession, sid: String): Unit =
-    if (hooked.putIfAbsent(sid, true).isEmpty) {
+  private def hookEviction(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (hookedApps.putIfAbsent(appId, true).isEmpty) {
       val sc = spark.sparkContext
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit = {
-          dfs.keys.filter(_._1 == sid).foreach(dfs.remove)
-          vals.keys.filter(_._1 == sid).foreach(vals.remove)
-          locks.keys.filter(_._1 == sid).foreach(locks.remove)
-          hooked.remove(sid)
-          // deregister ourselves too — a long-lived context hosting many
-          // short-lived sessions must not accumulate one listener per
-          // session on the bus (ADVICE.md r02)
+          // the context is going away, taking every session's executor
+          // storage with it — drop ALL registrations (this JVM hosts one
+          // context at a time; entries are only reachable through it)
+          dfs.clear()
+          vals.clear()
+          locks.clear()
+          hookedApps.remove(appId)
           sc.removeSparkListener(this)
         }
       })
     }
+  }
 }

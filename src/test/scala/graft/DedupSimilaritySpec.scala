@@ -107,6 +107,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("label propagation with a reliable checkpoint dir: same labels, " +
+      "checkpoint files deleted on release") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
+      val pairs = chain.toDF("id1", "id2")
+      val uf = Dedup.driverUnionFind(spark, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      val toRelease = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+      val lp = Dedup.propagateLabels(spark, pairs, toRelease).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      assert(uf.toSeq == lp.toSeq, "CC paths disagree under checkpointing")
+      def rddDirs: Seq[java.nio.file.Path] = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("rdd-")).toList
+        finally s.close()
+      }
+      assert(rddDirs.nonEmpty, "propagation should have checkpointed rounds")
+      toRelease.foreach(_.apply())
+      // releasing the final round must delete its checkpoint files too —
+      // ContextCleaner only does this with cleanCheckpoints=true
+      assert(rddDirs.isEmpty, s"leaked checkpoint dirs: $rddDirs")
+    } finally {
+      // clear the checkpoint dir so later suites keep the persist path
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("driver union-find handles an empty pair graph") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
