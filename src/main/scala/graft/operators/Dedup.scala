@@ -176,11 +176,103 @@ object Dedup {
   /** Pairwise dot product of two embedding columns `ea`/`eb` in double. */
   private[operators] val dotExpr: Column = expr("graft_dot(ea, eb)")
 
-  /** q35 — embedding cosine near-dup: brute pair scan with in-row
-    * zip_with/aggregate dot products (codegen, no UDF). This is the
-    * verification kernel; at 100 TB candidate pairs come from q37's LSH
-    * buckets instead of the full cross product. */
+  // q35 banding geometry: 12 bands x 8 bits = 96 sign-projection planes.
+  // 8-bit bands (256 buckets each) split random pairs (p~0.5 per bit ->
+  // ~1/256 band collision) while multi-probe single-bit flips recover
+  // near-threshold pairs; at 100 TB the band WIDTH grows with the corpus
+  // (buckets ~ O(N / target-bucket-size)) and the band count stays the
+  // recall knob — same trade documented for q37.
+  private[operators] val EmbBandBits = 8
+  private[operators] val EmbNBands = 12
+  private[operators] val EmbNPlanes = EmbBandBits * EmbNBands
+  private val EmbCosineFloor = 0.4
+
+  /** ENGINE-PORTABLE integer hyperplanes: component (p, d) is
+    * md5("p_d") mod 2001 - 1000, derivable identically in DuckDB SQL —
+    * so the oracle verifies the exact candidate set, not just row
+    * counts (same portability trick as the MinHash permutations).
+    * Stored as integer-valued doubles: with |c| <= 1000 and quantized
+    * coordinates |floor(x*1000)| well under 2^20, every product and the
+    * 64-term sum stay far below 2^53, so the double arithmetic is EXACT
+    * integer arithmetic and the sign bit is bit-stable across engines —
+    * a Gaussian-plane float dot would not be (sum order near 0 flips
+    * bits between engines). */
+  private[operators] def portablePlanes(dim: Int): Seq[Seq[Double]] =
+    (0 until EmbNPlanes).map { p =>
+      (0 until dim).map { d =>
+        (Hashing.md5Hash60Value(s"${p}_${d}") % 2001 - 1000).toDouble
+      }
+    }
+
+  /** Per-vector LSH band table (vec_id, k, v): quantize to
+    * floor(x*1000), take 96 sign bits against [[portablePlanes]] (exact
+    * integer dots via the codegen `graft_dot`), pack 8-bit band values
+    * MSB-first. One narrow shuffle-free projection of the embeddings
+    * scan; cached per (session, dir) because both join sides read it. */
+  private def embeddingBands(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val dim = Similarity.embeddingDim(spark, dir)
+    graft.sources.DfCache.df(spark, s"emb_bands|$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("xq", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS DOUBLE))"))
+        .withColumn("planes", typedLit(portablePlanes(dim)))
+        .withColumn("bits", expr(
+          "transform(planes, p -> IF(graft_dot(p, xq) > 0D, 1L, 0L))"))
+        .select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${EmbNBands - 1}), k -> named_struct(
+             |  'k', k,
+             |  'v', aggregate(sequence(0, ${EmbBandBits - 1}), 0L,
+             |         (acc, j) -> acc * 2L +
+             |           element_at(bits, k * $EmbBandBits + j + 1))))"""
+            .stripMargin)).as("band"))
+        .select(col("vec_id"), col("band.k").as("k"), col("band.v").as("v")))
+  }
+
+  /** q35 — embedding cosine near-dup, LSH-banded: candidates are pairs
+    * sharing a band within hamming distance 1 (probe side emits each
+    * band value plus its 8 single-bit flips — multi-probe, like q37's
+    * query side), then ONLY candidates are exact-scored with the codegen
+    * `graft_dot` kernel and thresholded. No cross product anywhere: the
+    * candidate step is an equi-join on (band, value) — a shuffle on a
+    * content key, the same shape as q32/q34, so it survives a 100x
+    * corpus. The brute-force kernel this replaced lives on as the
+    * test-only recall oracle ([[bruteEmbeddingPairs]]); the DuckDB
+    * oracle reproduces the banding bit-for-bit (portable integer
+    * planes), so the registered result is still hash-verified end to
+    * end. */
   def q35DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val bands = embeddingBands(spark, dir)
+    val a = bands.select(col("vec_id").as("id1"), col("k"), explode(expr(
+      s"""concat(array(v), transform(sequence(0, ${EmbBandBits - 1}),
+         |                           j -> v ^ shiftleft(1L, j)))"""
+        .stripMargin)).as("v"))
+    val b = bands.select(col("vec_id").as("id2"), col("k"), col("v"))
+    val candidates = a.join(b, Seq("k", "v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normExpr.as("nrm"))
+    val s1 = e.select(col("vec_id").as("id1"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val s2 = e.select(col("vec_id").as("id2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    candidates.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("cosine", round(dotExpr / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= EmbCosineFloor)
+      .select("id1", "id2", "cosine")
+      .orderBy("id1", "id2")
+  }
+
+  /** TEST-ONLY brute-force near-dup kernel (the full pair scan q35 used
+    * to register): exact ground truth the spec measures q35's recall
+    * against. Never registered — at 100x scale the cross product is the
+    * textbook scale-killer (VERDICT.md r03). */
+  private[graft] def bruteEmbeddingPairs(spark: SparkSession, dir: String)
+      : DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normExpr.as("nrm"))
@@ -191,7 +283,7 @@ object Dedup {
     a.crossJoin(b)
       .filter(col("id1") < col("id2"))
       .withColumn("cosine", round(dotExpr / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= EmbCosineFloor)
       .select("id1", "id2", "cosine")
       .orderBy("id1", "id2")
   }
@@ -515,15 +607,48 @@ object Dedup {
          |JOIN sizes z2 ON z2.doc_id = id2
          |WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    // replicates the banding EXACTLY: md5-derived integer planes,
+    // floor(x*1000) quantization, sign bits, 8-bit bands MSB-first,
+    // multi-probe single-bit flips — all integer arithmetic, so both
+    // engines derive the identical candidate set, then exact-score it
     "q35_dedup_embedding" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
+        |xq AS (SELECT vec_id, i - 1 AS d,
+        |              CAST(floor(x * 1000.0) AS BIGINT) AS q
+        |       FROM ex),
+        |planes AS (
+        |  SELECT p, d,
+        |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_'
+        |                             || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+        |           % 2001 - 1000 AS c
+        |  FROM generate_series(0, 95) tp(p),
+        |       (SELECT DISTINCT i - 1 AS d FROM ex) td),
+        |bits AS (
+        |  SELECT vec_id, p, CASE WHEN sum(c * q) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM xq JOIN planes USING (d)
+        |  GROUP BY vec_id, p),
+        |bands AS (
+        |  SELECT vec_id, p // 8 AS k,
+        |         CAST(sum(bit << (7 - (p % 8))) AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT vec_id, k, v FROM bands
+        |  UNION ALL
+        |  SELECT vec_id, k, xor(v, CAST(1 << j AS BIGINT))
+        |  FROM bands, generate_series(0, 7) tj(j)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM probes a JOIN bands b
+        |    ON a.k = b.k AND a.v = b.v AND a.vec_id < b.vec_id),
         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
         |dots AS (
-        |  SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  SELECT id1, id2, sum(a.x * b.x) AS dot
+        |  FROM cand
+        |  JOIN ex a ON a.vec_id = id1
+        |  JOIN ex b ON b.vec_id = id2 AND b.i = a.i
         |  GROUP BY 1, 2)
         |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
         |FROM dots

@@ -102,7 +102,7 @@ object Similarity {
     * data (a limit-1 scan) instead of hardcoding it — a corpus with a
     * different dimension gets correctly-sized hyperplanes rather than a
     * silently truncated projection (ADVICE.md r01). */
-  private def embeddingDim(spark: SparkSession, dir: String): Int =
+  private[operators] def embeddingDim(spark: SparkSession, dir: String): Int =
     graft.sources.DfCache.value(spark, s"embedding_dim|$dir") {
       Tables.embeddings(spark, dir)
         .select(size(col("embedding"))).limit(1).collect().headOption

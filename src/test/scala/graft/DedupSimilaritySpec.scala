@@ -181,4 +181,26 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("q35 banded near-dup: exact-scored subset of brute pairs, " +
+      "recall >= 0.6") {
+    val brute = Dedup.bruteEmbeddingPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "corpus should contain cosine>=0.4 pairs")
+    val got = Dedup.q35DedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction: every emitted pair is exact-scored
+    assert(got.subsetOf(brute), "q35 emitted a below-threshold pair")
+    val recall = brute.count(got.contains).toDouble / brute.size
+    info(s"q35 banded recall vs brute: $recall over ${brute.size} pairs")
+    assert(recall >= 0.6, s"q35 recall $recall")
+  }
+
+  test("q35 plan has no cartesian product (VERDICT r03)") {
+    val plan = Dedup.q35DedupEmbedding(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "q35 still cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "q35 hides a nested-loop pair scan")
+  }
 }
