@@ -59,11 +59,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok.forall(_.getBoolean(1)), "q37 recall contract violated")
   }
 
-  test("IVF ANN achieves >=30% average recall@10 vs brute force") {
+  test("IVF ANN achieves >=60% average recall@10 vs brute force") {
     val recalls = perQidRecall(Similarity.ivfTopK(spark, sf).collect())
     val avgR = recalls.values.sum / recalls.size
     info(s"IVF per-qid recall: min=${recalls.values.min} avg=$avgR")
-    assert(avgR >= 0.3, s"IVF avg recall@10 $avgR")
+    // contract floor is 0.5; CI enforces 0.6 so drift toward the floor
+    // surfaces here before it threatens the oracle gate (measured
+    // 0.65-0.74 across SFs with Lloyd-refined centroids)
+    assert(avgR >= 0.6, s"IVF avg recall@10 $avgR")
     val ok = Similarity.q52AnnIvfTopK(spark, sf).collect()
     assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
