@@ -18,6 +18,11 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { r =>
+        // SPARK_GRAFT_PROFILE_CLEAR=1: drop cached intermediates before
+        // each rep so the timing includes the shared builds (DfCache
+        // otherwise makes rep2+ measure only the post-cache tail)
+        if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_CLEAR", "0") == "1")
+          graft.sources.DfCache.clear(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9

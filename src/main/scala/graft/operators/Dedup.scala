@@ -89,24 +89,44 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** q33 — SimHash near-dup: 60-bit signature over tf-weighted word
-    * hashes, banded 6 x 10 bits (pigeonhole: hamming <= 5 implies >= 1
-    * clean band), verified with exact hamming via xor + bit_count.
-    * Signatures come from the one-pass mergeable
-    * [[graft.functions.SimHashAggregator]] (no per-bit row explosion —
-    * one shuffle on doc_id instead of three). */
-  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val simhashUdaf = udaf(graft.functions.SimHashAggregator)
-    val sigStructs = graft.sources.DfCache.df(spark, s"simhash_sigs|$dir")(
+  /** Per-document SimHash signatures as a fully-DECLARATIVE aggregation
+    * (round 4, VERDICT r03 #8): the 60 bit-counters are 60 parallel
+    * `sum(cnt * (((h >> b) & 1) * 2 - 1))` columns — whole-stage-codegen
+    * hash aggregation with map-side partial sums, vs the previous
+    * [[graft.functions.SimHashAggregator]] udaf whose per-row update
+    * paid Encoder ser/de on a 60-element buffer. Same one shuffle on doc_id,
+    * no per-bit row explosion; sig/band packing is plain column math
+    * over the 60 sums. The udaf stays as the §2.11 UDAF surface and the
+    * equivalence property test pins both paths to identical signatures. */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val sums = (0 to 59).map(b =>
+      sum(col("cnt") *
+        (shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2L - 1L)).as(s"s$b"))
+    val bitCols = (0 to 59).map(b => (col(s"s$b") > 0).cast("long"))
+    val sigLo = (0 to 29).map(b => shiftleft(bitCols(b), b)).reduce(_ + _)
+    val sigHi = (30 to 59).map(b => shiftleft(bitCols(b), b - 30)).reduce(_ + _)
+    val bandCols = (0 to 5).map { k =>
+      (0 to 9).map(j => shiftleft(bitCols(k * 10 + j), j)).reduce(_ + _)
+    }
+    graft.sources.DfCache.df(spark, s"simhash_sigs|$dir")(
       Tables.documents(spark, dir)
         .withColumn("word", explode(split(col("text"), " ")))
         .groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("h", Hashing.md5Hash60(col("word")))
         .groupBy("doc_id")
-        .agg(simhashUdaf(col("h"), col("cnt")).as("sig"))
-        .select(col("doc_id"), col("sig.sig_lo").as("sig_lo"),
-          col("sig.sig_hi").as("sig_hi"), col("sig.bands").as("bands")))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"),
+          array(bandCols: _*).as("bands")))
+  }
+
+  /** q33 — SimHash near-dup: 60-bit signature over tf-weighted word
+    * hashes ([[simhashSigs]], declarative codegen aggregation), banded
+    * 6 x 10 bits (pigeonhole: hamming <= 5 implies >= 1 clean band),
+    * verified with exact hamming via xor + bit_count. */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigStructs = simhashSigs(spark, dir)
     val sigs = sigStructs.select("doc_id", "sig_lo", "sig_hi")
     val bands = sigStructs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "band_val")))

@@ -25,6 +25,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"simhash recall $recall over ${truth.size} pairs")
   }
 
+  test("declarative simhash signatures == SimHashAggregator udaf") {
+    import org.apache.spark.sql.functions._
+    // the round-4 declarative 60-sum path must produce bit-identical
+    // signatures to the mergeable udaf it replaced in the hot path
+    val declarative = Dedup.simhashSigs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).sortBy(_._1)
+    val simhashUdaf = udaf(graft.functions.SimHashAggregator)
+    val viaUdaf = graft.sources.Tables.documents(spark, sf)
+      .withColumn("word", explode(split(col("text"), " ")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", graft.functions.Hashing.md5Hash60(col("word")))
+      .groupBy("doc_id")
+      .agg(simhashUdaf(col("h"), col("cnt")).as("sig"))
+      .select(col("doc_id"), col("sig.sig_lo"), col("sig.sig_hi"),
+        col("sig.bands"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).sortBy(_._1)
+    assert(declarative.nonEmpty)
+    assert(declarative.toSeq == viaUdaf.toSeq,
+      "declarative and udaf simhash signatures diverge")
+  }
+
   test("exact dedup: canonical ids are group minima and self-consistent") {
     val rows = Dedup.q31DedupExact(spark, sf).collect()
     rows.foreach { r =>
