@@ -22,21 +22,26 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Distinct word-3-gram shingles for an arbitrary document frame
+    * (must carry doc_id + text). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        """CASE WHEN size(words) >= 3
+          |     THEN transform(sequence(1, size(words) - 2),
+          |                    i -> concat_ws(' ', slice(words, i, 3)))
+          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+
   /** Distinct word-3-gram shingles per document — computed once per
     * (session, dir) and persisted, since MinHash (q32) and Jaccard (q34)
     * both consume it (at 100 TB this is the materialized shingle table a
     * dedup campaign writes once and reuses across methods). */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DfCache.df(spark, s"shingles|$dir")(
-      Tables.documents(spark, dir)
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("shingle", explode(expr(
-          """CASE WHEN size(words) >= 3
-            |     THEN transform(sequence(1, size(words) - 2),
-            |                    i -> concat_ws(' ', slice(words, i, 3)))
-            |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-        .select(col("doc_id"), col("shingle"))
-        .distinct())
+      shingleRows(Tables.documents(spark, dir)))
 
   /** q31 — exact dedup: canonical id = min doc_id per identical text
     * (hash-groupBy; the mandatory first pass before any LSH). */
@@ -58,9 +63,14 @@ object Dedup {
     * second shuffle (the band signature is a scalar md5 over 4 of the 16
     * columns). At 100 TB this is the difference between shuffling the
     * shingle table once vs 16 copies of it twice. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(spark, dir)
-      .withColumn("x", Hashing.md5Hash60(col("shingle")))
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsFromShingles(shingles(spark, dir))
+
+  /** Shingles -> 16 minhash minima -> 4 banded md5 signatures; factored
+    * so full-corpus (q32) and per-ingest-day (q102) builds share the
+    * exact pipeline. */
+  private def bandsFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("x", Hashing.md5Hash60(col("shingle")))
     val minCols = (0 to 15).map(j =>
       min(Hashing.minHashPerm(lit(j), col("x"))).as(s"mh$j"))
     val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
@@ -145,6 +155,38 @@ object Dedup {
          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("int"))
       .filter(col("hamming") <= 5)
       .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
+  /** Per-ingest-day MinHash band table — the persisted sketch artifact
+    * an INCREMENTAL dedup pipeline stores per batch (day = doc_id % 2
+    * here, standing in for an ingest-date partition). Each day's table
+    * is built from that day's documents ONLY and cached independently:
+    * the artifact yesterday's job wrote. Because MinHash state is
+    * mergeable (element-wise min — [[graft.functions.MinHashAggregator]]
+    * is the library form, property-tested merge == one-shot), per-day
+    * sketches compose without ever re-reading prior days' text. */
+  private def minhashBandsForDay(spark: SparkSession, dir: String,
+      day: Int): DataFrame =
+    graft.sources.DfCache.df(spark, s"minhash_day$day|$dir")(
+      bandsFromShingles(shingleRows(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === day))))
+
+  /** q102 — incremental cross-batch near-dup discovery: today's (day-1)
+    * band table joined against yesterday's PERSISTED band table on the
+    * band signature — the 100 TB/day operational dedup story (the HLL
+    * twin is q100): batch N+1 is deduped against the whole history by
+    * reading history's sketches, never its text. Same
+    * shuffle-on-content-key shape and signature math as q32, so the
+    * DuckDB oracle verifies the exact cross-day pair set. */
+  def q102CrossBatchMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val day0 = minhashBandsForDay(spark, dir, 0)
+    val day1 = minhashBandsForDay(spark, dir, 1)
+    day0.select(col("doc_id").as("id1"), col("band"), col("band_sig"))
+      .join(day1.select(col("doc_id").as("id2"), col("band"),
+        col("band_sig")), Seq("band", "band_sig"))
+      .groupBy("id1", "id2")
+      .agg(countDistinct(col("band")).as("n_shared_bands"))
       .orderBy("id1", "id2")
   }
 
@@ -511,7 +553,8 @@ object Dedup {
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
-    "q35_dedup_embedding" -> (q35DedupEmbedding _))
+    "q35_dedup_embedding" -> (q35DedupEmbedding _),
+    "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
   /** Shared oracle CTE: distinct word-3-gram shingles per doc. */
   private val shinglesCte: String =
@@ -576,6 +619,34 @@ object Dedup {
          |       count(DISTINCT a.band) AS n_shared_bands
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same band math as q32, restricted to cross-parity (cross-day)
+    // pairs — verifies the incremental path finds exactly what a
+    // monolithic build would across the batch boundary
+    "q102_cross_batch_minhash" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+         |  FROM shingles),
+         |perms AS (
+         |  SELECT doc_id, x, unnest(generate_series(0, 15)) AS j
+         |  FROM hashed),
+         |minhashes AS (
+         |  SELECT doc_id, j,
+         |         min((((2654435761 * (j + 1)) % 1000000007) * (x % 1000000007)
+         |              + ((123456789 * (j + 1) + 987654321) % 1000000007))
+         |             % 1000000007) AS mh
+         |  FROM perms GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band_sig
+         |  FROM minhashes GROUP BY doc_id, j // 4)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       count(DISTINCT a.band) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig
+         |  AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_dedup_simhash" ->
       """WITH wc AS (

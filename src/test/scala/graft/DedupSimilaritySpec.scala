@@ -50,6 +50,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       "declarative and udaf simhash signatures diverge")
   }
 
+  test("q102 incremental cross-batch pairs == monolithic q32 " +
+      "cross-parity pairs") {
+    // the per-day sketch path must find exactly what one monolithic
+    // build finds across the batch boundary (merge-equivalence of the
+    // MinHash state, at query level)
+    val mono = Dedup.q32DedupMinhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .filter { case ((a, b), _) => a % 2 != b % 2 }
+      .map { case ((a, b), n) =>
+        (if (a % 2 == 0) (a, b) else (b, a)) -> n
+      }.toMap
+    val inc = Dedup.q102CrossBatchMinhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(inc.nonEmpty, "corpus should have cross-parity near-dups")
+    assert(inc == mono, "incremental and monolithic cross-day pairs differ")
+  }
+
   test("exact dedup: canonical ids are group minima and self-consistent") {
     val rows = Dedup.q31DedupExact(spark, sf).collect()
     rows.foreach { r =>
