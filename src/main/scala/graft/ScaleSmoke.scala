@@ -63,10 +63,15 @@ object ScaleSmoke {
         "q73_dedup_clusters", "q80_scd2_history", "q81_sessionize_gaps",
         "q86_tfidf", "q88_asof_forward", "q89_ohlc_bars",
         "q93_rolling_zscore", "q95_sequence_match", "q96_bm25",
-        "q98_pack_sequences")
+        "q98_pack_sequences", "q35_dedup_embedding",
+        "q102_cross_batch_minhash")
         .map(n => n -> SparkEntry.queries(n)) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.lshTopK(s, d)))
+          operators.Similarity.lshTopK(s, d))) :+
+        // like lsh_topk: the registered q52 is the recall CONTRACT and
+        // recomputes brute-force ground truth; time the ANN path itself
+        ("ivf_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.ivfTopK(s, d)))
       // warm code paths at the small SF first (same rationale as Bench)
       queries.foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001")

@@ -249,6 +249,19 @@ object Dedup {
   private[operators] val EmbNPlanes = EmbBandBits * EmbNBands
   private val EmbCosineFloor = 0.4
 
+  /** Hot-bucket cap, part of q35's REGISTERED (oracle-replicated)
+    * semantics: band buckets holding more than this many vectors are
+    * excluded from candidate generation, bounding the bucket-join's
+    * worst case at C^2/2 * buckets regardless of corpus skew — the
+    * standard LSH hot-bucket guard. Sized so it never binds on a
+    * healthy corpus at the tested SFs (max observed bucket: 11 at
+    * sf0.001, 38 at sf0.1) — it only fires on degenerate mass-duplicate
+    * clusters, which the documented production order (q31 exact dedup
+    * FIRST, then LSH on survivors) removes before this query runs; the
+    * q34 twin-corpus study in docs/SCALE.md measures exactly that
+    * recipe. */
+  private[operators] val EmbHotBucketCap = 64
+
   /** ENGINE-PORTABLE integer hyperplanes: component (p, d) is
     * md5("p_d") mod 2001 - 1000, derivable identically in DuckDB SQL —
     * so the oracle verifies the exact candidate set, not just row
@@ -299,14 +312,23 @@ object Dedup {
     * `graft_dot` kernel and thresholded. No cross product anywhere: the
     * candidate step is an equi-join on (band, value) — a shuffle on a
     * content key, the same shape as q32/q34, so it survives a 100x
-    * corpus. The brute-force kernel this replaced lives on as the
+    * corpus, with [[EmbHotBucketCap]] bounding the worst case on
+    * skewed/duplicate-heavy buckets. The brute-force kernel this
+    * replaced lives on as the
     * test-only recall oracle ([[bruteEmbeddingPairs]]); the DuckDB
     * oracle reproduces the banding bit-for-bit (portable integer
     * planes), so the registered result is still hash-verified end to
     * end. */
   def q35DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val bands = embeddingBands(spark, dir)
+    val raw = embeddingBands(spark, dir)
+    // hot-bucket guard (see EmbHotBucketCap): the bucket-size table is
+    // tiny (<= band space), so the exclusion join broadcasts
+    val smallBuckets = raw.groupBy("k", "v")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= EmbHotBucketCap)
+      .select("k", "v")
+    val bands = raw.join(broadcast(smallBuckets), Seq("k", "v"))
     val a = bands.select(col("vec_id").as("id1"), col("k"), explode(expr(
       s"""concat(array(v), transform(sequence(0, ${EmbBandBits - 1}),
          |                           j -> v ^ shiftleft(1L, j)))"""
@@ -721,10 +743,15 @@ object Dedup {
         |  SELECT vec_id, p, CASE WHEN sum(c * q) > 0 THEN 1 ELSE 0 END AS bit
         |  FROM xq JOIN planes USING (d)
         |  GROUP BY vec_id, p),
-        |bands AS (
+        |allbands AS (
         |  SELECT vec_id, p // 8 AS k,
         |         CAST(sum(bit << (7 - (p % 8))) AS BIGINT) AS v
         |  FROM bits GROUP BY 1, 2),
+        |bsz AS (SELECT k, v, count(*) AS n FROM allbands GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT b.vec_id, b.k, b.v FROM allbands b
+        |  JOIN bsz ON bsz.k = b.k AND bsz.v = b.v
+        |  WHERE bsz.n <= 64),
         |probes AS (
         |  SELECT vec_id, k, v FROM bands
         |  UNION ALL

@@ -195,10 +195,10 @@ object Similarity {
   }
 
   /** Lloyd iterations refining the IVF coarse quantizer (spherical
-    * k-means, DataFrame-only). Seeds are the deterministic every-43rd
-    * sample; each iteration assigns every vector to its max-cosine
-    * centroid (one broadcast of the small centroid set) and recomputes
-    * per-cell means per dimension. The mean is computed as an EXACT
+    * k-means, DataFrame-only). Seeds are a deterministic ~sqrt(N)-cell
+    * stride sample; each iteration assigns every vector to its
+    * max-cosine centroid (one broadcast of the small centroid set) and
+    * recomputes per-cell means per dimension. The mean is computed as an EXACT
     * integer sum of micro-quantized components (x*1e6 -> BIGINT) divided
     * once — partition-order-independent, so the centroids (and the q52
     * recall contract downstream) are bit-deterministic; a plain FP avg
@@ -208,21 +208,59 @@ object Similarity {
     * build. */
   private val IvfLloydIters = 3
 
+  private val centSimCol =
+    round(expr("graft_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6)
+
+  /** Top-n centroid cells per vector, NARROW: vectors x centroids are
+    * scored map-side (broadcast centroids), but only
+    * (vec_id, cent_id, cent_sim) crosses the shuffle — never the
+    * embedding arrays, which re-attach by a vec_id join afterwards. The
+    * r04 10x study caught the wide variant shuffling ~1 KB rows through
+    * the ranking window (both arrays in every row: 23x wall-clock at
+    * 10x data); n=1 additionally skips the window entirely — one
+    * max_by aggregation with the same (sim DESC, cent_id ASC)
+    * tie-break. `vecs` must carry (vec_id, embedding, nrm). */
+  private def nearestCells(vecs: DataFrame, centroids: DataFrame, n: Int,
+      rankCol: String): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", centSimCol)
+      .select(col("vec_id"), col("cent_id"), col("cent_sim"))
+    val picked =
+      if (n == 1)
+        scored.groupBy("vec_id")
+          .agg(max_by(col("cent_id"),
+            struct(col("cent_sim"), (-col("cent_id")).as("tb")))
+            .as("cent_id"))
+          .withColumn(rankCol, lit(1))
+      else {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(desc("cent_sim"), asc("cent_id"))
+        scored.withColumn(rankCol, row_number().over(w))
+          .filter(col(rankCol) <= n)
+          .select(col("vec_id"), col("cent_id"), col(rankCol))
+      }
+    picked.join(vecs, Seq("vec_id"))
+  }
+
   private def ivfCentroids(spark: SparkSession, dir: String,
       all: DataFrame): DataFrame =
     graft.sources.DfCache.df(spark, s"ivf_centroids|$dir") {
-      var cent = all.filter(col("vec_id") % 43 === 0)
+      // cells ~ sqrt(N) — THE standard IVF sizing. Cells growing
+      // linearly with the corpus (the old fixed every-43rd stride)
+      // makes assignment O(N x cells) = O(N^2/43): the r04 10x study
+      // measured 18x wall-clock at 10x data. sqrt sizing keeps the
+      // build O(N^1.5) and balances cell size (~sqrt(N) members) vs
+      // probe count at any corpus size.
+      val n = graft.sources.DfCache.value(spark, s"emb_count|$dir")(
+        all.count())
+      val targetCells = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val stride = math.max(1L, n / targetCells)
+      var cent = all.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cent_id"),
           col("embedding").cast("array<double>").as("cemb"),
           col("nrm").as("cnrm"))
-      val w = Window.partitionBy("vec_id").orderBy(desc("cent_sim"),
-        asc("cent_id"))
       for (_ <- 1 to IvfLloydIters) {
-        val assigned = all.crossJoin(broadcast(cent))
-          .withColumn("cent_sim", round(
-            expr("graft_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6))
-          .withColumn("r", row_number().over(w))
-          .filter(col("r") === 1)
+        val assigned = nearestCells(all, cent, 1, "crank")
           .select(col("cent_id").as("cell"), col("embedding"))
         cent = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -258,21 +296,12 @@ object Similarity {
     val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
       centroids.count())
     val nprobe = math.max(4L, (nCells + 2) / 3).toInt
-    val centSim = round(
-      expr("graft_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6)
-    def nearestCells(vecs: DataFrame, n: Int, rankCol: String): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(desc("cent_sim"), asc("cent_id"))
-      vecs.crossJoin(broadcast(centroids))
-        .withColumn("cent_sim", centSim)
-        .withColumn(rankCol, row_number().over(w))
-        .filter(col(rankCol) <= n)
-    }
-    val assigned = nearestCells(all, 1, "crank")
+    val assigned = nearestCells(all, centroids, 1, "crank")
       .select(col("vec_id").as("cid"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("cent_id").as("cell"))
     val probes = nearestCells(
-      all.filter(col("vec_id") % QueryStride === 0), nprobe, "prank")
+      all.filter(col("vec_id") % QueryStride === 0), centroids, nprobe,
+      "prank")
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         col("nrm").as("na"), col("cent_id").as("cell"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
