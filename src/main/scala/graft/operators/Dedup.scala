@@ -272,7 +272,7 @@ object Dedup {
     * integer arithmetic and the sign bit is bit-stable across engines —
     * a Gaussian-plane float dot would not be (sum order near 0 flips
     * bits between engines). */
-  private[operators] def portablePlanes(dim: Int): Seq[Seq[Double]] =
+  private[graft] def portablePlanes(dim: Int): Seq[Seq[Double]] =
     (0 until EmbNPlanes).map { p =>
       (0 until dim).map { d =>
         (Hashing.md5Hash60Value(s"${p}_${d}") % 2001 - 1000).toDouble
@@ -293,8 +293,9 @@ object Dedup {
         .withColumn("xq", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS DOUBLE))"))
         .withColumn("planes", typedLit(portablePlanes(dim)))
-        .withColumn("bits", expr(
-          "transform(planes, p -> IF(graft_dot(p, xq) > 0D, 1L, 0L))"))
+        // one codegen'd nested loop for all 96 sign bits (the lambda
+        // form pays 96 interpreted HOF dispatches per row)
+        .withColumn("bits", expr("graft_sign_bits(planes, xq)"))
         .select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, ${EmbNBands - 1}), k -> named_struct(
              |  'k', k,

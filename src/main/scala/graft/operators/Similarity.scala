@@ -139,9 +139,7 @@ object Similarity {
         s"""CASE WHEN size(embedding) != $dim THEN
            |  CAST(raise_error(concat('graft LSH: embedding dim ',
            |                          size(embedding), ' != $dim')) AS BIGINT)
-           |ELSE aggregate(
-           |  transform(planes, p ->
-           |    CASE WHEN graft_dot(p, embedding) > 0 THEN 1L ELSE 0L END),
+           |ELSE aggregate(graft_sign_bits(planes, embedding),
            |  0L, (acc, bit) -> acc * 2 + bit)
            |END""".stripMargin))
       .withColumn("bands", expr(

@@ -97,13 +97,125 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native batched sign-projection: `graft_sign_bits(planes, vec)` with
+  * planes ARRAY<ARRAY<DOUBLE>> and vec ARRAY<FLOAT|DOUBLE> returns
+  * ARRAY<BIGINT> of 0/1 bits, bit p = (planes[p] . vec) > 0 — the LSH
+  * signature kernel of q35/q37 as ONE codegen'd nested loop.
+  *
+  * Why it exists: the lambda formulation
+  * `transform(planes, p -> IF(graft_dot(p, vec) > 0, 1L, 0L))` pays an
+  * interpreted higher-order dispatch per plane per row (HOFs are
+  * `CodegenFallback`), i.e. 96 boxed expression evals per row for the
+  * q35 banding. This is that transform flattened into generated Java.
+  * Accumulation per plane is left-to-right double — bit-identical to
+  * the `VectorDot`-based lambda it replaces.
+  *
+  * Null semantics match the lambda form: NULL if either input is null
+  * or any visited element is null. */
+case class VectorSignBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def isNumericVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(inner, _) if isNumericVec(inner) &&
+        isNumericVec(right.dataType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sign_bits requires (ARRAY<ARRAY<FLOAT|DOUBLE>>, " +
+          s"ARRAY<FLOAT|DOUBLE>) args, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_sign_bits"
+
+  private def planeElemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  private def vecElemIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val planes = a.asInstanceOf[ArrayData]
+    val vec = b.asInstanceOf[ArrayData]
+    val np = planes.numElements()
+    val bits = new Array[Long](np)
+    var p = 0
+    while (p < np) {
+      if (planes.isNullAt(p)) return null
+      val row = planes.getArray(p)
+      val n = math.min(row.numElements(), vec.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i) || vec.isNullAt(i)) return null
+        val pv = if (planeElemIsFloat) row.getFloat(i).toDouble
+                 else row.getDouble(i)
+        val xv = if (vecElemIsFloat) vec.getFloat(i).toDouble
+                 else vec.getDouble(i)
+        acc += pv * xv
+        i += 1
+      }
+      bits(p) = if (acc > 0.0) 1L else 0L
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pGet = if (planeElemIsFloat) "getFloat" else "getDouble"
+    val vGet = if (vecElemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val np = ctx.freshName("np")
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $np = $a.numElements();
+         |long[] $bits = new long[$np];
+         |for (int $p = 0; $p < $np && !${ev.isNull}; $p++) {
+         |  if ($a.isNullAt($p)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $a.getArray($p);
+         |  int $n = java.lang.Math.min($row.numElements(), $b.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($row.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $row.$pGet($i) * (double) $b.$vGet($i);
+         |  }
+         |  $bits[$p] = $acc > 0.0 ? 1L : 0L;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($bits);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the graft native functions: usable either via
   * `spark.sql.extensions=graft.plans.GraftExtensions` or the idempotent
   * runtime [[GraftFunctions.register]] that every query entry calls. */
 object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> ((children: Seq[Expression]) =>
-      VectorDot(children(0), children(1))))
+      VectorDot(children(0), children(1))),
+    "graft_sign_bits" -> ((children: Seq[Expression]) =>
+      VectorSignBits(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -123,6 +235,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_sign_bits"),
+      new ExpressionInfo(classOf[VectorSignBits].getName, "graft_sign_bits"),
+      (children: Seq[Expression]) => VectorSignBits(children(0), children(1))))
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
     extensions.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
