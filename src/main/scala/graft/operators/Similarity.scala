@@ -204,7 +204,7 @@ object Similarity {
     * out (dead-centroid pruning). At 100 TB this trains on a sample and
     * assigns the full corpus with one broadcast — the standard IVF
     * build. */
-  private val IvfLloydIters = 3
+  private val IvfLloydIters = 2
 
   private val centSimCol =
     round(expr("graft_dot(embedding, cemb)") / (col("nrm") * col("cnrm")), 6)
