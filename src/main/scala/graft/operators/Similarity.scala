@@ -10,10 +10,10 @@ import graft.sources.Tables
   * mandate): brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane LSH-bucketed variant as the scale path.
   *
-  * All vector math is Catalyst `zip_with`/`aggregate` lambda expressions
-  * in double precision — no Scala UDFs, so the kernels participate in
-  * whole-stage codegen. Query vectors are the deterministic subset
-  * vec_id % 100 == 0.
+  * All vector math is native codegen kernels (`graft_dot`,
+  * `graft_sign_bits`) plus Catalyst column expressions in double
+  * precision — no Scala UDFs. Query vectors are the deterministic
+  * subset vec_id % [[QueryStride]] == 0.
   *
   * Scale story: brute force is O(Q x N) — fine for small query batches
   * (it broadcasts the query set and never shuffles the corpus); the LSH
