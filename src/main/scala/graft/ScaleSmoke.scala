@@ -107,6 +107,26 @@ object ScaleSmoke {
       operators.Dedup.q34DedupNgramJaccard(spark, tmpSurv)
         .write.format("noop").mode("overwrite").save()
       println(f"[scale] q34_after_exact_dedup sfx1: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same recipe for embeddings: identical-VECTOR dedup first, then
+      // banded near-dup over survivors. The proportional hot-bucket cap
+      // keeps q35's recall honest as occupancy grows, so on a
+      // mass-duplicate corpus the twin buckets are legitimately heavy
+      // and the bucket join pays bucket^2 on them — removing exact
+      // twins first (flat cost) is the production order, exactly as for
+      // q34's shingle join.
+      graft.sources.DfCache.clear(spark)
+      val t1 = System.nanoTime()
+      val emb = spark.read.parquet(s"$OutDir/embeddings.parquet")
+      val firstIds = emb
+        .select(col("vec_id"), md5(to_json(col("embedding"))).as("h"))
+        .groupBy("h").agg(min(col("vec_id")).as("vec_id"))
+        .select("vec_id")
+      val tmpEmb = s"$OutDir/__emb_survivors"
+      emb.join(firstIds, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$tmpEmb/embeddings.parquet")
+      operators.Dedup.q35DedupEmbedding(spark, tmpEmb)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scale] q35_after_exact_dedup sfx1: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
     spark.stop()
   }

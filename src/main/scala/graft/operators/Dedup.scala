@@ -250,17 +250,30 @@ object Dedup {
   private val EmbCosineFloor = 0.4
 
   /** Hot-bucket cap, part of q35's REGISTERED (oracle-replicated)
-    * semantics: band buckets holding more than this many vectors are
-    * excluded from candidate generation, bounding the bucket-join's
-    * worst case at C^2/2 * buckets regardless of corpus skew — the
-    * standard LSH hot-bucket guard. Sized so it never binds on a
-    * healthy corpus at the tested SFs (max observed bucket: 11 at
-    * sf0.001, 38 at sf0.1) — it only fires on degenerate mass-duplicate
-    * clusters, which the documented production order (q31 exact dedup
-    * FIRST, then LSH on survivors) removes before this query runs; the
-    * q34 twin-corpus study in docs/SCALE.md measures exactly that
-    * recipe. */
-  private[operators] val EmbHotBucketCap = 64
+    * semantics: band buckets holding more than the cap are excluded
+    * from candidate generation, bounding the bucket-join's worst case
+    * at cap^2/2 * buckets — the standard LSH hot-bucket guard. The cap
+    * is PROPORTIONAL: [[EmbCapSkewFactor]] x the average band occupancy
+    * (n / 2^EmbBandBits buckets), floored at [[EmbCapFloor]] — a cap
+    * that stayed constant while average occupancy grows linearly with N
+    * would silently exclude EVERY vector once occupancy passed it
+    * (code-review r04), whereas 8x-average only ever trims genuine
+    * outlier buckets (mass-duplicate clusters, which the documented
+    * production order — q31 exact dedup FIRST — removes anyway).
+    * Non-binding at the tested SFs: max observed bucket 11 at sf0.001,
+    * 38 at sf0.1, both under the floor of 64. Both engines derive the
+    * cap from the same corpus count, so the candidate sets stay
+    * hash-identical. */
+  private[operators] val EmbCapFloor = 64L
+  private[operators] val EmbCapSkewFactor = 8L
+
+  /** The divisor turning corpus size into the cap:
+    * n / (2^EmbBandBits / EmbCapSkewFactor), i.e. 8x average occupancy
+    * for 8-bit bands. */
+  private[operators] val EmbCapDiv = (1L << EmbBandBits) / EmbCapSkewFactor
+
+  private[operators] def embHotBucketCap(n: Long): Long =
+    math.max(EmbCapFloor, (n + EmbCapDiv - 1) / EmbCapDiv)
 
   /** ENGINE-PORTABLE integer hyperplanes: component (p, d) is
     * md5("p_d") mod 2001 - 1000, derivable identically in DuckDB SQL —
@@ -294,8 +307,17 @@ object Dedup {
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS DOUBLE))"))
         .withColumn("planes", typedLit(portablePlanes(dim)))
         // one codegen'd nested loop for all 96 sign bits (the lambda
-        // form pays 96 interpreted HOF dispatches per row)
-        .withColumn("bits", expr("graft_sign_bits(planes, xq)"))
+        // form pays 96 interpreted HOF dispatches per row). A row whose
+        // dimension differs from the probed corpus dimension raises
+        // instead of silently truncating the projection — the oracle
+        // dots over every observed dimension, so a truncated Spark-side
+        // signature would diverge (same guard as q37's withSignature).
+        .withColumn("bits", expr(
+          s"""CASE WHEN size(embedding) != $dim THEN
+             |  CAST(raise_error(concat('graft q35: embedding dim ',
+             |                          size(embedding), ' != $dim'))
+             |       AS ARRAY<BIGINT>)
+             |ELSE graft_sign_bits(planes, xq) END""".stripMargin))
         .select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, ${EmbNBands - 1}), k -> named_struct(
              |  'k', k,
@@ -323,11 +345,14 @@ object Dedup {
   def q35DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val raw = embeddingBands(spark, dir)
-    // hot-bucket guard (see EmbHotBucketCap): the bucket-size table is
-    // tiny (<= band space), so the exclusion join broadcasts
+    // hot-bucket guard (see embHotBucketCap): the bucket-size table is
+    // tiny (<= band space), so the exclusion join broadcasts. The count
+    // is cached and shared with the IVF sizing probe.
+    val nVecs = graft.sources.DfCache.value(spark, s"emb_count|$dir")(
+      Tables.embeddings(spark, dir).count())
     val smallBuckets = raw.groupBy("k", "v")
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= EmbHotBucketCap)
+      .filter(col("bucket_n") <= embHotBucketCap(nVecs))
       .select("k", "v")
     val bands = raw.join(broadcast(smallBuckets), Seq("k", "v"))
     val a = bands.select(col("vec_id").as("id1"), col("k"), explode(expr(
@@ -450,29 +475,51 @@ object Dedup {
     else propagateLabels(spark, pairs, toRelease)
   }
 
+  /** One materialized round of iterative state: the leaf frame plus TWO
+    * release actions. `releaseAll` frees storage AND (when reliably
+    * checkpointed) deletes the round's checkpoint files — safe only
+    * when nothing can ever recompute through this round again.
+    * `releaseBlocksOnly` frees executor storage but RETAINS the
+    * checkpoint files, for a round that still backs the lineage of a
+    * live cached result. */
+  private final case class RoundLease(frame: DataFrame,
+      releaseAll: () => Unit, releaseBlocksOnly: () => Unit)
+
   /** Materialize one round of iterative state: persist the computed rows
     * and rewrap them as a plan-truncating leaf DataFrame. Persist alone
     * truncates EXECUTION but not the LOGICAL plan, and an iterative
     * algorithm referencing the previous round twice doubles the analyzed
     * tree per round — driver OOM at diameter ~15+ (found by the
-    * CC-equivalence property test). Returns the leaf frame plus a
-    * release action for deterministic cleanup — the public
-    * `localCheckpoint` offers no way to free its blocks. When the
-    * context has a reliable checkpoint dir configured, the round is
-    * ALSO reliably checkpointed: on a real cluster the persisted-RDD
-    * round state (like local checkpoints) lives on executors and dies
-    * with executor churn, while reliable checkpoints survive and keep a
-    * days-long 100 TB campaign restartable. The release action deletes
-    * the round's checkpoint files itself — Spark's ContextCleaner only
-    * removes them when `spark.cleaner.referenceTracking.cleanCheckpoints`
-    * is enabled (default false), so relying on it would leak one
-    * directory per propagation round for the life of the app
-    * (ADVICE.md r03). */
+    * CC-equivalence property test). The public `localCheckpoint` offers
+    * no way to free its blocks, hence the manual persist + leaf rewrap.
+    * When the context has a reliable checkpoint dir configured, the
+    * round is ALSO reliably checkpointed: on a real cluster the
+    * persisted-RDD round state (like local checkpoints) lives on
+    * executors and dies with executor churn, while reliable checkpoints
+    * survive and keep a days-long 100 TB campaign restartable.
+    *
+    * Checkpoint-file lifecycle (ADVICE.md r03 + code-review r04):
+    * Spark's ContextCleaner only deletes these files when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled
+    * (default false), so relying on it leaks one directory per round
+    * for the life of the app. INTERMEDIATE rounds are released with
+    * [[RoundLease.releaseAll]] as soon as their successor is
+    * checkpointed (the successor's lineage is its own files — nothing
+    * recomputes through a predecessor). The FINAL round backs the
+    * returned labels' lineage for as long as the session caches them,
+    * so q73 releases it with [[RoundLease.releaseBlocksOnly]]: its one
+    * checkpoint directory is retained as the durable recompute path if
+    * cached blocks are later evicted or lost — deleting it would make
+    * the cached result unrecomputable on exactly the executor-churn
+    * clusters checkpointing is for. Net: bounded at ONE retained
+    * directory per q73 build instead of one per round. */
   private def materializeRound(spark: SparkSession, df: DataFrame)
-      : (DataFrame, () => Unit) = {
+      : RoundLease = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val release: () => Unit =
+    val unpersistOnly: () => Unit =
+      () => { rdd.unpersist(blocking = false); () }
+    val releaseAll: () => Unit =
       if (spark.sparkContext.getCheckpointDir.isDefined) {
         rdd.checkpoint()
         // an action materializes the checkpoint now (reading the rows
@@ -488,10 +535,10 @@ object Dedup {
             catch { case _: java.io.IOException => () } // best effort
           }
         }
-      } else
-        () => { rdd.unpersist(blocking = false); () }
-    (org.apache.spark.sql.graft.Bridge
-      .internalCreateDataFrame(spark, rdd, df.schema), release)
+      } else unpersistOnly
+    RoundLease(org.apache.spark.sql.graft.Bridge
+      .internalCreateDataFrame(spark, rdd, df.schema),
+      releaseAll, unpersistOnly)
   }
 
   /** Distributed min-label propagation over an (id1, id2) pair frame —
@@ -509,20 +556,20 @@ object Dedup {
     // stacking leaked edges/label tables per attempt
     val live = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     live += (() => { edges.unpersist(blocking = false); () })
-    def materialize(df: DataFrame): (DataFrame, () => Unit) = {
-      val (frame, release) = materializeRound(spark, df)
-      live += release
-      (frame, release)
+    def materialize(df: DataFrame): RoundLease = {
+      val lease = materializeRound(spark, df)
+      live += lease.releaseAll
+      lease
     }
     try {
       // Round 1 is fused into the initialization: with labels starting
       // at node ids, the first propagation is exactly
       // min(node, min-neighbor) — one aggregation, no join against a
       // prior label table.
-      var (current, releaseCurrent) = materialize(edges
+      var currentLease = materialize(edges
         .groupBy(col("id1").as("node"))
         .agg(least(col("node"), min(col("id2"))).as("label")))
-      var labels = current
+      var labels = currentLease.frame
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -533,21 +580,23 @@ object Dedup {
         // carry the per-node changed flag out of the same join, so the
         // convergence probe is one action on the materialized frame
         // instead of a second join per round
-        val (next, releaseNext) = materialize(
+        val nextLease = materialize(
           labels.join(neighborMin, Seq("node"), "left_outer")
             .select(col("node"),
               least(col("label"), coalesce(col("nbr_label"), col("label")))
                 .as("new_label"),
               (coalesce(col("nbr_label"), col("label")) < col("label"))
                 .as("changed")))
-        converged = next.filter(col("changed")).count() == 0
-        // next is fully materialized by the count, so the previous
-        // round's storage is released immediately and deterministically
-        releaseCurrent()
-        live -= releaseCurrent
-        current = next
-        releaseCurrent = releaseNext
-        labels = next.select(col("node"), col("new_label").as("label"))
+        converged = nextLease.frame.filter(col("changed")).count() == 0
+        // next is fully materialized by the count (blocks AND, when
+        // checkpointing, its own files — nothing recomputes through the
+        // predecessor), so the superseded round is fully released,
+        // checkpoint files included
+        currentLease.releaseAll()
+        live -= currentLease.releaseAll
+        currentLease = nextLease
+        labels = nextLease.frame.select(col("node"),
+          col("new_label").as("label"))
         rounds += 1
       }
       if (!converged)
@@ -558,10 +607,14 @@ object Dedup {
           s"dedup cluster label propagation did not converge after $rounds " +
             "rounds: a near-dup component has diameter exceeding the cap; " +
             "raise the round cap for this corpus")
-      // success: the final round backs the returned frame's lineage, so
-      // it (and edges) transfer to the caller, released only after the
-      // result materializes
+      // success: the FINAL round backs the returned frame's lineage for
+      // as long as the session caches the result, so the caller gets
+      // its blocks-only release (checkpoint files retained as the
+      // durable recompute path — see materializeRound); edges transfer
+      // too, released after the result materializes
+      live -= currentLease.releaseAll
       toRelease ++= live
+      toRelease += currentLease.releaseBlocksOnly
       live.clear()
       labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
@@ -726,7 +779,7 @@ object Dedup {
     // multi-probe single-bit flips — all integer arithmetic, so both
     // engines derive the identical candidate set, then exact-score it
     "q35_dedup_embedding" ->
-      """WITH ex AS (
+      s"""WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
@@ -738,26 +791,29 @@ object Dedup {
         |         ('0x' || substr(md5(CAST(p AS VARCHAR) || '_'
         |                             || CAST(d AS VARCHAR)), 1, 15))::BIGINT
         |           % 2001 - 1000 AS c
-        |  FROM generate_series(0, 95) tp(p),
+        |  FROM generate_series(0, ${EmbNPlanes - 1}) tp(p),
         |       (SELECT DISTINCT i - 1 AS d FROM ex) td),
         |bits AS (
         |  SELECT vec_id, p, CASE WHEN sum(c * q) > 0 THEN 1 ELSE 0 END AS bit
         |  FROM xq JOIN planes USING (d)
         |  GROUP BY vec_id, p),
         |allbands AS (
-        |  SELECT vec_id, p // 8 AS k,
-        |         CAST(sum(bit << (7 - (p % 8))) AS BIGINT) AS v
+        |  SELECT vec_id, p // $EmbBandBits AS k,
+        |         CAST(sum(bit << (${EmbBandBits - 1} - (p % $EmbBandBits)))
+        |              AS BIGINT) AS v
         |  FROM bits GROUP BY 1, 2),
         |bsz AS (SELECT k, v, count(*) AS n FROM allbands GROUP BY 1, 2),
         |bands AS (
         |  SELECT b.vec_id, b.k, b.v FROM allbands b
         |  JOIN bsz ON bsz.k = b.k AND bsz.v = b.v
-        |  WHERE bsz.n <= 64),
+        |  WHERE bsz.n <= greatest($EmbCapFloor,
+        |    ((SELECT count(*) FROM embeddings) + ${EmbCapDiv - 1})
+        |      // $EmbCapDiv)),
         |probes AS (
         |  SELECT vec_id, k, v FROM bands
         |  UNION ALL
         |  SELECT vec_id, k, xor(v, CAST(1 << j AS BIGINT))
-        |  FROM bands, generate_series(0, 7) tj(j)),
+        |  FROM bands, generate_series(0, ${EmbBandBits - 1}) tj(j)),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         |  FROM probes a JOIN bands b

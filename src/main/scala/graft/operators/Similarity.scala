@@ -18,10 +18,10 @@ import graft.sources.Tables
   * Scale story: brute force is O(Q x N) — fine for small query batches
   * (it broadcasts the query set and never shuffles the corpus); the LSH
   * variant buckets the corpus once (shuffle on band value) and only
-  * scores candidates sharing a band, the standard recall-vs-cost trade.
-  * An IVF variant would replace the hyperplane bands with k-means
-  * centroid assignment; the plumbing (bucket -> score -> rank) is
-  * identical.
+  * scores candidates sharing a band, the standard recall-vs-cost trade;
+  * the IVF variant (q52) replaces the hyperplane bands with Lloyd
+  * k-means centroid assignment — same plumbing (bucket -> score ->
+  * rank), sqrt(N)-sized cell count.
   */
 object Similarity {
 

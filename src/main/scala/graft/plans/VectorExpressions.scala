@@ -108,10 +108,17 @@ case class VectorDot(left: Expression, right: Expression)
   * `CodegenFallback`), i.e. 96 boxed expression evals per row for the
   * q35 banding. This is that transform flattened into generated Java.
   * Accumulation per plane is left-to-right double — bit-identical to
-  * the `VectorDot`-based lambda it replaces.
+  * the `VectorDot`-based lambda it replaces on null-free vectors.
   *
-  * Null semantics match the lambda form: NULL if either input is null
-  * or any visited element is null. */
+  * Null semantics are DELIBERATELY STRICTER than the lambda form: NULL
+  * if either input is null or any visited element is null. The
+  * `IF(graft_dot(p, v) > 0, 1L, 0L)` lambda mapped a null dot to bit 0
+  * on every plane, silently filing every corrupt vector into the same
+  * all-zero signature — a synthetic mega-bucket in each LSH band. A
+  * NULL signature instead drops the row from the index (band explode
+  * yields null band values, which no equi-join matches); corpora with
+  * null elements should repair or null-filter upstream. SignBitsSpec
+  * pins both eval paths to this behavior. */
 case class VectorSignBits(left: Expression, right: Expression)
     extends BinaryExpression {
 
