@@ -382,7 +382,33 @@ object Breadth3 {
       .orderBy("event_type")
   }
 
+  /** q105 — mergeable frequency-sketch top-k (the A5 family's heavy-
+    * hitters member, alongside q100's HLL and q92's CMS): per-day
+    * `approx_top_k_accumulate` sketches — the storable per-partition
+    * artifact — merged across days with `approx_top_k_combine` and read
+    * out with `approx_top_k_estimate`, so an incremental pipeline gets
+    * corpus-wide heavy hitters WITHOUT rescanning history. While the
+    * column's distinct cardinality stays under the sketch's tracked
+    * capacity (default 10000) the merged counts are exact, which is what
+    * makes the plain group-count oracle a hash-exact check; past
+    * capacity the same plan degrades gracefully to approximate heavy
+    * hitters. Output re-sorted (count desc, item) so ties are
+    * deterministic regardless of sketch-internal order. */
+  def q105TopkSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("day")
+      .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
+    daily
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)")
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("event_type"), col("t.count").as("est_count"))
+      .orderBy(desc("est_count"), asc("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_topk_sketch_union" -> (q105TopkSketchUnion _),
     "q100_hll_union" -> (q100HllUnion _),
     "q95_sequence_match" -> (q95SequenceMatch _),
     "q93_rolling_zscore" -> (q93RollingZscore _),
@@ -400,6 +426,10 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q105_topk_sketch_union" ->
+      """SELECT event_type, count(*) AS est_count
+        |FROM events GROUP BY 1
+        |ORDER BY est_count DESC, event_type""".stripMargin,
     "q100_hll_union" ->
       """SELECT event_type,
         |       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))

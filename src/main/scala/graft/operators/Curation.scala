@@ -81,16 +81,20 @@ object Curation {
     * benchmark shingle set is tiny and broadcast; the corpus side is one
     * shingle explode — no quadratic step. The standard pre-training
     * decontamination check. */
+  /** Distinct word 5-grams per document — the shingle unit both
+    * contamination checks (q66 exact-join, q103 bloom-pruned) key on. */
+  private def grams5(df: DataFrame): DataFrame = df
+    .withColumn("ws", words)
+    .withColumn("gram", explode(expr(
+      """CASE WHEN size(ws) >= 5
+        |     THEN transform(sequence(1, size(ws) - 4),
+        |                    i -> concat_ws(' ', slice(ws, i, 5)))
+        |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+    .select(col("doc_id"), col("gram")).distinct()
+
   def q66Contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def grams(df: DataFrame) = df
-      .withColumn("ws", words)
-      .withColumn("gram", explode(expr(
-        """CASE WHEN size(ws) >= 5
-          |     THEN transform(sequence(1, size(ws) - 4),
-          |                    i -> concat_ws(' ', slice(ws, i, 5)))
-          |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
-      .select(col("doc_id"), col("gram")).distinct()
+    def grams(df: DataFrame) = grams5(df)
     val bench = grams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
     val corpus = grams(docs.filter(col("doc_id") % 97 =!= 0))
@@ -99,6 +103,78 @@ object Curation {
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
            countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy("doc_id")
+  }
+
+  /** q103 — bloom-pruned decontamination: the q66 check restructured the
+    * way it runs at 100 TB. The benchmark shingle set is aggregated into
+    * a compact `util.sketch.BloomFilter` (distributed treeAggregate
+    * build over xxhash64'd grams, fpp 0.1%), and the CORPUS side — the
+    * 100 TB side — is pruned by the codegen `graft_bloom_contains`
+    * probe BEFORE any shuffle or join, so only the ~fpp fraction of
+    * innocent grams plus true hits ever leave the scan stage. Survivors
+    * are then exact-verified against the real benchmark set (broadcast),
+    * which removes bloom false positives: the registered result is
+    * bit-identical to the exact anti-join the oracle runs — the bloom is
+    * pure pruning, never approximation. (Spark's runtime bloom-join
+    * filters apply the same expression pair automatically; building it
+    * explicitly makes the sketch persistable/shippable across
+    * pipelines.) The driver-side build materializes only the benchmark
+    * side, which is small by construction — benchmark suites, not
+    * corpora. Output: per-source clean/contaminated accounting over the
+    * corpus slice. */
+  def q103BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bench = grams5(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("gram")).distinct()
+    val benchHashes = bench.select(xxhash64(col("gram")).as("h"))
+    // expectedNumItems sizes the bit array; the exact count is one tiny
+    // job over the benchmark side (never the corpus side)
+    val nBench = math.max(benchHashes.count(), 1L)
+    val bf = benchHashes.stat.bloomFilter("h", nBench, 0.001)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomBytes = bos.toByteArray
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val candidates = grams5(corpus)
+      .filter(call_function("graft_bloom_contains",
+        lit(bloomBytes), xxhash64(col("gram"))))
+    val contaminated = candidates
+      .join(broadcast(bench), Seq("gram"))      // kills bloom FPs exactly
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(1))
+    corpus.join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("contam")).as("n_contaminated"))
+      .withColumn("n_clean", col("n_docs") - col("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** q104 — context-window chunking: every document split into
+    * fixed-size character windows (256 chars, stride 192 → 64-char
+    * overlap), the corpus→chunk expansion that feeds RAG indexing and
+    * long-document pretraining. Entirely narrow (sequence + transform +
+    * posexplode inside one codegen stage, no shuffle until the
+    * presentation sort), so at 100 TB it streams: each task expands its
+    * own rows and the output partitioning inherits the input's. Chunk
+    * identity is (doc_id, chunk_ix); the md5 gives downstream exact-dedup
+    * a content key without re-reading the text. */
+  def q104ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val win = 256
+    val stride = 192
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, greatest(length(text), 1), $stride),
+             |          p -> struct(p AS start_pos,
+             |                      substring(text, p, $win) AS chunk))"""
+            .stripMargin)).as(Seq("chunk_ix", "c")))
+      .select(col("doc_id"), col("chunk_ix"),
+        col("c.start_pos").as("start_pos"),
+        length(col("c.chunk")).as("chunk_len"),
+        md5(col("c.chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
   }
 
   /** q67 — repetition score (quality signal): fraction of a document's
@@ -254,6 +330,8 @@ object Curation {
     "q64_boilerplate_strip" -> (q64BoilerplateStrip _),
     "q65_pii_scrub" -> (q65PiiScrub _),
     "q66_contamination" -> (q66Contamination _),
+    "q103_bloom_decontaminate" -> (q103BloomDecontaminate _),
+    "q104_chunk_docs" -> (q104ChunkDocs _),
     "q67_repetition_score" -> (q67RepetitionScore _),
     "q68_stratified_sample" -> (q68StratifiedSample _),
     "q69_vocab" -> (q69Vocab _))
@@ -377,6 +455,35 @@ object Curation {
         |       count(DISTINCT c.gram) AS n_shared_grams
         |FROM corpus c JOIN bench b ON c.gram = b.gram
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q103_bloom_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(words[i:i+4], ' ') AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+        |               unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM grams g JOIN bench b USING (gram)
+        |  WHERE g.doc_id % 97 <> 0)
+        |SELECT d.source, count(*) AS n_docs,
+        |       count(c.doc_id) AS n_contaminated,
+        |       count(*) - count(c.doc_id) AS n_clean
+        |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q104_chunk_docs" ->
+      """SELECT doc_id,
+        |       CAST((p - 1) // 192 AS INT) AS chunk_ix,
+        |       CAST(p AS INT) AS start_pos,
+        |       CAST(length(substring(text, p, 256)) AS INT) AS chunk_len,
+        |       md5(substring(text, p, 256)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |             unnest(generate_series(1, greatest(length(text), 1), 192))
+        |               AS p
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_ix""".stripMargin,
     "q67_repetition_score" ->
       """WITH grams AS (
         |  SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram

@@ -222,7 +222,15 @@ object GraftFunctions {
     "graft_dot" -> ((children: Seq[Expression]) =>
       VectorDot(children(0), children(1))),
     "graft_sign_bits" -> ((children: Seq[Expression]) =>
-      VectorSignBits(children(0), children(1))))
+      VectorSignBits(children(0), children(1))),
+    // Spark's own codegen bloom-probe predicate, exposed as a session
+    // function so DataFrame pipelines can consume an explicitly built
+    // `util.sketch.BloomFilter` (serialized bytes, xxhash64'd key) the
+    // same way the optimizer's runtime bloom-join filters do — the
+    // probe stays inside WholeStageCodegen instead of a boxed UDF.
+    "graft_bloom_contains" -> ((children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -246,6 +254,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sign_bits"),
       new ExpressionInfo(classOf[VectorSignBits].getName, "graft_sign_bits"),
       (children: Seq[Expression]) => VectorSignBits(children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
     extensions.injectPlannerStrategy(_ => AsofJoinStrategy)
   }

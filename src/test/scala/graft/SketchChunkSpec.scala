@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Breadth3, Curation}
+import graft.sources.Tables
+
+/** Invariants for the round-4 additions: bloom-pruned decontamination
+  * (q103), context-window chunking (q104), and the mergeable top-k
+  * frequency sketch (q105). Value-level correctness is oracle-checked by
+  * Verify/check.py; these assert the laws the oracle can't see. */
+class SketchChunkSpec extends SparkTestBase {
+
+  test("q103 bloom pruning is semantics-free: equals the exact anti-join") {
+    val got = Curation.q103BloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact recomputation without the bloom: q66's contaminated set per
+    // source over the same corpus slice
+    val docs = Tables.documents(spark, sf)
+    val contaminatedIds = Curation.q66Contamination(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("source", "doc_id").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues { rows =>
+        val n = rows.length.toLong
+        val c = rows.count(r => contaminatedIds(r.getLong(1))).toLong
+        (n, c, n - c)
+      }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, c, clean) =>
+      assert(expected(src) == ((n, c, clean)), s"source $src")
+    }
+    assert(got.map(_._1).toSet == expected.keySet)
+  }
+
+  test("q103 plan probes the bloom before the exact verification join") {
+    val plan = Curation.q103BloomDecontaminate(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from plan:\n$plan")
+  }
+
+  test("q104 chunk laws: stride positions, full coverage, exact lengths") {
+    val chunks = Curation.q104ChunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == lens.keySet) // every doc chunked, even empty
+    chunks.foreach { case (id, cs) =>
+      val len = lens(id)
+      val sorted = cs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, ix, start, clen), i) =>
+        assert(ix == i, s"doc $id: chunk_ix gap")
+        assert(start == 1 + 192 * ix, s"doc $id: start off-stride")
+        assert(clen == math.min(256, math.max(0, len - start + 1)),
+          s"doc $id chunk $ix: wrong length")
+      }
+      // last chunk reaches the end of the document; no start beyond it
+      val (_, _, lastStart, lastLen) = sorted.last
+      if (len > 0) assert(lastStart + lastLen - 1 == len)
+      assert(lastStart <= math.max(len, 1) &&
+        lastStart + 192 > math.max(len, 1))
+    }
+  }
+
+  test("q105 merged sketch counts are exact under tracked capacity") {
+    val got = Breadth3.q105TopkSketchUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    assert(got.toSeq == exact.toSeq)
+  }
+}
