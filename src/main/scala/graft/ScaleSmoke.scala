@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * this size is NOT oracle-checked (DuckDB would take minutes); the same
   * plans are bit-verified at sf0.01/sf0.1.
   *
-  * Usage: runMain graft.ScaleSmoke [build|run|all]
+  * Usage: runMain graft.ScaleSmoke [build|run|all] [queryName ...]
+  * (query-name filters restrict the run phase — the recipe passes at the
+  * end only run when no filter is given)
   */
 object ScaleSmoke {
   private val SrcDir = "/root/testdata/sf0.1"
@@ -49,6 +51,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
+    val only = args.drop(1).toSet
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "build" || mode == "all") build(spark)
@@ -64,7 +67,8 @@ object ScaleSmoke {
         "q86_tfidf", "q88_asof_forward", "q89_ohlc_bars",
         "q93_rolling_zscore", "q95_sequence_match", "q96_bm25",
         "q98_pack_sequences", "q35_dedup_embedding",
-        "q102_cross_batch_minhash")
+        "q102_cross_batch_minhash", "q103_bloom_decontaminate",
+        "q104_chunk_docs", "q105_topk_sketch_union")
         .map(n => n -> SparkEntry.queries(n)) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d))) :+
@@ -72,13 +76,15 @@ object ScaleSmoke {
         // recomputes brute-force ground truth; time the ANN path itself
         ("ivf_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.ivfTopK(s, d)))
+      val selected =
+        if (only.isEmpty) queries else queries.filter(q => only(q._1))
       // warm code paths at the small SF first (same rationale as Bench)
-      queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         Seq(SrcDir -> "sf0.1", OutDir -> "sfx1").foreach { case (dir, label) =>
           graft.sources.DfCache.clear(spark)
           val t0 = System.nanoTime()
@@ -91,6 +97,7 @@ object ScaleSmoke {
           }
         }
       }
+      if (only.isEmpty) {
       // the documented production order for near-dup at scale: exact
       // dedup FIRST (collapses identical-text clusters), then Jaccard
       // over the survivors — measure the difference on the pathological
@@ -127,6 +134,7 @@ object ScaleSmoke {
       operators.Dedup.q35DedupEmbedding(spark, tmpEmb)
         .write.format("noop").mode("overwrite").save()
       println(f"[scale] q35_after_exact_dedup sfx1: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
