@@ -68,7 +68,8 @@ object ScaleSmoke {
         "q93_rolling_zscore", "q95_sequence_match", "q96_bm25",
         "q98_pack_sequences", "q35_dedup_embedding",
         "q102_cross_batch_minhash", "q103_bloom_decontaminate",
-        "q104_chunk_docs", "q105_topk_sketch_union")
+        "q104_chunk_docs", "q105_topk_sketch_union",
+        "q106_jaccard_prefix")
         .map(n => n -> SparkEntry.queries(n)) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d))) :+

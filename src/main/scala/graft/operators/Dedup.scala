@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -223,6 +224,61 @@ object Dedup {
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           (col("sz1") + col("sz2") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+
+  /** q106 — prefix-filtered set-similarity join (the PPJoin/SSJoin
+    * prefix filter): the same exact-Jaccard result as q34, but candidate
+    * pairs are generated ONLY from each document's PREFIX — its
+    * `floor(|A|/5) + 1` globally-rarest shingles (ascending corpus
+    * document-frequency, shingle tie-break). Lossless for J >= 0.8:
+    * J(A,B) >= t forces |A∩B| >= ceil(t*max(|A|,|B|)), and the globally
+    * smallest shared shingle sits within the first |A|-ceil(t|A|)+1
+    * positions of BOTH docs' rarity-ordered shingle lists (all shared
+    * elements rank at or after it), so every qualifying pair meets in
+    * the prefix self-join. The scale win over q34's all-shingle join:
+    * high-frequency boilerplate shingles — exactly the ones that form
+    * quadratic hot buckets — never enter candidate generation, because
+    * they rank LAST in every document's rarity order. Verification then
+    * costs one sorted-array intersection per CANDIDATE (arrays bounded
+    * by doc length, never corpus size), not one shuffle row per
+    * shingle. Oracle: the same exact-Jaccard ground truth as q34 — the
+    * filter is provably lossless, so the driver hash-compares the
+    * optimized plan against the unoptimized semantics. */
+  def q106DedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // corpus-wide shingle document frequency: the global rarity order
+    // (shuffle on the shingle content key, same class as q34's join)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val prefix = sh.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("dfreq"), asc("shingle"))))
+      .join(broadcast(sizes), Seq("doc_id"))
+      .filter(col("r") <= expr("sz div 5") + 1)
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val a = prefix.select(col("doc_id").as("id1"), col("shingle"),
+      col("sz").as("sz1"))
+    val b = prefix.select(col("doc_id").as("id2"), col("shingle"),
+      col("sz").as("sz2"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2") &&
+        col("sz1") * 5 >= col("sz2") * 4 && col("sz2") * 5 >= col("sz1") * 4)
+      .select("id1", "id2").distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("sz"))
+    candidates
+      .join(sets.select(col("doc_id").as("id1"), col("set").as("set1"),
+        col("sz").as("sz1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("set").as("set2"),
+        col("sz").as("sz2")), Seq("id2"))
+      .withColumn("n_inter",
+        size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")), 6))
       .filter(col("jaccard") >= 0.8)
       .select("id1", "id2", "jaccard")
       .orderBy("id1", "id2")
@@ -629,6 +685,7 @@ object Dedup {
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
+    "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
@@ -759,6 +816,26 @@ object Dedup {
         |      + bit_count(xor(s1.sig_hi, s2.sig_hi)) <= 5
         |ORDER BY id1, id2""".stripMargin,
     "q34_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |       round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6)
+         |         AS jaccard
+         |FROM inter
+         |JOIN sizes z1 ON z1.doc_id = id1
+         |JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    // q106 is the PROVABLY-LOSSLESS prefix-filtered plan for the same
+    // semantics, so its ground truth is q34's exact-Jaccard SQL verbatim
+    // — the strongest possible oracle for an optimization: the driver
+    // hash-compares the optimized plan against the unoptimized answer
+    "q106_jaccard_prefix" ->
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
          |inter AS (

@@ -6,6 +6,15 @@ import graft.operators.{Dedup, Similarity}
   * approximations must recover (most of) what the exact methods find. */
 class DedupSimilaritySpec extends SparkTestBase {
 
+  test("prefix-filtered Jaccard join (q106) is lossless: == q34 exactly") {
+    val full = Dedup.q34DedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pref = Dedup.q106DedupJaccardPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pref == full, "prefix filter changed the result set")
+    assert(full.nonEmpty) // the law is vacuous on an empty pair set
+  }
+
   test("minhash candidates recover >=90% of true Jaccard>=0.8 pairs") {
     val truth = Dedup.q34DedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
