@@ -77,6 +77,9 @@ object ScaleSmoke {
         // recomputes brute-force ground truth; time the ANN path itself
         ("ivf_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.ivfTopK(s, d)))
+      val unknown = only -- queries.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")}")
       val selected =
         if (only.isEmpty) queries else queries.filter(q => only(q._1))
       // warm code paths at the small SF first (same rationale as Bench)

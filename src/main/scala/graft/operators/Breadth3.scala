@@ -390,21 +390,25 @@ object Breadth3 {
     * corpus-wide heavy hitters WITHOUT rescanning history. While the
     * column's distinct cardinality stays under the sketch's tracked
     * capacity (default 10000) the merged counts are exact, which is what
-    * makes the plain group-count oracle a hash-exact check; past
-    * capacity the same plan degrades gracefully to approximate heavy
-    * hitters. Output re-sorted (count desc, item) so ties are
-    * deterministic regardless of sketch-internal order. */
+    * makes the group-count oracle a hash-exact check; past capacity the
+    * same plan degrades gracefully to approximate heavy hitters. The
+    * top-10 cut is NOT taken from the sketch's internal order: the
+    * estimate reads out the full tracked set (k = capacity) and the cut
+    * is a deterministic (count desc, item) sort + limit applied
+    * identically in the oracle — a sketch-side k would make boundary
+    * ties engine-dependent (code-review r04). */
   def q105TopkSketchUnion(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy("day")
       .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
     daily
-      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)")
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10000)")
         .as("top"))
       .select(explode(col("top")).as("t"))
       .select(col("t.item").as("event_type"), col("t.count").as("est_count"))
       .orderBy(desc("est_count"), asc("event_type"))
+      .limit(10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +433,8 @@ object Breadth3 {
     "q105_topk_sketch_union" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY 1
-        |ORDER BY est_count DESC, event_type""".stripMargin,
+        |ORDER BY est_count DESC, event_type
+        |LIMIT 10""".stripMargin,
     "q100_hll_union" ->
       """SELECT event_type,
         |       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))

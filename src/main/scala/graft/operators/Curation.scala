@@ -76,11 +76,6 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** q66 — benchmark contamination: corpus documents sharing any word
-    * 5-gram with the held-out "benchmark" slice (doc_id % 97 == 0). The
-    * benchmark shingle set is tiny and broadcast; the corpus side is one
-    * shingle explode — no quadratic step. The standard pre-training
-    * decontamination check. */
   /** Distinct word 5-grams per document — the shingle unit both
     * contamination checks (q66 exact-join, q103 bloom-pruned) key on. */
   private def grams5(df: DataFrame): DataFrame = df
@@ -92,12 +87,16 @@ object Curation {
         |     ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
     .select(col("doc_id"), col("gram")).distinct()
 
+  /** q66 — benchmark contamination: corpus documents sharing any word
+    * 5-gram with the held-out "benchmark" slice (doc_id % 97 == 0). The
+    * benchmark shingle set is tiny and broadcast; the corpus side is one
+    * shingle explode — no quadratic step. The standard pre-training
+    * decontamination check. */
   def q66Contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def grams(df: DataFrame) = grams5(df)
-    val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+    val bench = grams5(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("bench_id"), col("gram"))
-    val corpus = grams(docs.filter(col("doc_id") % 97 =!= 0))
+    val corpus = grams5(docs.filter(col("doc_id") % 97 =!= 0))
     corpus.join(broadcast(bench), Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
@@ -125,8 +124,12 @@ object Curation {
   def q103BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val bench = grams5(docs.filter(col("doc_id") % 97 === 0))
-      .select(col("gram")).distinct()
+    // cached: the count job, the bloom build, and the exact-verify
+    // broadcast all read this frame — without it each would re-shred
+    // the benchmark slice from parquet (code-review r04)
+    val bench = graft.sources.DfCache.df(spark, s"bench_grams|$dir")(
+      grams5(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("gram")).distinct())
     val benchHashes = bench.select(xxhash64(col("gram")).as("h"))
     // expectedNumItems sizes the bit array; the exact count is one tiny
     // job over the benchmark side (never the corpus side)

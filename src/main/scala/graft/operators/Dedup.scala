@@ -221,11 +221,15 @@ object Dedup {
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_inter"),
            first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
-      .withColumn("jaccard", round(
-        col("n_inter").cast("double") /
-          (col("sz1") + col("sz2") - col("n_inter")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .select("id1", "id2", "jaccard")
+      // select on the TRUE ratio, round only for display: a rounded
+      // filter would admit pairs with true J in [0.7999995, 0.8) that
+      // the t=0.8-derived length/prefix pruning is allowed to drop
+      // (code-review r04) — with the exact predicate, the pruning
+      // theorems and the selection agree for every input
+      .withColumn("jac_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy("id1", "id2")
   }
 
@@ -277,10 +281,11 @@ object Dedup {
         col("sz").as("sz2")), Seq("id2"))
       .withColumn("n_inter",
         size(array_intersect(col("set1"), col("set2"))).cast("long"))
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("sz1") + col("sz2") - col("n_inter")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .select("id1", "id2", "jaccard")
+      // unrounded selection predicate, same rationale as q34
+      .withColumn("jac_raw", col("n_inter").cast("double") /
+        (col("sz1") + col("sz2") - col("n_inter")))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy("id1", "id2")
   }
 
@@ -391,7 +396,7 @@ object Dedup {
     * `graft_dot` kernel and thresholded. No cross product anywhere: the
     * candidate step is an equi-join on (band, value) — a shuffle on a
     * content key, the same shape as q32/q34, so it survives a 100x
-    * corpus, with [[EmbHotBucketCap]] bounding the worst case on
+    * corpus, with [[embHotBucketCap]] bounding the worst case on
     * skewed/duplicate-heavy buckets. The brute-force kernel this
     * replaced lives on as the
     * test-only recall oracle ([[bruteEmbeddingPairs]]); the DuckDB
@@ -580,8 +585,21 @@ object Dedup {
         rdd.checkpoint()
         // an action materializes the checkpoint now (reading the rows
         // back from the persisted blocks, not a recompute); afterwards
-        // the RDD's lineage is the checkpoint files
-        rdd.count()
+        // the RDD's lineage is the checkpoint files. If the job dies
+        // mid-materialization, release the partial state HERE — the
+        // caller never sees a lease for this round, so its `live`
+        // release list cannot cover it (code-review r04)
+        try rdd.count()
+        catch { case e: Throwable =>
+          rdd.unpersist(blocking = false)
+          rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
+        }
         () => {
           rdd.unpersist(blocking = false)
           rdd.getCheckpointFile.foreach { f =>
@@ -710,7 +728,7 @@ object Dedup {
          |  SELECT id1, id2 FROM inter
          |  JOIN sizes z1 ON z1.doc_id = id1
          |  JOIN sizes z2 ON z2.doc_id = id2
-         |  WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6)
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
          |        >= 0.8),
          |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
          |          UNION SELECT id2, id1 FROM pairs),
@@ -829,7 +847,7 @@ object Dedup {
          |FROM inter
          |JOIN sizes z1 ON z1.doc_id = id1
          |JOIN sizes z2 ON z2.doc_id = id2
-         |WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6) >= 0.8
+         |WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
     // q106 is the PROVABLY-LOSSLESS prefix-filtered plan for the same
     // semantics, so its ground truth is q34's exact-Jaccard SQL verbatim
@@ -849,7 +867,7 @@ object Dedup {
          |FROM inter
          |JOIN sizes z1 ON z1.doc_id = id1
          |JOIN sizes z2 ON z2.doc_id = id2
-         |WHERE round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6) >= 0.8
+         |WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
     // replicates the banding EXACTLY: md5-derived integer planes,
     // floor(x*1000) quantization, sign bits, 8-bit bands MSB-first,
