@@ -81,6 +81,11 @@ object Graft {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     operators.Similarity.ivfTopK(spark, dir)
 
+  /** SemDeDup drop list: vectors with a lower-id semantic duplicate
+    * (cosine >= 0.4) inside their IVF blocking cells, with witnesses. */
+  def semanticDedupDrops(spark: SparkSession, dir: String): DataFrame =
+    operators.Similarity.semanticDrops(spark, dir)
+
   /** Corpus curation: boilerplate strip, PII scrub, contamination,
     * repetition score, stratified sample, vocabulary. */
   def curation: operators.Curation.type = operators.Curation

@@ -76,7 +76,11 @@ object ScaleSmoke {
         // like lsh_topk: the registered q52 is the recall CONTRACT and
         // recomputes brute-force ground truth; time the ANN path itself
         ("ivf_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.ivfTopK(s, d)))
+          operators.Similarity.ivfTopK(s, d))) :+
+        // the registered q107 is the contract (recomputes Q x N exact
+        // ground truth); time the blocked dedup path itself
+        ("semantic_drops_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.semanticDrops(s, d)))
       val unknown = only -- queries.map(_._1).toSet
       require(unknown.isEmpty,
         s"unknown query name(s): ${unknown.mkString(", ")}")

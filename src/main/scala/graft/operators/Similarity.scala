@@ -340,6 +340,90 @@ object Similarity {
   private val LshRecallFloor = 0.8
   private val IvfRecallFloor = 0.5
 
+  // ---- q107: SemDeDup (cluster-blocked semantic dedup) ----
+
+  /** Pairs are scored only INSIDE a blocking cell; threshold aligned
+    * with q35's near-dup cosine floor so the two operators agree on
+    * what "semantic duplicate" means. */
+  private[operators] val SemDedupT = 0.4
+
+  /** Each vector blocks into its top-4 IVF cells: a near-threshold pair
+    * straddling one cell boundary still meets in a shared probe cell —
+    * same recall idea as q37's multi-probe, at 4x pair cost. Measured
+    * audit recall at sf0.1 (weakly-clustered synthetic vectors, the
+    * hard case): 2 blocks 0.36, 3 blocks 0.55, 4 blocks 0.82 — the
+    * knob trades pair-join volume for boundary recall exactly like
+    * IVF's nprobe. */
+  private val SemDedupBlocks = 4
+
+  /** Audit-subset recall floor: observed 0.82 at sf0.1 (4 blocks) and
+    * 1.0 at sf0.01, so 0.5 holds with margin while still collapsing on
+    * any real blocking regression. */
+  private val SemDedupRecallFloor = 0.5
+
+  /** The SemDeDup drop list: every vector with a LOWER-id neighbor at
+    * cosine >= [[SemDedupT]] inside one of its blocking cells, with its
+    * best witness. Keep-lowest-id makes the survivor set deterministic
+    * and idempotent (re-running dedup on survivors drops nothing new
+    * within a block). The blocking reuses q52's cached Lloyd centroids:
+    * at 100 TB the corpus is already written bucketed by cell for IVF
+    * search, so this pass reads each cell's files independently — the
+    * SemDeDup paper's cluster-then-pairwise shape, never corpus^2. */
+  private[graft] def semanticDrops(spark: SparkSession, dir: String)
+      : DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Dedup.normExpr.as("nrm"))
+    val centroids = ivfCentroids(spark, dir, all)
+    val blocked = nearestCells(all, centroids, SemDedupBlocks, "brank")
+      .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"),
+        col("nrm"))
+    val hi = blocked.select(col("cell"), col("vec_id").as("qid"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val lo = blocked.select(col("cell"), col("vec_id").as("cid"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    hi.join(lo, Seq("cell"))
+      .filter(col("cid") < col("qid"))
+      .select(col("qid"), col("cid"), simCol)
+      .filter(col("cosine") >= SemDedupT)
+      .groupBy(col("qid").as("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cosine"), (-col("cid")).as("tb")))
+        .as("witness_id"),
+        max(col("cosine")).as("witness_cos"))
+  }
+
+  /** q107 — SemDeDup as its contract (same pattern as q37/q52: the
+    * blocking internals are Scala-side deterministic, so the oracle
+    * pins the contract booleans): (1) every drop is witnessed — its
+    * recorded witness has a lower id and EXACT cosine >= t, so
+    * precision is 1 by construction and the boolean guards the
+    * plumbing; (2) on the [[QueryStride]] audit subset, the blocked
+    * drop set recovers at least [[SemDedupRecallFloor]] of the
+    * ground-truth droppable vectors (those with ANY lower-id corpus
+    * neighbor at cosine >= t, computed O(Q x N) exactly). */
+  def q107SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val drops = semanticDrops(spark, dir)
+    val nVec = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vectors"))
+    val witnessOk = drops.agg(coalesce(
+      expr("bool_and(witness_id < vec_id)") &&
+        expr(s"bool_and(witness_cos >= $SemDedupT)"),
+      lit(true)).as("drops_witnessed"))
+    val truth = corpusVecs(spark, dir)
+      .crossJoin(broadcast(queryVecs(spark, dir)))
+      .filter(col("cid") < col("qid"))
+      .select(col("qid"), col("cid"), simCol)
+      .filter(col("cosine") >= SemDedupT)
+      .select(col("qid")).distinct()
+    val caught = drops
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), lit(1).as("hit"))
+    val recallOk = truth.join(caught, Seq("qid"), "left")
+      .agg((count(col("hit")).cast("double") >=
+        count(lit(1)) * SemDedupRecallFloor).as("subset_recall_ok"))
+    nVec.crossJoin(witnessOk).crossJoin(recallOk)
+  }
+
   /** q101 — labeled-embedding centroid evaluation: per-label centroid
     * (per-dimension mean via posexplode — no UDF array math) and each
     * member's cosine to its own centroid, averaged per label. The
@@ -368,7 +452,8 @@ object Similarity {
     "q101_centroid_eval" -> (q101CentroidEval _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
-    "q52_ann_ivf_topk" -> (q52AnnIvfTopK _))
+    "q52_ann_ivf_topk" -> (q52AnnIvfTopK _),
+    "q107_semantic_dedup" -> (q107SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "q101_centroid_eval" ->
@@ -420,5 +505,9 @@ object Similarity {
         |WHERE vec_id % $QueryStride = 0 ORDER BY qid""".stripMargin,
     "q52_ann_ivf_topk" ->
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin)
+        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    "q107_semantic_dedup" ->
+      """SELECT count(*) AS n_vectors, TRUE AS drops_witnessed,
+        |       TRUE AS subset_recall_ok
+        |FROM embeddings""".stripMargin)
 }

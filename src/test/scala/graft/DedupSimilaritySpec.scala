@@ -6,6 +6,26 @@ import graft.operators.{Dedup, Similarity}
   * approximations must recover (most of) what the exact methods find. */
 class DedupSimilaritySpec extends SparkTestBase {
 
+  test("q107 semantic drops: every witness is lower-id with exact cosine >= t") {
+    val drops = Similarity.semanticDrops(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(drops.nonEmpty)
+    // independent witness recompute: raw scala dot product over the
+    // collected embeddings, no graft_dot / no Spark expression reuse
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    drops.foreach { case (id, wid, wcos) =>
+      assert(wid < id, s"witness $wid not lower than $id")
+      val (a, b) = (vecs(id), vecs(wid))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - wcos) < 1e-4, s"($id,$wid): $cos vs $wcos")
+      assert(wcos >= 0.4, s"($id,$wid) below threshold: $wcos")
+    }
+  }
+
   test("prefix-filtered Jaccard join (q106) is lossless: == q34 exactly") {
     val full = Dedup.q34DedupNgramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
