@@ -198,6 +198,26 @@ object Breadth {
            max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** q108 — VARIANT shredding (F8's scale path on Spark 4): `props` is
+    * parsed ONCE into a binary variant column, then every field access
+    * is a cheap typed `variant_get` path lookup — vs `get_json_object`
+    * re-parsing the string per extraction (q25 keeps that form as the
+    * classic surface). At 100 TB the difference compounds: parquet
+    * variant shredding stores hot paths columnarly so the scan prunes
+    * to the accessed paths, and N extractions cost one parse instead of
+    * N. Typed gets return NULL on absent paths (no exceptions mid-scan)
+    * and `is_variant_null` distinguishes JSON null from absent — the
+    * semantics a lossy string-regex pipeline gets wrong. */
+  def q108VariantShred(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k_int"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(v, '$.absent', 'string')").as("absent_str"),
+        expr("is_variant_null(variant_get(v, '$.k'))").as("k_is_json_null"))
+      .orderBy("event_id")
+
   /** q26 — array functions (F8) over embeddings: size / element access /
     * elementwise fold, computed in double like the oracle. */
   def q26ArrayFuncs(spark: SparkSession, dir: String): DataFrame =
@@ -335,6 +355,7 @@ object Breadth {
     "q23_distinct_agg" -> (q23DistinctAgg _),
     "q24_scalar_string" -> (q24ScalarString _),
     "q25_json" -> (q25Json _),
+    "q108_variant_shred" -> (q108VariantShred _),
     "q26_array_funcs" -> (q26ArrayFuncs _),
     "q27_date_funcs" -> (q27DateFuncs _),
     "q28_topk" -> (q28TopK _),
@@ -479,6 +500,13 @@ object Breadth {
         |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q108_variant_shred" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       json_extract_string(props, '$.absent') AS absent_str,
+        |       json_extract(props, '$.k') = 'null' AS k_is_json_null
+        |FROM events ORDER BY event_id""".stripMargin,
     "q26_array_funcs" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INT) AS dim,

@@ -93,6 +93,24 @@ class FormatsSpec extends SparkTestBase {
       sample.filter(col("l_returnflag") === flags.head).count())
   }
 
+  test("variant semantics: JSON null vs absent path are distinguishable") {
+    import org.apache.spark.sql.functions._
+    val row = spark.range(1)
+      .select(parse_json(lit("""{"a": null, "k": 7}""")).as("v"))
+      .select(
+        expr("is_variant_null(variant_get(v, '$.a'))").as("a_is_json_null"),
+        expr("variant_get(v, '$.a', 'string')").as("a_str"),
+        expr("variant_get(v, '$.absent', 'string')").as("absent_str"),
+        expr("is_variant_null(variant_get(v, '$.absent'))").as("absent_is_json_null"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .collect().head
+    assert(row.getBoolean(0))        // JSON null IS a variant null
+    assert(row.isNullAt(1))          // ...and reads as SQL NULL
+    assert(row.isNullAt(2))          // absent path -> SQL NULL, no error
+    assert(!row.getBoolean(3))       // ...but is NOT a JSON null
+    assert(row.getInt(4) == 7)
+  }
+
   test("Morton interleave matches a bit-by-bit reference on random inputs") {
     val sess = spark
     import sess.implicits._
