@@ -79,6 +79,20 @@ object Streams {
         col("s_ts") >= col("ts") - expr("INTERVAL 7 DAYS") &&
         col("s_ts") <= col("ts"))
 
+  /** LEFT OUTER variant of [[purchaseSignupJoin]]: purchases with NO
+    * in-window signup still emit, null-extended. In streaming mode the
+    * null row can only be emitted once the watermark passes the end of
+    * the purchase's join window (before that a matching signup could
+    * still arrive), so both sides MUST be watermarked — the state bound
+    * and the outer-emission trigger are the same mechanism. */
+  def purchaseSignupJoinOuter(purchases: DataFrame, signups: DataFrame)
+      : DataFrame =
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") >= col("ts") - expr("INTERVAL 7 DAYS") &&
+        col("s_ts") <= col("ts"),
+      "left_outer")
+
   /** Stream-static enrichment join: the unbounded stream side joined to
     * a bounded dimension. Stateless — each micro-batch hash-joins against
     * the (broadcast) static relation, no watermark and no join state, so
@@ -158,7 +172,28 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** q109 — LEFT OUTER interval join (batch mode of
+    * [[purchaseSignupJoinOuter]]): every purchase row with its count of
+    * in-window signups, INCLUDING zero-match purchases — the rows the
+    * inner q71 drops and a streaming pipeline only emits at watermark
+    * eviction. count(col) (not count(*)) so null-extended rows count 0. */
+  def q109IntervalLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    purchaseSignupJoinOuter(p, s)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(col("s_user_id")).as("n_pairs"))
+      .groupBy("user_id")
+      .agg(sum(col("n_pairs")).as("n_signup_pairs"),
+        count_if(col("n_pairs") === 0).as("n_unmatched_purchases"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_interval_left_join" -> (q109IntervalLeftJoin _),
     "q71_interval_join" -> (q71IntervalJoin _),
     "q44_tumbling_window" -> (q44TumblingWindow _),
     "q45_sliding_window" -> (q45SlidingWindow _),
@@ -166,6 +201,21 @@ object Streams {
     "q47_stream_dedup" -> (q47StreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    "q109_interval_left_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |per AS (
+        |  SELECT p.user_id, p.ts, count(s.user_id) AS n_pairs
+        |  FROM p LEFT JOIN s
+        |    ON p.user_id = s.user_id
+        |   AND s.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_pairs) AS BIGINT) AS n_signup_pairs,
+        |       count(*) FILTER (WHERE n_pairs = 0)
+        |         AS n_unmatched_purchases
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q71_interval_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events WHERE event_type = 'purchase'),

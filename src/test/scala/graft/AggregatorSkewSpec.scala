@@ -68,6 +68,39 @@ class AggregatorSkewSpec extends SparkTestBase {
     assert(r.isNullAt(2))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // one hot key holding ~95% of the left side; thresholds lowered so
+    // the toy volume trips the same machinery that fires at TB scale
+    val sess = spark
+    import sess.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      val left = spark.range(200000)
+        .select((col("id") % 20 === 0).cast("int").as("flag"), col("id"))
+        .select(when(col("flag") === 1, col("id") % 50 + 1).otherwise(0L)
+          .as("k"), concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(51).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("rv"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS dataframe's own plan (count() would plan separately
+      // and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals plain groupBy aggregation") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val salted = Skew.saltedAggSum(li, Seq("l_returnflag"), "l_quantity")

@@ -191,6 +191,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null rows at watermark eviction") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val p = purchases.toDF().withWatermark("ts", "1 minute")
+      .select($"user_id", $"ts")
+    val s = signups.toDF().withWatermark("ts", "1 minute")
+      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"))
+    val q = Streams.purchaseSignupJoinOuter(p, s)
+      .writeStream.format("memory").queryName("ssj_outer_t")
+      .outputMode("append").start()
+    try {
+      signups.addData(Ev(t("2024-01-10 00:00:00"), 1, "signup", 0.0))
+      purchases.addData(
+        Ev(t("2024-01-15 00:00:00"), 1, "purchase", 9.0),  // matched
+        Ev(t("2024-01-15 00:00:00"), 2, "purchase", 9.0))  // no signup
+      q.processAllAvailable()
+      // matched row emits immediately; user 2's null row must NOT have
+      // emitted yet — a late signup could still arrive
+      val early = sess.table("ssj_outer_t").collect()
+      assert(early.map(_.getLong(0)).toSet == Set(1L),
+        "null row emitted before the watermark closed the window")
+      // advance both watermarks far past user 2's join window
+      signups.addData(Ev(t("2024-02-01 00:00:00"), 9, "signup", 0.0))
+      purchases.addData(Ev(t("2024-02-01 00:00:00"), 9, "purchase", 9.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // second batch lets the state store evict
+      val rows = sess.table("ssj_outer_t").collect()
+        .map(r => (r.getLong(0), r.isNullAt(2))).toSet
+      assert(rows.contains((2L, true)),
+        s"unmatched purchase never null-emitted: ${rows.mkString(",")}")
+      assert(rows.contains((1L, false)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: custom batch-wise writes see every row once") {
     val sess = spark
     import sess.implicits._
