@@ -325,7 +325,44 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q112 sample size: fixed k — at 100 TB the top-k is the only
+    * global step and its cost is O(k log k) per partition + one
+    * k-row reduce, independent of corpus size. */
+  private val WeightedSampleK = 100
+
+  /** 2^60 as an exact double — the divisor turning the 60-bit md5 hash
+    * into a uniform u in (0, 1]. */
+  private val Pow2To60 = 1152921504606846976.0
+
+  /** q112 — weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    * exponential races, "A-ES"): each document draws a deterministic
+    * uniform u in (0, 1] from its md5 hash and races with key
+    * -ln(u) / w, w = n_chars; the k smallest keys are exactly a
+    * weight-proportional sample without replacement. This is the
+    * data-mix primitive q68/q99's rate-based sampling cannot express:
+    * "give me k documents, longer ones proportionally more likely",
+    * with no corpus-size-dependent tuning. Hash-seeded (never rand()),
+    * so the sample is reproducible under any partitioning and the
+    * DuckDB oracle draws the IDENTICAL sample. Scale: one narrow
+    * map over the corpus + a global top-k (TakeOrderedAndProject — no
+    * full sort, no single-partition window over the corpus); the rank
+    * window runs over the k survivors only (same shape as q96). */
+  def q112WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (Hashing.md5Hash60(concat(lit("ws_"),
+      col("doc_id").cast("string"))) + 1).cast("double") / lit(Pow2To60)
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("priority", -log(u) / col("n_chars"))
+      .orderBy(asc("priority"), asc("doc_id")).limit(WeightedSampleK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(asc("priority"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
+        round(col("priority"), 8).as("priority"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_weighted_sample" -> (q112WeightedSample _),
     "q99_data_mix" -> (q99DataMix _),
     "q97_train_split" -> (q97TrainSplit _),
     "q98_pack_sequences" -> (q98PackSequences _),
@@ -340,6 +377,19 @@ object Curation {
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    "q112_weighted_sample" ->
+      s"""WITH pri AS (
+        |  SELECT doc_id, n_chars,
+        |         -ln((('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)),
+        |                              1, 15))::BIGINT + 1) / $Pow2To60)
+        |           / n_chars AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |top AS (SELECT doc_id, n_chars, priority FROM pri
+        |        ORDER BY priority, doc_id LIMIT $WeightedSampleK)
+        |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT)
+        |         AS rank,
+        |       doc_id, n_chars AS weight, round(priority, 8) AS priority
+        |FROM top ORDER BY rank""".stripMargin,
     "q99_data_mix" ->
       """WITH counts AS (
         |  SELECT source, count(*) AS n_total,

@@ -289,6 +289,57 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  // q110 span geometry: 64-char windows sampled every 32 chars.
+  // Overlapping windows (stride = len/2) guarantee any duplicated run
+  // of >= SpanLen + SpanStride - 1 chars fully contains at least one
+  // aligned window on BOTH sides regardless of alignment offset, so
+  // long verbatim repeats are always detected; shorter repeats are
+  // detected when window-aligned (the standard sampled-suffix trade
+  // that keeps the span table at O(chars / stride) rows).
+  private[operators] val SpanLen = 64
+  private[operators] val SpanStride = 32
+
+  /** q110 — duplicate-SPAN detection (exact-substring dedup at the
+    * span level, the Lee-et-al "Deduplicating Training Data" shape
+    * approximated with fixed sampled windows): hash every
+    * [[SpanLen]]-char window at [[SpanStride]] offsets, count how many
+    * DISTINCT documents each window hash occurs in, and report per
+    * document how much of it is corpus-duplicated text
+    * (`n_shared_spans / n_spans`) — the trim/drop signal partial-overlap
+    * dedup needs and whole-document near-dup (q32-q35) cannot give.
+    *
+    * Scale story: this is q31's exact-dedup shape moved down to span
+    * granularity — candidate generation is ONE shuffle on the span-hash
+    * content key (O(chars/stride) rows), and the doc-level rollup is a
+    * second shuffle on doc_id. There is NO pair join anywhere: a
+    * boilerplate span shared by a million documents contributes one
+    * count-distinct row, never a million^2 pair explosion — the
+    * hot-bucket problem every pairwise dedup needs a cap for simply
+    * does not exist here. */
+  def q110SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = docs
+      .filter(length(col("text")) >= SpanLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (SpanLen - 1),
+          lit(SpanStride))).as("s"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, s, $SpanLen)")).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = spans.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("nd") >= 2).cast("long")).as("n_shared_spans"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_spans", "n_shared_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_shared_spans").cast("double") / col("n_spans"), 4)))
+      .orderBy("doc_id")
+  }
+
   /** Per-vector L2 norm in double precision. Uses the native codegen
     * [[graft.plans.VectorDot]] kernel (left-to-right fold, bit-identical
     * to the higher-order-function formulation it replaced but inside
@@ -704,6 +755,7 @@ object Dedup {
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
     "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
+    "q110_span_dedup" -> (q110SpanDedup _),
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
@@ -869,6 +921,27 @@ object Dedup {
          |JOIN sizes z2 ON z2.doc_id = id2
          |WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    "q110_span_dedup" ->
+      s"""WITH spans AS (
+        |  SELECT doc_id, md5(substring(text, CAST(s AS INT), $SpanLen)) AS h
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, length(text) - ${SpanLen - 1},
+        |                                      $SpanStride)) AS s
+        |        FROM documents WHERE length(text) >= $SpanLen)),
+        |shared AS (SELECT h, count(DISTINCT doc_id) AS nd
+        |           FROM spans GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared_spans
+        |  FROM spans JOIN shared USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+        |       CASE WHEN n_spans > 0
+        |            THEN round(CAST(n_shared_spans AS DOUBLE) / n_spans, 4)
+        |       END AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // replicates the banding EXACTLY: md5-derived integer planes,
     // floor(x*1000) quantization, sign bits, 8-bit bands MSB-first,
     // multi-probe single-bit flips — all integer arithmetic, so both

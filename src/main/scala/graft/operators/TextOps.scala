@@ -225,7 +225,36 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** q111 — unigram-LM surprisal scoring (the CCNet-style perplexity
+    * quality filter, with the corpus's own unigram model standing in
+    * for the external LM — the container ships no trained LM): token
+    * probabilities p(t) = ctf(t) / T from corpus-wide term counts, each
+    * document scored by its mean token surprisal -log2 p(t) in bits.
+    * Low bits = dominated by corpus-common tokens (boilerplate-ish);
+    * high bits = rare-token-heavy (OCR noise / gibberish) — the two
+    * tails a perplexity filter trims before pretraining. Reuses the
+    * shared [[termFreqs]] table; the corpus token total rides as a
+    * broadcast scalar. Scale: two hash aggregations over the token
+    * table plus a token-key join of per-doc term freqs against the
+    * (Zipf-small) vocabulary table — the same shuffle classes as
+    * q86/q87, nothing new to size. */
+  def q111LmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(spark, dir)
+    val vocab = tf.groupBy("word").agg(sum(col("tf")).as("ctf"))
+    val total = vocab.agg(sum(col("ctf")).as("t_total"))
+    tf.join(vocab, Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") *
+          -log2(col("ctf").cast("double") / col("t_total"))).as("bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("bits") / col("n_tokens"), 4).as("avg_surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_lm_surprisal" -> (q111LmSurprisal _),
     "q96_bm25" -> (q96Bm25 _),
     "q86_tfidf" -> (q86Tfidf _),
     "q87_entropy" -> (q87Entropy _),
@@ -236,6 +265,25 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q111_lm_surprisal" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM tokens GROUP BY doc_id, word),
+        |vocab AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ctf
+        |          FROM tf GROUP BY word),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_total FROM vocab),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+        |         sum(CAST(t.tf AS DOUBLE)
+        |             * -log2(CAST(v.ctf AS DOUBLE) / t_total)) AS bits
+        |  FROM tf t JOIN vocab v USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |       round(bits / n_tokens, 4) AS avg_surprisal_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q96_bm25" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word

@@ -94,4 +94,56 @@ class Breadth2CurationSpec extends SparkTestBase {
       assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
     }
   }
+
+  test("q112 weighted sample: selects the true k smallest A-ES race keys " +
+      "(scala recompute) and is repartition-invariant") {
+    val got = Curation.q112WeightedSample(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    // independent recompute of every doc's exponential race key
+    val expected = graft.sources.Tables.documents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val h = graft.functions.Hashing.md5Hash60Value(s"ws_$id")
+        val u = (h + 1).toDouble / 1152921504606846976.0
+        (-math.log(u) / w, id, w)
+      }
+      .sortBy(t => (t._1, t._2)).take(100)
+    assert(got.map(_._2).toSeq == expected.map(_._2).toSeq,
+      "sample differs from the ground-truth k smallest keys")
+    got.zip(expected).foreach { case ((rank, id, w), (_, eid, ew)) =>
+      assert(id == eid && w == ew && rank >= 1 && rank <= 100)
+    }
+    // weight-proportionality sanity: sampled docs skew long — their mean
+    // weight should exceed the corpus mean (weights vary by design)
+    val corpusMean = graft.sources.Tables.documents(spark, sf).collect()
+      .map(_.getLong(4)).sum.toDouble / 500
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q111 LM surprisal matches a scala unigram-model recompute") {
+    import graft.operators.TextOps
+    val got = TextOps.q111LmSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSeq)
+      .toMap
+    val ctf = docs.values.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val total = ctf.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    docs.foreach { case (id, toks) =>
+      val (nTokens, bits) = got(id)
+      assert(nTokens == toks.size, s"doc $id token count")
+      val expect = toks.map(t => -log2(ctf(t) / total)).sum / toks.size
+      assert(math.abs(bits - expect) < 1e-3,
+        s"doc $id surprisal $bits vs recompute $expect")
+    }
+    // the two tails exist: scores vary across the corpus
+    val scores = got.values.map(_._2)
+    assert(scores.max - scores.min > 0.1, "surprisal should discriminate")
+  }
 }

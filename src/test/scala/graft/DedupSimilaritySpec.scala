@@ -284,4 +284,49 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "q35 hides a nested-loop pair scan")
   }
+
+  test("q110 span dedup: window counts exact, exact-duplicate docs are " +
+      "fully span-shared, and shared counts match a scala recompute") {
+    val rows = Dedup.q110SpanDedup(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == docs.keySet)
+    // independent recompute: JDK substring windows + md5, no Spark exprs
+    def spanHashes(text: String): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to text.length - 64 by 32).map { s =>
+        md.digest(text.substring(s, s + 64).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+    }
+    val allSpans = docs.toSeq.flatMap { case (id, t) =>
+      spanHashes(t).map(h => (id, h))
+    }
+    val docsPerHash = allSpans.groupBy(_._2).map { case (h, xs) =>
+      h -> xs.map(_._1).distinct.size
+    }
+    docs.foreach { case (id, text) =>
+      val hs = spanHashes(text)
+      val (nSpans, nShared, frac) = rows(id)
+      assert(nSpans == hs.size, s"doc $id span count")
+      val expectShared = hs.count(h => docsPerHash(h) >= 2)
+      assert(nShared == expectShared, s"doc $id shared-span count")
+      if (nSpans > 0)
+        assert(math.abs(frac - expectShared.toDouble / hs.size) < 1e-4)
+    }
+    // non-vacuous: the planted near-dups share aligned windows, so the
+    // corpus must contain shared spans and fully-span-shared documents
+    assert(rows.values.map(_._2).sum > 0, "no shared spans found")
+    assert(rows.values.exists(_._3 == 1.0), "no fully-span-shared doc")
+    // any whole-doc exact duplicates (present at larger SFs) must be
+    // 100% span-shared in every copy
+    Dedup.q31DedupExact(spark, sf).collect()
+      .filter(r => r.getLong(2) > 1).map(_.getLong(0))
+      .filter(id => docs(id).length >= 64)
+      .foreach(id =>
+        assert(rows(id)._3 == 1.0, s"exact-dup doc $id not fully shared"))
+  }
 }
