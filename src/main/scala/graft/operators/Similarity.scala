@@ -313,6 +313,144 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ---- q113: product-quantization ANN (ADC shortlist + exact re-rank) --
+
+  /** PQ geometry: M subspaces x K codes. M * log2(K) = 32 bits per
+    * vector — a 64-dim float vector (256 B) compresses 64x, which is
+    * the point of PQ at 100 TB: the CODES table fits in memory/fast
+    * storage where the raw vectors cannot, and ADC scans codes only. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqLloydIters = 2
+
+  /** ADC shortlist size: approximate distances pick [[PqShortlist]]
+    * candidates per query, exact re-rank keeps [[TopK]] — the standard
+    * two-stage PQ serving layout (approximate scan wide, exact narrow).
+    * 10x TopK absorbs the quantization error of 32-bit codes; the
+    * re-rank cost stays O(Q x PqShortlist) raw-vector reads. */
+  private val PqShortlist = 100
+
+  /** (vec_id, sub, svec) subvectors: subspace `sub` covers dims
+    * [sub*subDim, (sub+1)*subDim). One explode per vector — M narrow
+    * rows each carrying a subDim-element slice. */
+  private def subvecs(df: DataFrame, subDim: Int): DataFrame =
+    df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"),
+        col("emb"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(emb, sub * $subDim + 1, $subDim)").as("svec"))
+
+  /** Nearest codebook entry per (vec_id, sub) by exact L2 (argmin of
+    * ||s||^2 - 2 s.c + ||c||^2, graft_dot kernels), code tie-break.
+    * Codebooks are broadcast (M x K tiny rows), so candidates are
+    * generated map-side and the min_by partial aggregation collapses
+    * the K-way fanout BEFORE the (vec_id, sub) shuffle. */
+  private def assignCodes(sv: DataFrame, books: DataFrame): DataFrame =
+    sv.join(broadcast(books), Seq("sub"))
+      .withColumn("dist", expr(
+        "graft_dot(svec, svec) - 2 * graft_dot(svec, cvec) + " +
+          "graft_dot(cvec, cvec)"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("svec")),
+        struct(col("dist"), col("code"))).as("pick"))
+      .select(col("vec_id"), col("sub"),
+        col("pick.code").as("code"), col("pick.svec").as("svec"))
+
+  /** Per-subspace codebooks: K deterministic stride-sampled seeds
+    * refined with [[PqLloydIters]] Lloyd iterations (same
+    * integer-exact-mean trick as [[ivfCentroids]], so codebooks are
+    * bit-deterministic under any partitioning). Cached per
+    * (session, dir): the codebook is the trained artifact a PQ index
+    * ships; at 100 TB it trains on a sample and encodes the full
+    * corpus with one broadcast. */
+  private def pqCodebooks(spark: SparkSession, dir: String,
+      all: DataFrame, subDim: Int): DataFrame =
+    graft.sources.DfCache.df(spark, s"pq_codebooks|$dir") {
+      val n = graft.sources.DfCache.value(spark, s"emb_count|$dir")(
+        all.count())
+      val stride = math.max(1L, n / PqK)
+      val w = Window.partitionBy("sub").orderBy("vec_id")
+      var books = subvecs(all.filter(col("vec_id") % stride === 0), subDim)
+        .withColumn("code", row_number().over(w) - 1)
+        .filter(col("code") < PqK)
+        .select(col("sub"), col("code"), col("svec").as("cvec"))
+      for (_ <- 1 to PqLloydIters) {
+        books = assignCodes(subvecs(all, subDim), books)
+          .select(col("sub"), col("code"),
+            posexplode(col("svec")).as(Seq("pos", "v")))
+          .groupBy("sub", "code", "pos")
+          .agg((sum((col("v") * 1e6).cast("bigint")).cast("double") /
+            count(lit(1)) / 1e6).as("c"))
+          .groupBy("sub", "code")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+            .as("cvec"))
+      }
+      books
+    }
+
+  /** PQ-ADC ANN top-k rows: encode the corpus as M 4-bit codes per
+    * vector, score queries against codes via an asymmetric-distance
+    * lookup table (qdot[sub][code] = exact dot of the query's subvector
+    * with that codebook entry — so approx_dot = sum over subspaces is
+    * the dot against each vector's RECONSTRUCTION), shortlist
+    * [[PqShortlist]] per query, then exact-re-rank to [[TopK]].
+    *
+    * Scale shape: the LUT is Q x M x K rows (tiny, broadcast); the scan
+    * is one map-side join over the CODES table (N x M narrow rows — the
+    * compressed index, never the raw vectors) + a map-side-combinable
+    * (qid, cid) sum; only the shortlist joins the raw embeddings back.
+    * Raw-vector I/O drops from O(Q x N) (q36 brute) to
+    * O(Q x [[PqShortlist]]). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val dim = embeddingDim(spark, dir)
+    if (dim % PqM != 0)
+      throw new IllegalStateException(
+        s"PQ requires dim % $PqM == 0, got $dim")
+    val subDim = dim / PqM
+    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val books = pqCodebooks(spark, dir, all, subDim)
+    val codes = assignCodes(subvecs(all, subDim), books)
+      .select(col("vec_id").as("cid"), col("sub"), col("code"))
+    val lut = subvecs(all.filter(col("vec_id") % QueryStride === 0), subDim)
+      .join(broadcast(books), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        expr("graft_dot(svec, cvec)").as("qdot"))
+    val approx = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("qdot")).as("approx_dot"))
+    val qv = queryVecs(spark, dir)
+    val cv = corpusVecs(spark, dir)
+    val wS = Window.partitionBy("qid").orderBy(desc("approx_cos"), asc("cid"))
+    val shortlist = approx
+      .join(cv.select(col("cid"), col("nb")), Seq("cid"))
+      .join(broadcast(qv.select(col("qid"), col("na"))), Seq("qid"))
+      .withColumn("approx_cos", col("approx_dot") / (col("na") * col("nb")))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= PqShortlist)
+      .select("qid", "cid")
+    val wR = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
+    shortlist
+      .join(broadcast(qv), Seq("qid"))
+      .join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), simCol)
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q113 — PQ-ADC ANN as its average-recall contract vs exact brute
+    * force (same statistic as q52: ADC ranks by reconstruction dot, so
+    * per-query recall varies with quantization error; the mean is the
+    * stable regression signal). */
+  def q113AnnPq(spark: SparkSession, dir: String): DataFrame =
+    avgRecallContract(spark, dir, pqTopK(spark, dir), PqRecallFloor)
+
   /** q37 — LSH ANN as its recall contract vs exact brute force (see
     * [[recallContract]]; the ranked rows themselves are [[lshTopK]],
     * recall-asserted in ScalaTest too). */
@@ -339,6 +477,13 @@ object Similarity {
   // (deterministic — integer-mean centroids, fixed seeds/queries)
   private val LshRecallFloor = 0.8
   private val IvfRecallFloor = 0.5
+  // PQ avg recall floor: RecallScan measured (deterministic) 0.80 at
+  // sf0.001, 0.84 at sf0.01, 0.58 at sf0.1 with the 100-wide shortlist
+  // — 32-bit codes on 64-dim vectors keep real quantization error, so
+  // the honest floor sits below LSH's; at production scale the recall
+  // knob is IVF+PQ composition (probe cells, ADC within), not a wider
+  // full-corpus shortlist
+  private val PqRecallFloor = 0.5
 
   // ---- q107: SemDeDup (cluster-blocked semantic dedup) ----
 
@@ -453,6 +598,7 @@ object Similarity {
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
     "q52_ann_ivf_topk" -> (q52AnnIvfTopK _),
+    "q113_ann_pq" -> (q113AnnPq _),
     "q107_semantic_dedup" -> (q107SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +650,9 @@ object Similarity {
       s"""SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
         |WHERE vec_id % $QueryStride = 0 ORDER BY qid""".stripMargin,
     "q52_ann_ivf_topk" ->
+      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    "q113_ann_pq" ->
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
     "q107_semantic_dedup" ->

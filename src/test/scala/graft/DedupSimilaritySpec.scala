@@ -142,6 +142,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
 
+  test("PQ ANN achieves >=70% average recall@10 vs brute force and " +
+      "returns exact cosines on its shortlist") {
+    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pq = Similarity.pqTopK(spark, sf).collect()
+    val approx = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = truth.groupBy(_._1).map { case (qid, t) =>
+      t.count(approx.contains).toDouble / t.length
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"PQ avg recall $avg (measured 0.80 at sf0.001)")
+    // the re-rank stage must emit EXACT cosines: every (qid,cid) the PQ
+    // path returns that brute force also ranked must carry the same score
+    val bruteCos = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2), "PQ re-rank cosine not exact")
+      }
+    }
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, " +
       "canonical is the component minimum") {
     val pairs = Dedup.q34DedupNgramJaccard(spark, sf).collect()
