@@ -69,8 +69,14 @@ object ScaleSmoke {
         "q98_pack_sequences", "q35_dedup_embedding",
         "q102_cross_batch_minhash", "q103_bloom_decontaminate",
         "q104_chunk_docs", "q105_topk_sketch_union",
-        "q106_jaccard_prefix")
+        "q106_jaccard_prefix", "q110_span_dedup", "q111_lm_surprisal",
+        "q112_weighted_sample")
         .map(n => n -> SparkEntry.queries(n)) :+
+        // q113/q114 are recall contracts; time the ANN paths themselves
+        ("pq_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.pqTopK(s, d))) :+
+        ("ivfpq_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.ivfPqTopK(s, d))) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d))) :+
         // like lsh_topk: the registered q52 is the recall CONTRACT and

