@@ -411,7 +411,40 @@ object Breadth3 {
       .limit(10)
   }
 
+  /** q116 — winsorized (percentile-clipped) robust aggregation: per
+    * event type, values are clipped to the exact [p01, p99] band and
+    * re-aggregated, reporting how much mass was trimmed on each side —
+    * the standard outlier-containment step before numeric features
+    * feed model training (a single corrupt 1e12 reading otherwise owns
+    * the mean). Exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`, both type-7), so the clip bounds — and
+    * therefore the trimmed counts — are engine-identical. Scale: one
+    * percentile aggregation per type (the per-type value lists are the
+    * sort unit, never the whole corpus), bounds broadcast back against
+    * the scan, one final hash agg — at 100 TB the exact percentile is
+    * the only step that grows, and its drop-in replacement is q72's
+    * mergeable approx_percentile at the documented error trade. */
+  def q116Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.01d)").as("p01"),
+      expr("percentile(value, 0.99d)").as("p99"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p01")), col("p99")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("p01")).cast("long")).as("n_clipped_lo"),
+        sum((col("value") > col("p99")).cast("long")).as("n_clipped_hi"),
+        round(min(col("p01")), 4).as("p01"),
+        round(min(col("p99")), 4).as("p99"),
+        round(avg(col("clipped")), 4).as("winsorized_mean"),
+        round(avg(col("value")), 4).as("raw_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_winsorize" -> (q116Winsorize _),
     "q105_topk_sketch_union" -> (q105TopkSketchUnion _),
     "q100_hll_union" -> (q100HllUnion _),
     "q95_sequence_match" -> (q95SequenceMatch _),
@@ -430,6 +463,24 @@ object Breadth3 {
     "q85_histogram" -> (q85Histogram _))
 
   val oracles: Map[String, String] = Map(
+    "q116_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.01) AS p01,
+        |         quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_lo,
+        |       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_hi,
+        |       round(min(b.p01), 4) AS p01,
+        |       round(min(b.p99), 4) AS p99,
+        |       round(avg(least(greatest(e.value, b.p01), b.p99)), 4)
+        |         AS winsorized_mean,
+        |       round(avg(e.value), 4) AS raw_mean
+        |FROM events e JOIN bounds b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q105_topk_sketch_union" ->
       """SELECT event_type, count(*) AS est_count
         |FROM events GROUP BY 1

@@ -289,6 +289,29 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q115 — quality-aware cluster resolution: q73 keeps each near-dup
+    * cluster's MINIMUM doc_id; real pipelines keep the BEST member
+    * (longest / cleanest / highest-quality copy) and drop the rest.
+    * This composes the q73 cluster labels with q39's quality score:
+    * canonical = argmax(quality, lowest-id tie-break) per cluster.
+    * Scale: the cluster table is |near-dup docs| rows (far below
+    * corpus size), quality is a narrow per-doc column computed in the
+    * scan stage, and the argmax is one max_by hash aggregation on
+    * cluster_id — no new shuffle class beyond q73 itself. */
+  def q115ClusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q73DedupClusters(spark, dir)
+      .select("doc_id", "cluster_id")
+    val quality = TextOps.q39QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("canonical_id"),
+        max(col("quality")).as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
   // q110 span geometry: 64-char windows sampled every 32 chars.
   // Overlapping windows (stride = len/2) guarantee any duplicated run
   // of >= SpanLen + SpanStride - 1 chars fully contains at least one
@@ -756,6 +779,7 @@ object Dedup {
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
     "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
     "q110_span_dedup" -> (q110SpanDedup _),
+    "q115_cluster_canonical" -> (q115ClusterCanonical _),
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
@@ -792,6 +816,54 @@ object Dedup {
          |       least(u, min(v)) AS cluster_id,
          |       u = least(u, min(v)) AS is_canonical
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // q73's closure + q39's quality formula: canonical = per-cluster
+    // argmax(quality), lowest-id tie-break
+    "q115_cluster_canonical" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |members AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round(ln(1.0 + n_words)
+         |               * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words), 6)
+         |           AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(string_split(trim(text), ' ')) AS n_words,
+         |           CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+         |                + (length(p) - length(replace(p, ' a ', ''))) / 3
+         |                AS INT) AS n_stopwords
+         |    FROM (SELECT doc_id, text, ' ' || text || ' ' AS p
+         |          FROM documents))),
+         |ranked AS (
+         |  SELECT m.cluster_id, m.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY m.cluster_id
+         |                            ORDER BY q.quality DESC, m.doc_id)
+         |           AS rn,
+         |         count(*) OVER (PARTITION BY m.cluster_id) AS n_members
+         |  FROM members m JOIN qual q USING (doc_id))
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |       doc_id AS canonical_id, quality AS best_quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q31_dedup_exact" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
         |SELECT doc_id,

@@ -323,6 +323,30 @@ class DedupSimilaritySpec extends SparkTestBase {
       "q35 hides a nested-loop pair scan")
   }
 
+  test("q115 canonical is the max-quality member of each q73 cluster " +
+      "with lowest-id tie-break") {
+    val clusters = Dedup.q73DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    val qual = graft.operators.TextOps.q39QualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    val got = Dedup.q115ClusterCanonical(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == byCluster.keySet)
+    byCluster.foreach { case (cid, members) =>
+      val (n, canon, best) = got(cid)
+      val ids = members.map(_._1)
+      assert(n == ids.length, s"cluster $cid size")
+      assert(ids.contains(canon), s"canonical $canon outside cluster $cid")
+      val maxQ = ids.map(qual).max
+      assert(best == maxQ && qual(canon) == maxQ)
+      assert(canon == ids.filter(id => qual(id) == maxQ).min,
+        s"cluster $cid tie-break")
+    }
+  }
+
   test("q110 span dedup: window counts exact, exact-duplicate docs are " +
       "fully span-shared, and shared counts match a scala recompute") {
     val rows = Dedup.q110SpanDedup(spark, sf).collect()

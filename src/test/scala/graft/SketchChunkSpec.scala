@@ -75,4 +75,35 @@ class SketchChunkSpec extends SparkTestBase {
       .sortBy { case (t, n) => (-n, t) }
     assert(got.toSeq == exact.toSeq)
   }
+
+  test("q116 winsorize matches a scala type-7 percentile recompute") {
+    // independent type-7 interpolated percentile (what Spark
+    // `percentile` and DuckDB `quantile_cont` both compute)
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    val byType = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val got = Breadth3.q116Winsorize(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val xs = byType(r.getString(0))
+      val (p01, p99) = (pct(xs, 0.01), pct(xs, 0.99))
+      assert(r.getLong(1) == xs.length)
+      assert(r.getLong(2) == xs.count(_ < p01), "n_clipped_lo")
+      assert(r.getLong(3) == xs.count(_ > p99), "n_clipped_hi")
+      assert(math.abs(r.getDouble(4) - p01) < 1e-3, "p01")
+      assert(math.abs(r.getDouble(5) - p99) < 1e-3, "p99")
+      val wmean = xs.map(x => math.min(math.max(x, p01), p99)).sum / xs.length
+      assert(math.abs(r.getDouble(6) - wmean) < 1e-3, "winsorized_mean")
+      // containment: the winsorized mean sits inside the clip band
+      assert(r.getDouble(6) >= r.getDouble(4) && r.getDouble(6) <= r.getDouble(5))
+    }
+  }
 }
