@@ -361,7 +361,39 @@ object Curation {
       .orderBy("rank")
   }
 
+  /** q117 — leakage-safe train/val/test split: q97 hashes each doc_id
+    * independently, so two near-duplicate documents can land in train
+    * and test — the classic contamination-by-near-dup leak that
+    * inflates eval numbers. Here the split hash is keyed on the
+    * DEDUP-CLUSTER id (q73's label; singletons key on their own id),
+    * so a whole near-dup cluster moves as one unit and can never
+    * straddle a split boundary. Because a singleton's group key equals
+    * its doc_id and the salt matches q97's, the assignment differs
+    * from q97 ONLY for non-canonical cluster members — adopting the
+    * leakage-safe split reshuffles nothing else. Scale: q73's cluster
+    * table (near-dup docs only, far below corpus size) left-joined to
+    * the corpus on doc_id, then one hash aggregation. */
+  def q117LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.q73DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val grouped = Tables.documents(spark, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_clustered", col("cluster_id").isNotNull)
+    val bucket = pmod(Hashing.md5Hash60(
+      concat(lit("split:"), col("group_key").cast("string"))), lit(10))
+    grouped
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_key")).as("n_groups"),
+        sum(col("is_clustered").cast("long")).as("n_clustered_docs"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_leakage_safe_split" -> (q117LeakageSafeSplit _),
     "q112_weighted_sample" -> (q112WeightedSample _),
     "q99_data_mix" -> (q99DataMix _),
     "q97_train_split" -> (q97TrainSplit _),
@@ -377,6 +409,47 @@ object Curation {
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    // q73's recursive closure + q97's split hash keyed on the cluster id
+    "q117_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${Dedup.shinglesCte},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |members AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |grouped AS (
+         |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS group_key,
+         |         m.cluster_id IS NOT NULL AS is_clustered
+         |  FROM documents d LEFT JOIN members m USING (doc_id)),
+         |b AS (
+         |  SELECT group_key, is_clustered,
+         |         ('0x' || substr(md5('split:' || CAST(group_key AS VARCHAR)),
+         |                         1, 15))::BIGINT % 10 AS bucket
+         |  FROM grouped)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket < 9 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+         |       CAST(sum(CASE WHEN is_clustered THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_clustered_docs
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q112_weighted_sample" ->
       s"""WITH pri AS (
         |  SELECT doc_id, n_chars,

@@ -783,8 +783,10 @@ object Dedup {
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
-  /** Shared oracle CTE: distinct word-3-gram shingles per doc. */
-  private val shinglesCte: String =
+  /** Shared oracle CTE: distinct word-3-gram shingles per doc
+    * (package-visible: q117's leakage-safe-split oracle rebuilds the
+    * q73 closure from it). */
+  private[operators] val shinglesCte: String =
     """shingles AS (
       |  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
       |  FROM (SELECT doc_id, string_split(text, ' ') AS words,

@@ -124,6 +124,39 @@ class Breadth2CurationSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("q117 leakage-safe split: clusters never straddle splits, " +
+      "singletons match q97's assignment") {
+    import graft.functions.Hashing
+    import graft.operators.Dedup
+    def splitOf(key: Long): String = {
+      val b = Hashing.md5Hash60Value(s"split:$key") % 10
+      if (b < 8) "train" else if (b < 9) "val" else "test"
+    }
+    val clusters = Dedup.q73DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allDocs = graft.sources.Tables.documents(spark, sf).collect()
+      .map(_.getLong(0))
+    // ground truth: group key = cluster label (or own id), every member
+    // of one cluster maps to ONE split
+    val assignment = allDocs.map(id =>
+      id -> splitOf(clusters.getOrElse(id, id))).toMap
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.keys.map(assignment).toSet.size == 1,
+        "cluster straddles splits")
+    }
+    // and the registered accounting matches that ground truth exactly
+    val got = graft.operators.Curation.q117LeakageSafeSplit(spark, sf)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = assignment.groupBy(_._2).map { case (s, docs) =>
+      val ids = docs.keys.toSeq
+      s -> (ids.size.toLong,
+        ids.map(id => clusters.getOrElse(id, id)).distinct.size.toLong,
+        ids.count(clusters.contains).toLong)
+    }
+    assert(got == expected)
+  }
+
   test("q111 LM surprisal matches a scala unigram-model recompute") {
     import graft.operators.TextOps
     val got = TextOps.q111LmSurprisal(spark, sf).collect()
