@@ -342,6 +342,15 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(emb, sub * $subDim + 1, $subDim)").as("svec"))
 
+  /** Corpus subvector table, persisted per (session, dir): the Lloyd
+    * assign passes, the final encode, and the query-side LUT all scan
+    * it — caching turns 4 parquet-read+explode passes into one. */
+  private def corpusSubvecs(spark: SparkSession, dir: String,
+      subDim: Int): DataFrame =
+    graft.sources.DfCache.df(spark, s"pq_subvecs|$dir")(
+      subvecs(Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        subDim))
+
   /** Nearest codebook entry per (vec_id, sub) by exact L2 (argmin of
     * ||s||^2 - 2 s.c + ||c||^2, graft_dot kernels), code tie-break.
     * Codebooks are broadcast (M x K tiny rows), so candidates are
@@ -366,18 +375,19 @@ object Similarity {
     * ships; at 100 TB it trains on a sample and encodes the full
     * corpus with one broadcast. */
   private def pqCodebooks(spark: SparkSession, dir: String,
-      all: DataFrame, subDim: Int): DataFrame =
+      subDim: Int): DataFrame =
     graft.sources.DfCache.df(spark, s"pq_codebooks|$dir") {
+      val sv = corpusSubvecs(spark, dir, subDim)
       val n = graft.sources.DfCache.value(spark, s"emb_count|$dir")(
-        all.count())
+        Tables.embeddings(spark, dir).count())
       val stride = math.max(1L, n / PqK)
       val w = Window.partitionBy("sub").orderBy("vec_id")
-      var books = subvecs(all.filter(col("vec_id") % stride === 0), subDim)
+      var books = sv.filter(col("vec_id") % stride === 0)
         .withColumn("code", row_number().over(w) - 1)
         .filter(col("code") < PqK)
         .select(col("sub"), col("code"), col("svec").as("cvec"))
       for (_ <- 1 to PqLloydIters) {
-        books = assignCodes(subvecs(all, subDim), books)
+        books = assignCodes(sv, books)
           .select(col("sub"), col("code"),
             posexplode(col("svec")).as(Seq("pos", "v")))
           .groupBy("sub", "code", "pos")
@@ -394,21 +404,22 @@ object Similarity {
   /** The encoded corpus (cid, sub, code) — N x M narrow rows, the
     * compressed PQ index artifact. Cached per (session, dir): q113
     * (flat ADC) and q114 (IVF+PQ) scan the same codes. */
-  private def pqCodes(spark: SparkSession, dir: String, all: DataFrame,
+  private def pqCodes(spark: SparkSession, dir: String,
       subDim: Int): DataFrame =
     graft.sources.DfCache.df(spark, s"pq_codes|$dir") {
-      val books = pqCodebooks(spark, dir, all, subDim)
-      assignCodes(subvecs(all, subDim), books)
+      val books = pqCodebooks(spark, dir, subDim)
+      assignCodes(corpusSubvecs(spark, dir, subDim), books)
         .select(col("vec_id").as("cid"), col("sub"), col("code"))
     }
 
   /** Query-side ADC lookup table: qdot[qid][sub][code] = exact dot of
     * the query's subvector with that codebook entry. Q x M x K rows —
     * tiny, broadcast at every use. */
-  private def pqLut(spark: SparkSession, dir: String, all: DataFrame,
+  private def pqLut(spark: SparkSession, dir: String,
       subDim: Int): DataFrame =
-    subvecs(all.filter(col("vec_id") % QueryStride === 0), subDim)
-      .join(broadcast(pqCodebooks(spark, dir, all, subDim)), Seq("sub"))
+    corpusSubvecs(spark, dir, subDim)
+      .filter(col("vec_id") % QueryStride === 0)
+      .join(broadcast(pqCodebooks(spark, dir, subDim)), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("code"),
         expr("graft_dot(svec, cvec)").as("qdot"))
 
@@ -432,9 +443,8 @@ object Similarity {
       throw new IllegalStateException(
         s"PQ requires dim % $PqM == 0, got $dim")
     val subDim = dim / PqM
-    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val codes = pqCodes(spark, dir, all, subDim)
-    val lut = pqLut(spark, dir, all, subDim)
+    val codes = pqCodes(spark, dir, subDim)
+    val lut = pqLut(spark, dir, subDim)
     val approx = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("qid") =!= col("cid"))
       .groupBy("qid", "cid")
@@ -490,7 +500,6 @@ object Similarity {
     val subDim = dim / PqM
     val allN = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Dedup.normExpr.as("nrm"))
-    val allE = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val centroids = ivfCentroids(spark, dir, allN)
     val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
       centroids.count())
@@ -504,8 +513,8 @@ object Similarity {
     val cand = probes.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val codes = pqCodes(spark, dir, allE, subDim)
-    val lut = pqLut(spark, dir, allE, subDim)
+    val codes = pqCodes(spark, dir, subDim)
+    val lut = pqLut(spark, dir, subDim)
     val approx = cand.join(codes, Seq("cid"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "cid")
