@@ -122,6 +122,66 @@ object Streams {
       }
   }
 
+  /** Accumulated per-user session state for [[timeoutSessions]]: O(1)
+    * counters per key, never the event list. */
+  case class SessionAcc(n: Long, total: Double, first: Long, last: Long)
+
+  /** A completed session emitted at event-time timeout. */
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+      span_ms: Long)
+
+  /** Session gap for [[timeoutSessions]] (30 min). */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Timeout-emitted sessions (`flatMapGroupsWithState` +
+    * EventTimeTimeout — the §2.10 surface `mapGroupsWithState` can't
+    * cover): per-user counters accumulate across micro-batches and the
+    * COMPLETED session is emitted exactly once, when the watermark
+    * passes last-event + gap. This is the custom-state form of q46's
+    * `session_window`, needed when the emission payload (derived
+    * features, first/last markers) outgrows the built-in session agg.
+    * State is one [[SessionAcc]] per ACTIVE user — bounded by live
+    * keys, reclaimed at timeout; at 100 TB/day the watermark is the
+    * state-size knob, exactly as for the built-in windows. Caller must
+    * set the event-time watermark on `events` (ts, user_id, value). */
+  def timeoutSessions(events: DataFrame)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sess = events.sparkSession
+    import sess.implicits._
+    // the watermarked `ts` column must survive the projection AS a
+    // timestamp — replacing it with a derived long would detach the
+    // event-time watermark the timeout runs on
+    events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(uid, s.n, s.total, s.last - s.first))
+          } else {
+            val xs = rows.toVector
+            val ms = xs.map(_._2.getTime)
+            val prev = state.getOption
+              .getOrElse(SessionAcc(0L, 0.0, Long.MaxValue, Long.MinValue))
+            val acc = SessionAcc(prev.n + xs.size,
+              prev.total + xs.map(_._3).sum,
+              math.min(prev.first, ms.min),
+              math.max(prev.last, ms.max))
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.last + SessionGapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the

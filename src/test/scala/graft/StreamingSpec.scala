@@ -161,6 +161,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits completed sessions exactly once " +
+      "at event-time timeout") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.timeoutSessions(
+        input.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("timeout_sessions_t")
+      .outputMode("append").start()
+    try {
+      // user 1: three events inside one 30-min-gap session
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:10:00"), 1, "view", 2.5))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 10:20:00"), 1, "click", 0.5))
+      q.processAllAvailable()
+      // nothing emitted while the session is open
+      assert(sess.table("timeout_sessions_t").count() == 0)
+      // another user's event pushes the watermark past 10:20 + 30min
+      input.addData(Ev(t("2024-01-01 12:00:00"), 2, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Ev(t("2024-01-01 12:00:01"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = sess.table("timeout_sessions_t").as[Streams.SessionOut]
+        .collect().toSet
+      assert(rows == Set(
+        Streams.SessionOut(1L, 3L, 4.0, 20L * 60 * 1000)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the 7-day range") {
     val sess = spark
     import sess.implicits._
