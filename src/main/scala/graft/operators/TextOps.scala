@@ -253,7 +253,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q118 — bigram-LM conditional surprisal: the n-gram upgrade of
+    * q111. Every adjacent word pair (w1, w2) scores
+    * -log2 p(w2 | w1) = -log2( c(w1 w2) / c(w1 as prefix) ), with both
+    * counts trained corpus-wide; a document's mean conditional
+    * surprisal separates locally-coherent text (common continuations,
+    * low bits) from shuffled/garbled text that q111's order-blind
+    * unigram model scores identically. Corpus trained on itself =>
+    * every doc bigram has nonzero count, so no smoothing/backoff is
+    * needed and the score is exact. Scale: one bigram explode
+    * (O(tokens) rows) + two hash-agg count tables joined back on the
+    * bigram content key — q34's shingle shuffle class, nothing new. */
+  def q118BigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("words", split(trim(col("text")), " "))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |          i -> concat_ws(' ', slice(words, i, 2)))""".stripMargin))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log2(col("c2").cast("double") / col("c1"))).as("bits"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("bits") / col("n_bigrams"), 4).as("avg_bigram_bits"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bigram_surprisal" -> (q118BigramSurprisal _),
     "q111_lm_surprisal" -> (q111LmSurprisal _),
     "q96_bm25" -> (q96Bm25 _),
     "q86_tfidf" -> (q86Tfidf _),
@@ -265,6 +300,26 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q118_bigram_surprisal" ->
+      """WITH bgr AS (
+        |  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bg,
+        |         words[i] AS w1
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS words,
+        |               unnest(generate_series(1,
+        |                 len(string_split(trim(text), ' ')) - 1)) AS i
+        |        FROM documents)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bgr GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bgr GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |         sum(-log2(CAST(c2.c2 AS DOUBLE) / c1.c1)) AS bits
+        |  FROM bgr JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       round(bits / n_bigrams, 4) AS avg_bigram_bits
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q111_lm_surprisal" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word

@@ -157,6 +157,36 @@ class Breadth2CurationSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q118 bigram surprisal matches a scala bigram-model recompute " +
+      "and discriminates across the corpus") {
+    import graft.operators.TextOps
+    val got = TextOps.q118BigramSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ", -1).toSeq)
+      .toMap
+    val allBg = docs.values.toSeq.flatMap(ws => ws.zip(ws.drop(1)))
+    val c2 = allBg.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = allBg.groupBy(_._1).map { case (k, v) => k -> v.size }
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    docs.foreach { case (id, ws) =>
+      val bgs = ws.zip(ws.drop(1))
+      val (n, bits) = got(id)
+      assert(n == bgs.size, s"doc $id bigram count")
+      if (bgs.nonEmpty) {
+        val expect =
+          bgs.map(b => -log2(c2(b).toDouble / c1(b._1))).sum / bgs.size
+        assert(math.abs(bits - expect) < 1e-3,
+          s"doc $id: $bits vs $expect")
+      }
+    }
+    // non-vacuous: the conditional model must discriminate across docs
+    val scores = got.values.filter(v => v._1 > 0).map(_._2)
+    assert(scores.nonEmpty && scores.max - scores.min > 0.1)
+  }
+
   test("q111 LM surprisal matches a scala unigram-model recompute") {
     import graft.operators.TextOps
     val got = TextOps.q111LmSurprisal(spark, sf).collect()
