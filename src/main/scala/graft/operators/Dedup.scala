@@ -312,6 +312,31 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** q119 — EXACT vector dedup: the flat hash-groupBy pass docs/SCALE.md
+    * prescribes BEFORE any banded/blocked embedding near-dup (q35/q107):
+    * mass-duplicate embedding clusters are collapsed by an exact
+    * content key so LSH bucket joins never pay bucket^2 on them (the
+    * measured 16x win in the 10x study). The key is the
+    * micro-quantized coordinate string (floor(x*1000), the same
+    * quantization q35's banding uses), so "identical" matches the
+    * near-dup pipeline's own notion of the vector, and the DuckDB
+    * oracle derives the identical key. Same shape as q31: one shuffle
+    * on the content key, no pair join. */
+  def q119VectorExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), md5(expr(
+        """concat_ws(',', transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))"""
+          .stripMargin)).as("vkey"))
+    val groups = vecs.groupBy("vkey")
+      .agg(min(col("vec_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    vecs.join(groups, Seq("vkey"))
+      .select(col("vec_id"), col("canonical_id"), col("group_size"),
+        (col("vec_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy("vec_id")
+  }
+
   // q110 span geometry: 64-char windows sampled every 32 chars.
   // Overlapping windows (stride = len/2) guarantee any duplicated run
   // of >= SpanLen + SpanStride - 1 chars fully contains at least one
@@ -780,6 +805,7 @@ object Dedup {
     "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
     "q110_span_dedup" -> (q110SpanDedup _),
     "q115_cluster_canonical" -> (q115ClusterCanonical _),
+    "q119_vector_exact_dedup" -> (q119VectorExactDedup _),
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
 
@@ -866,6 +892,20 @@ object Dedup {
          |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
          |       doc_id AS canonical_id, quality AS best_quality
          |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q119_vector_exact_dedup" ->
+      """WITH vecs AS (
+        |  SELECT vec_id,
+        |         md5(array_to_string(
+        |           [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |            FOR x IN embedding], ',')) AS vkey
+        |  FROM embeddings),
+        |groups AS (
+        |  SELECT vkey, min(vec_id) AS canonical_id, count(*) AS group_size
+        |  FROM vecs GROUP BY 1)
+        |SELECT vec_id, canonical_id, group_size,
+        |       vec_id <> canonical_id AS is_duplicate
+        |FROM vecs JOIN groups USING (vkey)
+        |ORDER BY vec_id""".stripMargin,
     "q31_dedup_exact" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
         |SELECT doc_id,

@@ -323,6 +323,28 @@ class DedupSimilaritySpec extends SparkTestBase {
       "q35 hides a nested-loop pair scan")
   }
 
+  test("q119 vector exact dedup groups exactly the quantized-identical " +
+      "vectors, canonical = group minimum") {
+    val quant = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong)
+          .toVector)
+      .toMap
+    val bySig = quant.toSeq.groupBy(_._2).map { case (_, xs) =>
+      val ids = xs.map(_._1)
+      ids.min -> ids.toSet
+    }
+    val rows = Dedup.q119VectorExactDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == quant.size)
+    rows.foreach { case (id, canon, size, dup) =>
+      val group = bySig(bySig.keys.find(k => bySig(k).contains(id)).get)
+      assert(canon == group.min, s"vec $id canonical")
+      assert(size == group.size, s"vec $id group size")
+      assert(dup == (id != group.min))
+    }
+  }
+
   test("q115 canonical is the max-quality member of each q73 cluster " +
       "with lowest-id tie-break") {
     val clusters = Dedup.q73DedupClusters(spark, sf).collect()
