@@ -693,7 +693,48 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Reciprocal-rank-fusion constant: the standard k=60 from the
+    * original RRF formulation — large enough that rank 1 vs rank 2
+    * differences don't dominate, small enough that ranks matter. */
+  private val RrfK = 60
+
+  /** q120 — hybrid retrieval: fuse the q96 BM25 lexical ranking with a
+    * dense cosine ranking (query = vector 0) by reciprocal-rank fusion,
+    * the production RAG retrieval shape (sparse recalls rare exact
+    * terms, dense recalls paraphrases; RRF needs no score calibration
+    * because it consumes only RANKS). Both arms are top-20 global
+    * TakeOrderedAndProject heads, the fusion is a 20+20-row full outer
+    * join — corpus cost is the two arm scans, both already linear and
+    * shuffle-minimal; nothing about fusion itself grows with N. */
+  def q120HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val lex = TextOps.q96Bm25(spark, dir)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        Dedup.normExpr.as("na"))
+    val vec = broadcast(q).crossJoin(corpusVecs(spark, dir))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("cid").as("doc_id"), simCol)
+      .orderBy(desc("cosine"), asc("doc_id")).limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(desc("cosine"), asc("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("rrf"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_hybrid_rrf" -> (q120HybridRrf _),
     "q101_centroid_eval" -> (q101CentroidEval _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
@@ -703,6 +744,71 @@ object Similarity {
     "q107_semantic_dedup" -> (q107SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
+    // lexical arm = q96's oracle CTEs verbatim; dense arm = q36's
+    // unnest/norm/dot CTEs specialized to query vector 0; RRF in
+    // explicit DOUBLE so DuckDB's DECIMAL literals can't diverge
+    "q120_hybrid_rrf" ->
+      s"""WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM tokens GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |qt AS (SELECT word, df FROM dfreq ORDER BY df DESC, word LIMIT 3),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         round(sum(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+        |               * (t.tf * (1.2 + 1)) /
+        |                 (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / avgdl))),
+        |               4) AS bm25,
+        |         count(*) AS n_matched_terms
+        |  FROM tf t JOIN qt q USING (word) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats
+        |  GROUP BY t.doc_id),
+        |lex AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |           AS lex_rank
+        |  FROM (SELECT doc_id, bm25 FROM scored
+        |        ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        |ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT b.vec_id AS doc_id, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i
+        |                      AND a.vec_id = 0 AND b.vec_id <> 0
+        |  GROUP BY 1),
+        |vscored AS (
+        |  SELECT d.doc_id, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms n1 ON n1.vec_id = 0
+        |  JOIN norms n2 ON n2.vec_id = d.doc_id),
+        |vec AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+        |           AS vec_rank
+        |  FROM (SELECT doc_id, cosine FROM vscored
+        |        ORDER BY cosine DESC, doc_id LIMIT 20)),
+        |fused AS (
+        |  SELECT doc_id,
+        |         round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank),
+        |                        CAST(0.0 AS DOUBLE))
+        |             + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank),
+        |                        CAST(0.0 AS DOUBLE)), 6) AS rrf,
+        |         lex_rank, vec_rank
+        |  FROM lex FULL OUTER JOIN vec USING (doc_id))
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+        |         AS rank,
+        |       doc_id, rrf, lex_rank, vec_rank
+        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+        |ORDER BY rank""".stripMargin,
     "q101_centroid_eval" ->
       """WITH ex AS (
         |  SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

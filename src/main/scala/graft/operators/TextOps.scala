@@ -287,7 +287,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q121 — per-domain adaptive quality filtering: a single global
+    * quality cutoff over a mixed corpus silently biases the mix (a
+    * threshold tuned for encyclopedic text deletes most code or chat),
+    * so production curation sets the cutoff PER SOURCE — here each
+    * source keeps its docs at or above its own exact p25 of the q39
+    * quality score. Scale: one hash agg per source for the thresholds
+    * (source cardinality ~ thousands, broadcast back), one broadcast
+    * join against the per-doc quality scan — no new shuffle class; the
+    * percentile is exact (type-7, matching DuckDB quantile_cont), and
+    * the comparison runs against the ROUNDED threshold in both engines
+    * so the kept flag can't flip on interpolation ulps. */
+  def q121AdaptiveQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(q39QualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val bounds = scored.groupBy("source")
+      .agg(round(expr("percentile(quality, 0.25d)"), 6).as("src_p25"))
+    scored.join(broadcast(bounds), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("src_p25"), (col("quality") >= col("src_p25")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_adaptive_quality" -> (q121AdaptiveQuality _),
     "q118_bigram_surprisal" -> (q118BigramSurprisal _),
     "q111_lm_surprisal" -> (q111LmSurprisal _),
     "q96_bm25" -> (q96Bm25 _),
@@ -300,6 +325,32 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    // quality CTEs = q39's oracle; threshold = exact continuous p25 per
+    // source, rounded to 6 in BOTH engines before the kept comparison
+    "q121_adaptive_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text, ' ' || text || ' ' AS p,
+        |         len(string_split(trim(text), ' ')) AS n_words
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, source, n_words,
+        |         CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |              + (length(p) - length(replace(p, ' a ', ''))) / 3 AS INT)
+        |           AS n_stopwords
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, source,
+        |         round(ln(1.0 + n_words)
+        |               * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words), 6)
+        |           AS quality
+        |  FROM counted),
+        |bounds AS (
+        |  SELECT source, round(quantile_cont(quality, 0.25), 6) AS src_p25
+        |  FROM q GROUP BY 1)
+        |SELECT doc_id, source, quality, src_p25,
+        |       quality >= src_p25 AS kept
+        |FROM q JOIN bounds USING (source)
+        |ORDER BY doc_id""".stripMargin,
     "q118_bigram_surprisal" ->
       """WITH bgr AS (
         |  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bg,

@@ -209,4 +209,42 @@ class Breadth2CurationSpec extends SparkTestBase {
     val scores = got.values.map(_._2)
     assert(scores.max - scores.min > 0.1, "surprisal should discriminate")
   }
+
+  test("q121 adaptive quality: per-source threshold is the exact type-7 " +
+      "p25 and kept flags follow it") {
+    def pct25(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val rank = 0.25 * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    val quality = graft.operators.TextOps.q39QualityScore(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = srcOf.groupBy(_._2)
+      .map { case (s, m) => s -> m.keys.toArray.map(quality) }
+    val got = graft.operators.TextOps.q121AdaptiveQuality(spark, sf)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == quality.keySet)
+    got.foreach { r =>
+      val (id, src, q, p25, kept) = (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(src == srcOf(id))
+      assert(q == quality(id), s"doc $id quality")
+      assert(math.abs(p25 - pct25(bySrc(src))) < 2e-6, s"$src p25")
+      assert(kept == (q >= p25), s"doc $id kept flag")
+    }
+    // a p25 cutoff keeps at least ~75% of every source, never all of a
+    // source with quality variance
+    bySrc.keys.foreach { s =>
+      val rows = got.filter(_.getString(1) == s)
+      val frac = rows.count(_.getBoolean(4)).toDouble / rows.length
+      assert(frac >= 0.74, s"source $s kept fraction $frac")
+      if (bySrc(s).distinct.length > 4)
+        assert(frac < 1.0, s"source $s filtered nothing")
+    }
+  }
 }

@@ -413,4 +413,49 @@ class DedupSimilaritySpec extends SparkTestBase {
       .foreach(id =>
         assert(rows(id)._3 == 1.0, s"exact-dup doc $id not fully shared"))
   }
+
+  test("q120 hybrid RRF: fused scores recompute from the arm ranks, " +
+      "lex ranks match q96, vec ranks order by exact cosine") {
+    val got = Similarity.q120HybridRrf(spark, sf).collect().map { r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))
+    }
+    assert(got.map(_._1).toSeq == (1 to 10), "ranks must be 1..10")
+    // RRF arithmetic from the row's own arm ranks
+    got.foreach { case (_, id, rrf, lexR, vecR) =>
+      assert(lexR.isDefined || vecR.isDefined, s"doc $id in neither arm")
+      val expect = lexR.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vecR.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf != $expect")
+    }
+    // fused order: rrf non-increasing, doc_id tie-break ascending
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+        s"fusion order broken between ${a._2} and ${b._2}")
+    }
+    // lexical arm ranks are exactly q96's
+    val bm25 = graft.operators.TextOps.q96Bm25(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    got.foreach { case (_, id, _, lexR, _) =>
+      assert(lexR == bm25.get(id), s"doc $id lex rank vs q96")
+    }
+    // dense arm: independent scala cosine vs vector 0 — a doc with a
+    // better (smaller) vec_rank must not have a worse exact cosine
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val q = vecs(0L)
+    def cos(id: Long): Double = {
+      val v = vecs(id)
+      val dot = q.zip(v).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(q.map(x => x * x).sum) *
+        math.sqrt(v.map(x => x * x).sum))
+    }
+    val ranked = got.collect { case (_, id, _, _, Some(vr)) => (vr, id) }
+    for ((ra, ia) <- ranked; (rb, ib) <- ranked if ra < rb)
+      assert(cos(ia) >= cos(ib) - 1e-9,
+        s"vec_rank $ra doc $ia has worse cosine than rank $rb doc $ib")
+    assert(ranked.nonEmpty, "no dense-arm docs reached the fused top-10")
+  }
 }
