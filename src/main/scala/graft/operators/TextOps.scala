@@ -287,6 +287,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q123 — PMI word co-occurrence over the top-20 vocabulary: for word
+    * pairs (a, b), pmi = log2(P(a,b) / (P(a) P(b))) with probabilities
+    * at DOCUMENT granularity — the classic collocation / topic-signal
+    * statistic. The pair space is the quadratic trap; it is bounded the
+    * same way q106 bounds shingle joins: only the top-20-by-df
+    * vocabulary (broadcast) enters pair generation, so each doc emits
+    * at most C(20,2) = 190 pairs regardless of corpus size — the
+    * candidate volume is corpus-linear with a fixed constant, never
+    * vocab^2 over the full Zipf tail. Output: top-30 pairs by PMI among
+    * those co-occurring in >= 5 docs. */
+  def q123PmiCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"))
+    val vocab = docFreqs(spark, dir)
+      .orderBy(desc("df"), asc("word")).limit(20)
+    val present = termFreqs(spark, dir)
+      .join(broadcast(vocab), Seq("word"))
+      .select(col("doc_id"), col("word"), col("df"))
+    val pairs = present.as("a").join(present.as("b"), Seq("doc_id"))
+      .filter(col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("w1"), col("b.word").as("w2"),
+        col("a.df").as("df1"), col("b.df").as("df2"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 5)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("n_both"),
+        round(log2(col("n_both").cast("double") * col("n_docs") /
+          (col("df1") * col("df2"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(30)
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+  }
+
   /** q121 — per-domain adaptive quality filtering: a single global
     * quality cutoff over a mixed corpus silently biases the mix (a
     * threshold tuned for encyclopedic text deletes most code or chat),
@@ -312,6 +344,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_pmi_cooccurrence" -> (q123PmiCooccurrence _),
     "q121_adaptive_quality" -> (q121AdaptiveQuality _),
     "q118_bigram_surprisal" -> (q118BigramSurprisal _),
     "q111_lm_surprisal" -> (q111LmSurprisal _),
@@ -325,6 +358,32 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    // document-granularity PMI: P(a), P(b), P(a,b) all from doc counts;
+    // the top-20 vocab gate bounds the pair space in both engines
+    "q123_pmi_cooccurrence" ->
+      """WITH tokens AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |dfreq AS (SELECT word, count(*) AS df FROM tokens GROUP BY 1),
+        |vocab AS (SELECT word, df FROM dfreq
+        |          ORDER BY df DESC, word LIMIT 20),
+        |present AS (
+        |  SELECT t.doc_id, t.word, v.df
+        |  FROM tokens t JOIN vocab v USING (word)),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.word AS w1, b.word AS w2,
+        |         a.df AS df1, b.df AS df2, count(*) AS n_both
+        |  FROM present a JOIN present b
+        |    ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 5)
+        |SELECT w1, w2, n_both,
+        |       round(log2(CAST(n_both AS DOUBLE) * n_docs
+        |                  / (df1 * df2)), 4) AS pmi
+        |FROM pairs CROSS JOIN n
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
     // quality CTEs = q39's oracle; threshold = exact continuous p25 per
     // source, rounded to 6 in BOTH engines before the kept comparison
     "q121_adaptive_quality" ->

@@ -51,10 +51,83 @@ object TrainingPipeline {
       .orderBy("source")
   }
 
+  /** q122 — length-bucketed batching audit: training jobs pad every
+    * sequence in a batch to the batch max, so batching docs of mixed
+    * length burns FLOPs on pad tokens. The standard fix is length
+    * bucketing: split the corpus at the exact token-count quartiles and
+    * batch within buckets. This audits the win — per-bucket padding
+    * waste (1 - sum(len) / (n * bucket_max)) vs the unbucketed baseline
+    * (the rollup row, bucket = -1, whose max is the GLOBAL max). Scale:
+    * one narrow token-count scan, one scalar percentile agg broadcast
+    * back as the three bucket edges, one 4-group rollup — no new
+    * shuffle class, nothing grows with corpus size but the scan. */
+  def q122LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n_tok"))
+    val edges = toks.agg(
+      expr("percentile(n_tok, 0.25d)").as("q1"),
+      expr("percentile(n_tok, 0.5d)").as("q2"),
+      expr("percentile(n_tok, 0.75d)").as("q3"))
+    val bucketed = toks.crossJoin(broadcast(edges))
+      .select(col("n_tok"),
+        when(col("n_tok") <= col("q1"), 0)
+          .when(col("n_tok") <= col("q2"), 1)
+          .when(col("n_tok") <= col("q3"), 2)
+          .otherwise(3).as("bucket"))
+    // per-bucket rows + the unbucketed baseline row (bucket = -1, whose
+    // max is the GLOBAL max): a 4-group agg unioned with a scalar agg
+    // over the same tiny (n_tok, bucket) frame
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      min(col("n_tok")).as("tok_min"),
+      max(col("n_tok")).as("tok_max"),
+      sum(col("n_tok")).as("tok_sum"))
+    val perBucket = bucketed.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+    val baseline = bucketed.agg(aggs.head, aggs.tail: _*)
+      .select(lit(-1).as("bucket"), col("n_docs"), col("tok_min"),
+        col("tok_max"), col("tok_sum"))
+    perBucket.unionByName(baseline)
+      .select(col("bucket"), col("n_docs"), col("tok_min"), col("tok_max"),
+        round(col("tok_sum").cast("double") / col("n_docs"), 6)
+          .as("tok_avg"),
+        round(lit(1.0) - col("tok_sum").cast("double") /
+          (col("n_docs") * col("tok_max")), 6).as("padding_waste"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_length_buckets" -> (q122LengthBuckets _),
     "q53_curation_pipeline" -> (q53CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
+    // exact continuous quartile edges (quantile_cont == Spark
+    // percentile); the ROLLUP total row is the unbucketed baseline
+    "q122_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+        |  FROM documents),
+        |edges AS (
+        |  SELECT quantile_cont(n_tok, 0.25) AS q1,
+        |         quantile_cont(n_tok, 0.50) AS q2,
+        |         quantile_cont(n_tok, 0.75) AS q3
+        |  FROM toks),
+        |bucketed AS (
+        |  SELECT CASE WHEN n_tok <= q1 THEN 0
+        |              WHEN n_tok <= q2 THEN 1
+        |              WHEN n_tok <= q3 THEN 2
+        |              ELSE 3 END AS bucket,
+        |         n_tok
+        |  FROM toks CROSS JOIN edges)
+        |SELECT coalesce(bucket, -1) AS bucket,
+        |       count(*) AS n_docs,
+        |       CAST(min(n_tok) AS INT) AS tok_min,
+        |       CAST(max(n_tok) AS INT) AS tok_max,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS tok_avg,
+        |       round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+        |                   / (count(*) * max(n_tok)), 6) AS padding_waste
+        |FROM bucketed
+        |GROUP BY ROLLUP (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q53_curation_pipeline" ->
       """WITH docs AS (
         |  SELECT doc_id, text, source, md5(text) AS text_hash,

@@ -210,6 +210,80 @@ class Breadth2CurationSpec extends SparkTestBase {
     assert(scores.max - scores.min > 0.1, "surprisal should discriminate")
   }
 
+  test("q122 length buckets: quartile edges, waste arithmetic, and the " +
+      "baseline row match a scala recompute") {
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .selectExpr("size(split(trim(text), ' ')) AS n").collect()
+      .map(_.getInt(0).toDouble)
+    val (e1, e2, e3) = (pct(toks, 0.25), pct(toks, 0.5), pct(toks, 0.75))
+    def bucketOf(n: Double): Int =
+      if (n <= e1) 0 else if (n <= e2) 1 else if (n <= e3) 2 else 3
+    val groups = toks.groupBy(bucketOf) + (-1 -> toks)
+    val got = graft.operators.TrainingPipeline
+      .q122LengthBuckets(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(-1, 0, 1, 2, 3))
+    got.foreach { r =>
+      val xs = groups(r.getInt(0))
+      assert(r.getLong(1) == xs.length, s"bucket ${r.getInt(0)} size")
+      assert(r.getInt(2) == xs.min.toInt && r.getInt(3) == xs.max.toInt)
+      val waste = 1.0 - xs.sum / (xs.length * xs.max)
+      assert(math.abs(r.getDouble(5) - waste) < 1e-6,
+        s"bucket ${r.getInt(0)} waste")
+    }
+    // the point of bucketing: every bucket wastes less padding than the
+    // unbucketed baseline (equal only if a bucket is single-valued)
+    val base = got.find(_.getInt(0) == -1).get.getDouble(5)
+    got.filter(_.getInt(0) >= 0).foreach(r =>
+      assert(r.getDouble(5) <= base,
+        s"bucket ${r.getInt(0)} beats no-bucketing"))
+  }
+
+  test("q123 PMI: pair counts and scores match a scala recompute over " +
+      "the top-20 vocabulary") {
+    val docWords = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split(" ").toSet).toMap
+    val df = docWords.values.toSeq.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val vocab = df.toSeq.sortBy { case (w, d) => (-d, w) }.take(20).toMap
+    val nDocs = docWords.size.toLong
+    val pairCounts = docWords.values.toSeq
+      .flatMap { ws =>
+        val present = ws.filter(vocab.contains).toSeq.sorted
+        for (i <- present.indices; j <- i + 1 until present.length)
+          yield (present(i), present(j))
+      }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 5)
+    def pmi(w1: String, w2: String, both: Long): Double =
+      math.log(both.toDouble * nDocs / (vocab(w1) * vocab(w2))) /
+        math.log(2.0)
+    val expectTop = pairCounts.toSeq
+      .map { case ((w1, w2), c) =>
+        (w1, w2, c, BigDecimal(pmi(w1, w2, c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(30)
+    val got = graft.operators.TextOps.q123PmiCooccurrence(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == expectTop.length)
+    got.zip(expectTop).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"pair mismatch: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-4, s"pmi mismatch: $g vs $e")
+    }
+  }
+
   test("q121 adaptive quality: per-source threshold is the exact type-7 " +
       "p25 and kept flags follow it") {
     def pct25(xs: Array[Double]): Double = {
