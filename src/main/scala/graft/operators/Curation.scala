@@ -180,6 +180,62 @@ object Curation {
       .orderBy("doc_id", "chunk_ix")
   }
 
+  /** CDC window width and boundary divisor: a position is a chunk
+    * boundary when the 60-bit hash of the trailing [[CdcW]]-char window
+    * is divisible by [[CdcD]], giving expected ~[[CdcD]]-char chunks. */
+  private val CdcW = 16
+  private val CdcD = 32
+
+  /** q124 — content-defined chunking (the LBFS/rsync family): chunk
+    * boundaries are set where the hash of the trailing 16-char window
+    * hits 0 mod 32, so boundaries move WITH the content — an insertion
+    * near a document's head shifts every q110-style fixed-stride window
+    * after it (all their hashes change), but CDC boundaries downstream
+    * of the edit re-align and the unchanged tail chunks still dedup.
+    * Output is the q110 signal at chunk granularity: per doc, chunk
+    * count, mean chunk length, and the fraction of chunks shared with
+    * another document.
+    *
+    * Scale: candidate generation is one shuffle on the chunk content
+    * key (q31's shape — no pair join, so a hot boilerplate chunk can't
+    * go quadratic); the boundary scan is O(chars) window hashes,
+    * embarrassingly parallel in the scan stage. The md5-based window
+    * hash keeps the boundary rule bit-identical in the DuckDB oracle;
+    * a production deployment swaps in a Gear/Rabin ROLLING hash (O(1)
+    * per position instead of O(W)) behind the same boundary predicate. */
+  def q124CdcChunk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // boundary positions: p in [W, len-1] (the end-of-doc boundary is
+    // appended unconditionally, so p = len would be redundant)
+    val bounds = docs
+      .filter(length(col("text")) > CdcW)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(CdcW), length(col("text")) - 1)).as("p"))
+      .filter(pmod(Hashing.md5Hash60(
+        expr(s"substring(text, p - ${CdcW - 1}, $CdcW)")), lit(CdcD)) === 0)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("bs"))
+    val chunks = docs.join(bounds, Seq("doc_id"), "left_outer")
+      .withColumn("ends", expr(
+        "concat(coalesce(bs, CAST(array() AS ARRAY<INT>)), array(length(text)))"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
+          |         (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+    val shared = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        round(avg(col("clen")), 4).as("avg_chunk_len"),
+        sum((col("nd") >= 2).cast("long")).as("n_shared_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_shared_chunks").cast("double") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
+
   /** q67 — repetition score (quality signal): fraction of a document's
     * word 3-grams that are repeats of an earlier occurrence — high values
     * flag the degenerate loops that poison training data. One explode +
@@ -404,11 +460,57 @@ object Curation {
     "q66_contamination" -> (q66Contamination _),
     "q103_bloom_decontaminate" -> (q103BloomDecontaminate _),
     "q104_chunk_docs" -> (q104ChunkDocs _),
+    "q124_cdc_chunk" -> (q124CdcChunk _),
     "q67_repetition_score" -> (q67RepetitionScore _),
     "q68_stratified_sample" -> (q68StratifiedSample _),
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    // same boundary rule bit-for-bit: 60-bit md5-prefix hash of the
+    // trailing 16-char window, divisible by 32; end-of-doc boundary
+    // appended; chunks rebuilt from consecutive boundary pairs
+    "q124_cdc_chunk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |bnd AS (
+        |  SELECT doc_id, p
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(16, len - 1)) AS p
+        |        FROM docs WHERE len > 16)
+        |  WHERE ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)),
+        |                        1, 15))::BIGINT % 32 = 0),
+        |bs AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bnd GROUP BY 1),
+        |spans AS (
+        |  SELECT d.doc_id, d.text,
+        |         list_append(coalesce(b.bs, CAST([] AS BIGINT[])), d.len)
+        |           AS ends
+        |  FROM docs d LEFT JOIN bs b USING (doc_id)),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         md5(substr(text,
+        |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
+        |                    AS INT),
+        |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
+        |                              END AS INT))) AS h,
+        |         length(substr(text,
+        |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
+        |                    AS INT),
+        |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
+        |                              END AS INT))) AS clen
+        |  FROM (SELECT doc_id, text, ends,
+        |               unnest(generate_series(1, len(ends))) AS i
+        |        FROM spans)),
+        |shared AS (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |       count(*) AS n_chunks,
+        |       round(avg(c.clen), 4) AS avg_chunk_len,
+        |       CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared_chunks,
+        |       round(CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM chunks c JOIN shared s USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q73's recursive closure + q97's split hash keyed on the cluster id
     "q117_leakage_safe_split" ->
       s"""WITH RECURSIVE ${Dedup.shinglesCte},

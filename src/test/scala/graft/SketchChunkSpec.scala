@@ -76,6 +76,56 @@ class SketchChunkSpec extends SparkTestBase {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("q124 CDC chunking matches a scala recompute and boundaries " +
+      "survive a head insertion (fixed-stride windows don't)") {
+    import graft.functions.Hashing.md5Hash60Value
+    def chunksOf(text: String): Seq[String] = {
+      val ends = (16 until text.length)
+        .filter(p => md5Hash60Value(text.substring(p - 16, p)) % 32 == 0)
+        .toSeq :+ text.length
+      val starts = 0 +: ends.dropRight(1)
+      starts.zip(ends).map { case (s, e) => text.substring(s, e) }
+    }
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = docs.map { case (id, t) => id -> chunksOf(t) }
+    val docsPerHash = byDoc.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val got = Curation.q124CdcChunk(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val (n, avgLen, shared) = got(id)
+      assert(n == cs.length, s"doc $id chunk count")
+      assert(math.abs(avgLen - cs.map(_.length).sum.toDouble / cs.length)
+        < 1e-3, s"doc $id avg chunk length")
+      assert(shared == cs.count(c => docsPerHash(c) >= 2),
+        s"doc $id shared chunks")
+    }
+    // average chunk length across the corpus is near the divisor (32)
+    val allChunks = byDoc.values.flatten
+    val grandAvg = allChunks.map(_.length).sum.toDouble / allChunks.size
+    assert(grandAvg > 16 && grandAvg < 64, s"grand avg $grandAvg")
+    // THE content-defined property: prepend text to a long doc and the
+    // boundaries downstream of the edit re-align, so most chunks still
+    // dedup against the original; the same edit shifts EVERY fixed
+    // 64/32 stride window (q110's rule), killing all window reuse
+    val (_, text) = docs.maxBy(_._2.length)
+    val edited = "inserted preamble " + text
+    val orig = chunksOf(text).toSet
+    val post = chunksOf(edited)
+    val realigned = post.count(orig)
+    assert(realigned.toDouble / post.size >= 0.8,
+      s"only $realigned/${post.size} chunks re-aligned after the edit")
+    def strideWindows(t: String): Seq[String] =
+      (1 to t.length - 63 by 32).map(p => t.substring(p - 1, p + 63))
+    val origWin = strideWindows(text).toSet
+    assert(strideWindows(edited).count(origWin) == 0,
+      "fixed-stride windows unexpectedly survived the head insertion")
+  }
+
   test("q116 winsorize matches a scala type-7 percentile recompute") {
     // independent type-7 interpolated percentile (what Spark
     // `percentile` and DuckDB `quantile_cont` both compute)
