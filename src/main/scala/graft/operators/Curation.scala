@@ -236,6 +236,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q125 — Gear-hash CDC (the production kernel q124's scaladoc
+    * promises): the same chunk-level dedup signal as q124, with
+    * boundaries from the native `graft_gear_ends` codegen kernel — an
+    * O(1)-per-byte rolling hash instead of q124's O(W) md5 window, the
+    * measured 10x-study difference (docs/SCALE.md). The gear table is
+    * not SQL-expressible, so the oracle is a q37-style CONTRACT: the
+    * engine computes the law flags (every exact-duplicate doc fully
+    * chunk-shared; every chunk within the forced MaxLen bound) and a
+    * regression flips them against the oracle's constants. Value-level
+    * exactness (kernel == independent Scala reference, insertion
+    * re-alignment) is spec-checked in GearCdcSpec. */
+  def q125CdcGear(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val chunks = docs
+      .filter(length(col("text")) > 0)
+      .withColumn("ends", expr("graft_gear_ends(text)"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
+          |         (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+    val shared = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = chunks.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("clen")).as("max_chunk_len"),
+        sum((col("nd") >= 2).cast("long")).as("n_shared_chunks"))
+    // law 1: docs whose full text is exactly duplicated must be fully
+    // chunk-shared (their twins chunk identically); law 2: no chunk
+    // ever exceeds the forced-cut bound
+    val twins = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val twinIds = twins.join(
+      twins.groupBy("th").agg(count(lit(1)).as("ng")).filter(col("ng") > 1),
+      Seq("th")).select("doc_id")
+    val twinStats = perDoc.join(twinIds, Seq("doc_id"))
+      .agg(coalesce(min((col("n_shared_chunks") === col("n_chunks"))
+        .cast("int")), lit(1)).as("twin_min_ok"))
+    perDoc.agg(count(lit(1)).as("n_docs"),
+        (max(col("max_chunk_len")) <= graft.plans.GearCdc.MaxLen)
+          .as("max_len_ok"))
+      .crossJoin(twinStats.select((col("twin_min_ok") === 1)
+        .as("twin_dup_ok")))
+      .select(col("n_docs"), col("twin_dup_ok"), col("max_len_ok"))
+  }
+
   /** q67 — repetition score (quality signal): fraction of a document's
     * word 3-grams that are repeats of an earlier occurrence — high values
     * flag the degenerate loops that poison training data. One explode +
@@ -461,11 +509,18 @@ object Curation {
     "q103_bloom_decontaminate" -> (q103BloomDecontaminate _),
     "q104_chunk_docs" -> (q104ChunkDocs _),
     "q124_cdc_chunk" -> (q124CdcChunk _),
+    "q125_cdc_gear" -> (q125CdcGear _),
     "q67_repetition_score" -> (q67RepetitionScore _),
     "q68_stratified_sample" -> (q68StratifiedSample _),
     "q69_vocab" -> (q69Vocab _))
 
   val oracles: Map[String, String] = Map(
+    // the gear table is engine-side (not SQL-portable): contract oracle
+    // in the q37 style — the engine computes the law flags, a
+    // regression flips them against these constants
+    "q125_cdc_gear" ->
+      """SELECT count(*) AS n_docs, TRUE AS twin_dup_ok, TRUE AS max_len_ok
+        |FROM documents WHERE length(text) > 0""".stripMargin,
     // same boundary rule bit-for-bit: 60-bit md5-prefix hash of the
     // trailing 16-char window, divisible by 32; end-of-doc boundary
     // appended; chunks rebuilt from consecutive boundary pairs

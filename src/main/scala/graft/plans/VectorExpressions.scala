@@ -230,7 +230,9 @@ object GraftFunctions {
     // probe stays inside WholeStageCodegen instead of a boxed UDF.
     "graft_bloom_contains" -> ((children: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        children(0), children(1))))
+        children(0), children(1))),
+    "graft_gear_ends" -> ((children: Seq[Expression]) =>
+      GearChunkEnds(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -262,6 +264,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_gear_ends"),
+      new ExpressionInfo(classOf[GearChunkEnds].getName, "graft_gear_ends"),
+      (children: Seq[Expression]) => GearChunkEnds(children(0))))
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
     extensions.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
