@@ -312,6 +312,29 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** q126 — cross-source duplication matrix: which SOURCES duplicate
+    * each other — the provenance question (licensing exposure, scraper
+    * overlap, mirror detection) a per-document dedup list can't answer
+    * directly. For every unordered source pair (a <= b), counts the
+    * near-dup clusters (q73) containing at least one doc from each;
+    * the diagonal (a = b) is each source's total cluster
+    * participation. Scale: the (cluster, source) table is at most
+    * |clustered docs| rows BEFORE dedup and |clusters| x |sources
+    * touched| after — tiny relative to the corpus — so the self-join
+    * runs on cluster-key groups whose width is bounded by source
+    * cardinality, never by document count. */
+  def q126CrossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val cs = q73DedupClusters(spark, dir).select("doc_id", "cluster_id")
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .select("cluster_id", "source").distinct()
+    cs.as("a").join(cs.as("b"), Seq("cluster_id"))
+      .filter(col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q119 — EXACT vector dedup: the flat hash-groupBy pass docs/SCALE.md
     * prescribes BEFORE any banded/blocked embedding near-dup (q35/q107):
     * mass-duplicate embedding clusters are collapsed by an exact
@@ -805,6 +828,7 @@ object Dedup {
     "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
     "q110_span_dedup" -> (q110SpanDedup _),
     "q115_cluster_canonical" -> (q115ClusterCanonical _),
+    "q126_cross_source_dup" -> (q126CrossSourceDup _),
     "q119_vector_exact_dedup" -> (q119VectorExactDedup _),
     "q35_dedup_embedding" -> (q35DedupEmbedding _),
     "q102_cross_batch_minhash" -> (q102CrossBatchMinhash _))
@@ -820,6 +844,39 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q73's recursive closure + the documents source column: clusters
+    // spanning a source pair counted once per pair
+    "q126_cross_source_dup" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |members AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |cs AS (
+         |  SELECT DISTINCT m.cluster_id, d.source
+         |  FROM members m JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       count(*) AS n_shared_clusters
+         |FROM cs a JOIN cs b
+         |  ON a.cluster_id = b.cluster_id AND a.source <= b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q73_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),

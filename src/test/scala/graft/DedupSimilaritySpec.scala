@@ -414,6 +414,35 @@ class DedupSimilaritySpec extends SparkTestBase {
         assert(rows(id)._3 == 1.0, s"exact-dup doc $id not fully shared"))
   }
 
+  test("q126 cross-source matrix matches a scala recompute from q73 " +
+      "clusters, diagonal dominates, symmetric pairs counted once") {
+    val clusters = Dedup.q73DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcSets = clusters.groupBy(_._2)
+      .map { case (cid, ms) => cid -> ms.map(m => srcOf(m._1)).toSet }
+    val expect = srcSets.values.toSeq
+      .flatMap { ss =>
+        val s = ss.toSeq.sorted
+        for (i <- s.indices; j <- i until s.length) yield (s(i), s(j))
+      }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = Dedup.q126CrossSourceDup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // every pair key is normalized (a <= b), so nothing double-counts
+    assert(got.keys.forall { case (a, b) => a <= b })
+    // diagonal >= any off-diagonal touching that source: a cluster
+    // spanning (a, b) contains a's docs, so it also counts in (a, a)
+    got.foreach { case ((a, b), n) if a != b =>
+      assert(got((a, a)) >= n && got((b, b)) >= n,
+        s"diagonal for ($a,$b) not dominant")
+    case _ => ()
+    }
+  }
+
   test("q120 hybrid RRF: fused scores recompute from the arm ranks, " +
       "lex ranks match q96, vec ranks order by exact cosine") {
     val got = Similarity.q120HybridRrf(spark, sf).collect().map { r =>
