@@ -215,18 +215,11 @@ object Curation {
         expr(s"substring(text, p - ${CdcW - 1}, $CdcW)")), lit(CdcD)) === 0)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("bs"))
-    val chunks = docs.join(bounds, Seq("doc_id"), "left_outer")
+    val withEnds = docs.join(bounds, Seq("doc_id"), "left_outer")
       .withColumn("ends", expr(
         "concat(coalesce(bs, CAST(array() AS ARRAY<INT>)), array(length(text)))"))
-      .select(col("doc_id"), explode(expr(
-        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
-          |         (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
-        .as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("h"),
-        length(col("chunk")).as("clen"))
-    val shared = chunks.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    chunks.join(shared, Seq("h"))
+      .select(col("doc_id"), col("text").as("payload"), col("ends"))
+    cdcChunkShares(withEnds)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         round(avg(col("clen")), 4).as("avg_chunk_len"),
@@ -234,6 +227,27 @@ object Curation {
       .withColumn("dup_frac",
         round(col("n_shared_chunks").cast("double") / col("n_chunks"), 4))
       .orderBy("doc_id")
+  }
+
+  /** Shared CDC tail (q124/q125): rebuild chunks from a 1-based
+    * end-offset array and count per-chunk sharing. `payload` must use
+    * the SAME position semantics as its `ends` — STRING for q124's
+    * char-offset boundaries, BINARY (`encode(text,'UTF-8')`) for
+    * q125's byte-offset gear boundaries (`substring`/`length`/`md5`
+    * all operate per-byte on BINARY, keeping multibyte text exact).
+    * One content-key shuffle, no pair join — a chunk shared by a
+    * million docs is one count-distinct row, never a pair explosion. */
+  private def cdcChunkShares(docsWithEnds: DataFrame): DataFrame = {
+    val chunks = docsWithEnds
+      .select(col("doc_id"), explode(expr(
+        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
+          |         (s, e) -> substring(payload, s + 1, e - s))""".stripMargin))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+    chunks.join(
+      chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("nd")),
+      Seq("h"))
   }
 
   /** q125 — Gear-hash CDC (the production kernel q124's scaladoc
@@ -250,18 +264,15 @@ object Curation {
   def q125CdcGear(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val chunks = docs
+    // gear boundaries are BYTE offsets: slice the UTF-8 bytes, not the
+    // string — char-based substring would silently shift every chunk
+    // after the first multibyte character (code-review r04)
+    val withEnds = docs
       .filter(length(col("text")) > 0)
-      .withColumn("ends", expr("graft_gear_ends(text)"))
-      .select(col("doc_id"), explode(expr(
-        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
-          |         (s, e) -> substring(text, s + 1, e - s))""".stripMargin))
-        .as("chunk"))
-      .select(col("doc_id"), md5(col("chunk")).as("h"),
-        length(col("chunk")).as("clen"))
-    val shared = chunks.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    val perDoc = chunks.join(shared, Seq("h"))
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        expr("graft_gear_ends(text)").as("ends"))
+    val perDoc = cdcChunkShares(withEnds)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         max(col("clen")).as("max_chunk_len"),

@@ -14,24 +14,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * one shift, one add.
   *
   * `graft_gear_ends(text)` returns the 1-based BYTE end positions of
-  * each chunk (last element = byte length). Per chunk, scanning starts
-  * at the previous boundary with h = 0 (FastCDC semantics): a boundary
-  * is declared at the first position >= [[GearCdc.MinLen]] bytes into
-  * the chunk where `(h & (AvgLen - 1)) == 0`, or force-cut at
-  * [[GearCdc.MaxLen]]. Boundaries therefore depend only on the bytes
-  * since the previous boundary — the self-synchronizing property that
-  * re-aligns chunking downstream of an insertion.
+  * each chunk (last element = byte length). The gear hash rolls
+  * CONTINUOUSLY over the document (never reset at a cut): with
+  * `h = (h << 1) + gear(b)` the value at any position is a pure
+  * function of the trailing <= 64 bytes, so the boundary predicate —
+  * TOP [[GearCdc.MaskBits]] bits of h all zero — is content-LOCAL,
+  * which is exactly what makes chunking self-synchronize downstream of
+  * an insertion. (Resetting h at each cut, as FastCDC describes, makes
+  * every predicate depend on the chunk's start position; with chunks
+  * shorter than the 64-byte gear window that dependence never decays
+  * and an edit never re-aligns — measured 0/13 re-aligned chunks in
+  * the spec before this was dropped.) The HIGH-bit mask also matters:
+  * low bit k of h is a function of only the trailing k+1 bytes
+  * (carries propagate upward only), so a low-bit mask would cut on ~5
+  * trailing bytes and degenerate on short-period repetitive text; the
+  * top bits mix the full 64-byte window. A cut is declared when the
+  * predicate fires at least [[GearCdc.MinLen]] bytes after the
+  * previous cut, with a force-cut at [[GearCdc.MaxLen]].
   *
   * The gear table is a fixed deterministic constant (seed-42 LCG), NOT
   * SQL-portable — so the registered q125 query carries a q37-style
   * contract oracle instead of a value oracle, and the value-level law
   * (kernel == independent Scala reference, insertion re-alignment) is
-  * spec-checked. Byte-oriented like every production CDC; on the ASCII
-  * corpus byte and char positions coincide, which is what lets the
-  * q125 pipeline substring with these offsets. */
+  * spec-checked. Byte-oriented like every production CDC — consumers
+  * must slice with byte semantics (`encode(text, 'UTF-8')` +
+  * binary substring), never char-based `substring(text, ...)`. */
 object GearCdc {
   val MinLen = 8
-  val AvgLen = 32 // must be a power of two: boundary mask = AvgLen - 1
+  val MaskBits = 5 // boundary when top 5 bits of h are zero: ~1/32 rate
+  val AvgLen = MinLen + (1 << MaskBits) // expected chunk length
   val MaxLen = 128
 
   /** Deterministic gear table: 256 odd-ish 64-bit constants from a
@@ -57,10 +68,9 @@ object GearCdc {
       h = (h << 1) + gear(bytes(p) & 0xff)
       p += 1
       val len = p - last
-      if ((len >= MinLen && (h & (AvgLen - 1)) == 0L) || len >= MaxLen) {
+      if ((len >= MinLen && (h >>> (64 - MaskBits)) == 0L) || len >= MaxLen) {
         out += p
         last = p
-        h = 0L
       }
     }
     if (last < n) out += n

@@ -31,9 +31,10 @@ class GearCdcSpec extends SparkTestBase {
       } else {
         val h2 = (h << 1) + refGear(bytes(p) & 0xff)
         val len = p + 1 - last
-        if ((len >= GearCdc.MinLen && (h2 & (GearCdc.AvgLen - 1)) == 0L) ||
+        if ((len >= GearCdc.MinLen &&
+            (h2 >>> (64 - GearCdc.MaskBits)) == 0L) ||
             len >= GearCdc.MaxLen)
-          scan(p + 1, p + 1, 0L, (p + 1) :: acc)
+          scan(p + 1, p + 1, h2, (p + 1) :: acc) // h rolls on, no reset
         else scan(p + 1, last, h2, acc)
       }
     scan(0, 0, 0L, Nil)
@@ -53,12 +54,14 @@ class GearCdcSpec extends SparkTestBase {
     assert(got.nonEmpty)
     got.foreach { case (id, text, ends) =>
       assert(ends == refEnds(text), s"doc $id boundary mismatch")
-      assert(ends.lastOption.contains(text.length), s"doc $id final end")
+      if (text.nonEmpty)
+        assert(ends.lastOption.contains(text.getBytes("UTF-8").length),
+          s"doc $id final end")
       assert(ends == ends.sorted && ends.distinct == ends)
     }
     // chunk lengths respect the forced-cut bound and average near AvgLen
     val lens = got.flatMap { case (_, _, ends) =>
-      (0 :: ends).sliding(2).map { case List(a, b) => b - a } }
+      (0 :: ends).sliding(2).collect { case List(a, b) => b - a } }
     assert(lens.forall(l => l >= 1 && l <= GearCdc.MaxLen))
     val avg = lens.sum.toDouble / lens.size
     assert(avg > GearCdc.MinLen && avg < 3 * GearCdc.AvgLen,
@@ -72,7 +75,7 @@ class GearCdcSpec extends SparkTestBase {
       .collect().head.getString(1)
     def chunksOf(t: String): Seq[String] = {
       val ends = refEnds(t)
-      (0 :: ends).sliding(2).map {
+      (0 :: ends).sliding(2).collect {
         case List(a, b) => t.substring(a, b) }.toSeq
     }
     val orig = chunksOf(text).toSet
@@ -95,6 +98,40 @@ class GearCdcSpec extends SparkTestBase {
     val nonNull = rows.filter(!_.isNullAt(0)).map(_.getSeq[Int](0).toList)
     assert(nonNull.contains(Nil))
     assert(nonNull.exists(_.nonEmpty))
+  }
+
+  test("byte-oriented slicing keeps multibyte text exact: twin docs " +
+      "with non-ASCII chars are fully chunk-shared") {
+    val sess = registered
+    import sess.implicits._
+    // 300+ bytes with multibyte chars early, two identical copies plus
+    // a distinct third doc; byte-accurate slicing must mark the twins
+    // 100% shared (char-based slicing would shift every chunk after
+    // the first multibyte char — both twins the same way, but the
+    // boundary array length then disagrees with the char count and
+    // zip_with produces malformed trailing chunks)
+    val t = "café déjà-vu — " + ("der schnelle braune Fuchs springt " * 12)
+    val df = Seq((1L, t), (2L, t), (3L, t.replace("braune", "graue")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        expr("graft_gear_ends(text)").as("ends"))
+    val chunks = df.select(col("doc_id"), explode(expr(
+        """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
+          |         (s, e) -> substring(payload, s + 1, e - s))""".stripMargin))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // reconstruct: per doc, total chunk bytes == utf-8 byte length
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sum == t.getBytes("UTF-8").length)
+    // the twins' chunk hash multisets are identical
+    assert(byDoc(1L).map(_._2).sorted.toSeq ==
+      byDoc(2L).map(_._2).sorted.toSeq)
+    // and differ from the edited doc's
+    assert(byDoc(1L).map(_._2).sorted.toSeq !=
+      byDoc(3L).map(_._2).sorted.toSeq)
   }
 
   test("q125 contract flags hold and the twin law is non-vacuous " +
