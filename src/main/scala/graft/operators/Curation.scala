@@ -203,7 +203,9 @@ object Curation {
     * hash keeps the boundary rule bit-identical in the DuckDB oracle;
     * a production deployment swaps in a Gear/Rabin ROLLING hash (O(1)
     * per position instead of O(W)) behind the same boundary predicate. */
-  def q124CdcChunk(spark: SparkSession, dir: String): DataFrame = {
+  /** The q124 boundary rule as a reusable chunk frame (doc_id, h,
+    * clen): md5-window CDC ends -> chunks. Shared by q124 and q127. */
+  private def mdWindowChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // boundary positions: p in [W, len-1] (the end-of-doc boundary is
     // appended unconditionally, so p = len would be redundant)
@@ -215,11 +217,17 @@ object Curation {
         expr(s"substring(text, p - ${CdcW - 1}, $CdcW)")), lit(CdcD)) === 0)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("bs"))
-    val withEnds = docs.join(bounds, Seq("doc_id"), "left_outer")
+    cdcChunks(docs.join(bounds, Seq("doc_id"), "left_outer")
       .withColumn("ends", expr(
         "concat(coalesce(bs, CAST(array() AS ARRAY<INT>)), array(length(text)))"))
-      .select(col("doc_id"), col("text").as("payload"), col("ends"))
-    cdcChunkShares(withEnds)
+      .select(col("doc_id"), col("text").as("payload"), col("ends")))
+  }
+
+  def q124CdcChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = mdWindowChunks(spark, dir)
+    chunks.join(
+        chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("nd")),
+        Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         round(avg(col("clen")), 4).as("avg_chunk_len"),
@@ -237,17 +245,49 @@ object Curation {
     * all operate per-byte on BINARY, keeping multibyte text exact).
     * One content-key shuffle, no pair join — a chunk shared by a
     * million docs is one count-distinct row, never a pair explosion. */
-  private def cdcChunkShares(docsWithEnds: DataFrame): DataFrame = {
-    val chunks = docsWithEnds
+  private def cdcChunks(docsWithEnds: DataFrame): DataFrame =
+    docsWithEnds
       .select(col("doc_id"), explode(expr(
         """zip_with(concat(array(0), slice(ends, 1, size(ends) - 1)), ends,
           |         (s, e) -> substring(payload, s + 1, e - s))""".stripMargin))
         .as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).as("clen"))
+
+  private def cdcChunkShares(docsWithEnds: DataFrame): DataFrame = {
+    val chunks = cdcChunks(docsWithEnds)
     chunks.join(
       chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("nd")),
       Seq("h"))
+  }
+
+  /** q127 — incremental cross-batch CHUNK dedup: the dedup-STORAGE /
+    * daily-refresh story at chunk granularity. Yesterday's corpus
+    * (doc_id % 2 = 0, standing in for the persisted day-A chunk-hash
+    * table) is reduced to its distinct chunk hashes; today's documents
+    * (odd doc_id) report how much of their content — chunk count and
+    * BYTE fraction — the store already holds. The q102 pattern (join
+    * today's sketches against yesterday's persisted table, never
+    * re-read history's text) applied to exact CDC chunks: at 100
+    * TB/day, day-A text is never touched again — only its hash table
+    * (64x+ smaller) is joined, one shuffle on the content key. Uses
+    * q124's oracle-portable boundary rule so the result stays
+    * hash-exact. */
+  def q127IncrementalChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = mdWindowChunks(spark, dir)
+    val known = chunks.filter(col("doc_id") % 2 === 0)
+      .select("h").distinct()
+      .withColumn("known", lit(true))
+    chunks.filter(col("doc_id") % 2 === 1)
+      .join(known, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(false)).cast("long"))
+          .as("n_known_chunks"),
+        round(sum(when(coalesce(col("known"), lit(false)), col("clen"))
+            .otherwise(lit(0))).cast("double") / sum(col("clen")), 4)
+          .as("known_byte_frac"))
+      .orderBy("doc_id")
   }
 
   /** q125 — Gear-hash CDC (the production kernel q124's scaladoc
@@ -521,9 +561,44 @@ object Curation {
     "q104_chunk_docs" -> (q104ChunkDocs _),
     "q124_cdc_chunk" -> (q124CdcChunk _),
     "q125_cdc_gear" -> (q125CdcGear _),
+    "q127_incremental_chunk_dedup" -> (q127IncrementalChunkDedup _),
     "q67_repetition_score" -> (q67RepetitionScore _),
     "q68_stratified_sample" -> (q68StratifiedSample _),
     "q69_vocab" -> (q69Vocab _))
+
+  /** Shared oracle CTE chain: the q124 md5-window CDC boundary rule
+    * down to the per-chunk (doc_id, h, clen) frame (q124 + q127). */
+  private val cdcChunksCte: String =
+    """docs AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents),
+      |bnd AS (
+      |  SELECT doc_id, p
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(16, len - 1)) AS p
+      |        FROM docs WHERE len > 16)
+      |  WHERE ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)),
+      |                        1, 15))::BIGINT % 32 = 0),
+      |bs AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bnd GROUP BY 1),
+      |spans AS (
+      |  SELECT d.doc_id, d.text,
+      |         list_append(coalesce(b.bs, CAST([] AS BIGINT[])), d.len)
+      |           AS ends
+      |  FROM docs d LEFT JOIN bs b USING (doc_id)),
+      |chunks AS (
+      |  SELECT doc_id,
+      |         md5(substr(text,
+      |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
+      |                    AS INT),
+      |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
+      |                              END AS INT))) AS h,
+      |         length(substr(text,
+      |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
+      |                    AS INT),
+      |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
+      |                              END AS INT))) AS clen
+      |  FROM (SELECT doc_id, text, ends,
+      |               unnest(generate_series(1, len(ends))) AS i
+      |        FROM spans))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the gear table is engine-side (not SQL-portable): contract oracle
@@ -536,36 +611,7 @@ object Curation {
     // trailing 16-char window, divisible by 32; end-of-doc boundary
     // appended; chunks rebuilt from consecutive boundary pairs
     "q124_cdc_chunk" ->
-      """WITH docs AS (
-        |  SELECT doc_id, text, length(text) AS len FROM documents),
-        |bnd AS (
-        |  SELECT doc_id, p
-        |  FROM (SELECT doc_id, text,
-        |               unnest(generate_series(16, len - 1)) AS p
-        |        FROM docs WHERE len > 16)
-        |  WHERE ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)),
-        |                        1, 15))::BIGINT % 32 = 0),
-        |bs AS (SELECT doc_id, list_sort(list(p)) AS bs FROM bnd GROUP BY 1),
-        |spans AS (
-        |  SELECT d.doc_id, d.text,
-        |         list_append(coalesce(b.bs, CAST([] AS BIGINT[])), d.len)
-        |           AS ends
-        |  FROM docs d LEFT JOIN bs b USING (doc_id)),
-        |chunks AS (
-        |  SELECT doc_id,
-        |         md5(substr(text,
-        |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
-        |                    AS INT),
-        |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
-        |                              END AS INT))) AS h,
-        |         length(substr(text,
-        |               CAST(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END
-        |                    AS INT),
-        |               CAST(ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1]
-        |                              END AS INT))) AS clen
-        |  FROM (SELECT doc_id, text, ends,
-        |               unnest(generate_series(1, len(ends))) AS i
-        |        FROM spans)),
+      s"""WITH $cdcChunksCte,
         |shared AS (
         |  SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
         |SELECT c.doc_id,
@@ -576,6 +622,21 @@ object Curation {
         |       round(CAST(sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END)
         |                  AS DOUBLE) / count(*), 4) AS dup_frac
         |FROM chunks c JOIN shared s USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q124's chunk CTEs + the persisted-store membership join
+    "q127_incremental_chunk_dedup" ->
+      s"""WITH $cdcChunksCte,
+        |known AS (
+        |  SELECT DISTINCT h FROM chunks WHERE doc_id % 2 = 0)
+        |SELECT c.doc_id,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN k.h IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_known_chunks,
+        |       round(CAST(sum(CASE WHEN k.h IS NOT NULL THEN c.clen
+        |                           ELSE 0 END) AS DOUBLE)
+        |             / sum(c.clen), 4) AS known_byte_frac
+        |FROM chunks c LEFT JOIN known k ON c.h = k.h
+        |WHERE c.doc_id % 2 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q73's recursive closure + q97's split hash keyed on the cluster id
     "q117_leakage_safe_split" ->

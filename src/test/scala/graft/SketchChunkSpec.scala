@@ -126,6 +126,48 @@ class SketchChunkSpec extends SparkTestBase {
       "fixed-stride windows unexpectedly survived the head insertion")
   }
 
+  test("q127 incremental chunk dedup matches a scala recompute and an " +
+      "exact even-twin is fully known") {
+    import graft.functions.Hashing.md5Hash60Value
+    def chunksOf(text: String): Seq[String] = {
+      val ends = (16 until text.length)
+        .filter(p => md5Hash60Value(text.substring(p - 16, p)) % 32 == 0)
+        .toSeq :+ text.length
+      (0 +: ends.dropRight(1)).zip(ends)
+        .map { case (s, e) => text.substring(s, e) }
+    }
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val knownHashes = docs.collect {
+      case (id, t) if id % 2 == 0 => chunksOf(t)
+    }.flatten.toSet
+    val got = Curation.q127IncrementalChunkDedup(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == docs.keySet.filter(_ % 2 == 1))
+    docs.foreach { case (id, t) =>
+      if (id % 2 == 1) {
+        val cs = chunksOf(t)
+        val (n, known, frac) = got(id)
+        assert(n == cs.length, s"doc $id chunk count")
+        assert(known == cs.count(knownHashes), s"doc $id known chunks")
+        val expectFrac = cs.filter(knownHashes).map(_.length).sum.toDouble /
+          cs.map(_.length).sum
+        assert(math.abs(frac - expectFrac) < 1e-3, s"doc $id byte frac")
+      }
+    }
+    // non-vacuous both ways: some content is already in the store, some
+    // is new
+    assert(got.values.exists(_._2 > 0), "no known chunks anywhere")
+    assert(got.values.exists(v => v._2 < v._1), "everything already known")
+    // an odd doc whose text equals an even doc's must be 100% known
+    val evenTexts = docs.collect { case (id, t) if id % 2 == 0 => t }.toSet
+    docs.foreach { case (id, t) =>
+      if (id % 2 == 1 && evenTexts(t))
+        assert(got(id)._3 == 1.0, s"cross-parity twin $id not fully known")
+    }
+  }
+
   test("q116 winsorize matches a scala type-7 percentile recompute") {
     // independent type-7 interpolated percentile (what Spark
     // `percentile` and DuckDB `quantile_cont` both compute)
