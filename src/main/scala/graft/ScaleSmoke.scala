@@ -75,7 +75,8 @@ object ScaleSmoke {
         "q119_vector_exact_dedup", "q120_hybrid_rrf",
         "q121_adaptive_quality", "q122_length_buckets",
         "q123_pmi_cooccurrence", "q124_cdc_chunk", "q125_cdc_gear",
-        "q126_cross_source_dup", "q127_incremental_chunk_dedup")
+        "q126_cross_source_dup", "q127_incremental_chunk_dedup",
+        "q128_scd2_pit_join")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q113/q114 are recall contracts; time the ANN paths themselves
         ("pq_topk_direct" -> ((s: SparkSession, d: String) =>

@@ -54,6 +54,41 @@ object Breadth3 {
       .orderBy("custkey", "version")
   }
 
+  /** q128 — SCD2 point-in-time attach: join each fact row to the
+    * dimension version that was valid WHEN THE FACT HAPPENED — the
+    * composition that makes SCD2 history (q80) useful, and the one
+    * that silently leaks future attributes when done with a plain
+    * latest-version join. Expressed as the native as-of join
+    * ([[graft.plans.AsofJoin]]): one clustered shuffle + sort per
+    * side and an O(1)-state streaming merge, instead of the range
+    * join (valid_from <= ts < valid_to) whose interval predicate
+    * Spark would plan as a pairwise blowup. Version starts are
+    * deduped to end-of-day state (max version per (custkey, date)) so
+    * the as-of match is unique and deterministic in both engines.
+    * Output: per customer, how many orders attach to a version whose
+    * priority matches the order's own (same-date priority flips
+    * legitimately attach to the end-of-day version, so consistency is
+    * high but not vacuously 100%). */
+  def q128Scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hist = q80Scd2History(spark, dir)
+      .groupBy(col("custkey").as("h_custkey"), col("valid_from"))
+      .agg(max(struct(col("version"), col("priority"))).as("v"))
+      .select(col("h_custkey"), col("valid_from"),
+        col("v.version").as("pit_version"),
+        col("v.priority").as("pit_priority"))
+    val facts = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey").as("custkey"),
+      col("o_orderdate"), col("o_orderpriority"))
+    graft.plans.AsofJoin.asofJoin(facts, hist,
+        Seq("custkey"), Seq("h_custkey"), "o_orderdate", "valid_from")
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("pit_priority") === col("o_orderpriority")).cast("long"))
+          .as("n_pit_consistent"),
+        max(col("pit_version")).as("max_version"))
+      .orderBy("custkey")
+  }
+
   /** q81 — gap-based sessionization in batch: a new session starts after
     * >30 min of inactivity. lag + cumulative-sum islands — the batch
     * equivalent of q46's `session_window`, and the shape that scales:
@@ -456,6 +491,7 @@ object Breadth3 {
     "q91_higher_moments" -> (q91HigherMoments _),
     "q88_asof_forward" -> (q88AsofForward _),
     "q80_scd2_history" -> (q80Scd2History _),
+    "q128_scd2_pit_join" -> (q128Scd2PitJoin _),
     "q81_sessionize_gaps" -> (q81SessionizeGaps _),
     "q82_funnel" -> (q82Funnel _),
     "q83_cohort_retention" -> (q83CohortRetention _),
@@ -606,6 +642,48 @@ object Breadth3 {
         |       CAST(sum((epoch_us(p_ts) - epoch_us(ts)) // 1000000)
         |            AS BIGINT) AS sum_gap_sec
         |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80's version chain, end-of-day deduped, attached point-in-time
+    // via DuckDB's real ASOF JOIN (unique match per fact by
+    // construction, so both engines are deterministic)
+    "q128_scd2_pit_join" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        |         o_orderdate AS ts, o_orderkey
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(priority) OVER w IS NULL
+        |                   OR lag(priority) OVER w <> priority
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM base WINDOW w AS (PARTITION BY custkey ORDER BY ts, o_orderkey)),
+        |versioned AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY custkey
+        |              ORDER BY ts, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |            AS INT) AS version
+        |  FROM marked),
+        |vers AS (
+        |  SELECT custkey, version, min(priority) AS priority,
+        |         min(ts) AS valid_from
+        |  FROM versioned GROUP BY custkey, version),
+        |ranked AS (
+        |  SELECT custkey AS h_custkey, valid_from, version AS pit_version,
+        |         priority AS pit_priority,
+        |         row_number() OVER (PARTITION BY custkey, valid_from
+        |                            ORDER BY version DESC) AS rn
+        |  FROM vers),
+        |h2 AS (SELECT h_custkey, valid_from, pit_version, pit_priority
+        |       FROM ranked WHERE rn = 1),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey AS custkey, o_orderdate,
+        |         o_orderpriority
+        |  FROM orders)
+        |SELECT f.custkey, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN h.pit_priority = f.o_orderpriority
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pit_consistent,
+        |       CAST(max(h.pit_version) AS INT) AS max_version
+        |FROM facts f ASOF LEFT JOIN h2 h
+        |  ON f.custkey = h.h_custkey AND h.valid_from <= f.o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q80_scd2_history" ->
       """WITH base AS (
         |  SELECT o_custkey AS custkey, o_orderpriority AS priority,

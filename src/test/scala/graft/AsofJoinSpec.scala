@@ -178,6 +178,55 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got.count() == 1)
   }
 
+  test("q128 SCD2 point-in-time attach matches a scala recompute") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.toEpochMilli, r.getString(3)))
+    // independent SCD2 chain: change points per customer in
+    // (date, orderkey) order, version start = min date of the run,
+    // end-of-day dedup = max version per start date
+    val hist = orders.groupBy(_._2).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3, o._1))
+      val versions = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Long)] // (version, prio, from-millis)
+      var v = 0
+      sorted.foreach { o =>
+        if (versions.isEmpty || versions.last._2 != o._4) {
+          v += 1
+          versions += ((v, o._4, o._3))
+        }
+      }
+      val endOfDay = versions.groupBy(_._3).map { case (_, vs) =>
+        vs.maxBy(_._1)
+      }.toSeq.sortBy(_._3)
+      ck -> endOfDay
+    }
+    val expect = orders.groupBy(_._2).map { case (ck, os) =>
+      val eod = hist(ck)
+      var consistent = 0L
+      var maxV = 0
+      os.foreach { o =>
+        val pit = eod.filter(_._3 <= o._3).maxBy(_._3)
+        if (pit._2 == o._4) consistent += 1
+        maxV = math.max(maxV, pit._1)
+      }
+      ck -> ((os.length.toLong, consistent, maxV))
+    }
+    val got = graft.operators.Breadth3.q128Scd2PitJoin(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == expect)
+    // the law that defines point-in-time correctness: overwhelmingly,
+    // each order sees its own contemporaneous attribute (only
+    // same-date priority flips attach to the end-of-day version)
+    val (n, c) = got.values.foldLeft((0L, 0L)) {
+      case ((an, ac), (on, oc, _)) => (an + on, ac + oc) }
+    assert(c.toDouble / n >= 0.9, s"PIT consistency $c/$n")
+  }
+
   test("physical plan uses AsofJoinExec with one exchange per side") {
     // AQE wraps the plan in a leaf AdaptiveSparkPlanExec; disable it so
     // the static plan is inspectable
