@@ -16,7 +16,8 @@ object RecallScan {
           "lsh" -> Similarity.lshTopK(spark, dir).collect(),
           "ivf" -> Similarity.ivfTopK(spark, dir).collect(),
           "pq" -> Similarity.pqTopK(spark, dir).collect(),
-          "ivfpq" -> Similarity.ivfPqTopK(spark, dir).collect())) {
+          "ivfpq" -> Similarity.ivfPqTopK(spark, dir).collect(),
+          "trunc" -> Similarity.truncatedTopK(spark, dir).collect())) {
         val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
         val recalls = truth.groupBy(_._1).map { case (qid, t) =>
           qid -> t.count(approx.contains).toDouble / t.length

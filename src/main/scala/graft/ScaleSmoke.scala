@@ -78,7 +78,9 @@ object ScaleSmoke {
         "q126_cross_source_dup", "q127_incremental_chunk_dedup",
         "q128_scd2_pit_join")
         .map(n => n -> SparkEntry.queries(n)) :+
-        // q113/q114 are recall contracts; time the ANN paths themselves
+        // q113/q114/q129 are recall contracts; time the ANN paths themselves
+        ("trunc_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.Similarity.truncatedTopK(s, d))) :+
         ("pq_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.pqTopK(s, d))) :+
         ("ivfpq_topk_direct" -> ((s: SparkSession, d: String) =>

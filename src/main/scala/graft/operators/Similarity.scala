@@ -693,6 +693,67 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Matryoshka-style truncation: shortlist on the first [[TruncDims]]
+    * dimensions only. 32 of 64 dims = 2x less data scanned in the
+    * shortlist pass. A 16-dim prefix was measured first and REJECTED:
+    * avg recall@10 0.62/0.68/0.39 across the SFs — these synthetic
+    * embeddings spread signal uniformly over coordinates (they are not
+    * MRL-trained, so nothing front-loads the prefix), and a quarter of
+    * the dimensions keeps only a quarter of the signal. With real MRL
+    * embeddings the same operator runs at far deeper truncation. */
+  private val TruncDims = 32
+  private val TruncShortlist = 100
+  // measured avg recall@10 (deterministic, RecallScan): 0.96 / 0.90 /
+  // 0.74 at sf0.001 / 0.01 / 0.1 — floor 0.5 holds with margin
+  private val TruncRecallFloor = 0.5
+
+  /** Truncated-prefix ANN top-k rows: rank the corpus by cosine over
+    * only the FIRST [[TruncDims]] coordinates (the Matryoshka /
+    * dimension-truncation serving trick: with MRL-trained embeddings
+    * the prefix carries most of the signal, and the shortlist pass
+    * reads a 4x narrower column), keep [[TruncShortlist]] per query,
+    * exact-re-rank with full-dimension cosine to [[TopK]]. Same
+    * two-tier shape as PQ-ADC (q113) with truncation instead of
+    * quantization as the compressor: raw 64-dim vectors are touched
+    * only for the shortlist. At 100 TB the prefix lives as its own
+    * (bucketed) column/file so the shortlist scan does half the I/O
+    * (a quarter with MRL-trained embeddings at 16 dims);
+    * cost O(Q x N x TruncDims) + O(Q x TruncShortlist x dim). */
+  def truncatedTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    def prefix(df: DataFrame, idCol: String, out: String): DataFrame =
+      df.select(col(idCol), expr(
+        s"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $TruncDims)").as(out))
+    val emb = Tables.embeddings(spark, dir)
+    val qs = prefix(emb.filter(col("vec_id") % QueryStride === 0),
+      "vec_id", "qp").withColumnRenamed("vec_id", "qid")
+    val cs = prefix(emb, "vec_id", "cp").withColumnRenamed("vec_id", "cid")
+    val wS = Window.partitionBy("qid").orderBy(desc("trunc_cos"), asc("cid"))
+    val shortlist = broadcast(qs).crossJoin(cs)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (expr("graft_dot(qp, cp)") /
+          (sqrt(expr("graft_dot(qp, qp)")) *
+            sqrt(expr("graft_dot(cp, cp)")))).as("trunc_cos"))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= TruncShortlist)
+      .select("qid", "cid")
+    val qv = queryVecs(spark, dir)
+    val cv = corpusVecs(spark, dir)
+    val wE = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
+    shortlist
+      .join(qv, Seq("qid")).join(cv, Seq("cid"))
+      .select(col("qid"), col("cid"), simCol)
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q129 — truncated-prefix ANN recall contract (see [[truncatedTopK]]). */
+  def q129AnnTruncated(spark: SparkSession, dir: String): DataFrame =
+    avgRecallContract(spark, dir, truncatedTopK(spark, dir), TruncRecallFloor)
+
   /** Reciprocal-rank-fusion constant: the standard k=60 from the
     * original RRF formulation — large enough that rank 1 vs rank 2
     * differences don't dominate, small enough that ranks matter. */
@@ -735,6 +796,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_hybrid_rrf" -> (q120HybridRrf _),
+    "q129_ann_truncated" -> (q129AnnTruncated _),
     "q101_centroid_eval" -> (q101CentroidEval _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
@@ -860,6 +922,9 @@ object Similarity {
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
     "q113_ann_pq" ->
+      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    "q129_ann_truncated" ->
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
     "q114_ann_ivfpq" ->

@@ -142,6 +142,46 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
 
+  test("truncated-prefix ANN: >=80% avg recall@10, exact cosines on " +
+      "the re-ranked shortlist, and a scala prefix-cosine recompute " +
+      "agrees on the shortlist membership") {
+    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Similarity.truncatedTopK(spark, sf).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = truth.groupBy(_._1).map { case (_, t) =>
+      t.count(approx.contains).toDouble / t.length
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"truncated avg recall $avg (measured 0.96)")
+    // exact full-dim cosines on the re-ranked output
+    val bruteCos = truth.zip(Similarity.q36AnnBruteTopK(spark, sf)
+      .collect().map(_.getDouble(2))).toMap
+    rows.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(c == r.getDouble(2), "truncated re-rank cosine not exact")
+      }
+    }
+    // independent prefix-cosine recompute: every returned candidate
+    // must rank within the top-100 by 32-dim prefix cosine
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).take(32).map(_.toDouble).toArray).toMap
+    def pcos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val q = vecs(qid)
+      val ranked = vecs.keys.filter(_ != qid).toSeq
+        .map(c => (c, pcos(q, vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(100).map(_._1).toSet
+      rs.foreach(r => assert(ranked(r.getLong(1)),
+        s"qid $qid cid ${r.getLong(1)} outside the prefix shortlist"))
+    }
+  }
+
   test("PQ ANN achieves >=70% average recall@10 vs brute force and " +
       "returns exact cosines on its shortlist") {
     val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
