@@ -335,6 +335,54 @@ object Curation {
       .select(col("n_docs"), col("twin_dup_ok"), col("max_len_ok"))
   }
 
+  /** q130 — token-budget corpus selection: keep the highest-quality
+    * documents whose cumulative token count fits a budget (25% of the
+    * corpus's tokens) — the data-selection step every
+    * quality-over-quantity pretraining run performs. Semantics are the
+    * exact greedy by (quality DESC, doc_id): a doc is selected iff its
+    * running token total in that order fits the budget.
+    *
+    * Scale shape: the naive form is a GLOBAL single-partition running
+    * sum — the q35-cartesian of window functions. This implementation
+    * is the two-phase exact equivalent: (1) bucket quality (monotone
+    * floor(q*100) key), aggregate token mass per bucket, and run the
+    * cumulative sum over the tiny bucket table; (2) buckets wholly
+    * under budget select entirely, and ONLY the single boundary bucket
+    * runs a per-doc running sum (window partitioned by bucket). Ties
+    * in quality land in one bucket by construction, so the two-phase
+    * result equals the global greedy row-for-row. */
+  def q130TokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .join(TextOps.q39QualityScore(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val budget = docs.agg(
+      floor(sum(col("n_tokens")) * 0.25).cast("long").as("budget"))
+    val bucketed = docs
+      .withColumn("bucket", floor(col("quality") * 100).cast("long"))
+    val wB = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .select(col("bucket"), col("cum_before"),
+        (col("cum_before") + col("btok") <= col("budget")).as("full_bucket"),
+        (col("cum_before") < col("budget")).as("reaches_budget"),
+        col("budget"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(desc("quality"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(bucketCum), Seq("bucket"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("full_bucket") || (col("reaches_budget") &&
+          col("cum_before") + col("cum_in") <= col("budget")))
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** q67 — repetition score (quality signal): fraction of a document's
     * word 3-grams that are repeats of an earlier occurrence — high values
     * flag the degenerate loops that poison training data. One explode +
@@ -562,6 +610,7 @@ object Curation {
     "q124_cdc_chunk" -> (q124CdcChunk _),
     "q125_cdc_gear" -> (q125CdcGear _),
     "q127_incremental_chunk_dedup" -> (q127IncrementalChunkDedup _),
+    "q130_token_budget_select" -> (q130TokenBudgetSelect _),
     "q67_repetition_score" -> (q67RepetitionScore _),
     "q68_stratified_sample" -> (q68StratifiedSample _),
     "q69_vocab" -> (q69Vocab _))
@@ -601,6 +650,33 @@ object Curation {
       |        FROM spans))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle states the SEMANTICS directly (global greedy cumsum by
+    // quality desc, doc_id); the engine's two-phase bucket form must
+    // equal it row-for-row
+    "q130_token_budget_select" ->
+      """WITH base AS (
+        |  SELECT doc_id, ' ' || text || ' ' AS p,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+        |           AS n_tokens,
+        |         len(string_split(trim(text), ' ')) AS n_words
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |         round(ln(1.0 + n_words) * (1.0 -
+        |           CAST(CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+        |                + (length(p) - length(replace(p, ' a ', ''))) / 3
+        |                AS INT) AS DOUBLE) / n_words), 6) AS quality
+        |  FROM base),
+        |tot AS (SELECT CAST(floor(0.25 * sum(n_tokens)) AS BIGINT)
+        |          AS budget FROM q),
+        |ranked AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens,
+        |       cum <= budget AS selected
+        |FROM ranked CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     // the gear table is engine-side (not SQL-portable): contract oracle
     // in the q37 style — the engine computes the law flags, a
     // regression flips them against these constants

@@ -284,6 +284,34 @@ class Breadth2CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q130 token-budget selection equals a sequential greedy and is " +
+      "budget-maximal") {
+    val rows = graft.operators.Curation
+      .q130TokenBudgetSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3)))
+    val budget = rows.map(_._3).sum / 4 // floor(0.25 * total)
+    // independent sequential greedy over (quality desc, doc_id)
+    val order = rows.sortBy { case (id, q, _, _) => (-q, id) }
+    var cum = 0L
+    val expect = order.map { case (id, _, tok, _) =>
+      cum += tok
+      id -> (cum <= budget)
+    }.toMap
+    rows.foreach { case (id, _, _, sel) =>
+      assert(sel == expect(id), s"doc $id selection")
+    }
+    // the selection is budget-maximal: selected mass fits, and adding
+    // the best unselected doc would overflow
+    val selMass = rows.filter(_._4).map(_._3).sum
+    assert(selMass <= budget)
+    val firstOut = order.find(o => !expect(o._1))
+    firstOut.foreach(o => assert(selMass + o._3 > budget,
+      "greedy stopped early: next doc still fits"))
+    // non-degenerate: something selected, something dropped
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("q121 adaptive quality: per-source threshold is the exact type-7 " +
       "p25 and kept flags follow it") {
     def pct25(xs: Array[Double]): Double = {
