@@ -217,17 +217,18 @@ object Curation {
         expr(s"substring(text, p - ${CdcW - 1}, $CdcW)")), lit(CdcD)) === 0)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("bs"))
-    cdcChunks(docs.join(bounds, Seq("doc_id"), "left_outer")
-      .withColumn("ends", expr(
-        "concat(coalesce(bs, CAST(array() AS ARRAY<INT>)), array(length(text)))"))
-      .select(col("doc_id"), col("text").as("payload"), col("ends")))
+    // persisted per (session, dir): the O(chars) per-position md5
+    // boundary scan is THE dominant cost, and the frame is referenced
+    // twice by q124's share join and again by q127 (code-review r04)
+    graft.sources.DfCache.df(spark, s"cdc_chunks|$dir")(
+      cdcChunks(docs.join(bounds, Seq("doc_id"), "left_outer")
+        .withColumn("ends", expr(
+          "concat(coalesce(bs, CAST(array() AS ARRAY<INT>)), array(length(text)))"))
+        .select(col("doc_id"), col("text").as("payload"), col("ends"))))
   }
 
   def q124CdcChunk(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = mdWindowChunks(spark, dir)
-    chunks.join(
-        chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("nd")),
-        Seq("h"))
+    cdcChunkShares(mdWindowChunks(spark, dir))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         round(avg(col("clen")), 4).as("avg_chunk_len"),
@@ -254,12 +255,12 @@ object Curation {
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).as("clen"))
 
-  private def cdcChunkShares(docsWithEnds: DataFrame): DataFrame = {
-    val chunks = cdcChunks(docsWithEnds)
+  /** Attach per-chunk sharing counts to a (doc_id, h, clen) chunk
+    * frame — the ONE copy of the share rule (code-review r04). */
+  private def cdcChunkShares(chunks: DataFrame): DataFrame =
     chunks.join(
       chunks.groupBy("h").agg(countDistinct(col("doc_id")).as("nd")),
       Seq("h"))
-  }
 
   /** q127 — incremental cross-batch CHUNK dedup: the dedup-STORAGE /
     * daily-refresh story at chunk granularity. Yesterday's corpus
@@ -312,7 +313,7 @@ object Curation {
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         expr("graft_gear_ends(text)").as("ends"))
-    val perDoc = cdcChunkShares(withEnds)
+    val perDoc = cdcChunkShares(cdcChunks(withEnds))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         max(col("clen")).as("max_chunk_len"),
@@ -374,13 +375,20 @@ object Curation {
     val wIn = Window.partitionBy("bucket")
       .orderBy(desc("quality"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(bucketCum), Seq("bucket"))
+    val base = bucketed.join(broadcast(bucketCum), Seq("bucket"))
+    // the per-doc running sum touches ONLY the boundary bucket's rows
+    // (code-review r04: windowing the whole corpus here would be the
+    // exact work the two-phase design exists to avoid)
+    val boundary = base
+      .filter(col("reaches_budget") && !col("full_bucket"))
       .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("quality"), col("n_tokens"),
-        (col("full_bucket") || (col("reaches_budget") &&
-          col("cum_before") + col("cum_in") <= col("budget")))
-          .as("selected"))
-      .orderBy("doc_id")
+        (col("cum_before") + col("cum_in") <= col("budget")).as("selected"))
+    val decided = base
+      .filter(!(col("reaches_budget") && !col("full_bucket")))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("full_bucket").as("selected"))
+    boundary.unionByName(decided).orderBy("doc_id")
   }
 
   /** q67 — repetition score (quality signal): fraction of a document's

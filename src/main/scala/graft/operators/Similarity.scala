@@ -721,20 +721,25 @@ object Similarity {
     * cost O(Q x N x TruncDims) + O(Q x TruncShortlist x dim). */
   def truncatedTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    def prefix(df: DataFrame, idCol: String, out: String): DataFrame =
+    // per-vector prefix norms are computed ONCE here, not inside the
+    // Q x N shortlist projection (code-review r04: the inline form
+    // evaluated three dots + two sqrts per pair)
+    def prefix(df: DataFrame, idCol: String, out: String,
+        normOut: String): DataFrame =
       df.select(col(idCol), expr(
-        s"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $TruncDims)").as(out))
+          s"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $TruncDims)").as(out))
+        .withColumn(normOut, sqrt(expr(s"graft_dot($out, $out)")))
     val emb = Tables.embeddings(spark, dir)
     val qs = prefix(emb.filter(col("vec_id") % QueryStride === 0),
-      "vec_id", "qp").withColumnRenamed("vec_id", "qid")
-    val cs = prefix(emb, "vec_id", "cp").withColumnRenamed("vec_id", "cid")
+      "vec_id", "qp", "qn").withColumnRenamed("vec_id", "qid")
+    val cs = prefix(emb, "vec_id", "cp", "cn")
+      .withColumnRenamed("vec_id", "cid")
     val wS = Window.partitionBy("qid").orderBy(desc("trunc_cos"), asc("cid"))
     val shortlist = broadcast(qs).crossJoin(cs)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (expr("graft_dot(qp, cp)") /
-          (sqrt(expr("graft_dot(qp, qp)")) *
-            sqrt(expr("graft_dot(cp, cp)")))).as("trunc_cos"))
+        (expr("graft_dot(qp, cp)") / (col("qn") * col("cn")))
+          .as("trunc_cos"))
       .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= TruncShortlist)
       .select("qid", "cid")
