@@ -759,6 +759,47 @@ object Similarity {
   def q129AnnTruncated(spark: SparkSession, dir: String): DataFrame =
     avgRecallContract(spark, dir, truncatedTopK(spark, dir), TruncRecallFloor)
 
+  private val NegK = 5
+
+  /** q131 — deterministic negative sampling for contrastive training:
+    * per query vector, emit its exact nearest neighbor as the positive
+    * and [[NegK]] hash-ranked corpus vectors as negatives, EXCLUDING
+    * the query's true top-10 — the false-negative filter (sampling a
+    * genuine near-neighbor as a "negative" actively teaches the wrong
+    * thing, so production pipelines exclude known neighbors before
+    * drawing). The draw is a content-hash priority race over
+    * (qid, cid), so the sample is partitioning-invariant and the
+    * DuckDB oracle draws the IDENTICAL rows (q112's A-ES trick, here
+    * unweighted). Scale: candidate ranking is the q36 broadcast shape
+    * (Q x N rows, Q bounded by [[QueryStride]]) with a per-qid window
+    * — at 100 TB the exclusion set comes from the serving ANN index
+    * instead of exact ground truth and the race keys stream through
+    * the same TakeOrdered shape. */
+  def q131NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val top = bruteRanked(spark, dir).select("qid", "cid")
+    val pos = bruteRanked(spark, dir).filter(col("rank") === 1)
+      .select(col("qid"), col("cid").as("pos_id"))
+    val qids = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"))
+    val cids = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("cid"))
+    val wN = Window.partitionBy("qid").orderBy(asc("pri"), asc("cid"))
+    broadcast(qids).crossJoin(cids)
+      .filter(col("qid") =!= col("cid"))
+      .join(top, Seq("qid", "cid"), "left_anti")
+      .withColumn("pri", Hashing.md5Hash60(
+        concat(lit("neg:"), col("qid").cast("string"),
+          lit(":"), col("cid").cast("string"))))
+      .withColumn("neg_rank", row_number().over(wN))
+      .filter(col("neg_rank") <= NegK)
+      .join(pos, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("neg_rank"),
+        col("cid").as("neg_id"))
+      .orderBy("qid", "neg_rank")
+  }
+
   /** Reciprocal-rank-fusion constant: the standard k=60 from the
     * original RRF formulation — large enough that rank 1 vs rank 2
     * differences don't dominate, small enough that ranks matter. */
@@ -802,6 +843,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_hybrid_rrf" -> (q120HybridRrf _),
     "q129_ann_truncated" -> (q129AnnTruncated _),
+    "q131_negative_sampling" -> (q131NegativeSampling _),
     "q101_centroid_eval" -> (q101CentroidEval _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _),
@@ -932,6 +974,51 @@ object Similarity {
     "q129_ann_truncated" ->
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    // q36's exact-ranking CTEs provide the positive + the top-10
+    // exclusion set; the negative draw is the same portable md5
+    // priority race both engines compute bit-identically
+    "q131_negative_sampling" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+        |                     AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, cid,
+        |         round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |  FROM dots
+        |  JOIN norms n1 ON n1.vec_id = qid
+        |  JOIN norms n2 ON n2.vec_id = cid),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cosine DESC, cid ASC) AS rank
+        |  FROM scored),
+        |top10 AS (SELECT qid, cid FROM ranked WHERE rank <= 10),
+        |pos AS (SELECT qid, cid AS pos_id FROM ranked WHERE rank = 1),
+        |cand AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         ('0x' || substr(md5('neg:' || CAST(q.vec_id AS VARCHAR)
+        |                          || ':' || CAST(c.vec_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS pri
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id % $QueryStride = 0 AND c.vec_id <> q.vec_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM top10 t
+        |                    WHERE t.qid = q.vec_id AND t.cid = c.vec_id)),
+        |negs AS (
+        |  SELECT qid, cid,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY pri, cid) AS INT)
+        |           AS neg_rank
+        |  FROM cand)
+        |SELECT n.qid, p.pos_id, n.neg_rank, n.cid AS neg_id
+        |FROM negs n JOIN pos p USING (qid)
+        |WHERE n.neg_rank <= $NegK ORDER BY qid, neg_rank""".stripMargin,
     "q114_ann_ivfpq" ->
       s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,

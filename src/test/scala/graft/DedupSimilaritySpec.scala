@@ -142,6 +142,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ok.forall(_.getBoolean(1)), "q52 avg-recall contract violated")
   }
 
+  test("q131 negative sampling: negatives exclude the true top-10, " +
+      "positives are the exact top-1, and the draw matches an " +
+      "independent hash-race recompute") {
+    import graft.functions.Hashing.md5Hash60Value
+    val truth = Similarity.q36AnnBruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val topByQ = truth.groupBy(_._1)
+      .map { case (q, t) => q -> t.map(_._2).toSet }
+    val posByQ = truth.filter(_._3 == 1)
+      .map(t => t._1 -> t._2).toMap
+    val allIds = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val got = Similarity.q131NegativeSampling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == posByQ.keySet)
+    got.foreach { case (qid, pos, _, neg) =>
+      assert(pos == posByQ(qid), s"qid $qid positive")
+      assert(neg != qid && !topByQ(qid)(neg),
+        s"qid $qid negative $neg is a true neighbor")
+    }
+    // independent race recompute: the 5 smallest hash priorities among
+    // eligible candidates, tie-broken by cid
+    got.groupBy(_._1).foreach { case (qid, rs) =>
+      val expect = allIds
+        .filter(c => c != qid && !topByQ(qid)(c))
+        .map(c => (md5Hash60Value(s"neg:$qid:$c"), c))
+        .sorted.take(5).map(_._2).toSeq
+      val gotNegs = rs.sortBy(_._3).map(_._4).toSeq
+      assert(gotNegs == expect, s"qid $qid draw mismatch")
+    }
+  }
+
   test("truncated-prefix ANN: >=80% avg recall@10, exact cosines on " +
       "the re-ranked shortlist, and a scala prefix-cosine recompute " +
       "agrees on the shortlist membership") {
