@@ -267,7 +267,9 @@ object Curation {
     * (doc_id % 2 = 0, standing in for the persisted day-A chunk-hash
     * table) is reduced to its distinct chunk hashes; today's documents
     * (odd doc_id) report how much of their content — chunk count and
-    * BYTE fraction — the store already holds. The q102 pattern (join
+    * CHARACTER fraction (clen is `length()` over STRING chunks of the
+    * char-offset md5-window chunker; the sibling q125 gear path is the
+    * byte-semantics one) — the store already holds. The q102 pattern (join
     * today's sketches against yesterday's persisted table, never
     * re-read history's text) applied to exact CDC chunks: at 100
     * TB/day, day-A text is never touched again — only its hash table
@@ -287,7 +289,7 @@ object Curation {
           .as("n_known_chunks"),
         round(sum(when(coalesce(col("known"), lit(false)), col("clen"))
             .otherwise(lit(0))).cast("double") / sum(col("clen")), 4)
-          .as("known_byte_frac"))
+          .as("known_char_frac"))
       .orderBy("doc_id")
   }
 
@@ -718,7 +720,7 @@ object Curation {
         |            AS BIGINT) AS n_known_chunks,
         |       round(CAST(sum(CASE WHEN k.h IS NOT NULL THEN c.clen
         |                           ELSE 0 END) AS DOUBLE)
-        |             / sum(c.clen), 4) AS known_byte_frac
+        |             / sum(c.clen), 4) AS known_char_frac
         |FROM chunks c LEFT JOIN known k ON c.h = k.h
         |WHERE c.doc_id % 2 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,

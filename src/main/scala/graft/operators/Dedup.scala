@@ -361,12 +361,16 @@ object Dedup {
   }
 
   // q110 span geometry: 64-char windows sampled every 32 chars.
-  // Overlapping windows (stride = len/2) guarantee any duplicated run
-  // of >= SpanLen + SpanStride - 1 chars fully contains at least one
-  // aligned window on BOTH sides regardless of alignment offset, so
-  // long verbatim repeats are always detected; shorter repeats are
-  // detected when window-aligned (the standard sampled-suffix trade
-  // that keeps the span table at O(chars / stride) rows).
+  // Windows are aligned to ABSOLUTE document positions (stride 32 from
+  // offset 1), so two occurrences of a duplicated run only share a
+  // window hash when they sit at the same phase mod SpanStride —
+  // detection is guaranteed for equal-phase duplicates (exact prefixes,
+  // whole-document copies, same-offset boilerplate), not for runs
+  // shifted by an arbitrary offset (SketchChunkSpec demonstrates the
+  // head-insertion counterexample). Shift-invariant detection is what
+  // the content-defined chunkers (q124 md5-window / q125 gear CDC)
+  // exist for; this fixed grid keeps the span table at a predictable
+  // O(chars / stride) rows with zero content-dependent skew.
   private[operators] val SpanLen = 64
   private[operators] val SpanStride = 32
 
