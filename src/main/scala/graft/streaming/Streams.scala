@@ -136,8 +136,12 @@ object Streams {
   /** Timeout-emitted sessions (`flatMapGroupsWithState` +
     * EventTimeTimeout — the §2.10 surface `mapGroupsWithState` can't
     * cover): per-user counters accumulate across micro-batches and the
-    * COMPLETED session is emitted exactly once, when the watermark
-    * passes last-event + gap. This is the custom-state form of q46's
+    * COMPLETED session is emitted exactly once — at watermark passage of
+    * last-event + gap, or immediately when a later event observed for
+    * the same key is itself more than the gap after the session's last
+    * event (intra-batch and cross-batch splits, so two >gap-apart events
+    * arriving in one micro-batch yield two sessions, exactly as
+    * session_window would). This is the custom-state form of q46's
     * `session_window`, needed when the emission payload (derived
     * features, first/last markers) outgrows the built-in session agg.
     * State is one [[SessionAcc]] per ACTIVE user — bounded by live
@@ -167,17 +171,31 @@ object Streams {
             Iterator.single(
               SessionOut(uid, s.n, s.total, s.last - s.first))
           } else {
-            val xs = rows.toVector
-            val ms = xs.map(_._2.getTime)
-            val prev = state.getOption
-              .getOrElse(SessionAcc(0L, 0.0, Long.MaxValue, Long.MinValue))
-            val acc = SessionAcc(prev.n + xs.size,
-              prev.total + xs.map(_._3).sum,
-              math.min(prev.first, ms.min),
-              math.max(prev.last, ms.max))
+            // Fold the batch's events in event-time order and SPLIT when
+            // the gap between consecutive events exceeds SessionGapMs —
+            // both intra-batch gaps and a gap against the accumulated
+            // state from earlier batches close the open session here,
+            // without waiting for the watermark timeout (which only
+            // fires once the watermark advances — for a lone active key
+            // that may never happen before its next event). Late events
+            // (ts <= acc.last, admitted by the watermark) merge into the
+            // open session, matching session_window's merge semantics.
+            val xs = rows.toVector.sortBy(_._2.getTime)
+            var acc = state.getOption.orNull
+            val closed = Vector.newBuilder[SessionOut]
+            xs.foreach { case (_, t, v) =>
+              val ms = t.getTime
+              if (acc == null) acc = SessionAcc(1L, v, ms, ms)
+              else if (ms - acc.last > SessionGapMs) {
+                closed += SessionOut(uid, acc.n, acc.total,
+                  acc.last - acc.first)
+                acc = SessionAcc(1L, v, ms, ms)
+              } else acc = SessionAcc(acc.n + 1, acc.total + v,
+                math.min(acc.first, ms), math.max(acc.last, ms))
+            }
             state.update(acc)
             state.setTimeoutTimestamp(acc.last + SessionGapMs)
-            Iterator.empty
+            closed.result().iterator
           }
       }
   }

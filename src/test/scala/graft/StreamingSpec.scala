@@ -194,6 +194,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("timeoutSessions splits on the session gap inside a batch and " +
+      "across batches before any timeout fires") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.timeoutSessions(
+        input.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("timeout_split_t")
+      .outputMode("append").start()
+    try {
+      // two events >30min apart land in the SAME micro-batch: the first
+      // session must close immediately (session_window would emit two),
+      // not merge into one 70-min session
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:10:00"), 1, "view", 2.0),
+        Ev(t("2024-01-01 11:20:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = sess.table("timeout_split_t")
+        .as[Streams.SessionOut].collect().toSet
+      assert(afterBatch1 == Set(
+        Streams.SessionOut(1L, 2L, 3.0, 10L * 60 * 1000)),
+        s"intra-batch gap must close the first session, got $afterBatch1")
+      // a LATER batch for the same key, again >30min after the open
+      // session's last event: the open session closes on arrival even
+      // though only this key's events ever advance the watermark
+      input.addData(Ev(t("2024-01-01 13:00:00"), 1, "click", 8.0))
+      q.processAllAvailable()
+      val afterBatch2 = sess.table("timeout_split_t")
+        .as[Streams.SessionOut].collect().toSet
+      assert(afterBatch2 == Set(
+        Streams.SessionOut(1L, 2L, 3.0, 10L * 60 * 1000),
+        Streams.SessionOut(1L, 1L, 4.0, 0L)),
+        s"cross-batch gap must close the open session, got $afterBatch2")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the 7-day range") {
     val sess = spark
     import sess.implicits._
