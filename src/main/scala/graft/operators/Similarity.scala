@@ -240,6 +240,16 @@ object Similarity {
     picked.join(vecs, Seq("vec_id"))
   }
 
+  /** Cell count of the (cached) IVF quantizer — exposed for the
+    * ProbeSweep dev tool so sweeps report probe FRACTION honestly. */
+  private[graft] def ivfCellCount(spark: SparkSession, dir: String): Long = {
+    graft.plans.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Dedup.normExpr.as("nrm"))
+    graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
+      ivfCentroids(spark, dir, all).count())
+  }
+
   private def ivfCentroids(spark: SparkSession, dir: String,
       all: DataFrame): DataFrame =
     graft.sources.DfCache.df(spark, s"ivf_centroids|$dir") {
@@ -274,26 +284,63 @@ object Similarity {
       cent
     }
 
+  /** Probe-width policy, shared by q52 (IVF) and q114 (IVF+PQ):
+    * `nprobe = clamp(scale * log2(cells), floor, cells)` — LOGARITHMIC
+    * in the cell count, never a linear fraction of it. The r04 policy
+    * (1/3 and 2/3 of ALL cells) kept recall flat but meant every query
+    * scanned a linear fraction of its own index at every scale — the
+    * exact property an inverted file exists to avoid. A slowly-growing
+    * probe width is how production IVF serves: per-query candidate work
+    * is O((N/cells) * nprobe * M) = O(sqrt(N) * log(cells) * M) with
+    * sqrt-sized cells, and the starvation risk a growing corpus poses
+    * to any capped policy is monitored by the existing RecallScan audit
+    * (plus the ProbeSweep curve in docs/SCALE.md: on this
+    * weakly-clustered synthetic corpus, recall rises roughly linearly
+    * with probe fraction, so the measured operating points below are
+    * chosen to clear the contract floors with margin at every tested
+    * scale — sf0.001/0.01/0.1 and the 10x pseudo-sf1 copy). */
+  private[graft] def ivfNprobe(nCells: Long, scale: Double, floor: Int): Int = {
+    val log2 = math.log(nCells.toDouble.max(2.0)) / math.log(2.0)
+    math.min(nCells, math.max(floor.toLong, math.round(scale * log2))).toInt
+  }
+
+  /** Measured operating points (ProbeSweep, docs/SCALE.md): IVF probes
+    * 3*log2(cells) cells — 24 cells -> 14 (avg recall 0.86-0.94),
+    * 46 -> 17 (0.785), 100 -> 20 at pseudo-sf1 (1.0); 20% of the index
+    * at 10x where the old 1/3 policy scanned 33% at every scale.
+    * IVF+PQ probes 4*log2(cells) (the composed layout stacks
+    * quantization error on cell-boundary error, and its code rows are
+    * 64x cheaper to scan, so the wider width is the cheap recall knob):
+    * 24 -> 18 (0.78-0.88), 46 -> 22 (0.585), 100 -> 27 (0.855). The
+    * sweep's sharpest lesson: probing MORE actively hurts IVF+PQ at
+    * scale — full-probe at pseudo-sf1 measured 0.495 vs 0.855 capped,
+    * because extra far-cell candidates carry quantization noise that
+    * crowds true neighbors out of the fixed-width ADC shortlist. */
+  private val IvfProbeScale = 3.0
+  private val IvfPqProbeScale = 4.0
+  private val ProbeFloor = 4
+
   /** q52 — IVF-style ANN top-k (no SQL oracle; recall vs q36 asserted in
     * ScalaTest). Coarse quantizer = [[ivfCentroids]] (Lloyd-refined
     * spherical k-means from deterministic seeds); every vector is
     * assigned to its nearest centroid cell (one broadcast of the small
     * centroid set, no corpus shuffle beyond the cell key), queries probe
-    * their nprobe nearest cells and score only those cells' members.
+    * their [[ivfNprobe]] nearest cells (logarithmic in the cell count)
+    * and score only those cells' members.
     * This is the inverted-file layout: at 100 TB the corpus is written
     * bucketed by cell id, so a query reads only its probed cells'
     * files. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String,
+      nprobeOverride: Option[Int] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), Dedup.normExpr.as("nrm"))
     val centroids = ivfCentroids(spark, dir, all)
-    // probe ~1/3 of the cells (min 4): a fixed nprobe that is generous at
-    // one corpus size silently starves recall when the cell count grows
-    // with the corpus. The cell count is a cached limit-free tiny count.
+    // the cell count is a cached limit-free tiny count
     val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
       centroids.count())
-    val nprobe = math.max(4L, (nCells + 2) / 3).toInt
+    val nprobe = nprobeOverride.getOrElse(
+      ivfNprobe(nCells, IvfProbeScale, ProbeFloor))
     val assigned = nearestCells(all, centroids, 1, "crank")
       .select(col("vec_id").as("cid"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -449,6 +496,17 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .groupBy("qid", "cid")
       .agg(sum(col("qdot")).as("approx_dot"))
+    shortlistRerank(spark, dir, approx)
+  }
+
+  /** The shared PQ serving tail (q113 flat-ADC and q114 IVF+PQ end
+    * identically): approx (qid, cid, approx_dot) rows -> normalize to
+    * approximate cosine -> keep the [[PqShortlist]] widest candidates
+    * per query -> exact-cosine re-rank of ONLY those rows to [[TopK]].
+    * The only stage that touches raw vectors; the one copy of the
+    * shortlist->re-rank rule (VERDICT r04 #7). */
+  private def shortlistRerank(spark: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
     val qv = queryVecs(spark, dir)
     val cv = corpusVecs(spark, dir)
     val wS = Window.partitionBy("qid").orderBy(desc("approx_cos"), asc("cid"))
@@ -483,15 +541,17 @@ object Similarity {
     * scores ONLY the probed cells' members from the compressed codes
     * table (q113's cached codebooks/codes), shortlist exact-re-ranked.
     * Per-query work drops from O(N x M) flat-ADC lookups to
-    * O((N / cells) x nprobe x M), and — the real point — the raw
-    * vectors are touched only for the shortlist: at 100 TB the corpus
-    * is written bucketed by cell id with codes co-resident, so a query
-    * reads a few cells' CODE files (64x smaller than the vectors) plus
+    * O((N / cells) x nprobe x M) with nprobe logarithmic in the cell
+    * count ([[ivfNprobe]]), and — the real point — the raw vectors are
+    * touched only for the shortlist: at 100 TB the corpus is written
+    * bucketed by cell id with codes co-resident, so a query reads a few
+    * cells' CODE files (64x smaller than the vectors) plus
     * [[PqShortlist]] raw rows. Probing is deliberately more generous
-    * than q52's (2/3 of cells vs 1/3): quantization error stacks on
+    * than q52's (4*log2 vs 3*log2 cells): quantization error stacks on
     * cell-boundary error, and the codes scan being 64x cheaper per row
     * is exactly the budget that pays for wider probes. */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      nprobeOverride: Option[Int] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val dim = embeddingDim(spark, dir)
     if (dim % PqM != 0)
@@ -503,7 +563,8 @@ object Similarity {
     val centroids = ivfCentroids(spark, dir, allN)
     val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
       centroids.count())
-    val nprobe = math.max(4L, (2 * nCells + 2) / 3).toInt
+    val nprobe = nprobeOverride.getOrElse(
+      ivfNprobe(nCells, IvfPqProbeScale, ProbeFloor))
     val assigned = nearestCells(allN, centroids, 1, "crank")
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
     val probes = nearestCells(
@@ -519,25 +580,7 @@ object Similarity {
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy("qid", "cid")
       .agg(sum(col("qdot")).as("approx_dot"))
-    val qv = queryVecs(spark, dir)
-    val cv = corpusVecs(spark, dir)
-    val wS = Window.partitionBy("qid").orderBy(desc("approx_cos"), asc("cid"))
-    val shortlist = approx
-      .join(cv.select(col("cid"), col("nb")), Seq("cid"))
-      .join(broadcast(qv.select(col("qid"), col("na"))), Seq("qid"))
-      .withColumn("approx_cos", col("approx_dot") / (col("na") * col("nb")))
-      .withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= PqShortlist)
-      .select("qid", "cid")
-    val wR = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
-    shortlist
-      .join(broadcast(qv), Seq("qid"))
-      .join(cv, Seq("cid"))
-      .select(col("qid"), col("cid"), simCol)
-      .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
-      .orderBy("qid", "rank")
+    shortlistRerank(spark, dir, approx)
   }
 
   /** q114 — IVF+PQ ANN as its average-recall contract vs exact brute
