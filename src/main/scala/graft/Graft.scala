@@ -67,7 +67,7 @@ object Graft {
   /** Connected components over the near-dup pair graph: one canonical
     * survivor per cluster. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    operators.Dedup.q73DedupClusters(spark, dir)
+    operators.DedupClusters.q73DedupClusters(spark, dir)
 
   /** Exact cosine top-k neighbors for the query subset. */
   def annBruteTopK(spark: SparkSession, dir: String): DataFrame =
@@ -79,12 +79,12 @@ object Graft {
 
   /** IVF-bucketed approximate top-k. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    operators.Similarity.ivfTopK(spark, dir)
+    operators.AnnIndex.ivfTopK(spark, dir)
 
   /** SemDeDup drop list: vectors with a lower-id semantic duplicate
     * (cosine >= 0.4) inside their IVF blocking cells, with witnesses. */
   def semanticDedupDrops(spark: SparkSession, dir: String): DataFrame =
-    operators.Similarity.semanticDrops(spark, dir)
+    operators.AnnRetrieval.semanticDrops(spark, dir)
 
   /** Corpus curation: boilerplate strip, PII scrub, contamination,
     * repetition score, stratified sample, vocabulary. */

@@ -3,7 +3,7 @@ package graft
 /** Dev tool: measure IVF / IVF+PQ recall as a function of probe width,
   * at every local SF plus the pseudo-sf1 10x copy (`ScaleSmoke build`).
   * This is the evidence behind the capped logarithmic nprobe policy
-  * (`Similarity.ivfNprobe`) — the recall-vs-probe-fraction curve is
+  * (`AnnIndex.ivfNprobe`) — the recall-vs-probe-fraction curve is
   * recorded in docs/SCALE.md, and the operating points are chosen to
   * clear the q52/q114 contract floors with margin at every tested
   * scale.
@@ -14,7 +14,7 @@ object ProbeSweep {
   def main(args: Array[String]): Unit = {
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.Similarity
+    import graft.operators.{AnnIndex, AnnRetrieval, Similarity}
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -29,15 +29,15 @@ object ProbeSweep {
           t.count(approx.contains).toDouble / t.length }
         rs.sum / rs.size
       }
-      val nCells = Similarity.ivfCellCount(spark, dir)
+      val nCells = AnnIndex.ivfCellCount(spark, dir)
       val widths = (Seq(4, 6, 8, 10, 12, 14, 17, 21, 25, 30)
         .filter(_ <= nCells) :+ nCells.toInt).distinct.sorted
       println(s"[sweep] $dir cells=$nCells")
       for (np <- widths) {
         val rIvf = avgRecall(
-          Similarity.ivfTopK(spark, dir, Some(np)).collect())
+          AnnIndex.ivfTopK(spark, dir, Some(np)).collect())
         val rPq = avgRecall(
-          Similarity.ivfPqTopK(spark, dir, Some(np)).collect())
+          AnnIndex.ivfPqTopK(spark, dir, Some(np)).collect())
         println(f"[sweep] $dir nprobe=$np%3d frac=${np.toDouble / nCells}%.2f " +
           f"ivf_avg=$rIvf%.3f ivfpq_avg=$rPq%.3f")
       }

@@ -81,21 +81,21 @@ object ScaleSmoke {
         .map(n => n -> SparkEntry.queries(n)) :+
         // q113/q114/q129 are recall contracts; time the ANN paths themselves
         ("trunc_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.truncatedTopK(s, d))) :+
+          operators.AnnRetrieval.truncatedTopK(s, d))) :+
         ("pq_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.pqTopK(s, d))) :+
+          operators.AnnIndex.pqTopK(s, d))) :+
         ("ivfpq_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.ivfPqTopK(s, d))) :+
+          operators.AnnIndex.ivfPqTopK(s, d))) :+
         ("lsh_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.Similarity.lshTopK(s, d))) :+
         // like lsh_topk: the registered q52 is the recall CONTRACT and
         // recomputes brute-force ground truth; time the ANN path itself
         ("ivf_topk_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.ivfTopK(s, d))) :+
+          operators.AnnIndex.ivfTopK(s, d))) :+
         // the registered q107 is the contract (recomputes Q x N exact
         // ground truth); time the blocked dedup path itself
         ("semantic_drops_direct" -> ((s: SparkSession, d: String) =>
-          operators.Similarity.semanticDrops(s, d)))
+          operators.AnnRetrieval.semanticDrops(s, d)))
       val unknown = only -- queries.map(_._1).toSet
       require(unknown.isEmpty,
         s"unknown query name(s): ${unknown.mkString(", ")}")
@@ -154,7 +154,7 @@ object ScaleSmoke {
       val tmpEmb = s"$OutDir/__emb_survivors"
       emb.join(firstIds, Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$tmpEmb/embeddings.parquet")
-      operators.Dedup.q35DedupEmbedding(spark, tmpEmb)
+      operators.DedupEmbedding.q35DedupEmbedding(spark, tmpEmb)
         .write.format("noop").mode("overwrite").save()
       println(f"[scale] q35_after_exact_dedup sfx1: ${(System.nanoTime() - t1) / 1e9}%.2f s")
       }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Breadth, Breadth2, Breadth3, Curation, Dedup, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
       Breadth3.queries ++
-      Dedup.queries ++ TextOps.queries ++ Similarity.queries ++
+      Dedup.queries ++ DedupEmbedding.queries ++ DedupClusters.queries ++
+      TextOps.queries ++ Similarity.queries ++ AnnIndex.queries ++
+      AnnRetrieval.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
       TrainingPipeline.queries ++ Curation.queries ++ Skew.queries
 
@@ -32,7 +34,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
       Breadth3.oracles ++
-      Dedup.oracles ++ TextOps.oracles ++ Similarity.oracles ++
+      Dedup.oracles ++ DedupEmbedding.oracles ++ DedupClusters.oracles ++
+      TextOps.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
+      AnnRetrieval.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
       TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles
 }

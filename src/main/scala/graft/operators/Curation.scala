@@ -587,7 +587,7 @@ object Curation {
     * table (near-dup docs only, far below corpus size) left-joined to
     * the corpus on doc_id, then one hash aggregation. */
   def q117LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.q73DedupClusters(spark, dir)
+    val clusters = DedupClusters.q73DedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     val grouped = Tables.documents(spark, dir).select("doc_id")
       .join(clusters, Seq("doc_id"), "left_outer")

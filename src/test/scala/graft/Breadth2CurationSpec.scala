@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Breadth2, Curation}
+import graft.operators.{Breadth2, Curation, DedupClusters}
 
 /** Semantic invariants for the second-wave relational breadth and the
   * corpus-curation operators (their value-level correctness is
@@ -132,7 +132,7 @@ class Breadth2CurationSpec extends SparkTestBase {
       val b = Hashing.md5Hash60Value(s"split:$key") % 10
       if (b < 8) "train" else if (b < 9) "val" else "test"
     }
-    val clusters = Dedup.q73DedupClusters(spark, sf).collect()
+    val clusters = DedupClusters.q73DedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val allDocs = graft.sources.Tables.documents(spark, sf).collect()
       .map(_.getLong(0))

@@ -18,7 +18,7 @@ class SignBitsSpec extends SparkTestBase {
 
   test("native bits == lambda bits on real embeddings (double planes)") {
     val sess = registered
-    val planes = graft.operators.Dedup.portablePlanes(64)
+    val planes = graft.operators.DedupEmbedding.portablePlanes(64)
     val base = graft.sources.Tables.embeddings(sess, sf)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
