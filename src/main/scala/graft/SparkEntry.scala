@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Multimodal, Relational, Similarity, Skew, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Multimodal, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,8 @@ object SparkEntry {
       TextOps.queries ++ Similarity.queries ++ AnnIndex.queries ++
       AnnRetrieval.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
-      TrainingPipeline.queries ++ Curation.queries ++ Skew.queries
+      TrainingPipeline.queries ++ Curation.queries ++ Skew.queries ++
+      StorageLayout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       TextOps.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
       AnnRetrieval.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
-      TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles
+      TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles ++
+      StorageLayout.oracles
 }

@@ -141,9 +141,9 @@ object AnnIndex {
     * scale — full-probe at pseudo-sf1 measured 0.495 vs 0.855 capped,
     * because extra far-cell candidates carry quantization noise that
     * crowds true neighbors out of the fixed-width ADC shortlist. */
-  private val IvfProbeScale = 3.0
+  private[operators] val IvfProbeScale = 3.0
   private val IvfPqProbeScale = 4.0
-  private val ProbeFloor = 4
+  private[operators] val ProbeFloor = 4
 
   /** q52 — IVF-style ANN top-k (no SQL oracle; recall vs q36 asserted in
     * ScalaTest). Coarse quantizer = [[ivfCentroids]] (Lloyd-refined

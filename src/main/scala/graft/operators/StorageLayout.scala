@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Similarity.{QueryStride, simCol}
+import AnnIndex.{ivfCentroids, nearestCells, ivfNprobe, IvfProbeScale, ProbeFloor}
+
+/** [EXT] storage-LAYOUT proof queries (VERDICT r04 #2/#3): the scale
+  * claims the ANN and data-skipping scaladocs make about how a 100 TB
+  * table should be WRITTEN — z-ordered for multi-dimension row-group
+  * pruning, partitioned by IVF cell id for probe-only serving reads —
+  * registered as oracle-checked artifacts instead of prose. Each query
+  * writes the layout, reads it back the way a serving job would, and
+  * returns contract booleans computed from the EXECUTED scans' metrics
+  * (rows surfaced / files read), so a layout regression (pruning
+  * silently lost, partition filter not pushed) fails the driver's hash
+  * compare. The returned plan itself contains the pruned scan, so
+  * docs/PLANS.md shows the PartitionFilters / PushedFilters evidence.
+  */
+object StorageLayout {
+
+  /** Deterministic per-(dataset) layout root under /tmp — the stand-in
+    * for the table location a real pipeline owns. */
+  private def layoutRoot(dir: String, kind: String): String =
+    s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$kind"
+
+  /** Execute `df` and report how many rows its parquet scan SURFACED
+    * (after row-group/page pruning by the pushed filters, before any
+    * residual Filter) — the data-skipping measurement. */
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+    }.getOrElse(sys.error("no FileSourceScanExec in executed plan"))
+  }
+
+  /** Execute `df` and report how many FILES its parquet scan read —
+    * the partition-pruning measurement. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.getOrElse(sys.error("no FileSourceScanExec in executed plan"))
+  }
+
+  /** q132 — Z-ORDER data skipping as a registered artifact (the
+    * `functions.Zorder` layout, previously spec-only): lineitem is
+    * written twice — single-column-sorted by l_partkey (the layout a
+    * one-dimension workload would pick) and z-ordered on
+    * (l_partkey, l_suppkey) via the Morton key — and the SAME
+    * two-dimension box predicate (both keys <= max/4) is scanned from
+    * both. The single-column sort can only prune the partkey dimension
+    * (each file spans the full suppkey range); the z-order curve makes
+    * every file a narrow box in BOTH dimensions, so its row-group
+    * min/max statistics prune the suppkey dimension too. The contract
+    * column asserts the measured skip: rows surfaced by the z-ordered
+    * scan < rows surfaced by the single-sorted scan. The aggregate
+    * itself is computed FROM the z-ordered pruned scan and hash-checked
+    * against DuckDB over the original table — identical answers from a
+    * fraction of the I/O is the whole point of the layout.
+    *
+    * Scale: at 100 TB "write z-ordered" is this exact pipeline —
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` before the
+    * table write; the read side needs nothing special (plain min/max
+    * row-group stats), which is why the layout composes with any
+    * engine scanning the files. */
+  def q132ZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = layoutRoot(dir, "zorder")
+    val base = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    val maxes = base.agg(max("l_partkey"), max("l_suppkey"))
+      .collect().head
+    val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
+    graft.sources.DfCache.value(spark, s"zorder_layout|$dir") {
+      base.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$root/single")
+      // NORMALIZE both dimensions into the full 16-bit range before
+      // interleaving (the Zorder scaladoc's rank-or-bucket-first rule):
+      // raw interleave of an 8-bit partkey with a 4-bit suppkey puts
+      // only zero suppkey bits in the key's high positions, so the
+      // curve degenerates to partkey-major order and prunes exactly
+      // like the single-column sort (measured: 1901 vs 1896 rows at
+      // sf0.001). Equal-width scaling makes every key bit alternate
+      // real information from each dimension.
+      base.withColumn("zkey", graft.functions.Zorder.interleave16(
+          col("l_partkey") * 65535L / pMax,
+          col("l_suppkey") * 65535L / sMax))
+        .repartitionByRange(16, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite").parquet(s"$root/zordered")
+      true
+    }
+    val (pT, sT) = (pMax / 4, sMax / 4)
+    def boxScan(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("l_partkey") <= pT && col("l_suppkey") <= sT)
+    val zRows = scannedRows(boxScan(s"$root/zordered"))
+    val singleRows = scannedRows(boxScan(s"$root/single"))
+    boxScan(s"$root/zordered")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .withColumn("zorder_prunes_beyond_single_sort",
+        lit(zRows < singleRows))
+  }
+
+  /** q133 — the CELL-BUCKETED ANN serving layout (the claim at
+    * AnnIndex's q52 scaladoc and SCALE.md: "at 100 TB the corpus is
+    * written bucketed by cell id, so a query reads only its probed
+    * cells' files"), registered as a checked artifact: the corpus is
+    * written `partitionBy(cell)` using q52's cached Lloyd assignment,
+    * a representative query (the lowest strided qid) probes its
+    * [[AnnIndex.ivfNprobe]] nearest cells, and the serving read
+    * filters on that cell set — Catalyst turns the filter into
+    * PartitionFilters and the scan touches ONLY the probed cells'
+    * files (the returned plan in docs/PLANS.md shows it; the
+    * files_read_lt_total contract measures it from scan metrics).
+    * The top-10 within the probed cells is re-derived from the pruned
+    * layout and checked identical to q52's ivfTopK for that query —
+    * the layout changes I/O, never answers. */
+  def q133CellServing(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val root = layoutRoot(dir, "ivfcells")
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        DedupEmbedding.normExpr.as("nrm"))
+    val centroids = ivfCentroids(spark, dir, all)
+    graft.sources.DfCache.value(spark, s"cell_layout|$dir") {
+      nearestCells(all, centroids, 1, "crank")
+        .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").partitionBy("cell").parquet(root)
+      true
+    }
+    val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
+      centroids.count())
+    val nprobe = ivfNprobe(nCells, IvfProbeScale, ProbeFloor)
+    val qid = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .agg(min(col("vec_id"))).collect().head.getLong(0)
+    val probedCells = nearestCells(
+        all.filter(col("vec_id") === qid), centroids, nprobe, "prank")
+      .select("cent_id").collect().map(_.getLong(0)).toSeq
+    def servedScan(): DataFrame =
+      spark.read.parquet(root)
+        .filter(col("cell").isin(probedCells: _*))
+    val totalFiles = scannedFiles(
+      spark.read.parquet(root).select(col("vec_id")))
+    val servedFiles = scannedFiles(servedScan().select(col("vec_id")))
+    val qv = all.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val servedTopk = servedScan()
+      .select(col("vec_id").as("cid"), col("embedding").as("eb"),
+        DedupEmbedding.normExpr.as("nb"))
+      .crossJoin(broadcast(qv))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("cid"), simCol)
+      .orderBy(desc("cosine"), asc("cid")).limit(10)
+    val servedIds = servedTopk.select("cid").collect().map(_.getLong(0)).toSeq
+    val ivfIds = AnnIndex.ivfTopK(spark, dir)
+      .filter(col("qid") === qid)
+      .orderBy("rank").select("cid").collect().map(_.getLong(0)).toSeq
+    // the returned plan keeps the PRUNED scan (via servedTopk's lineage)
+    // so Explain shows PartitionFilters; the contract booleans ride along
+    servedTopk
+      .agg(count(lit(1)).as("n_topk"))
+      .select(
+        lit(qid).as("qid"),
+        (lit(nprobe) < lit(nCells)).as("cells_probed_lt_total"),
+        lit(servedFiles < totalFiles).as("files_read_lt_total"),
+        lit(servedIds == ivfIds).as("topk_matches_ivf"),
+        (col("n_topk") === math.min(10L, servedIds.size.toLong))
+          .as("topk_complete"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_zorder_scan" -> (q132ZorderScan _),
+    "q133_cell_serving" -> (q133CellServing _))
+
+  val oracles: Map[String, String] = Map(
+    "q132_zorder_scan" ->
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       true AS zorder_prunes_beyond_single_sort
+        |FROM lineitem
+        |WHERE l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem)
+        |  AND l_suppkey <= (SELECT max(l_suppkey) // 4 FROM lineitem)""".stripMargin,
+    // layout internals (Lloyd cells, probe set) are Scala-side
+    // deterministic, not SQL-expressible — contract oracle, like q52
+    "q133_cell_serving" ->
+      s"""SELECT CAST(min(vec_id) AS BIGINT) AS qid,
+        |       true AS cells_probed_lt_total,
+        |       true AS files_read_lt_total,
+        |       true AS topk_matches_ivf,
+        |       true AS topk_complete
+        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin)
+}
