@@ -159,6 +159,11 @@ object Relational {
     * (`LoadXML2DB.ChatterjeeP.R:198,248,299,350,401,452`). Modeled as a
     * union of two fact slices re-aggregated — load-order invariant. */
   def q09UnionBatches(spark: SparkSession, dir: String): DataFrame = {
+    // the declared §4.3 optimizer stretch: the agg-through-union rule
+    // rewrites this exact shape into per-batch partial aggregates
+    // merged above the union (plan pinned in PushAggThroughUnionSpec
+    // and docs/PLANS.md; the oracle verifies semantics are unchanged)
+    graft.plans.PushAggThroughUnion.ensureRule(spark)
     val li = Tables.lineitem(spark, dir)
     val batch1 = li.filter(col("l_linenumber") <= 3)
     val batch2 = li.filter(col("l_linenumber") > 3)

@@ -269,6 +269,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GearChunkEnds].getName, "graft_gear_ends"),
       (children: Seq[Expression]) => GearChunkEnds(children(0))))
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
+    extensions.injectOptimizerRule(_ => PushAggThroughUnion)
     extensions.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
