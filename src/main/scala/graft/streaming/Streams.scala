@@ -204,11 +204,14 @@ object Streams {
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
     * reference's per-file append ingest). */
-  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsRawSchema)
-      .parquet(eventsDir)
+  def eventsStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   // ---- batch-mode oracle-checkable queries ----
 

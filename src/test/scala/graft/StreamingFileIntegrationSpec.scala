@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** VERDICT r04 #8 — a REAL StreamingQuery lifecycle over the file
+  * source: the events table is replayed as arriving parquet files
+  * (one file per micro-batch via maxFilesPerTrigger), the windowed
+  * aggregation runs with its production watermark into a CHECKPOINTED
+  * parquet sink, the query is stopped mid-stream and restarted from
+  * the checkpoint, and the final sink contents must equal the
+  * registered batch query (q44) row-for-row.
+  *
+  * Chunks are time-ordered (quartiles of ts), matching a real ingest
+  * where files arrive roughly in event order, so the 10-minute
+  * watermark drops nothing; a far-future flush sentinel closes the
+  * last real windows (append mode only emits a window once the
+  * watermark passes it). */
+class StreamingFileIntegrationSpec extends SparkTestBase {
+
+  private def writeChunk(df: DataFrame, stage: String, name: String): Unit = {
+    val tmp = s"$stage/_build_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).head
+    Files.move(Paths.get(part), Paths.get(s"$stage/$name.parquet"))
+  }
+
+  test("file-source stream with checkpointed sink + restart equals the " +
+      "batch tumbling-window result") {
+    val root = Files.createTempDirectory("graft_stream_it").toString
+    val stage = s"$root/in"
+    val sink = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(stage))
+    // raw events (nanos longs, the on-disk schema the file source reads)
+    val raw = spark.read.schema(graft.sources.Tables.eventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+    val Array(q1, q2, q3) = raw.stat.approxQuantile("ts",
+      Array(0.25, 0.5, 0.75), 0.0)
+    val chunks = Seq(
+      raw.filter(col("ts") <= q1),
+      raw.filter(col("ts") > q1 && col("ts") <= q2),
+      raw.filter(col("ts") > q2 && col("ts") <= q3),
+      raw.filter(col("ts") > q3))
+    // flush sentinel: 3 hours past the last event, so the watermark
+    // passes every real 1-hour window once it is processed
+    val maxTs = raw.agg(max("ts")).collect().head.getLong(0)
+    val sentinel = spark.range(1).select(
+      (lit(maxTs) + lit(3L * 3600 * 1000000000L)).as("ts"),
+      lit(999999L).as("user_id"), lit("zzz_flush").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+
+    def startQuery() =
+      Streams.tumblingCountsStreaming(
+          Streams.eventsStream(spark, stage, maxFilesPerTrigger = Some(1)))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    // phase 1: first half of the stream arrives, query runs, then STOPS
+    writeChunk(chunks(0), stage, "chunk0")
+    writeChunk(chunks(1), stage, "chunk1")
+    val q1st = startQuery()
+    try q1st.processAllAvailable() finally q1st.stop()
+    // phase 2: rest of the stream lands while the query is DOWN; the
+    // restarted query resumes from the checkpoint, not from scratch
+    writeChunk(chunks(2), stage, "chunk2")
+    writeChunk(chunks(3), stage, "chunk3")
+    writeChunk(sentinel, stage, "chunk4_flush")
+    val q2nd = startQuery()
+    try q2nd.processAllAvailable() finally q2nd.stop()
+
+    val streamed = spark.read.parquet(sink)
+      .filter(col("event_type") =!= "zzz_flush")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.q44TumblingWindow(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming result diverges from batch: streamed=${streamed.size} " +
+        s"rows, batch=${batch.size} rows; " +
+        s"missing=${(batch -- streamed).take(3)} " +
+        s"extra=${(streamed -- batch).take(3)}")
+    // the lifecycle really went through a checkpointed restart
+    assert(Files.list(Paths.get(ckpt)).toArray.nonEmpty)
+  }
+}
