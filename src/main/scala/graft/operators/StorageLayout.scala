@@ -177,9 +177,85 @@ object StorageLayout {
           .as("topk_complete"))
   }
 
+  /** q134 — BUCKETED co-located fact×fact join (the third storage-layout
+    * proof, previously spec-only in FormatsSpec): orders and lineitem are
+    * both written `bucketBy(16, orderkey)` + `sortBy` — the layout a
+    * 100 TB warehouse gives its two biggest fact tables precisely so
+    * their join never shuffles either side. The query joins the bucketed
+    * tables and aggregates per o_orderkey (the bucket key), and the
+    * contract booleans are computed from the compiled physical plan with
+    * AQE and broadcast disabled for the inspection: ZERO
+    * ShuffleExchangeExec anywhere (both scans already satisfy the join's
+    * and the aggregate's hash-distribution requirement) and the join is
+    * the SortMergeJoin the co-located path produces. The summary riding
+    * with the booleans is hash-checked against DuckDB's layout-free join
+    * over the original parquet — the layout changes where bytes sit,
+    * never answers. Money is summed in exact integer cents so the
+    * order-free double addition can't flip the hash compare.
+    *
+    * Scale: at 100 TB the two shuffles this layout deletes are the
+    * dominant cost of every orders×lineitem query — each would move the
+    * full fact table across the cluster per run, while the bucketed
+    * write pays that movement once and amortizes it over every
+    * subsequent join, which reads both sides bucket-aligned and streams
+    * them through a merge with no network at all. */
+  def q134BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = layoutRoot(dir, "buckets")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val ordT = s"graft_bucketed_orders_$tag"
+    val liT = s"graft_bucketed_lineitem_$tag"
+    graft.sources.DfCache.value(spark, s"bucket_layout|$dir") {
+      Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders")
+        .mode("overwrite").saveAsTable(ordT)
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem")
+        .mode("overwrite").saveAsTable(liT)
+      true
+    }
+    def perOrder(): DataFrame =
+      spark.table(ordT)
+        .join(spark.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+    // inspect the plan with AQE + broadcast off, so the assertion is
+    // about the bucket layout, not about runtime re-planning or a
+    // small-side broadcast that would vanish at real scale
+    val (prevAqe, prevBc) = (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val (shuffles, mergeJoin) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = perOrder().queryExecution.executedPlan
+        (plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size,
+          plan.collect {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          }.nonEmpty)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    perOrder()
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_items")).as("n_items"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("join_and_agg_shuffle_free", lit(shuffles == 0))
+      .withColumn("colocated_merge_join", lit(mergeJoin))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_zorder_scan" -> (q132ZorderScan _),
-    "q133_cell_serving" -> (q133CellServing _))
+    "q133_cell_serving" -> (q133CellServing _),
+    "q134_bucketed_join" -> (q134BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q132_zorder_scan" ->
@@ -197,5 +273,17 @@ object StorageLayout {
         |       true AS files_read_lt_total,
         |       true AS topk_matches_ivf,
         |       true AS topk_complete
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin)
+        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    "q134_bucketed_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(n_items) AS BIGINT) AS n_items,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       true AS join_and_agg_shuffle_free,
+        |       true AS colocated_merge_join
+        |FROM (
+        |  SELECT o_orderkey,
+        |         count(*) AS n_items,
+        |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1)""".stripMargin)
 }

@@ -75,4 +75,23 @@ class StorageLayoutSpec extends SparkTestBase {
     }
     assert(ivfRows.nonEmpty)
   }
+
+  test("q134 bucketed-join summary equals a layout-free recompute and " +
+      "the plan contracts hold") {
+    val row = StorageLayout.q134BucketedJoin(spark, sf).collect().head
+    // independent recompute: plain (unbucketed) join straight off the
+    // source parquet, money in exact cents
+    val orderKeys = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .filter(t => orderKeys.contains(t._1))
+    assert(row.getLong(0) == li.map(_._1).distinct.length.toLong, "n_orders")
+    assert(row.getLong(1) == li.length.toLong, "n_items")
+    assert(row.getLong(2) == li.map(_._2).sum, "revenue_cents")
+    assert(row.getBoolean(3), "join + per-key agg over the bucketed " +
+      "layout must compile with zero ShuffleExchange")
+    assert(row.getBoolean(4), "co-located path must be a SortMergeJoin")
+  }
 }
