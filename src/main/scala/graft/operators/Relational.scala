@@ -232,6 +232,64 @@ object Relational {
       .orderBy("rep_name")
   }
 
+  /** Star join at the product_facts grain with money in EXACT integer
+    * cents, restricted to orders matching `pred`. Cents (not rounded
+    * doubles) because incremental maintenance adds partial aggregates:
+    * integer addition is associative, so merging batch partials is
+    * bit-identical to a from-scratch build no matter how the data is
+    * split — the property q135's full-recompute oracle checks. */
+  private def centsFacts(spark: SparkSession, dir: String,
+      pred: Column): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(pred)
+    val part = Tables.part(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(part, li("l_partkey") === part("p_partkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(
+        col("p_brand").as("product_brand"),
+        year(col("o_orderdate")).as("sale_year"),
+        quarter(col("o_orderdate")).as("sale_quarter"),
+        col("n_name").as("region"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("total_cents"))
+  }
+
+  /** The refresh boundary q135 simulates: everything before is "history
+    * already materialized", everything on/after is "the new batch".
+    * Mid-quarter on purpose — Q2-2001 grain cells get contributions
+    * from BOTH sides, so the merge is exercised, not just a union. */
+  private[graft] val RefreshCutoff = "2001-05-15"
+
+  /** q135 — INCREMENTAL maintenance of the materialized aggregate fact
+    * (the operational story behind the reference's CTAS fact tables,
+    * reference `LoadDataWarehouse.ChatterjeeP.R:90-104`): the nightly
+    * refresh re-aggregates ONLY the new batch and merges it into the
+    * persisted fact — history's base rows are never re-read. Here the
+    * history fact is the per-session persisted artifact (the same
+    * never-re-read-history pattern as q102's band tables and q127's
+    * chunk store), the delta runs [[centsFacts]] with the cutoff
+    * predicate pushed into the orders scan (a date-partitioned 100 TB
+    * fact lake turns that into partition pruning), and the merge is a
+    * groupBy-sum over |fact| + |delta fact| rows — both tiny relative
+    * to the base tables. Because the fact is kept in exact integer
+    * cents, merged partials are bit-identical to a from-scratch build:
+    * the DuckDB oracle IS the full recompute, so the driver's hash
+    * compare proves incremental == full, not merely plausible. */
+  def q135IncrementalFacts(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(RefreshCutoff).cast("timestamp")
+    val hist = materialized(spark, dir, "product_facts_hist")(
+      centsFacts(spark, dir, col("o_orderdate") < cutoff))
+    val delta = centsFacts(spark, dir, col("o_orderdate") >= cutoff)
+    hist.unionByName(delta)
+      .groupBy("product_brand", "sale_year", "sale_quarter", "region")
+      .agg(sum(col("total_cents")).as("total_cents"))
+      .orderBy("product_brand", "sale_year", "sale_quarter", "region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_product_facts" -> (q01ProductFacts _),
     "q02_rep_facts" -> (q02RepFacts _),
@@ -244,7 +302,8 @@ object Relational {
     "q09_union_batches" -> (q09UnionBatches _),
     "q10_first_seen_keys" -> (q10FirstSeenKeys _),
     "q11_fk_left_join" -> (q11FkLeftJoin _),
-    "q12_key_fixup" -> (q12KeyFixup _))
+    "q12_key_fixup" -> (q12KeyFixup _),
+    "q135_incremental_facts" -> (q135IncrementalFacts _))
 
   /** DuckDB CTE mirroring [[productFacts]] exactly (incl. cent rounding at
     * the fact grain, so re-aggregations sum identical values). */
@@ -357,5 +416,21 @@ object Relational {
         |  FROM supplier)
         |SELECT s_name AS rep_name, round(sum(l_extendedprice), 2) AS total_sold
         |FROM fact JOIN dim USING (rep_id)
-        |GROUP BY s_name ORDER BY rep_name""".stripMargin)
+        |GROUP BY s_name ORDER BY rep_name""".stripMargin,
+    // the oracle is the FULL from-scratch build (no cutoff anywhere):
+    // the engine's incremental merge must hash-match it exactly
+    "q135_incremental_facts" ->
+      """SELECT p_brand AS product_brand,
+        |       CAST(year(o_orderdate) AS INT) AS sale_year,
+        |       CAST(quarter(o_orderdate) AS INT) AS sale_quarter,
+        |       n_name AS region,
+        |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3, 4""".stripMargin)
 }

@@ -72,4 +72,51 @@ class RelationalSpec extends SparkTestBase {
     val m = firstSeen.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(ids.forall(r => m(r.getLong(0)) == r.getInt(1)))
   }
+
+  test("q135 incremental fact merge equals an independent full recompute " +
+      "and the cutoff genuinely splits grain cells") {
+    val got = Relational.q135IncrementalFacts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)) ->
+        r.getLong(4)).toMap
+    // independent recompute: the star join in plain Scala maps, cents
+    // via math.round — no engine expressions reused
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2))).toMap
+    val brand = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custNat = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val natName = graft.sources.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cal = java.util.Calendar.getInstance()
+    val expected = collection.mutable.Map
+      .empty[(String, Int, Int, String), Long].withDefaultValue(0L)
+    graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_extendedprice").collect()
+      .foreach { r =>
+        val (custkey, ts) = orders(r.getLong(0))
+        cal.setTime(ts)
+        val key = (brand(r.getLong(1)), cal.get(java.util.Calendar.YEAR),
+          cal.get(java.util.Calendar.MONTH) / 3 + 1,
+          natName(custNat(custkey)))
+        expected(key) += math.round(r.getDouble(2) * 100)
+      }
+    assert(got == expected.toMap)
+    // the refresh boundary must split at least one grain cell between
+    // history and delta, or the test never exercises the merge
+    val cutoff = java.sql.Timestamp.valueOf(
+      Relational.RefreshCutoff + " 00:00:00")
+    val cellSides = orders.values
+      .map { case (_, ts) =>
+        cal.setTime(ts)
+        (cal.get(java.util.Calendar.YEAR),
+          cal.get(java.util.Calendar.MONTH) / 3 + 1) -> ts.before(cutoff)
+      }.toSeq.distinct.groupBy(_._1)
+    assert(cellSides.exists(_._2.length == 2),
+      "cutoff must fall mid-quarter so some (year, quarter) has both sides")
+  }
 }
