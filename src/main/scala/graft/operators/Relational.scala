@@ -290,6 +290,51 @@ object Relational {
       .orderBy("product_brand", "sale_year", "sale_quarter", "region")
   }
 
+  /** q136 — SNAPSHOT DIFF (table-version CDC): classify every key of two
+    * table versions as added / deleted / updated with ONE co-partitioned
+    * full-outer join and a row-hash compare. The two versions are derived
+    * deterministically from orders so the DuckDB oracle can build the
+    * identical pair: version A is the pre-cutoff table; version B drops
+    * keys ≡ 0 mod 101 (deletes), reprices keys ≡ 0 mod 97 (updates), and
+    * contains the post-cutoff orders (adds). Payload equality is a single
+    * md5 over the canonicalized payload string (money in integer cents,
+    * so both engines hash byte-identical strings) — the standard trick
+    * that makes diffing a 100-column table cost one codegen'd hash per
+    * row instead of 100 column comparisons. Unchanged keys are dropped.
+    *
+    * Scale: both snapshots of a 100 TB table live bucketed by the key
+    * (q134's layout), so this full-outer join is co-located — the whole
+    * diff is one zero-shuffle pass emitting only the changed keys.
+    * That output is the change feed every downstream incremental job
+    * (q135's fact refresh, q102/q127's dedup stores) consumes. */
+  def q136SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(RefreshCutoff).cast("timestamp")
+    val base = Tables.orders(spark, dir)
+    def payloadHash(price: Column, priority: Column): Column =
+      md5(concat_ws("|",
+        round(price * 100, 0).cast("long").cast("string"), priority))
+    val verA = base.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"),
+        payloadHash(col("o_totalprice"), col("o_orderpriority")).as("hash_a"))
+    // the repricing is additive (stays exactly 2-decimal) — a
+    // multiplicative bump would manufacture exact-half cent ties where
+    // the two engines' rounding tie-breaks could diverge
+    val verB = base.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey"),
+        payloadHash(
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 7.77)
+            .otherwise(col("o_totalprice")),
+          col("o_orderpriority")).as("hash_b"))
+    verA.join(verB, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("hash_a").isNull, "added")
+          .when(col("hash_b").isNull, "deleted")
+          .when(col("hash_a") =!= col("hash_b"), "updated"))
+      .filter(col("change_type").isNotNull)
+      .select("o_orderkey", "change_type")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_product_facts" -> (q01ProductFacts _),
     "q02_rep_facts" -> (q02RepFacts _),
@@ -303,7 +348,8 @@ object Relational {
     "q10_first_seen_keys" -> (q10FirstSeenKeys _),
     "q11_fk_left_join" -> (q11FkLeftJoin _),
     "q12_key_fixup" -> (q12KeyFixup _),
-    "q135_incremental_facts" -> (q135IncrementalFacts _))
+    "q135_incremental_facts" -> (q135IncrementalFacts _),
+    "q136_snapshot_diff" -> (q136SnapshotDiff _))
 
   /** DuckDB CTE mirroring [[productFacts]] exactly (incl. cent rounding at
     * the fact grain, so re-aggregations sum identical values). */
@@ -432,5 +478,26 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY 1, 2, 3, 4""".stripMargin)
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q136_snapshot_diff" ->
+      """WITH ver_a AS (
+        |  SELECT o_orderkey,
+        |         md5(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |               AS VARCHAR) || '|' || o_orderpriority) AS hash_a
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-05-15'),
+        |ver_b AS (
+        |  SELECT o_orderkey,
+        |         md5(CAST(CAST(round(
+        |               (CASE WHEN o_orderkey % 97 = 0
+        |                     THEN o_totalprice + CAST(7.77 AS DOUBLE)
+        |                     ELSE o_totalprice END) * 100, 0) AS BIGINT)
+        |               AS VARCHAR) || '|' || o_orderpriority) AS hash_b
+        |  FROM orders WHERE o_orderkey % 101 <> 0)
+        |SELECT o_orderkey,
+        |       CASE WHEN hash_a IS NULL THEN 'added'
+        |            WHEN hash_b IS NULL THEN 'deleted'
+        |            WHEN hash_a <> hash_b THEN 'updated' END AS change_type
+        |FROM ver_a FULL OUTER JOIN ver_b USING (o_orderkey)
+        |WHERE (hash_a IS NULL) OR (hash_b IS NULL) OR (hash_a <> hash_b)
+        |ORDER BY o_orderkey""".stripMargin)
 }

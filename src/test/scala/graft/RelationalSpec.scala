@@ -119,4 +119,38 @@ class RelationalSpec extends SparkTestBase {
     assert(cellSides.exists(_._2.length == 2),
       "cutoff must fall mid-quarter so some (year, quarter) has both sides")
   }
+
+  test("q136 snapshot diff classifies adds/deletes/updates like a plain " +
+      "per-key recompute, and all three classes occur") {
+    val got = Relational.q136SnapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutoff = java.sql.Timestamp.valueOf(
+      Relational.RefreshCutoff + " 00:00:00")
+    // independent reconstruction of both versions as plain Scala maps:
+    // key -> (cents, priority)
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+        r.getString(3)))
+    val verA = rows.filter(_._3.before(cutoff))
+      .map(t => t._1 -> (math.round(t._2 * 100), t._4)).toMap
+    val verB = rows.filter(_._1 % 101 != 0)
+      .map { t =>
+        val price = if (t._1 % 97 == 0) t._2 + 7.77 else t._2
+        t._1 -> (math.round(price * 100), t._4)
+      }.toMap
+    val expected = (verA.keySet ++ verB.keySet).flatMap { k =>
+      (verA.get(k), verB.get(k)) match {
+        case (None, Some(_)) => Some(k -> "added")
+        case (Some(_), None) => Some(k -> "deleted")
+        case (Some(a), Some(b)) if a != b => Some(k -> "updated")
+        case _ => None
+      }
+    }.toMap
+    assert(got == expected)
+    assert(Set("added", "deleted", "updated")
+      .subsetOf(got.values.toSet),
+      "fixture must exercise all three change classes")
+  }
 }
