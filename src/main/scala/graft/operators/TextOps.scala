@@ -343,7 +343,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Number of BPE merges q137 learns. Constant in the oracle SQL too —
+    * if a corpus ever exhausted its pair space early, the oracle's
+    * n_merges literal would mismatch loudly rather than pass weakly. */
+  private[graft] val BpeMerges = 16
+
+  /** Distributed BPE vocabulary learning (the tokenizer-training side of
+    * the §2.11 LLM-pipeline surface): K iterations of
+    * pair-count → global argmax → merge, run over the WORD HISTOGRAM,
+    * never the corpus. That histogram discipline is what makes BPE
+    * trainable at 100 TB — the corpus is read once to build
+    * (word, freq), and every iteration is a groupBy over the histogram's
+    * adjacent symbol pairs (map-side partial sums, one tiny shuffle)
+    * followed by a 1-row argmax collect. The merge is applied with a
+    * codegen'd higher-order `aggregate` lambda (greedy left-to-right,
+    * standard BPE semantics — "aaa" + merge (a,a) yields [aa, a]), and
+    * each iteration is localCheckpoint'ed so lineage stays flat across
+    * K rounds (the same truncation discipline as q73's label
+    * propagation).
+    *
+    * Returns (merge table, tokens_before, tokens_after); merge table
+    * rows are (rank, left, right, pairFreq-at-merge-time). */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+      k: Int): (Seq[(Int, String, String, Long)], Long, Long) = {
+    def tokens(words: DataFrame): Long =
+      words.agg(sum(size(col("syms")) * col("f"))).collect().head.getLong(0)
+    var words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(split(col("w"), "").as("syms"), col("f"))
+      .localCheckpoint()
+    val before = tokens(words)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = words
+        .select(posexplode(col("syms")).as(Seq("i", "l")),
+          col("syms"), col("f"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"),
+          element_at(col("syms"), col("i") + 2).as("r"), col("f"))
+        .groupBy("l", "r").agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((rank, l, r, cnt))
+        val merged = l + r
+        words = words.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(merged))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), before, tokens(words))
+  }
+
+  /** q137 — BPE tokenizer training as a registered query. The summary
+    * row carries the parts of the run each checker can pin: the FIRST
+    * merge (pair, frequency) is exactly recomputable in SQL, so the
+    * DuckDB oracle checks it concretely along with tokens_before and
+    * the merge count; the laws (compression happened; the reduction is
+    * bounded by the recorded pair counts, since greedy application
+    * merges at most the counted occurrences) ride as booleans. The
+    * FULL merge table is pinned rank-by-rank against an independent
+    * sequential Scala BPE reference in TextOpsBpeSpec — the q125
+    * independent-reference pattern for iterative operators whose tail
+    * SQL cannot reach. */
+  def q137BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, before, after) = bpeTrain(spark, dir, BpeMerges)
+    val (_, l, r, cnt) = merges.head
+    spark.range(1).select(
+      lit(merges.size).cast("int").as("n_merges"),
+      lit(l).as("first_left"),
+      lit(r).as("first_right"),
+      lit(l + r).as("first_merged"),
+      lit(cnt).as("first_freq"),
+      lit(before).as("tokens_before"),
+      lit(after < before).as("compressed"),
+      lit(after >= before - merges.map(_._4).sum)
+        .as("reduction_bounded_by_pair_counts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_bpe_train" -> (q137BpeTrain _),
     "q123_pmi_cooccurrence" -> (q123PmiCooccurrence _),
     "q121_adaptive_quality" -> (q121AdaptiveQuality _),
     "q118_bigram_surprisal" -> (q118BigramSurprisal _),
@@ -358,6 +451,29 @@ object TextOps {
     "q42_multimodal_meta" -> (q42MultimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    // first merge + histogram totals recomputed exactly; iterative tail
+    // pinned by the independent Scala reference in TextOpsBpeSpec
+    "q137_bpe_train" ->
+      s"""WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM words
+        |       WHERE len(w) > 0 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS l,
+        |         substr(w, CAST(i AS INT) + 1, 1) AS r,
+        |         sum(f) AS cnt
+        |  FROM (SELECT w, f, unnest(range(1, len(w))) AS i FROM wf)
+        |  GROUP BY 1, 2)
+        |SELECT CAST($BpeMerges AS INT) AS n_merges,
+        |       l AS first_left,
+        |       r AS first_right,
+        |       l || r AS first_merged,
+        |       CAST(cnt AS BIGINT) AS first_freq,
+        |       (SELECT CAST(sum(len(w) * f) AS BIGINT) FROM wf)
+        |         AS tokens_before,
+        |       true AS compressed,
+        |       true AS reduction_bounded_by_pair_counts
+        |FROM pairs ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin,
     // document-granularity PMI: P(a), P(b), P(a,b) all from doc counts;
     // the top-20 vocab gate bounds the pair space in both engines
     "q123_pmi_cooccurrence" ->
