@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Expectations
+
+/** q139 — the expectation suite pinned against independent per-row Scala
+  * recomputes of every metric, including the two expectations tuned to
+  * fail on this corpus (they must FAIL — a suite that can only
+  * rubber-stamp is not a gate). */
+class ExpectationsSpec extends SparkTestBase {
+
+  test("q139 metrics match per-row recomputes; tuned failures fail") {
+    val got = Expectations.q139DataExpectations(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag").collect()
+    val orderKeys = ord.map(_.getLong(0))
+    val pkDups = (orderKeys.length - orderKeys.distinct.length).toLong
+    val priceBad = ord.count(r => r.isNullAt(1) || r.getDouble(1) <= 0).toLong
+    val prioNull = ord.count(_.isNullAt(3)).toLong
+    val maxDate = ord.map(_.getTimestamp(2)).max.toLocalDateTime.toLocalDate
+    val lagDays = java.time.temporal.ChronoUnit.DAYS.between(
+      maxDate, java.time.LocalDate.parse("2001-12-31"))
+    val keySet = orderKeys.toSet
+    val fkBad = li.count(r => !keySet.contains(r.getLong(0))).toLong
+    val qtyRangeBad =
+      li.count(r => r.getDouble(1) < 1 || r.getDouble(1) > 50).toLong
+    val qtyGt40 = li.count(_.getDouble(1) > 40).toLong
+    val flagBad =
+      li.count(r => !Set("A", "N", "R").contains(r.getString(2))).toLong
+    assert(got == Map(
+      "lineitem_fk_into_orders" -> ((fkBad, fkBad == 0)),
+      "lineitem_quantity_in_1_50" -> ((qtyRangeBad, qtyRangeBad == 0)),
+      "lineitem_quantity_le_40" -> ((qtyGt40, qtyGt40 == 0)),
+      "lineitem_returnflag_domain" -> ((flagBad, flagBad == 0)),
+      "orders_fresh_within_90d" -> ((lagDays, lagDays <= 90)),
+      "orders_pk_unique" -> ((pkDups, pkDups == 0)),
+      "orders_priority_nonnull" -> ((prioNull, prioNull == 0)),
+      "orders_totalprice_positive" -> ((priceBad, priceBad == 0))))
+    // the gate must demonstrably detect: the two tuned expectations fail
+    assert(!got("lineitem_quantity_le_40")._2 &&
+      got("lineitem_quantity_le_40")._1 > 0)
+    assert(!got("orders_fresh_within_90d")._2 &&
+      got("orders_fresh_within_90d")._1 > 90)
+    // and the genuine integrity expectations hold on this corpus
+    assert(got("orders_pk_unique") == ((0L, true)))
+    assert(got("lineitem_fk_into_orders") == ((0L, true)))
+  }
+}
