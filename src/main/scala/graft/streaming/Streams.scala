@@ -213,6 +213,59 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Exactly-once keyed UPSERT sink for `foreachBatch` — the
+    * merge-into-a-serving-table shape streaming warehouses run where no
+    * transactional table format is mounted. Two disciplines make the
+    * read-modify-write exactly-once on top of at-least-once batch
+    * delivery:
+    *
+    *  - IDEMPOTENCE: the last committed batchId is persisted next to
+    *    the data; a replayed batch (restart re-delivering the epoch)
+    *    is detected by `batchId <= committed` and skipped, so its rows
+    *    are never double-added;
+    *  - ATOMICITY: the merged table is written to a fresh versioned
+    *    directory first, and the tiny commit file naming it is written
+    *    last — a crash mid-write leaves the previous version live, and
+    *    readers resolve the table through the commit pointer.
+    *
+    * The merge itself is additive (count/sum are decomposable), so
+    * state = old-state ∪ batch-aggregate, one groupBy on the key —
+    * the same partial-aggregate merge as q135's fact maintenance. */
+  def upsertBatch(sinkDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = java.nio.file.Paths.get(sinkDir)
+    java.nio.file.Files.createDirectories(root)
+    val commit = root.resolve("_commit")
+    val (lastId, lastVersion) =
+      if (java.nio.file.Files.exists(commit)) {
+        val Array(i, v) =
+          new String(java.nio.file.Files.readAllBytes(commit)).split(",")
+        (i.toLong, v.toLong)
+      } else (-1L, -1L)
+    if (batchId <= lastId) return // replayed epoch: already merged
+    val batchAgg = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+    val merged =
+      if (lastVersion < 0) batchAgg
+      else spark.read.parquet(s"$sinkDir/v$lastVersion")
+        .unionByName(batchAgg)
+        .groupBy("user_id")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("total_value")).as("total_value"))
+    val next = lastVersion + 1
+    merged.write.mode("overwrite").parquet(s"$sinkDir/v$next")
+    java.nio.file.Files.write(commit, s"$batchId,$next".getBytes)
+  }
+
+  /** Read the current committed state of an [[upsertBatch]] sink. */
+  def upsertState(spark: SparkSession, sinkDir: String): DataFrame = {
+    val commit = java.nio.file.Paths.get(sinkDir, "_commit")
+    val v = new String(java.nio.file.Files.readAllBytes(commit))
+      .split(",")(1).toLong
+    spark.read.parquet(s"$sinkDir/v$v")
+  }
+
   // ---- batch-mode oracle-checkable queries ----
 
   /** q44 — tumbling-window aggregation (batch mode of the streaming
