@@ -59,8 +59,11 @@ object Graph {
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .repartition(col("node")))
-    val outdeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("d"))
+    // persisted like edges/nodes: every round's checkpoint job reads it,
+    // and an unpersisted outdeg would re-run the groupBy 5 times
+    val outdeg = graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
+      edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d")))
     val n = graft.sources.DfCache.value(spark, s"pr_n|$dir")(nodes.count())
     // per round: the dangling mass is a broadcast 1-row aggregate
     // (scalar join), never a driver collect, so each round is ONE job —

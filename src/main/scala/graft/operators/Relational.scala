@@ -49,9 +49,15 @@ object Relational {
   def productFacts(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "product_facts")(buildProductFacts(spark, dir))
 
-  private def buildProductFacts(spark: SparkSession, dir: String): DataFrame = {
+  /** The product-fact star join at its (brand, year, quarter,
+    * customer-nation) grain — ONE definition shared by the q01-q08 fact
+    * family and q135's incremental maintenance, parameterized by the
+    * money aggregate and an optional orders predicate, so the grain and
+    * join keys cannot drift between the full and incremental builds. */
+  private def productFactsAt(spark: SparkSession, dir: String,
+      moneyAgg: Column, ordersPred: Column = lit(true)): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(ordersPred)
     val part = Tables.part(spark, dir)
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
@@ -64,8 +70,12 @@ object Relational {
         year(col("o_orderdate")).as("sale_year"),
         quarter(col("o_orderdate")).as("sale_quarter"),
         col("n_name").as("region"))
-      .agg(money(sum(col("l_extendedprice"))).as("total_sold"))
+      .agg(moneyAgg)
   }
+
+  private def buildProductFacts(spark: SparkSession, dir: String): DataFrame =
+    productFactsAt(spark, dir,
+      money(sum(col("l_extendedprice"))).as("total_sold"))
 
   /** rep_facts analogue: grain (supplier, year, quarter, brand).
     * Reference: CTAS at `LoadDataWarehouse.ChatterjeeP.R:118-133`. */
@@ -232,31 +242,18 @@ object Relational {
       .orderBy("rep_name")
   }
 
-  /** Star join at the product_facts grain with money in EXACT integer
-    * cents, restricted to orders matching `pred`. Cents (not rounded
-    * doubles) because incremental maintenance adds partial aggregates:
-    * integer addition is associative, so merging batch partials is
-    * bit-identical to a from-scratch build no matter how the data is
-    * split — the property q135's full-recompute oracle checks. */
+  /** [[productFactsAt]] with money in EXACT integer cents, restricted to
+    * orders matching `pred`. Cents (not rounded doubles) because
+    * incremental maintenance adds partial aggregates: integer addition
+    * is associative, so merging batch partials is bit-identical to a
+    * from-scratch build no matter how the data is split — the property
+    * q135's full-recompute oracle checks. */
   private def centsFacts(spark: SparkSession, dir: String,
-      pred: Column): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir).filter(pred)
-    val part = Tables.part(spark, dir)
-    val cust = Tables.customer(spark, dir)
-    val nat = Tables.nation(spark, dir)
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(part, li("l_partkey") === part("p_partkey"))
-      .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
-      .groupBy(
-        col("p_brand").as("product_brand"),
-        year(col("o_orderdate")).as("sale_year"),
-        quarter(col("o_orderdate")).as("sale_quarter"),
-        col("n_name").as("region"))
-      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
-        .as("total_cents"))
-  }
+      pred: Column): DataFrame =
+    productFactsAt(spark, dir,
+      sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("total_cents"),
+      pred)
 
   /** The refresh boundary q135 simulates: everything before is "history
     * already materialized", everything on/after is "the new batch".

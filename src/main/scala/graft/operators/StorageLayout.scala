@@ -27,24 +27,20 @@ object StorageLayout {
   private def layoutRoot(dir: String, kind: String): String =
     s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$kind"
 
-  /** Execute `df` and report how many rows its parquet scan SURFACED
-    * (after row-group/page pruning by the pushed filters, before any
-    * residual Filter) — the data-skipping measurement. */
-  private def scannedRows(df: DataFrame): Long = {
+  /** Execute `df` and read one metric off its parquet scan. */
+  private def scanMetric(df: DataFrame, metric: String): Long = {
     df.collect()
     df.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      case f: FileSourceScanExec => f.metrics(metric).value
     }.getOrElse(sys.error("no FileSourceScanExec in executed plan"))
   }
 
-  /** Execute `df` and report how many FILES its parquet scan read —
-    * the partition-pruning measurement. */
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    df.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f.metrics("numFiles").value
-    }.getOrElse(sys.error("no FileSourceScanExec in executed plan"))
-  }
+  /** Rows the scan SURFACED (after row-group/page pruning by the pushed
+    * filters, before any residual Filter) — the data-skipping metric. */
+  private def scannedRows(df: DataFrame): Long = scanMetric(df, "numOutputRows")
+
+  /** Files the scan read — the partition-pruning metric. */
+  private def scannedFiles(df: DataFrame): Long = scanMetric(df, "numFiles")
 
   /** q132 — Z-ORDER data skipping as a registered artifact (the
     * `functions.Zorder` layout, previously spec-only): lineitem is

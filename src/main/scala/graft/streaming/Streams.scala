@@ -137,11 +137,18 @@ object Streams {
     * EventTimeTimeout — the §2.10 surface `mapGroupsWithState` can't
     * cover): per-user counters accumulate across micro-batches and the
     * COMPLETED session is emitted exactly once — at watermark passage of
-    * last-event + gap, or immediately when a later event observed for
-    * the same key is itself more than the gap after the session's last
-    * event (intra-batch and cross-batch splits, so two >gap-apart events
-    * arriving in one micro-batch yield two sessions, exactly as
-    * session_window would). This is the custom-state form of q46's
+    * last-event + gap, or immediately when another observed event for
+    * the same key proves the session closed: state and batch events are
+    * interval-merged in start order with session_window's ≤gap rule, so
+    * two >gap-apart events in one micro-batch yield two sessions, an
+    * out-of-order event more than the gap BEFORE the open session closes
+    * into its own session instead of polluting the open one, and a
+    * bridging event merges neighbors transitively (extending the open
+    * session's start downward when late data demands it). Events older
+    * than an already-EMITTED session can still arrive (the watermark
+    * admits them to custom state); they sessionize among themselves
+    * rather than reopening emitted output — the custom-state analogue of
+    * the built-in's late-data discard. This is the custom-state form of q46's
     * `session_window`, needed when the emission payload (derived
     * features, first/last markers) outgrows the built-in session agg.
     * State is one [[SessionAcc]] per ACTIVE user — bounded by live
@@ -171,27 +178,33 @@ object Streams {
             Iterator.single(
               SessionOut(uid, s.n, s.total, s.last - s.first))
           } else {
-            // Fold the batch's events in event-time order and SPLIT when
-            // the gap between consecutive events exceeds SessionGapMs —
-            // both intra-batch gaps and a gap against the accumulated
-            // state from earlier batches close the open session here,
-            // without waiting for the watermark timeout (which only
-            // fires once the watermark advances — for a lone active key
-            // that may never happen before its next event). Late events
-            // (ts <= acc.last, admitted by the watermark) merge into the
-            // open session, matching session_window's merge semantics.
-            val xs = rows.toVector.sortBy(_._2.getTime)
-            var acc = state.getOption.orNull
+            // INTERVAL-MERGE sessionization of (accumulated state ∪
+            // batch events), sorted by start time: consecutive pieces
+            // merge when separated by ≤ SessionGapMs, so intra-batch
+            // gaps, gaps against earlier-batch state, AND out-of-order
+            // events all follow session_window's merge rule — an event
+            // within the gap of the open session merges (possibly
+            // extending its START downward), an event more than the gap
+            // BEFORE the open session closes into its own session, and
+            // a bridging event merges both transitively. Every merged
+            // piece except the last (kept open in state) is emitted
+            // here, without waiting for the watermark timeout — which
+            // only fires once the watermark advances, something a lone
+            // active key's own events may never cause.
+            val pieces = (state.getOption.toVector ++
+              rows.map { case (_, t, v) =>
+                SessionAcc(1L, v, t.getTime, t.getTime)
+              }).sortBy(a => (a.first, a.last))
+            var acc: SessionAcc = null
             val closed = Vector.newBuilder[SessionOut]
-            xs.foreach { case (_, t, v) =>
-              val ms = t.getTime
-              if (acc == null) acc = SessionAcc(1L, v, ms, ms)
-              else if (ms - acc.last > SessionGapMs) {
+            pieces.foreach { p =>
+              if (acc == null) acc = p
+              else if (p.first - acc.last > SessionGapMs) {
                 closed += SessionOut(uid, acc.n, acc.total,
                   acc.last - acc.first)
-                acc = SessionAcc(1L, v, ms, ms)
-              } else acc = SessionAcc(acc.n + 1, acc.total + v,
-                math.min(acc.first, ms), math.max(acc.last, ms))
+                acc = p
+              } else acc = SessionAcc(acc.n + p.n, acc.total + p.total,
+                acc.first, math.max(acc.last, p.last))
             }
             state.update(acc)
             state.setTimeoutTimestamp(acc.last + SessionGapMs)
@@ -224,9 +237,11 @@ object Streams {
     *    is detected by `batchId <= committed` and skipped, so its rows
     *    are never double-added;
     *  - ATOMICITY: the merged table is written to a fresh versioned
-    *    directory first, and the tiny commit file naming it is written
-    *    last — a crash mid-write leaves the previous version live, and
-    *    readers resolve the table through the commit pointer.
+    *    directory first, and the tiny commit pointer naming it flips
+    *    last via write-temp-then-atomic-rename — a crash at ANY point
+    *    leaves the previous pointer and version intact. Superseded
+    *    version directories are GC'd after the pointer moves, so the
+    *    sink holds one live state copy plus the in-flight one.
     *
     * The merge itself is additive (count/sum are decomposable), so
     * state = old-state ∪ batch-aggregate, one groupBy on the key —
@@ -255,7 +270,25 @@ object Streams {
           sum(col("total_value")).as("total_value"))
     val next = lastVersion + 1
     merged.write.mode("overwrite").parquet(s"$sinkDir/v$next")
-    java.nio.file.Files.write(commit, s"$batchId,$next".getBytes)
+    // the pointer itself must flip atomically: an in-place overwrite
+    // could crash between truncate and write, leaving a corrupt pointer
+    // that wedges every later batch — write-temp-then-rename instead
+    val tmp = root.resolve("_commit.tmp")
+    java.nio.file.Files.write(tmp, s"$batchId,$next".getBytes)
+    java.nio.file.Files.move(tmp, commit,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // superseded versions are dead once the pointer moved: GC them, or
+    // a long stream accumulates a full state copy per micro-batch
+    (0L until next).foreach { v =>
+      val dir = root.resolve(s"v$v")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
   }
 
   /** Read the current committed state of an [[upsertBatch]] sink. */

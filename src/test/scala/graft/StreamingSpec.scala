@@ -232,6 +232,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("timeoutSessions: an out-of-order event more than the gap BEFORE " +
+      "the open session closes alone; one within the gap extends its start") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.timeoutSessions(
+        input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("timeout_late_t")
+      .outputMode("append").start()
+    try {
+      // open session [10:00, 10:10] for user 1
+      input.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(t("2024-01-01 10:10:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // a LATE event at 09:20 — 40 min before the session start, gap is
+      // 30 min: session_window semantics demand a SEPARATE session, not
+      // a merged [09:20, 10:10] one (the pre-fix behavior)
+      input.addData(Ev(t("2024-01-01 09:20:00"), 1, "late", 4.0))
+      q.processAllAvailable()
+      val afterLate = sess.table("timeout_late_t")
+        .as[Streams.SessionOut].collect().toSet
+      assert(afterLate == Set(Streams.SessionOut(1L, 1L, 4.0, 0L)),
+        s"far-early late event must close alone, got $afterLate")
+      // a late event WITHIN the gap of the open session (09:45, 15 min
+      // before start) must merge and extend the session start downward:
+      // prove it by then closing the session with a >gap later event
+      input.addData(Ev(t("2024-01-01 09:45:00"), 1, "late2", 8.0))
+      input.addData(Ev(t("2024-01-01 12:00:00"), 1, "click", 16.0))
+      q.processAllAvailable()
+      val afterMerge = sess.table("timeout_late_t")
+        .as[Streams.SessionOut].collect().toSet
+      assert(afterMerge == Set(
+        Streams.SessionOut(1L, 1L, 4.0, 0L),
+        Streams.SessionOut(1L, 3L, 11.0, 25L * 60 * 1000)),
+        s"in-gap late event must extend the open session, got $afterMerge")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the 7-day range") {
     val sess = spark
     import sess.implicits._
