@@ -100,8 +100,82 @@ object Graph {
       .limit(TopK)
   }
 
+  /** Support threshold for q140's co-purchase edges — the pruning every
+    * production co-occurrence graph applies before motif mining. */
+  private val MinSupport = 2
+
+  /** q140 — TRIANGLE COUNTING (graph motif mining — the clustering
+    * signal web-graph spam detection and community analysis run on),
+    * over the part co-purchase graph: an undirected edge joins two
+    * parts that appear in the same order at least [[MinSupport]] times.
+    *
+    * The scale shape is the standard two-join motif count with the
+    * DEGREE-ORDERING trick: every undirected edge is oriented from its
+    * lower-degree endpoint to its higher-degree endpoint (ties by id),
+    * which makes the wedge join generate only wedges centered at a
+    * node's HIGHER-degree neighbors — per-node wedge work is bounded by
+    * the graph's arboricity instead of its max degree, so one celebrity
+    * hub cannot quadratically explode the join (the classic
+    * power-law-graph failure). The count is orientation-invariant
+    * (any acyclic orientation counts each triangle exactly once), which
+    * is what lets the DuckDB oracle use plain id-ordering and still
+    * check the count exactly. Edge building self-joins lineitem on the
+    * order key — bounded by lines-per-order (~7 here), the per-basket
+    * bound co-purchase graphs rely on.
+    *
+    * Output also carries the wedge count (sum of C(deg, 2), exact
+    * integer math) and the global clustering coefficient
+    * 3·triangles/wedges — the summary statistic the graph's curators
+    * trend over time. */
+  def q140TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    val edges = graft.sources.DfCache.df(spark, s"tri_edges|$dir")(
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSupport)
+        .select("p1", "p2"))
+    val degrees = edges.select(col("p1").as("node"))
+      .unionAll(edges.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(degrees.select(col("node").as("p1"), col("deg").as("d1")),
+        Seq("p1"))
+      .join(degrees.select(col("node").as("p2"), col("deg").as("d2")),
+        Seq("p2"))
+    // orient low-degree -> high-degree (ties by id): acyclic by the
+    // strict (deg, id) total order, so each triangle closes exactly once
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+        struct(col("p1").as("src"), col("p2").as("dst")))
+        .otherwise(struct(col("p2").as("src"), col("p1").as("dst")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val triangles = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = degrees
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
+        .as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(triangles))
+      .crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_pagerank" -> (q138PageRank _))
+    "q138_pagerank" -> (q138PageRank _),
+    "q140_triangle_count" -> (q140TriangleCount _))
 
   /** The oracle generates one CTE per iteration — same recurrence,
     * mechanically unrolled. */
@@ -144,5 +218,32 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
-    "q138_pagerank" -> pagerankSql)
+    "q138_pagerank" -> pagerankSql,
+    // id-ordering suffices here: the triangle count is invariant under
+    // any acyclic orientation, and nodes/edges/wedges are orientation-free
+    "q140_triangle_count" ->
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= $MinSupport),
+        |degrees AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT p1 AS node FROM edges
+        |    UNION ALL SELECT p2 FROM edges) GROUP BY 1)
+        |SELECT (SELECT count(*) FROM degrees) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |        FROM degrees) AS n_wedges,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
+        |        JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+        |         AS n_triangles,
+        |       round(CAST(3 AS DOUBLE) *
+        |             (SELECT count(*)
+        |              FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
+        |              JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) /
+        |             (SELECT sum(deg * (deg - 1) // 2) FROM degrees), 6)
+        |         AS clustering_coeff""".stripMargin)
 }

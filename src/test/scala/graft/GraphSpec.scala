@@ -51,4 +51,41 @@ class GraphSpec extends SparkTestBase {
     // receive ~85% of all supplier mass each round)
     assert(got.forall(_._1.startsWith("p")))
   }
+
+  test("q140 matches a brute-force adjacency-set triangle recompute") {
+    val row = Graph.q140TriangleCount(spark, sf).collect().head
+    // independent reconstruction: co-purchase pairs with support >= 2,
+    // triangles counted by neighbor-set intersection over each edge
+    val byOrder = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).values.map(_.map(_._2))
+    val support = collection.mutable.Map.empty[(Long, Long), Int]
+      .withDefaultValue(0)
+    byOrder.foreach { parts =>
+      for (x <- parts; y <- parts if x < y) support((x, y)) += 1
+    }
+    val edges = support.filter(_._2 >= 2).keys.toVector
+    val adj = collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) += v; adj(v) += u
+    }
+    val nodes = adj.keys.toVector
+    // each triangle counted once: intersect neighbors above the edge
+    val triangles = edges.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v)
+    }.sum
+    val wedges = nodes.map { n =>
+      val d = adj(n).size.toLong; d * (d - 1) / 2
+    }.sum
+    assert(row.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "n_edges")
+    assert(row.getLong(2) == wedges, "n_wedges")
+    assert(row.getLong(3) == triangles.toLong, "n_triangles")
+    assert(row.getDouble(4) ==
+      BigDecimal(3.0 * triangles / wedges).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "clustering_coeff")
+    assert(triangles > 0, "fixture must contain triangles")
+  }
 }
