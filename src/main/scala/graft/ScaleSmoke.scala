@@ -80,7 +80,8 @@ object ScaleSmoke {
         "q131_negative_sampling", "q132_zorder_scan", "q133_cell_serving",
         "q134_bucketed_join", "q135_incremental_facts",
         "q136_snapshot_diff", "q137_bpe_train", "q138_pagerank",
-        "q139_data_expectations", "q140_triangle_count")
+        "q139_data_expectations", "q140_triangle_count",
+        "q141_adamic_adar")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q113/q114/q129 are recall contracts; time the ANN paths themselves
         ("trunc_topk_direct" -> ((s: SparkSession, d: String) =>

@@ -104,6 +104,13 @@ object Graph {
     * production co-occurrence graph applies before motif mining. */
   private val MinSupport = 2
 
+  /** q141's wedge-center degree cap: nodes above it are ubiquitous hubs
+    * whose Adamic-Adar contribution (1/ln(deg)) the measure itself
+    * already discounts to near-noise; excluding them as wedge CENTERS
+    * removes the quadratic C(deg, 2) wedge term. Inactive on the real
+    * sf0.01/0.1 graphs (max degree < 64). */
+  private val HubDegreeCap = 64
+
   /** q140 — TRIANGLE COUNTING (graph motif mining — the clustering
     * signal web-graph spam detection and community analysis run on),
     * over the part co-purchase graph: an undirected edge joins two
@@ -128,16 +135,7 @@ object Graph {
     * 3·triangles/wedges — the summary statistic the graph's curators
     * trend over time. */
   def q140TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
-    val edges = graft.sources.DfCache.df(spark, s"tri_edges|$dir")(
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("p1") < col("p2"))
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= MinSupport)
-        .select("p1", "p2"))
+    val edges = copurchaseEdges(spark, dir)
     val degrees = edges.select(col("p1").as("node"))
       .unionAll(edges.select(col("p2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -173,9 +171,75 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Undirected co-purchase edge set shared by q140/q141 (support-
+    * pruned, p1 < p2), cached once per (session, dir). */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    graft.sources.DfCache.df(spark, s"tri_edges|$dir")(
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSupport)
+        .select("p1", "p2"))
+  }
+
+  /** q141 — ADAMIC-ADAR link prediction (the classic graph-ML feature
+    * for "customers who bought X also bought Y" candidate generation):
+    * for every NON-adjacent pair at distance 2, score
+    * Σ_{w ∈ commonNeighbors} 1/ln(deg(w)) — rare shared neighbors are
+    * strong evidence, ubiquitous ones nearly none — and keep the
+    * top 20.
+    *
+    * Shape: candidate pairs come from the same wedge join as q140
+    * (und(a,w) ⋈ und(w,b), a<b), anti-joined against the edge set,
+    * with deg(w) riding on the wedge-center row — so the whole feature
+    * costs one self-join + one anti join + one groupBy, all bounded by
+    * the wedge count the support threshold already controls — PLUS the
+    * celebrity-hub discipline, applied for real: a node with degree >
+    * [[HubDegreeCap]] never serves as a wedge CENTER. That is the
+    * measure-aligned cut — Adamic-Adar itself weights a center by
+    * 1/ln(deg), so the centers the cap drops are precisely the ones the
+    * measure already calls near-noise, while the quadratic wedge term
+    * (a hub of degree d mints C(d,2) wedges) disappears. Measured on
+    * the 10x pseudo-sf1 corpus (baskets 10x wider, so the graph goes
+    * dense): 73s uncapped → the capped run in SCALE.md; at sf0.01/0.1
+    * the cap is INACTIVE (max degree < 64), so results there are
+    * identical to the exact measure. A wedge center always has degree
+    * ≥ 2, so 1/ln(deg) is finite. */
+  def q141AdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val und = edges.select(col("p1").as("a"), col("p2").as("w"))
+      .unionAll(edges.select(col("p2").as("a"), col("p1").as("w")))
+    val degrees = und.groupBy(col("w").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val centerDeg = degrees.filter(col("deg") <= HubDegreeCap)
+      .select(col("node").as("w"), col("deg"))
+    // filter und to capped centers BEFORE the self-join: the quadratic
+    // term never materializes
+    val undC = und.join(centerDeg.select(col("w")), Seq("w"), "left_semi")
+    val wedges = undC
+      .join(undC.select(col("w"), col("a").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+    val candidates = wedges
+      .join(edges, wedges("a") === edges("p1") && wedges("b") === edges("p2"),
+        "left_anti")
+      .join(centerDeg, Seq("w"))
+    candidates.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("deg").cast("double"))).as("raw"))
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("raw"), 6).as("adamic_adar"))
+      .orderBy(desc("adamic_adar"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
-    "q140_triangle_count" -> (q140TriangleCount _))
+    "q140_triangle_count" -> (q140TriangleCount _),
+    "q141_adamic_adar" -> (q141AdamicAdar _))
 
   /** The oracle generates one CTE per iteration — same recurrence,
     * mechanically unrolled. */
@@ -245,5 +309,32 @@ object Graph {
         |              FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
         |              JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) /
         |             (SELECT sum(deg * (deg - 1) // 2) FROM degrees), 6)
-        |         AS clustering_coeff""".stripMargin)
+        |         AS clustering_coeff""".stripMargin,
+    "q141_adamic_adar" ->
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= $MinSupport),
+        |und AS (
+        |  SELECT p1 AS a, p2 AS w FROM edges
+        |  UNION ALL SELECT p2, p1 FROM edges),
+        |degrees AS (SELECT w AS node, count(*) AS deg FROM und GROUP BY 1),
+        |centers AS (SELECT node, deg FROM degrees WHERE deg <= $HubDegreeCap),
+        |undc AS (SELECT u.a, u.w FROM und u
+        |         JOIN centers c ON c.node = u.w),
+        |wedges AS (
+        |  SELECT u1.a, u1.w, u2.a AS b
+        |  FROM undc u1 JOIN undc u2 ON u1.w = u2.w AND u1.a < u2.a),
+        |cand AS (
+        |  SELECT wg.a, wg.b, wg.w FROM wedges wg
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                    WHERE e.p1 = wg.a AND e.p2 = wg.b))
+        |SELECT c.a, c.b,
+        |       count(*) AS n_common,
+        |       round(sum(CAST(1 AS DOUBLE) / ln(d.deg)), 6) AS adamic_adar
+        |FROM cand c JOIN centers d ON d.node = c.w
+        |GROUP BY c.a, c.b
+        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin)
 }
