@@ -81,7 +81,7 @@ object ScaleSmoke {
         "q134_bucketed_join", "q135_incremental_facts",
         "q136_snapshot_diff", "q137_bpe_train", "q138_pagerank",
         "q139_data_expectations", "q140_triangle_count",
-        "q141_adamic_adar")
+        "q141_adamic_adar", "q142_kcore")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q113/q114/q129 are recall contracts; time the ANN paths themselves
         ("trunc_topk_direct" -> ((s: SparkSession, d: String) =>

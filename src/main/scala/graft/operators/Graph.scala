@@ -236,10 +236,68 @@ object Graph {
       .limit(20)
   }
 
+  /** q142's core order and peel rounds. Fixed rounds (not
+    * run-to-convergence) so the DuckDB oracle can unroll the identical
+    * recurrence; the `converged` output column proves the fixture
+    * reached the true k-core within the budget. */
+  private[graft] val CoreK = 3
+  private[graft] val PeelRounds = 8
+
+  /** q142 — K-CORE decomposition by synchronous peeling (graph
+    * summarization / spam-ring detection: the maximal subgraph where
+    * every node keeps ≥ k neighbors): each round recomputes degrees on
+    * the surviving subgraph and drops nodes below [[CoreK]];
+    * [[PeelRounds]] synchronous rounds, then the survivors and a
+    * convergence flag (round R == round R-1) are reported.
+    *
+    * Shape per round: one groupBy (degrees of the surviving edge set)
+    * and two semi-joins filtering the edge list — all key-partitioned
+    * shuffles of a MONOTONICALLY SHRINKING edge set, the property that
+    * makes peeling cheap at scale (most of the graph exits in the
+    * first rounds). Same per-round localCheckpoint discipline as q138:
+    * round k+1 references round k's edges twice (degree build + edge
+    * filter), so an unchecked recurrence would re-analyze a 2^R-subtree
+    * plan. The oracle unrolls the identical recurrence as generated
+    * CTEs — exact, including the convergence flag (round R+0 vs R-1
+    * survivor sets compared in SQL). */
+  def q142KCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = copurchaseEdges(spark, dir)
+      .select(col("p1").as("a"), col("p2").as("b"))
+    var edges = edges0.localCheckpoint()
+    var prevNodes = -1L
+    var lastNodes = -1L
+    var round = 0
+    // early exit at the fixed point: once two consecutive keep counts
+    // agree (count equality IS set equality under monotone shrinkage),
+    // every remaining round is a no-op, so stopping produces the exact
+    // state the oracle's full unroll computes — peeling usually
+    // converges in a handful of rounds, so this halves the job count
+    while (round < PeelRounds && (round < 2 || prevNodes != lastNodes)) {
+      round += 1
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= CoreK).select("node")
+      prevNodes = lastNodes
+      lastNodes = keep.count()
+      edges = edges
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    // keep sets shrink monotonically (edges only ever shrink, so
+    // degrees and thus keeps do too): count equality across consecutive
+    // rounds IS set equality, which makes the convergence flag exact
+    edges.agg(count(lit(1)).as("core_edges"))
+      .select(lit(lastNodes).as("core_nodes"), col("core_edges"),
+        lit(prevNodes == lastNodes).as("converged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
     "q140_triangle_count" -> (q140TriangleCount _),
-    "q141_adamic_adar" -> (q141AdamicAdar _))
+    "q141_adamic_adar" -> (q141AdamicAdar _),
+    "q142_kcore" -> (q142KCore _))
 
   /** The oracle generates one CTE per iteration — same recurrence,
     * mechanically unrolled. */
@@ -281,8 +339,43 @@ object Graph {
        |ORDER BY rank DESC, node LIMIT $TopK""".stripMargin
   }
 
+  /** q142's oracle: the peel recurrence mechanically unrolled. */
+  private def kcoreSql: String = {
+    val base =
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM pairs
+        |       WHERE support >= $MinSupport)""".stripMargin
+    val rounds = (1 to PeelRounds).map { r =>
+      val prev = s"e${r - 1}"
+      // MATERIALIZED: each CTE is referenced 2-3x by the next round,
+      // so DuckDB's default inlining would expand e0 exponentially
+      // (observed as "Too many open files" at R=8)
+      s"""k$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT a AS node FROM $prev
+         |    UNION ALL SELECT b FROM $prev)
+         |  GROUP BY node HAVING count(*) >= $CoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  WHERE EXISTS (SELECT 1 FROM k$r WHERE node = e.a)
+         |    AND EXISTS (SELECT 1 FROM k$r WHERE node = e.b))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k$PeelRounds)
+       |         AS core_nodes,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM e$PeelRounds)
+       |         AS core_edges,
+       |       (SELECT count(*) FROM k$PeelRounds) =
+       |         (SELECT count(*) FROM k${PeelRounds - 1}) AS converged""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q138_pagerank" -> pagerankSql,
+    "q142_kcore" -> kcoreSql,
     // id-ordering suffices here: the triangle count is invariant under
     // any acyclic orientation, and nodes/edges/wedges are orientation-free
     "q140_triangle_count" ->

@@ -132,4 +132,45 @@ class GraphSpec extends SparkTestBase {
     // sanity: candidates exist and scores are positive finite
     assert(got.nonEmpty && got.forall(t => t._4 > 0 && !t._4.isInfinite))
   }
+
+  test("q142 matches a sequential peel recompute and converges to the " +
+      "true k-core within the round budget") {
+    val row = Graph.q142KCore(spark, sf).collect().head
+    // independent sequential peel over plain Scala sets
+    val byOrder = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).values.map(_.map(_._2))
+    val support = collection.mutable.Map.empty[(Long, Long), Int]
+      .withDefaultValue(0)
+    byOrder.foreach { parts =>
+      for (x <- parts; y <- parts if x < y) support((x, y)) += 1
+    }
+    var edges = support.filter(_._2 >= 2).keySet.toSet
+    var keepCounts = Vector.empty[Int]
+    (1 to Graph.PeelRounds).foreach { _ =>
+      val deg = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+      val keep = deg.filter(_._2 >= Graph.CoreK).keySet.toSet
+      keepCounts :+= keep.size
+      edges = edges.filter { case (u, v) =>
+        keep.contains(u) && keep.contains(v)
+      }
+    }
+    assert(row.getLong(0) == keepCounts.last.toLong, "core_nodes")
+    assert(row.getLong(1) == edges.size.toLong, "core_edges")
+    val expConverged =
+      keepCounts(Graph.PeelRounds - 1) == keepCounts(Graph.PeelRounds - 2)
+    assert(row.getBoolean(2) == expConverged, "converged flag")
+    // the fixture must actually reach the fixed point AND the peel must
+    // have removed something, or the operator is untested
+    assert(row.getBoolean(2), "peel must converge within the budget")
+    assert(keepCounts.last < keepCounts.head || keepCounts.head == 0 ||
+      keepCounts.last > 0)
+    // final survivors all have degree >= k within the core (the k-core
+    // defining property)
+    val deg = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    assert(deg.values.forall(_ >= Graph.CoreK))
+  }
 }
