@@ -136,5 +136,28 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     Streams.upsertBatch(sink)(
       graft.sources.Tables.events(spark, sf).limit(50), 0L)
     assert(state() == expected, "replayed epoch must be a no-op")
+    // crash artifact: a stray _commit.tmp (crash between temp write and
+    // atomic rename) must neither corrupt the committed pointer nor
+    // block the next batch — and the interrupted epoch, re-delivered,
+    // must now apply exactly once
+    Files.writeString(Paths.get(sink, "_commit.tmp"), "999,999")
+    assert(state() == expected,
+      "a stray temp file must not affect the committed state")
+    val extra = graft.sources.Tables.events(spark, sf).limit(100)
+    Streams.upsertBatch(sink)(extra, 1000L)
+    val merged = state()
+    assert(merged != expected, "new epoch must apply")
+    val extraAgg = extra.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val before = expected.map(s =>
+      s.head.asInstanceOf[Long] -> s).toMap
+    merged.foreach { s =>
+      val (uid, n) = (s.head.asInstanceOf[Long], s(1).asInstanceOf[Long])
+      val baseN = before.get(uid).map(_(1).asInstanceOf[Long]).getOrElse(0L)
+      assert(n == baseN + extraAgg.get(uid).map(_._1).getOrElse(0L),
+        s"user $uid count must be base + exactly one delta application")
+    }
   }
 }
