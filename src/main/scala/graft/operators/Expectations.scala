@@ -32,8 +32,17 @@ object Expectations {
   def q139DataExpectations(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
     def violations(c: Column): Column =
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    // source-encoding contract (VERDICT r07): a mis-decoded events.ts
+    // (e.g. a silently rescaled physical encoding collapsing 2024 into
+    // 1970) must turn ONE named expectation red here instead of
+    // corrupting every downstream time-window hash
+    val evAgg = ev.agg(
+      violations(col("ts").isNull).as("ts_null"),
+      violations(col("ts").isNotNull &&
+        !year(col("ts")).between(2000, 2100)).as("ts_year_bad"))
     val ordAgg = ord.agg(
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dups"),
       violations(col("o_totalprice").isNull || col("o_totalprice") <= 0)
@@ -53,8 +62,11 @@ object Expectations {
     def c(name: String, metric: Column, passed: Column): Column =
       struct(lit(name).as("expectation"), metric.cast("long").as("metric"),
         passed.as("passed"))
-    ordAgg.crossJoin(liAgg).crossJoin(fkAgg)
+    ordAgg.crossJoin(liAgg).crossJoin(fkAgg).crossJoin(evAgg)
       .select(explode(array(
+        c("events_ts_nonnull", col("ts_null"), col("ts_null") === 0),
+        c("events_ts_year_in_2000_2100", col("ts_year_bad"),
+          col("ts_year_bad") === 0),
         c("lineitem_fk_into_orders", col("fk_bad"), col("fk_bad") === 0),
         c("lineitem_quantity_in_1_50", col("qty_range_bad"),
           col("qty_range_bad") === 0),
@@ -77,7 +89,13 @@ object Expectations {
 
   val oracles: Map[String, String] = Map(
     "q139_data_expectations" ->
-      s"""WITH ord AS (
+      s"""WITH ev AS (
+        |  SELECT count(*) FILTER (WHERE ts IS NULL) AS ts_null,
+        |         count(*) FILTER (WHERE ts IS NOT NULL
+        |           AND year(CAST(ts AS TIMESTAMP)) NOT BETWEEN 2000 AND 2100)
+        |           AS ts_year_bad
+        |  FROM events),
+        |ord AS (
         |  SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dups,
         |         count(*) FILTER (WHERE o_totalprice IS NULL
         |                             OR o_totalprice <= 0) AS price_bad,
@@ -99,8 +117,12 @@ object Expectations {
         |                    WHERE o_orderkey = l_orderkey))
         |SELECT expectation, CAST(metric AS BIGINT) AS metric, passed
         |FROM (
-        |  SELECT 'lineitem_fk_into_orders' AS expectation,
-        |         fk_bad AS metric, fk_bad = 0 AS passed FROM fk
+        |  SELECT 'events_ts_nonnull' AS expectation,
+        |         ts_null AS metric, ts_null = 0 AS passed FROM ev
+        |  UNION ALL SELECT 'events_ts_year_in_2000_2100', ts_year_bad,
+        |         ts_year_bad = 0 FROM ev
+        |  UNION ALL SELECT 'lineitem_fk_into_orders',
+        |         fk_bad, fk_bad = 0 FROM fk
         |  UNION ALL SELECT 'lineitem_quantity_in_1_50', qty_range_bad,
         |         qty_range_bad = 0 FROM li
         |  UNION ALL SELECT 'lineitem_quantity_le_40', qty_gt40,

@@ -71,10 +71,29 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // events.ts is physically TIMESTAMP(NANOS); Spark reads it as LongType
-  // when spark.sql.legacy.parquet.nanosAsLong=true (set in every session
-  // builder of this project). The reader truncates to microseconds, which
-  // matches DuckDB's CAST(ts AS TIMESTAMP) oracle semantics exactly.
+  // The events table's `ts` physical encoding is DRIVER-OWNED and has
+  // changed across testdata generations (TIMESTAMP(NANOS) -> logical
+  // timestamp[us]). The reader therefore derives the decode from the
+  // file's actual footer type (see [[eventsDecoder]]) instead of
+  // assuming one encoding — a reader that silently misinterprets a
+  // changed physical type is unshippable against 100 TB of
+  // third-party-produced parquet. Two encodings are accepted:
+  //   - logical TIMESTAMP (us/ms, TZ or NTZ): Spark resolves it; `ts`
+  //     is declared TimestampType and read as-is ([[eventsSchema]]);
+  //   - legacy TIMESTAMP(NANOS): under
+  //     spark.sql.legacy.parquet.nanosAsLong=true (set in every session
+  //     builder of this project) Spark surfaces the raw nanos Long
+  //     ([[eventsRawSchema]]); the reader truncates to microseconds,
+  //     which matches DuckDB's CAST(ts AS TIMESTAMP) oracle semantics.
+  // Anything else fails loudly AT THE SOURCE, not in downstream hashes.
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -114,11 +133,44 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "lineitem", lineitemSchema)
 
-  /** Events with `ts` converted ns-long -> TimestampType (microsecond,
-    * truncated — identical to the oracle's CAST(ts AS TIMESTAMP)). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events", eventsRawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Sniffed decode recipe for an events parquet path: the read schema
+    * to declare plus the normalizing transform, derived from the file's
+    * actual logical type (one driver-side footer read). Shared by the
+    * batch reader ([[events]]) and the file streaming source
+    * (`Streams.eventsStream`), which needs the schema up front. */
+  def eventsDecoder(spark: SparkSession, path: String)
+      : (StructType, DataFrame => DataFrame) = {
+    val actual = spark.read.parquet(path).schema("ts").dataType
+    actual match {
+      case TimestampType =>
+        (eventsSchema, identity[DataFrame] _)
+      case TimestampNTZType =>
+        // isAdjustedToUTC=false files: read as NTZ exactly as annotated,
+        // then cast — with the project-wide UTC session timezone this is
+        // the same instant DuckDB's naive-timestamp oracle reads
+        (StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)),
+          (df: DataFrame) => df.withColumn("ts", col("ts").cast(TimestampType)))
+      case LongType => // legacy TIMESTAMP(NANOS) under nanosAsLong
+        (eventsRawSchema,
+          (df: DataFrame) =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      case other => throw new IllegalStateException(
+        s"events.ts at $path has unsupported parquet type $other; " +
+        "expected a logical TIMESTAMP or INT64 TIMESTAMP(NANOS) read as " +
+        "Long under spark.sql.legacy.parquet.nanosAsLong — refusing to " +
+        "guess a decode for an unrecognized physical encoding")
+    }
+  }
+
+  /** Events with `ts` normalized to TimestampType (microsecond
+    * precision — identical to the oracle's CAST(ts AS TIMESTAMP))
+    * regardless of the file's physical encoding. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val (schema, normalize) = eventsDecoder(spark, path)
+    normalize(spark.read.schema(schema).parquet(path))
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "documents", documentsSchema)

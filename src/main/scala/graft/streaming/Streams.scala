@@ -219,11 +219,15 @@ object Streams {
     * reference's per-file append ingest). */
   def eventsStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    // a streaming source needs its schema up front: sniff the physical
+    // ts encoding from the files already landed (Tables.eventsDecoder,
+    // one driver-side footer read) instead of assuming one — later
+    // files must match, or the micro-batch read fails loudly
+    val (schema, normalize) = Tables.eventsDecoder(spark, eventsDir)
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalize(reader.parquet(eventsDir))
   }
 
   /** Exactly-once keyed UPSERT sink for `foreachBatch` — the

@@ -30,7 +30,17 @@ class ExpectationsSpec extends SparkTestBase {
     val qtyGt40 = li.count(_.getDouble(1) > 40).toLong
     val flagBad =
       li.count(r => !Set("A", "N", "R").contains(r.getString(2))).toLong
+    val evTs = graft.sources.Tables.events(spark, sf).select("ts").collect()
+    val tsNull = evTs.count(_.isNullAt(0)).toLong
+    val tsYearBad = evTs.count { r =>
+      !r.isNullAt(0) && {
+        val y = r.getTimestamp(0).toLocalDateTime.getYear
+        y < 2000 || y > 2100
+      }
+    }.toLong
     assert(got == Map(
+      "events_ts_nonnull" -> ((tsNull, tsNull == 0)),
+      "events_ts_year_in_2000_2100" -> ((tsYearBad, tsYearBad == 0)),
       "lineitem_fk_into_orders" -> ((fkBad, fkBad == 0)),
       "lineitem_quantity_in_1_50" -> ((qtyRangeBad, qtyRangeBad == 0)),
       "lineitem_quantity_le_40" -> ((qtyGt40, qtyGt40 == 0)),
@@ -47,5 +57,38 @@ class ExpectationsSpec extends SparkTestBase {
     // and the genuine integrity expectations hold on this corpus
     assert(got("orders_pk_unique") == ((0L, true)))
     assert(got("lineitem_fk_into_orders") == ((0L, true)))
+    // the encoding-contract rows hold on a correctly-decoded corpus —
+    // a 1000x-rescaled ts (the r07 silent-decode failure mode) would
+    // land every event in 1970 and turn the year-range row red
+    assert(got("events_ts_nonnull") == ((0L, true)))
+    assert(got("events_ts_year_in_2000_2100") == ((0L, true)))
+  }
+
+  test("a mis-decoded ts is detected: 1000x-collapsed timestamps turn " +
+      "the year-range expectation red") {
+    import org.apache.spark.sql.functions._
+    val collapsed = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts",
+        timestamp_micros((unix_micros(col("ts")) / 1000).cast("long")))
+    val bad = collapsed
+      .agg(sum(when(col("ts").isNotNull &&
+        !year(col("ts")).between(2000, 2100), 1L).otherwise(0L)))
+      .collect().head.getLong(0)
+    assert(bad == collapsed.count(),
+      "every collapsed row must violate the year-range expectation")
+  }
+
+  test("an unrecognized events.ts physical encoding fails loudly at the " +
+      "source instead of being silently rescaled") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bad_events").toString
+    graft.sources.Tables.events(spark, sf).limit(10)
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.sources.Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("unsupported parquet type"))
   }
 }

@@ -169,6 +169,46 @@ class FormatsSpec extends SparkTestBase {
       s"z-order should prune: random=$randomScanned z=$zScanned")
   }
 
+  test("testdata physical-schema contract: inferred parquet types match " +
+      "the declared Tables schemas (VERDICT r07 #5)") {
+    // a driver regeneration that changes any physical type must fail in
+    // THIS named test, not in eleven downstream query hashes
+    import org.apache.spark.sql.types._
+    val T = graft.sources.Tables
+    val declared = Seq(
+      "region" -> T.regionSchema, "nation" -> T.nationSchema,
+      "customer" -> T.customerSchema, "supplier" -> T.supplierSchema,
+      "part" -> T.partSchema, "orders" -> T.ordersSchema,
+      "lineitem" -> T.lineitemSchema, "documents" -> T.documentsSchema,
+      "embeddings" -> T.embeddingsSchema)
+    // NTZ-annotated (isAdjustedToUTC=false) timestamp columns resolve
+    // to a declared TimestampType at the scan with identical micros
+    // under the project-wide UTC session timezone — the one compatible
+    // pairing; anything else is drift
+    def compatible(declaredT: DataType, inferredT: DataType): Boolean =
+      declaredT == inferredT ||
+        (declaredT == TimestampType && inferredT == TimestampNTZType)
+    declared.foreach { case (name, schema) =>
+      val inferred = spark.read.parquet(s"$sf/$name.parquet").schema
+      assert(inferred.map(_.name) == schema.map(_.name),
+        s"$name.parquet column set drifted from the declared contract")
+      schema.foreach { f =>
+        assert(compatible(f.dataType, inferred(f.name).dataType),
+          s"$name.$f drifted: declared ${f.dataType}, " +
+            s"file has ${inferred(f.name).dataType}")
+      }
+    }
+    // events.ts is driver-owned and may legitimately change encoding;
+    // the inferred type must be one the sniffing decoder handles, and
+    // the normalized reader must always surface TimestampType
+    val evInferred = spark.read.parquet(s"$sf/events.parquet").schema
+    assert(evInferred.map(_.name) == T.eventsSchema.map(_.name))
+    val tsType = evInferred("ts").dataType
+    assert(Set[DataType](TimestampType, TimestampNTZType, LongType)(tsType),
+      s"events.ts encoding $tsType is outside the decoder's contract")
+    assert(T.events(spark, sf).schema("ts").dataType == TimestampType)
+  }
+
   test("bucketed tables co-locate joins: no exchange in the join plan") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")

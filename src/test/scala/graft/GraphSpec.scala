@@ -42,14 +42,39 @@ class GraphSpec extends SparkTestBase {
       }
       .sortBy { case (node, rank) => (-rank, node) }
       .take(20)
-    val got = Graph.q138PageRank(spark, sf).collect()
-      .map(row => (row.getString(0), row.getDouble(1))).toSeq
+    val rows = Graph.q138PageRank(spark, sf).collect()
+    val got = rows.map(row => (row.getString(0), row.getDouble(1))).toSeq
     assert(got == expected.toSeq,
       s"top-20 diverges:\n got=$got\n exp=${expected.toSeq}")
     // bipartite fixture law: every supplier keeps out-edges, so only
     // part nodes can be dangling and the top ranks are parts (they
     // receive ~85% of all supplier mass each round)
     assert(got.forall(_._1.startsWith("p")))
+    // this graph is NOT at its fixed point after 5 rounds: the early
+    // exit must not have fired (all Iterations rounds ran, flag false)
+    assert(rows.forall(!_.getBoolean(2)))
+  }
+
+  test("q138 early exit: a rank-uniform fixed-point graph reports " +
+      "converged and stays uniform") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // complete digraph K5 (every ordered pair): uniform ranks are an
+    // EXACT fixed point of the recurrence, so round 1 reproduces round 0
+    // up to fp noise (~1e-16 << ConvergenceEps) and the L1-delta exit
+    // must fire instead of burning the remaining rounds
+    val ids = 0 until 5
+    val edges = (for { a <- ids; b <- ids if a != b }
+      yield (s"n$a", s"n$b")).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val outdeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    val ranks = Graph.pagerankRanks(nodes, edges, outdeg, 5L).collect()
+    assert(ranks.length == 5)
+    assert(ranks.forall(_.getBoolean(2)), "fixed point must report converged")
+    ranks.foreach(r => assert(math.abs(r.getDouble(1) - 0.2) < 1e-12,
+      s"uniform fixed point must stay uniform: $r"))
   }
 
   test("q140 matches a brute-force adjacency-set triangle recompute") {

@@ -37,21 +37,24 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     val sink = s"$root/out"
     val ckpt = s"$root/ckpt"
     Files.createDirectories(Paths.get(stage))
-    // raw events (nanos longs, the on-disk schema the file source reads)
-    val raw = spark.read.schema(graft.sources.Tables.eventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-    val Array(q1, q2, q3) = raw.stat.approxQuantile("ts",
+    // normalized events (Tables.events sniffs the physical encoding);
+    // chunks are re-written with a logical timestamp ts, so the file
+    // source's own sniffer resolves them the same way
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val Array(q1, q2, q3) = ev.stat.approxQuantile("ts_us",
       Array(0.25, 0.5, 0.75), 0.0)
     val chunks = Seq(
-      raw.filter(col("ts") <= q1),
-      raw.filter(col("ts") > q1 && col("ts") <= q2),
-      raw.filter(col("ts") > q2 && col("ts") <= q3),
-      raw.filter(col("ts") > q3))
+      ev.filter(col("ts_us") <= q1),
+      ev.filter(col("ts_us") > q1 && col("ts_us") <= q2),
+      ev.filter(col("ts_us") > q2 && col("ts_us") <= q3),
+      ev.filter(col("ts_us") > q3)).map(_.drop("ts_us"))
     // flush sentinel: 3 hours past the last event, so the watermark
     // passes every real 1-hour window once it is processed
-    val maxTs = raw.agg(max("ts")).collect().head.getLong(0)
+    val maxUs = ev.agg(max("ts_us")).collect().head.getLong(0)
     val sentinel = spark.range(1).select(
-      (lit(maxTs) + lit(3L * 3600 * 1000000000L)).as("ts"),
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs) + lit(3L * 3600 * 1000000L)).as("ts"),
       lit(999999L).as("user_id"), lit("zzz_flush").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
 
@@ -90,6 +93,64 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     assert(Files.list(Paths.get(ckpt)).toArray.nonEmpty)
   }
 
+  test("file-source stream-stream interval join (q71/q109 semantics): " +
+      "watermark-evicted outer rows make the streamed set equal batch") {
+    val root = Files.createTempDirectory("graft_stream_ij").toString
+    val stage = s"$root/in"
+    Files.createDirectories(Paths.get(stage))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val Array(m1, m2) = ev.stat.approxQuantile("ts_us", Array(0.33, 0.66), 0.0)
+    Seq(ev.filter(col("ts_us") <= m1),
+        ev.filter(col("ts_us") > m1 && col("ts_us") <= m2),
+        ev.filter(col("ts_us") > m2))
+      .map(_.drop("ts_us"))
+      .zipWithIndex.foreach { case (c, i) => writeChunk(c, stage, s"ij$i") }
+    // flush sentinel far past every purchase's join window: the LEFT
+    // OUTER null-extended rows only emit once the watermark passes the
+    // window end — without eviction they never appear in the sink
+    val maxUs = ev.agg(max("ts_us")).collect().head.getLong(0)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs) + lit(10L * 24 * 3600 * 1000000L)).as("ts"),
+      lit(999999L).as("user_id"), lit("zzz_flush").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    writeChunk(sentinel, stage, "ij3_flush")
+    // watermark BEFORE the event-type filter: the sentinel advances both
+    // sides' watermarks even though it joins nothing
+    def side(renamed: Boolean) = {
+      val s = Streams.eventsStream(spark, stage, maxFilesPerTrigger = Some(2))
+        .withWatermark("ts", "10 minutes")
+      if (renamed) // the watermark tag survives the rename (s_ts carries it)
+        s.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      else s.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+    }
+    val q = Streams.purchaseSignupJoinOuter(side(false), side(true))
+      .writeStream.format("memory").queryName("ij_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ij_sink")
+      .select(col("user_id"), col("ts"), col("s_ts"))
+      .collect().map(_.toSeq).toSet
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    val batch = Streams.purchaseSignupJoinOuter(p, s)
+      .select(col("user_id"), col("ts"), col("s_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"interval-join stream diverges from batch: streamed=${streamed.size} " +
+        s"batch=${batch.size} missing=${(batch -- streamed).take(3)} " +
+        s"extra=${(streamed -- batch).take(3)}")
+    // the watermark-eviction path demonstrably ran: zero-match purchases
+    // exist and their null-extended rows are IN the streamed set
+    assert(streamed.exists(_.last == null),
+      "expected watermark-evicted null-extended outer rows")
+  }
+
   test("foreachBatch upsert sink: streamed merge equals batch groupBy, " +
       "survives restart, and ignores replayed epochs") {
     val root = Files.createTempDirectory("graft_stream_up").toString
@@ -97,9 +158,9 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     val sink = s"$root/state"
     val ckpt = s"$root/ckpt"
     Files.createDirectories(Paths.get(stage))
-    val raw = spark.read.schema(graft.sources.Tables.eventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-    val Array(q1, q2) = raw.stat.approxQuantile("ts", Array(0.3, 0.6), 0.0)
+    val raw = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val Array(q1, q2) = raw.stat.approxQuantile("ts_us", Array(0.3, 0.6), 0.0)
     def startQuery() =
       Streams.eventsStream(spark, stage, maxFilesPerTrigger = Some(1))
         .writeStream
@@ -107,12 +168,13 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt)
         .start()
     // phase 1: two files, run, stop
-    writeChunk(raw.filter(col("ts") <= q1), stage, "c0")
-    writeChunk(raw.filter(col("ts") > q1 && col("ts") <= q2), stage, "c1")
+    writeChunk(raw.filter(col("ts_us") <= q1).drop("ts_us"), stage, "c0")
+    writeChunk(raw.filter(col("ts_us") > q1 && col("ts_us") <= q2)
+      .drop("ts_us"), stage, "c1")
     val first = startQuery()
     try first.processAllAvailable() finally first.stop()
     // phase 2: last file lands while down; restart resumes from ckpt
-    writeChunk(raw.filter(col("ts") > q2), stage, "c2")
+    writeChunk(raw.filter(col("ts_us") > q2).drop("ts_us"), stage, "c2")
     val second = startQuery()
     try second.processAllAvailable() finally second.stop()
     def state(): Set[Seq[Any]] =
