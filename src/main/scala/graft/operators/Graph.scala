@@ -348,6 +348,11 @@ object Graph {
         |       FROM nodes)""".stripMargin
     val iters = (1 to Iterations).map { i =>
       val prev = s"r${i - 1}"
+      // MATERIALIZED: each round is referenced 2-3x (dang, contrib, and
+      // — for the final two rounds — the converged delta), so DuckDB's
+      // default CTE inlining would re-expand the whole prefix chain per
+      // reference (the q142 kcore lesson; observed as a disk-filling
+      // spill once the delta sub-select added a second r4 reference)
       s"""dang$i AS (
          |  SELECT COALESCE(sum(r), CAST(0 AS DOUBLE)) AS m
          |  FROM $prev LEFT JOIN outdeg USING (node)
@@ -358,7 +363,7 @@ object Graph {
          |  JOIN $prev p ON e.src = p.node
          |  JOIN outdeg o ON e.src = o.node
          |  GROUP BY 1),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |         (SELECT (1 - CAST(0.85 AS DOUBLE)) / n FROM nc)
          |         + CAST(0.85 AS DOUBLE) *
