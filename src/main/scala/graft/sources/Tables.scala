@@ -135,12 +135,33 @@ object Tables {
 
   /** Sniffed decode recipe for an events parquet path: the read schema
     * to declare plus the normalizing transform, derived from the file's
-    * actual logical type (one driver-side footer read). Shared by the
-    * batch reader ([[events]]) and the file streaming source
-    * (`Streams.eventsStream`), which needs the schema up front. */
+    * actual logical type. Shared by the batch reader ([[events]]) and
+    * the file streaming source (`Streams.eventsStream`), which needs
+    * the schema up front.
+    *
+    * The footer sniff is one driver-side read, cached per
+    * (session, path) — ~25 operator call sites re-enter this per run
+    * and the encoding cannot change within a session. An EMPTY source
+    * directory (the streaming bootstrap: query started before the
+    * first file lands) cannot be sniffed and defaults to the current
+    * logical-timestamp encoding; a later file in the legacy long
+    * encoding then fails loudly at read time (schema mismatch), never
+    * silently rescaled. A present-but-`ts`-less schema is the same
+    * drift class as an unknown encoding and throws the same
+    * IllegalStateException. */
   def eventsDecoder(spark: SparkSession, path: String)
       : (StructType, DataFrame => DataFrame) = {
-    val actual = spark.read.parquet(path).schema("ts").dataType
+    val actual: DataType =
+      DfCache.value(spark, s"events_ts_type|$path") {
+        scala.util.Try(spark.read.parquet(path).schema) match {
+          case scala.util.Failure(_) => TimestampType // empty dir bootstrap
+          case scala.util.Success(schema) =>
+            schema.find(_.name == "ts").map(_.dataType).getOrElse(
+              throw new IllegalStateException(
+                s"events at $path has unsupported parquet type " +
+                s"(no `ts` column; found ${schema.fieldNames.mkString(", ")})"))
+        }
+      }
     actual match {
       case TimestampType =>
         (eventsSchema, identity[DataFrame] _)

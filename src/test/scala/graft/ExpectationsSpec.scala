@@ -34,7 +34,11 @@ class ExpectationsSpec extends SparkTestBase {
     val tsNull = evTs.count(_.isNullAt(0)).toLong
     val tsYearBad = evTs.count { r =>
       !r.isNullAt(0) && {
-        val y = r.getTimestamp(0).toLocalDateTime.getYear
+        // year in UTC (the session timezone) — toLocalDateTime would
+        // render in the JVM default zone and misclassify year-boundary
+        // events on a non-UTC host
+        val y = r.getTimestamp(0).toInstant
+          .atZone(java.time.ZoneOffset.UTC).getYear
         y < 2000 || y > 2100
       }
     }.toLong
@@ -90,5 +94,15 @@ class ExpectationsSpec extends SparkTestBase {
       graft.sources.Tables.events(spark, dir)
     }
     assert(e.getMessage.contains("unsupported parquet type"))
+    // same drift class: a schema with no ts column at all
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_nots_events").toString
+    graft.sources.Tables.events(spark, sf).limit(10)
+      .drop("ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val e2 = intercept[IllegalStateException] {
+      graft.sources.Tables.events(spark, dir2)
+    }
+    assert(e2.getMessage.contains("unsupported parquet type"))
   }
 }

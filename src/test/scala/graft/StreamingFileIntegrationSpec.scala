@@ -108,14 +108,17 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
       .zipWithIndex.foreach { case (c, i) => writeChunk(c, stage, s"ij$i") }
     // flush sentinel far past every purchase's join window: the LEFT
     // OUTER null-extended rows only emit once the watermark passes the
-    // window end — without eviction they never appear in the sink
+    // window end — without eviction they never appear in the sink.
+    // Written only AFTER the real chunks are fully processed (below):
+    // if it landed in the FIRST micro-batch (possible under coarse
+    // file-mtime granularity) it would advance the watermark 10 days
+    // and every real row would be dropped as late.
     val maxUs = ev.agg(max("ts_us")).collect().head.getLong(0)
     val sentinel = spark.range(1).select(
       lit(-1L).as("event_id"),
       timestamp_micros(lit(maxUs) + lit(10L * 24 * 3600 * 1000000L)).as("ts"),
       lit(999999L).as("user_id"), lit("zzz_flush").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    writeChunk(sentinel, stage, "ij3_flush")
     // watermark BEFORE the event-type filter: the sentinel advances both
     // sides' watermarks even though it joins nothing
     def side(renamed: Boolean) = {
@@ -130,7 +133,11 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     val q = Streams.purchaseSignupJoinOuter(side(false), side(true))
       .writeStream.format("memory").queryName("ij_sink")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable() // all real chunks first
+      writeChunk(sentinel, stage, "ij3_flush")
+      q.processAllAvailable() // sentinel advances watermark -> eviction
+    } finally q.stop()
     val streamed = spark.table("ij_sink")
       .select(col("user_id"), col("ts"), col("s_ts"))
       .collect().map(_.toSeq).toSet
@@ -149,6 +156,28 @@ class StreamingFileIntegrationSpec extends SparkTestBase {
     // exist and their null-extended rows are IN the streamed set
     assert(streamed.exists(_.last == null),
       "expected watermark-evicted null-extended outer rows")
+  }
+
+  test("eventsStream bootstraps on an EMPTY directory (query starts " +
+      "before the first file lands) and processes files that arrive later") {
+    val root = Files.createTempDirectory("graft_stream_boot").toString
+    val stage = s"$root/in"
+    Files.createDirectories(Paths.get(stage))
+    // no files yet: the decoder cannot sniff and must default to the
+    // logical-timestamp encoding instead of crashing at construction
+    val q = Streams.eventsStream(spark, stage)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("boot_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("boot_sink").count() == 0)
+      writeChunk(graft.sources.Tables.events(spark, sf).limit(200),
+        stage, "late_arrival")
+      q.processAllAvailable()
+      assert(spark.table("boot_sink").agg(sum("count")).collect()
+        .head.getLong(0) == 200L)
+    } finally q.stop()
   }
 
   test("foreachBatch upsert sink: streamed merge equals batch groupBy, " +
