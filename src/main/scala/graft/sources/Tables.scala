@@ -139,21 +139,35 @@ object Tables {
     * the file streaming source (`Streams.eventsStream`), which needs
     * the schema up front.
     *
-    * The footer sniff is one driver-side read, cached per
-    * (session, path) — ~25 operator call sites re-enter this per run
-    * and the encoding cannot change within a session. An EMPTY source
-    * directory (the streaming bootstrap: query started before the
-    * first file lands) cannot be sniffed and defaults to the current
-    * logical-timestamp encoding; a later file in the legacy long
-    * encoding then fails loudly at read time (schema mismatch), never
-    * silently rescaled. A present-but-`ts`-less schema is the same
-    * drift class as an unknown encoding and throws the same
-    * IllegalStateException. */
+    * The sniff reads footers under `mergeSchema` — a MIXED directory
+    * (legacy nanos files alongside logical-timestamp files, the shape
+    * a lake mid-encoding-migration has) merges Long with Timestamp,
+    * conflicts, and fails loudly HERE, where a single-footer sample
+    * would pick one recipe and silently misdecode the other files
+    * 1000x. The footer pass is one job, cached per (session, path) —
+    * ~25 operator call sites re-enter this per run and the encoding
+    * cannot change within a session. An EMPTY source directory (the
+    * streaming bootstrap: query started before the first file lands)
+    * cannot be sniffed and defaults to the current logical-timestamp
+    * encoding; a later file in the legacy long encoding then fails
+    * loudly at read time (schema mismatch), never silently rescaled.
+    * A present-but-`ts`-less schema is the same drift class as an
+    * unknown encoding and throws the same IllegalStateException. */
   def eventsDecoder(spark: SparkSession, path: String)
       : (StructType, DataFrame => DataFrame) = {
     val actual: DataType =
       DfCache.value(spark, s"events_ts_type|$path") {
-        scala.util.Try(spark.read.parquet(path).schema) match {
+        scala.util.Try(
+          spark.read.option("mergeSchema", "true").parquet(path).schema
+        ) match {
+          case scala.util.Failure(e)
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("merge") =>
+            throw new IllegalStateException(
+              s"events at $path mixes incompatible ts encodings across " +
+              "files (e.g. legacy nanos longs next to logical " +
+              "timestamps) — refusing to pick one decode for a mixed " +
+              s"directory: ${e.getMessage}", e)
           case scala.util.Failure(_) => TimestampType // empty dir bootstrap
           case scala.util.Success(schema) =>
             schema.find(_.name == "ts").map(_.dataType).getOrElse(

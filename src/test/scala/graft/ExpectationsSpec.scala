@@ -105,4 +105,21 @@ class ExpectationsSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("unsupported parquet type"))
   }
+
+  test("a MIXED events directory (legacy long files next to logical " +
+      "timestamp files) fails loudly instead of decoding one recipe") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mixed_events").toString
+    val ev = graft.sources.Tables.events(spark, sf).limit(5)
+    // one file surfaces ts as a raw long (the legacy shape), one as a
+    // logical timestamp — the mid-migration lake layout
+    ev.withColumn("ts", unix_micros(col("ts")))
+      .write.mode("append").parquet(s"$dir/events.parquet")
+    ev.write.mode("append").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.sources.Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("mixes incompatible ts encodings"))
+  }
 }
