@@ -40,6 +40,32 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** Media ingest from a DIRECTORY of raw files via the built-in
+    * `binaryFile` source — the production ingest path when image/audio
+    * assets land as individual files rather than pre-packed parquet
+    * shards. One row per file (path, modificationTime, length,
+    * content); `pathGlobFilter` prunes non-media files at LISTING time
+    * (no bytes read for skipped files) and `recursiveFileLookup` walks
+    * nested shard directories. doc_id is a stable hash of the file
+    * path (content-independent, so re-ingesting a changed file keeps
+    * its identity); `meta.kind` is the file extension. Feeds
+    * [[decodeBatches]] unchanged — source and decode compose. */
+  def mediaFromFiles(spark: SparkSession, dir: String,
+      glob: String = "*.bin"): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        struct(col("length").as("width"), lit(1L).as("height"),
+          regexp_extract(col("path"), "\\.([^.]+)$", 1).as("kind"))
+          .as("meta"))
+      .as[MediaItem]
+  }
+
   /** Partition-batched decode: the mapPartitions boundary is where a real
     * decoder (libjpeg / ffmpeg / a Pandas UDF in PySpark) would consume a
     * whole Arrow batch. STAND-IN KERNEL: feature[i] = payload[i] / 255.0
