@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
       AnnRetrieval.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
       TrainingPipeline.queries ++ Curation.queries ++ Skew.queries ++
-      StorageLayout.queries ++ Graph.queries ++ Expectations.queries
+      StorageLayout.queries ++ Graph.queries ++ Graph2.queries ++ Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
       AnnRetrieval.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
       TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles ++
-      StorageLayout.oracles ++ Graph.oracles ++ Expectations.oracles
+      StorageLayout.oracles ++ Graph.oracles ++ Graph2.oracles ++ Expectations.oracles
 }

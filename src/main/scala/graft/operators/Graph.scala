@@ -50,19 +50,7 @@ object Graph {
     * ~1e-15: rounding is far from every boundary), and ties order by
     * node id in both engines. */
   def q138PageRank(spark: SparkSession, dir: String): DataFrame = {
-    // edges persisted HASH-PARTITIONED BY src (and nodes by node): the
-    // static sides of the per-iteration joins never re-shuffle — each
-    // round moves only the ranks/contribs side. The same
-    // one-time-layout-pays-off-per-round trade as q134's buckets.
-    val edges = graft.sources.DfCache.df(spark, s"pr_edges|$dir")(
-      Tables.lineitem(spark, dir)
-        // distinct on the two LONG keys, then stringify: dedup hashes
-        // 16 bytes per row instead of two materialized strings
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-        .distinct()
-        .select(concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst"))
-        .repartition(col("src")))
+    val edges = shipmentEdges(spark, dir)
     val nodes = graft.sources.DfCache.df(spark, s"pr_nodes|$dir")(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
@@ -81,6 +69,23 @@ object Graph {
       .orderBy(desc("rank"), asc("node"))
       .limit(TopK)
   }
+
+  /** The directed supplier→part shipment edge set shared by q138 and
+    * Graph2's PPR/HITS (distinct (l_suppkey → l_partkey), keys
+    * namespaced 's…'/'p…'), persisted HASH-PARTITIONED BY src once per
+    * (session, dir): the static side of every per-iteration join never
+    * re-shuffles — each round moves only the ranks/scores side. The
+    * same one-time-layout-pays-off-per-round trade as q134's buckets. */
+  private[operators] def shipmentEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"pr_edges|$dir")(
+      Tables.lineitem(spark, dir)
+        // distinct on the two LONG keys, then stringify: dedup hashes
+        // 16 bytes per row instead of two materialized strings
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select(concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("pk").cast("string")).as("dst"))
+        .repartition(col("src")))
 
   /** The synchronous PageRank recurrence with an L1-delta early exit
     * (q142's fixed-point discipline applied to the continuous case):
@@ -205,7 +210,7 @@ object Graph {
 
   /** Undirected co-purchase edge set shared by q140/q141 (support-
     * pruned, p1 < p2), cached once per (session, dir). */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
