@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,7 @@ object SparkEntry {
       TextOps.queries ++ Similarity.queries ++ AnnIndex.queries ++
       AnnRetrieval.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
-      TrainingPipeline.queries ++ Curation.queries ++ Skew.queries ++
+      TrainingPipeline.queries ++ Curation.queries ++ Curation2.queries ++ Skew.queries ++
       StorageLayout.queries ++ Graph.queries ++ Graph2.queries ++ Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,6 +39,6 @@ object SparkEntry {
       TextOps.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
       AnnRetrieval.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
-      TrainingPipeline.oracles ++ Curation.oracles ++ Skew.oracles ++
+      TrainingPipeline.oracles ++ Curation.oracles ++ Curation2.oracles ++ Skew.oracles ++
       StorageLayout.oracles ++ Graph.oracles ++ Graph2.oracles ++ Expectations.oracles
 }

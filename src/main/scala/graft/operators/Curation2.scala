@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] corpus-selection operators beyond [[Curation]]'s cleaning /
+  * sampling / packing family: per-domain frequency capping and
+  * importance-weighted data selection — the two selection passes a
+  * web-scale training pipeline runs between dedup and tokenization
+  * (cf. PAPERS.md: RefinedWeb-style per-domain caps; DSIR-style hashed
+  * n-gram importance resampling).
+  *
+  * Both are hash-deterministic (the [[Curation]] discipline: selection
+  * keys are content hashes, never `rand()`), so results are stable
+  * under repartitioning, retries, and cluster-size changes — the
+  * property that makes a 100 TB selection pass reproducible.
+  */
+object Curation2 {
+
+  /** Per-source keep budget. At sf0.01 every source holds 25 docs, so
+    * the cap bites everywhere; smaller SFs leave it inactive (the
+    * degenerate all-kept case is still a correct cap). */
+  private[graft] val CapPerSource = 15
+
+  /** q146 — PER-DOMAIN FREQUENCY CAP: keep at most [[CapPerSource]]
+    * documents per source, selected in deterministic hash order — the
+    * anti-over-representation pass web pipelines apply per domain so a
+    * handful of mega-sites cannot dominate the corpus mix.
+    *
+    * Selection = row_number over (source, ordered by a salted 60-bit
+    * md5 of doc_id, doc_id tiebreak) — a hash ORDER, not a hash
+    * threshold, so the budget is hit exactly (a threshold keeps a
+    * binomial-ly noisy count; an order keeps exactly min(n, cap)).
+    * Scale shape: one hash-partitioned window by source — domains are
+    * numerous and individually small, the window never sees a
+    * single-partition global sort. A pathological mega-domain skewing
+    * one partition is the q75 salting case: pre-aggregate the top
+    * domains' doc lists in a salted first pass, or cap them at the
+    * scan with a sampled filter; the output contract (exactly
+    * min(n, cap) kept, hash-ordered) is unchanged.
+    *
+    * Output is the per-source audit row: total, kept, and the sum of
+    * kept doc_ids — the checksum that pins the exact selection (two
+    * different kept-sets with equal size cannot also match on sum
+    * against an independent implementation by accident). */
+  def q146DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Hashing.md5Hash60(concat(lit("cap_"), col("doc_id").cast("string")))
+          .as("h"))
+    val ranked = docs.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("doc_id"))))
+    ranked
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= CapPerSource, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= CapPerSource, col("doc_id"))).as("kept_docid_sum"))
+      .orderBy("source")
+  }
+
+  /** Hashed feature-space size for q147. 1024 buckets over uni+bigram
+    * features — small enough that the bucket count tables broadcast,
+    * large enough that collisions do not flatten the log-ratios. */
+  private[graft] val DsirBuckets = 1024
+
+  /** q147's selection size. */
+  private[graft] val DsirTopK = 50
+
+  /** q147 — IMPORTANCE-WEIGHTED DATA SELECTION (DSIR shape): score
+    * every document by how much more likely its hashed n-gram features
+    * are under a TARGET distribution (here: the `lang = 'en'` slice,
+    * standing in for a curated high-quality reference corpus) than
+    * under the RAW corpus distribution, and keep the top-k. The score
+    * is the log importance weight of the doc under two bag-of-features
+    * multinomials with add-one smoothing:
+    *
+    *   w(doc) = Σ_f [ log (t_f + 1)/(T + B) − log (r_f + 1)/(R + B) ]
+    *
+    * with t/r the target/raw counts of the feature's hash bucket,
+    * T/R the total feature masses, B = [[DsirBuckets]].
+    *
+    * Scale shape: features are hashed to [[DsirBuckets]] buckets, so
+    * BOTH distribution tables are fixed-size (≤ B rows) regardless of
+    * corpus size — they build with one groupBy each and BROADCAST to
+    * the per-doc scoring join; the whole pass is two scans + one
+    * broadcast join, no quadratic anything. Features = whitespace
+    * unigrams + adjacent bigrams over the empty-token-filtered word
+    * list (the q118 tokenization), hashed with the engine-portable
+    * 60-bit md5. Ordering is on the ROUNDED weight with doc_id
+    * tiebreak, so cross-engine fp summation order cannot flip ranks. */
+  def q147DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws",
+        expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+      .filter(size(col("ws")) >= 1)
+    // features = unigrams ++ adjacent bigrams, as one exploded column
+    // the size >= 2 guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    // it is not empty like DuckDB's generate_series(1, 0)
+    val feats = docs.select(col("doc_id"), col("lang"),
+        explode(concat(col("ws"), expr(
+          """CASE WHEN size(ws) >= 2
+            |     THEN transform(sequence(1, size(ws) - 1),
+            |                    i -> concat_ws(' ', slice(ws, i, 2)))
+            |     ELSE CAST(array() AS array<string>) END""".stripMargin)))
+          .as("f"))
+      .withColumn("b", pmod(Hashing.md5Hash60(col("f")), lit(DsirBuckets)))
+    val raw = feats.groupBy("b").agg(count(lit(1)).as("r"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("t"))
+    val totals = raw.agg(sum(col("r")).as("rt")).crossJoin(
+      tgt.agg(sum(col("t")).as("tt")))
+    val bucketLr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("t"), lit(0L)) + lit(1)).cast("double") /
+            (col("tt") + lit(DsirBuckets))) -
+          log((col("r") + lit(1)).cast("double") /
+            (col("rt") + lit(DsirBuckets)))).as("lr"))
+    feats.join(broadcast(bucketLr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lr")), 6).as("weight"))
+      .orderBy(desc("weight"), asc("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_domain_cap" -> (q146DomainCap _),
+    "q147_dsir_select" -> (q147DsirSelect _))
+
+  val oracles: Map[String, String] = Map(
+    "q146_domain_cap" ->
+      s"""WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY ('0x' || substr(md5('cap_' ||
+        |                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN rn <= $CapPerSource THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN rn <= $CapPerSource THEN doc_id END)
+        |            AS BIGINT) AS kept_docid_sum
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+    "q147_dsir_select" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(trim(text), ' '),
+        |                     w -> len(w) > 0) AS ws
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(trim(text), ' '),
+        |                        w -> len(w) > 0)) >= 1),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirBuckets
+        |           AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(ws) AS f FROM docs
+        |    UNION ALL
+        |    SELECT doc_id, lang,
+        |           ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS f
+        |    FROM (SELECT doc_id, lang, ws,
+        |                 unnest(generate_series(1, len(ws) - 1)) AS i
+        |          FROM docs))),
+        |raw AS (SELECT b, count(*) AS r FROM feats GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS t FROM feats
+        |        WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(r) FROM raw) AS rt,
+        |               (SELECT sum(t) FROM tgt) AS tt),
+        |lr AS (
+        |  SELECT raw.b,
+        |         ln(CAST(COALESCE(tgt.t, 0) + 1 AS DOUBLE) /
+        |            (tot.tt + $DsirBuckets)) -
+        |         ln(CAST(raw.r + 1 AS DOUBLE) /
+        |            (tot.rt + $DsirBuckets)) AS lr
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT doc_id, lang,
+        |       CAST(count(*) AS BIGINT) AS n_feats,
+        |       round(sum(lr), 6) AS weight
+        |FROM feats JOIN lr USING (b)
+        |GROUP BY doc_id, lang
+        |ORDER BY weight DESC, doc_id ASC
+        |LIMIT $DsirTopK""".stripMargin)
+}
