@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       Breadth3.queries ++
       Dedup.queries ++ DedupEmbedding.queries ++ DedupClusters.queries ++
       TextOps.queries ++ Similarity.queries ++ AnnIndex.queries ++
-      AnnRetrieval.queries ++
+      AnnRetrieval.queries ++ AnnIncremental.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
       TrainingPipeline.queries ++ Curation.queries ++ Curation2.queries ++ Skew.queries ++
       StorageLayout.queries ++ Graph.queries ++ Graph2.queries ++ Expectations.queries
@@ -37,7 +37,7 @@ object SparkEntry {
       Breadth3.oracles ++
       Dedup.oracles ++ DedupEmbedding.oracles ++ DedupClusters.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
-      AnnRetrieval.oracles ++
+      AnnRetrieval.oracles ++ AnnIncremental.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
       TrainingPipeline.oracles ++ Curation.oracles ++ Curation2.oracles ++ Skew.oracles ++
       StorageLayout.oracles ++ Graph.oracles ++ Graph2.oracles ++ Expectations.oracles

@@ -75,16 +75,19 @@ object AnnIndex {
       ivfCentroids(spark, dir, all).count())
   }
 
+  /** `cacheTag` namespaces the per-(session, dir) cache so a quantizer
+    * trained on a sub-corpus (q148's base-only build) cannot collide
+    * with the full-corpus one q52/q114 share. */
   private[operators] def ivfCentroids(spark: SparkSession, dir: String,
-      all: DataFrame): DataFrame =
-    graft.sources.DfCache.df(spark, s"ivf_centroids|$dir") {
+      all: DataFrame, cacheTag: String = ""): DataFrame =
+    graft.sources.DfCache.df(spark, s"ivf_centroids$cacheTag|$dir") {
       // cells ~ sqrt(N) — THE standard IVF sizing. Cells growing
       // linearly with the corpus (the old fixed every-43rd stride)
       // makes assignment O(N x cells) = O(N^2/43): the r04 10x study
       // measured 18x wall-clock at 10x data. sqrt sizing keeps the
       // build O(N^1.5) and balances cell size (~sqrt(N) members) vs
       // probe count at any corpus size.
-      val n = graft.sources.DfCache.value(spark, s"emb_count|$dir")(
+      val n = graft.sources.DfCache.value(spark, s"emb_count$cacheTag|$dir")(
         all.count())
       val targetCells = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
       val stride = math.max(1L, n / targetCells)
