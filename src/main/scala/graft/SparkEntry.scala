@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextOps, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, Skew, StorageLayout, TextEncode, TextOps, TrainingPipeline, XmlShred}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
       Breadth3.queries ++
       Dedup.queries ++ DedupEmbedding.queries ++ DedupClusters.queries ++
-      TextOps.queries ++ Similarity.queries ++ AnnIndex.queries ++
+      TextOps.queries ++ TextEncode.queries ++ Similarity.queries ++ AnnIndex.queries ++
       AnnRetrieval.queries ++ AnnIncremental.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
       TrainingPipeline.queries ++ Curation.queries ++ Curation2.queries ++ Skew.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
     Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
       Breadth3.oracles ++
       Dedup.oracles ++ DedupEmbedding.oracles ++ DedupClusters.oracles ++
-      TextOps.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
+      TextOps.oracles ++ TextEncode.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
       AnnRetrieval.oracles ++ AnnIncremental.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
       TrainingPipeline.oracles ++ Curation.oracles ++ Curation2.oracles ++ Skew.oracles ++

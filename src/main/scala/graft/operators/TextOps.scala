@@ -420,8 +420,16 @@ object TextOps {
     * sequential Scala BPE reference in TextOpsBpeSpec — the q125
     * independent-reference pattern for iterative operators whose tail
     * SQL cannot reach. */
+  /** The trained tokenizer, built once per (session, dir): q137
+    * reports it, q149 (TextEncode) applies it — whoever runs first
+    * pays for training. */
+  private[graft] def bpeCached(spark: SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], Long, Long) =
+    graft.sources.DfCache.value(spark, s"bpe_train|$dir")(
+      bpeTrain(spark, dir, BpeMerges))
+
   def q137BpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val (merges, before, after) = bpeTrain(spark, dir, BpeMerges)
+    val (merges, before, after) = bpeCached(spark, dir)
     val (_, l, r, cnt) = merges.head
     spark.range(1).select(
       lit(merges.size).cast("int").as("n_merges"),
