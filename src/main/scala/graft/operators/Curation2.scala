@@ -130,9 +130,65 @@ object Curation2 {
       .limit(DsirTopK)
   }
 
+  /** q150's temperature. α = 0.3 is the published multilingual-LM
+    * operating point: high-resource languages are damped, low-resource
+    * ones boosted, rates follow p_l^α renormalized. */
+  private[graft] val MixAlpha = 0.3
+
+  /** q150 — TEMPERATURE-BASED LANGUAGE REBALANCING: the standard
+    * multilingual pretraining mix — sample language l at rate
+    * q_l ∝ p_l^α instead of its natural share p_l, keeping total
+    * corpus size. Unlike q99's uniform downsample, temperature mixing
+    * UPSAMPLES rare languages (rate > 1 means repeat each doc
+    * floor(rate) times plus a hash-selected fractional copy), which is
+    * why the operator reports an emit count, not a keep flag.
+    *
+    * Determinism discipline: the rate is rounded to 6 decimals FIRST
+    * (one fp rounding point, same in both engines), then the
+    * fractional copy is an integer compare in millionths
+    * (hash % 1e6 < round(frac(rate) * 1e6)) — after the single
+    * rounding, everything is exact integer math, so cross-engine libm
+    * pow() ulp differences cannot flip a selection. Scale shape: the
+    * rate table is |languages| rows (broadcast); emission is one
+    * map-side join + integer arithmetic on the scan — upsampling
+    * materializes lazily (a repeat factor column, exploded only by the
+    * consumer), so the pass itself never writes the inflated corpus. */
+  def q150TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .withColumn("nn", sum(col("n_total")).over(w))
+      .withColumn("q", pow(col("n_total").cast("double") / col("nn"),
+        lit(MixAlpha)))
+      .withColumn("rate",
+        round((col("nn") * col("q") / sum(col("q")).over(w)) /
+          col("n_total"), 6))
+      .select(col("lang"), col("n_total"), col("rate"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        pmod(Hashing.md5Hash60(
+          concat(lit("tmix:"), col("doc_id").cast("string"))),
+          lit(1000000L)).as("hfrac"))
+    docs.join(broadcast(counts), Seq("lang"))
+      .withColumn("copies",
+        floor(col("rate")).cast("long") +
+          when(col("hfrac") <
+            round((col("rate") - floor(col("rate"))) * 1e6).cast("long"),
+            1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(max(col("n_total")).as("n_total"),
+        max(col("rate")).as("target_rate"),
+        sum(col("copies")).as("n_emitted"))
+      .withColumn("achieved_rate",
+        round(col("n_emitted").cast("double") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_domain_cap" -> (q146DomainCap _),
-    "q147_dsir_select" -> (q147DsirSelect _))
+    "q147_dsir_select" -> (q147DsirSelect _),
+    "q150_temperature_mix" -> (q150TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q146_domain_cap" ->
@@ -189,5 +245,35 @@ object Curation2 {
         |FROM feats JOIN lr USING (b)
         |GROUP BY doc_id, lang
         |ORDER BY weight DESC, doc_id ASC
-        |LIMIT $DsirTopK""".stripMargin)
+        |LIMIT $DsirTopK""".stripMargin,
+    "q150_temperature_mix" ->
+      s"""WITH counts AS (
+        |  SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        |rates AS (
+        |  SELECT lang, n_total,
+        |         round(((SELECT sum(n_total) FROM counts) *
+        |                pow(CAST(n_total AS DOUBLE) /
+        |                    (SELECT sum(n_total) FROM counts), $MixAlpha) /
+        |                (SELECT sum(pow(CAST(n_total AS DOUBLE) /
+        |                                (SELECT sum(n_total) FROM counts),
+        |                                $MixAlpha)) FROM counts)) /
+        |               n_total, 6) AS rate
+        |  FROM counts),
+        |emitted AS (
+        |  SELECT d.lang,
+        |         CAST(floor(r.rate) AS BIGINT) +
+        |         CASE WHEN ('0x' || substr(md5('tmix:' ||
+        |                      CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                    % 1000000 <
+        |                   CAST(round((r.rate - floor(r.rate)) * 1e6)
+        |                        AS BIGINT)
+        |              THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN rates r USING (lang))
+        |SELECT lang, n_total, rate AS target_rate,
+        |       CAST(sum(copies) AS BIGINT) AS n_emitted,
+        |       round(CAST(sum(copies) AS DOUBLE) / n_total, 4)
+        |         AS achieved_rate
+        |FROM emitted JOIN rates USING (lang)
+        |GROUP BY lang, n_total, rate
+        |ORDER BY lang""".stripMargin)
 }

@@ -66,4 +66,46 @@ class Curation2Spec extends SparkTestBase {
     assert(topEnShare > corpusEnShare,
       s"top-k en share $topEnShare not above corpus $corpusEnShare")
   }
+
+  test("q150 temperature mix matches an independent rate computation " +
+      "and rebalances toward rare languages") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toDouble
+    val qs = counts.view.mapValues(c => math.pow(c / n, C2.MixAlpha)).toMap
+    val qSum = qs.values.sum
+    val rates = counts.map { case (l, c) =>
+      l -> BigDecimal(n * qs(l) / qSum / c)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val rate = rates(lang)
+      val thresh = BigDecimal((rate - math.floor(rate)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val emitted = ds.map { case (id, _) =>
+        math.floor(rate).toLong +
+          (if (Hashing.md5Hash60Value(s"tmix:$id") % 1000000L < thresh) 1L
+           else 0L)
+      }.sum
+      (lang, ds.length.toLong, rate, emitted,
+        BigDecimal(emitted.toDouble / ds.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val got = C2.q150TemperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"mix diverges:\n got=$got\n exp=$expected")
+    // temperature law: the rarest language is upsampled harder than
+    // the most common one (rates strictly decrease with size), and
+    // total emitted mass stays near the corpus size (the fractional
+    // copies are hash-selected, so the deviation is the deterministic
+    // analogue of binomial noise — ~sqrt(n) per language)
+    val bySize = expected.sortBy(_._2)
+    assert(bySize.head._3 >= bySize.last._3)
+    val emittedTotal = expected.map(_._4).sum.toDouble
+    assert(math.abs(emittedTotal / docs.length - 1.0) < 0.05,
+      s"emitted $emittedTotal vs corpus ${docs.length}")
+  }
 }
