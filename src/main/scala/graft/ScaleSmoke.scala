@@ -81,8 +81,14 @@ object ScaleSmoke {
         "q134_bucketed_join", "q135_incremental_facts",
         "q136_snapshot_diff", "q137_bpe_train", "q138_pagerank",
         "q139_data_expectations", "q140_triangle_count",
-        "q141_adamic_adar", "q142_kcore")
+        "q141_adamic_adar", "q142_kcore", "q143_ppr", "q144_hits",
+        "q145_bfs_reach", "q146_domain_cap", "q147_dsir_select",
+        "q149_bpe_encode", "q150_temperature_mix")
         .map(n => n -> SparkEntry.queries(n)) :+
+        // q148 is the recall contract (recomputes brute ground truth);
+        // time the incremental serving path itself
+        ("ann_incr_topk_direct" -> ((s: SparkSession, d: String) =>
+          operators.AnnIncremental.incrementalTopK(s, d))) :+
         // q113/q114/q129 are recall contracts; time the ANN paths themselves
         ("trunc_topk_direct" -> ((s: SparkSession, d: String) =>
           operators.AnnRetrieval.truncatedTopK(s, d))) :+
