@@ -249,11 +249,14 @@ object Curation2 {
         |            (tot.tt + $DsirBuckets)) -
         |         ln(CAST(raw.r + 1 AS DOUBLE) /
         |            (tot.rt + $DsirBuckets)) AS lr
-        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |db AS (
+        |  SELECT doc_id, lang, b, count(*) AS c
+        |  FROM feats GROUP BY 1, 2, 3)
         |SELECT doc_id, lang,
-        |       CAST(count(*) AS BIGINT) AS n_feats,
-        |       round(sum(lr), 6) AS weight
-        |FROM feats JOIN lr USING (b)
+        |       CAST(sum(c) AS BIGINT) AS n_feats,
+        |       round(sum(c * lr), 6) AS weight
+        |FROM db JOIN lr USING (b)
         |GROUP BY doc_id, lang
         |ORDER BY weight DESC, doc_id ASC
         |LIMIT $DsirTopK""".stripMargin,

@@ -51,10 +51,7 @@ object Graph {
     * node id in both engines. */
   def q138PageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = shipmentEdges(spark, dir)
-    val nodes = graft.sources.DfCache.df(spark, s"pr_nodes|$dir")(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
-        .repartition(col("node")))
+    val nodes = shipmentNodes(spark, dir)
     // persisted like edges/nodes: every round's checkpoint job reads it,
     // and an unpersisted outdeg would re-run the groupBy 5 times
     val outdeg = graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
@@ -86,6 +83,17 @@ object Graph {
         .select(concat(lit("s"), col("sk").cast("string")).as("src"),
           concat(lit("p"), col("pk").cast("string")).as("dst"))
         .repartition(col("src")))
+
+  /** Node table of [[shipmentEdges]], persisted node-partitioned once
+    * per (session, dir) and shared by q138 and Graph2's q143 (which
+    * derives its seed flag from the node string, so no second
+    * union+distinct shuffle or persisted copy is ever paid). */
+  private[operators] def shipmentNodes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"pr_nodes|$dir")(
+      shipmentEdges(spark, dir).select(col("src").as("node"))
+        .union(shipmentEdges(spark, dir).select(col("dst").as("node")))
+        .distinct()
+        .repartition(col("node")))
 
   /** The synchronous PageRank recurrence with an L1-delta early exit
     * (q142's fixed-point discipline applied to the continuous case):
@@ -139,7 +147,7 @@ object Graph {
 
   /** Support threshold for q140's co-purchase edges — the pruning every
     * production co-occurrence graph applies before motif mining. */
-  private val MinSupport = 2
+  private[operators] val MinSupport = 2
 
   /** q141's wedge-center degree cap: nodes above it are ubiquitous hubs
     * whose Adamic-Adar contribution (1/ln(deg)) the measure itself

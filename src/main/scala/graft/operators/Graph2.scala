@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
-
 /** [EXT] seed-anchored graph analytics — the second half of the graph
   * family (q138/q140–q142 in [[Graph]]): personalized PageRank, HITS,
   * and multi-source BFS. These are the "trusted-seed expansion"
@@ -59,16 +57,14 @@ object Graph2 {
     * laid out once, each round moves only the rank column. */
   def q143Ppr(spark: SparkSession, dir: String): DataFrame = {
     val edges = Graph.shipmentEdges(spark, dir)
-    val nodes = graft.sources.DfCache.df(spark, s"ppr_nodes|$dir")(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
-        // seed indicator: supplier nodes 's<k>' with k % stride == 0.
-        // Derived from the namespaced key itself so node table and
-        // seed set cannot drift apart.
-        .withColumn("is_seed",
-          col("node").startsWith("s") &&
-            expr(s"CAST(substring(node, 2) AS BIGINT) % $PprSeedStride") === 0)
-        .repartition(col("node")))
+    // q138's cached node table + a derived seed flag: the indicator
+    // comes from the namespaced key itself, so the node table and the
+    // seed set cannot drift apart — and no second union+distinct
+    // shuffle or persisted node copy is paid (review r8 finding).
+    val nodes = Graph.shipmentNodes(spark, dir)
+      .withColumn("is_seed",
+        col("node").startsWith("s") &&
+          expr(s"CAST(substring(node, 2) AS BIGINT) % $PprSeedStride") === 0)
     val outdeg = graft.sources.DfCache.df(spark, s"ppr_outdeg|$dir")(
       edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
     val nSeeds = graft.sources.DfCache.value(spark, s"ppr_nseeds|$dir")(
@@ -307,7 +303,8 @@ object Graph2 {
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
-        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= 2),
+        |edges AS (SELECT p1, p2 FROM pairs
+        |          WHERE support >= ${Graph.MinSupport}),
         |und AS (SELECT p1 AS u, p2 AS v FROM edges
         |        UNION ALL SELECT p2, p1 FROM edges),
         |nodes AS (SELECT DISTINCT u AS node FROM und),

@@ -409,6 +409,14 @@ object TextOps {
     (merges.result(), before, tokens(words))
   }
 
+  /** The trained tokenizer, built once per (session, dir): q137
+    * reports it, q149 (TextEncode) applies it — whoever runs first
+    * pays for training. */
+  private[graft] def bpeCached(spark: SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], Long, Long) =
+    graft.sources.DfCache.value(spark, s"bpe_train|$dir")(
+      bpeTrain(spark, dir, BpeMerges))
+
   /** q137 — BPE tokenizer training as a registered query. The summary
     * row carries the parts of the run each checker can pin: the FIRST
     * merge (pair, frequency) is exactly recomputable in SQL, so the
@@ -420,14 +428,6 @@ object TextOps {
     * sequential Scala BPE reference in TextOpsBpeSpec — the q125
     * independent-reference pattern for iterative operators whose tail
     * SQL cannot reach. */
-  /** The trained tokenizer, built once per (session, dir): q137
-    * reports it, q149 (TextEncode) applies it — whoever runs first
-    * pays for training. */
-  private[graft] def bpeCached(spark: SparkSession,
-      dir: String): (Seq[(Int, String, String, Long)], Long, Long) =
-    graft.sources.DfCache.value(spark, s"bpe_train|$dir")(
-      bpeTrain(spark, dir, BpeMerges))
-
   def q137BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val (merges, before, after) = bpeCached(spark, dir)
     val (_, l, r, cnt) = merges.head
