@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] distribution-drift monitoring (q151): the Population
+  * Stability Index check a production pipeline runs on every refresh —
+  * "does today's batch still look like the batch the downstream
+  * models/filters were tuned on?". Where q139's expectation suite
+  * checks one dataset against FIXED contracts, PSI compares TWO
+  * batches against each other:
+  *
+  *   PSI = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref)
+  *
+  * with the conventional reading: < 0.1 stable, 0.1–0.25 moderate
+  * shift, ≥ 0.25 drifted. Proportions are add-one smoothed (the q147
+  * discipline), so empty buckets cannot produce infinities and both
+  * engines compute the identical finite sum.
+  *
+  * Scale shape: each monitored feature folds its batch into a
+  * ≤-buckets-row count table (one conditional-count aggregate per
+  * scan, the q139 pattern); PSI itself is arithmetic over two tiny
+  * broadcast tables. The reference batch's decile edges are computed
+  * once on the REFERENCE slice only — at 100 TB they come from the
+  * persisted profile of the tuning snapshot, not a rescan — and the
+  * split cutoff derives from the DATA (midpoint of the observed time
+  * range), never a hardcoded date: driver-owned testdata regenerates
+  * (the r07 lesson), and a literal would silently re-split it.
+  */
+object Drift {
+
+  private[graft] val DecileProbes: Seq[Double] =
+    (1 to 9).map(_ / 10.0)
+
+  /** PSI of two bucket-count tables (columns: bucket, n). Add-one
+    * smoothing over the union bucket space; returns the UNROUNDED
+    * 1-row sum (column `psi`). Exposed for the spec's synthetic
+    * drifted-distribution probe. */
+  private[graft] def psiOf(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = ref.select(col("bucket"), col("n").as("nr"))
+      .join(cur.select(col("bucket"), col("n").as("nc")), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = joined.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
+      count(lit(1)).as("b"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        ((((col("nc") + 1).cast("double") / (col("tc") + col("b"))) -
+          ((col("nr") + 1).cast("double") / (col("tr") + col("b")))) *
+          log(((col("nc") + 1).cast("double") / (col("tc") + col("b"))) /
+            ((col("nr") + 1).cast("double") / (col("tr") + col("b")))))
+          .as("term"))
+      .agg(sum(col("term")).as("psi"))
+  }
+
+  private def verdictOf(psi: Column): Column =
+    when(psi < 0.1, lit("stable"))
+      .when(psi < 0.25, lit("moderate"))
+      .otherwise(lit("drifted"))
+
+  /** q151 — PSI drift monitor over the events stream, split at the
+    * midpoint of the observed time range (reference = first half,
+    * current = second half): the continuous `value` distribution
+    * bucketed by the REFERENCE batch's exact decile edges (rounded to
+    * 6 decimals before bucketing, the q121/q116 exact-percentile
+    * discipline), and the categorical `event_type` frequency
+    * distribution. One verdict row per feature. On this stationary
+    * synthetic stream both features read "stable" — the monitor's
+    * steady-state output; the spec drives the drifted branch through
+    * [[psiOf]] with a shifted distribution. */
+  def q151PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        col("value"))
+    // data-derived split: integer midpoint of [min, max] microseconds —
+    // exact and identical in both engines
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val flagged = graft.sources.DfCache.df(spark, s"psi_flagged|$dir")(
+      ev.crossJoin(broadcast(cut))
+        .select(col("event_type"), col("value"),
+          (col("us") < col("cut")).as("is_ref")))
+    // continuous feature: ref-batch decile edges, rounded once
+    val edges = flagged.filter(col("is_ref"))
+      .agg(expr(s"transform(percentile(value, array(${DecileProbes.mkString(", ")}))," +
+        " e -> round(e, 6))").as("edges"))
+    val valueBuckets = flagged.crossJoin(broadcast(edges))
+      .select(col("is_ref"),
+        size(expr("filter(edges, e -> value >= e)")).as("bucket"))
+      .groupBy("is_ref", "bucket").agg(count(lit(1)).as("n"))
+    val valuePsi = psiOf(
+      valueBuckets.filter(col("is_ref")).select(col("bucket"), col("n")),
+      valueBuckets.filter(!col("is_ref")).select(col("bucket"), col("n")))
+    // categorical feature: event_type frequencies
+    val typeBuckets = flagged
+      .groupBy(col("is_ref"), col("event_type").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val typePsi = psiOf(
+      typeBuckets.filter(col("is_ref")).select(col("bucket"), col("n")),
+      typeBuckets.filter(!col("is_ref")).select(col("bucket"), col("n")))
+    val counts = flagged.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val row = (name: String, psi: DataFrame) =>
+      psi.select(lit(name).as("feature"), round(col("psi"), 6).as("psi"))
+        .select(col("feature"), col("psi"), verdictOf(col("psi")).as("verdict"))
+        .crossJoin(broadcast(counts))
+    row("event_type", typePsi).unionAll(row("value", valuePsi))
+      .orderBy("feature")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_psi_drift" -> (q151PsiDrift _))
+
+  val oracles: Map[String, String] = Map(
+    "q151_psi_drift" ->
+      s"""WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |flagged AS (
+        |  SELECT event_type, value, us < (SELECT cut FROM cut) AS is_ref
+        |  FROM ev),
+        |counts AS (
+        |  SELECT CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_ref,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_cur
+        |  FROM flagged),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(value, [${DecileProbes.mkString(", ")}]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM flagged WHERE is_ref),
+        |vb AS (
+        |  SELECT is_ref,
+        |         len(list_filter((SELECT edges FROM edges),
+        |                         e -> value >= e)) AS bucket,
+        |         count(*) AS n
+        |  FROM flagged GROUP BY 1, 2),
+        |vj AS (
+        |  SELECT COALESCE(r.n, 0) AS nr, COALESCE(c.n, 0) AS nc
+        |  FROM (SELECT bucket, n FROM vb WHERE is_ref) r
+        |  FULL OUTER JOIN (SELECT bucket, n FROM vb WHERE NOT is_ref) c
+        |    USING (bucket)),
+        |vpsi AS (
+        |  SELECT round(sum(
+        |           ((nc + 1.0) / ((SELECT sum(nc) FROM vj) + (SELECT count(*) FROM vj))
+        |            - (nr + 1.0) / ((SELECT sum(nr) FROM vj) + (SELECT count(*) FROM vj)))
+        |           * ln(((nc + 1.0) / ((SELECT sum(nc) FROM vj) + (SELECT count(*) FROM vj)))
+        |                / ((nr + 1.0) / ((SELECT sum(nr) FROM vj) + (SELECT count(*) FROM vj))))),
+        |         6) AS psi
+        |  FROM vj),
+        |tb AS (
+        |  SELECT is_ref, event_type AS bucket, count(*) AS n
+        |  FROM flagged GROUP BY 1, 2),
+        |tj AS (
+        |  SELECT COALESCE(r.n, 0) AS nr, COALESCE(c.n, 0) AS nc
+        |  FROM (SELECT bucket, n FROM tb WHERE is_ref) r
+        |  FULL OUTER JOIN (SELECT bucket, n FROM tb WHERE NOT is_ref) c
+        |    USING (bucket)),
+        |tpsi AS (
+        |  SELECT round(sum(
+        |           ((nc + 1.0) / ((SELECT sum(nc) FROM tj) + (SELECT count(*) FROM tj))
+        |            - (nr + 1.0) / ((SELECT sum(nr) FROM tj) + (SELECT count(*) FROM tj)))
+        |           * ln(((nc + 1.0) / ((SELECT sum(nc) FROM tj) + (SELECT count(*) FROM tj)))
+        |                / ((nr + 1.0) / ((SELECT sum(nr) FROM tj) + (SELECT count(*) FROM tj))))),
+        |         6) AS psi
+        |  FROM tj)
+        |SELECT feature, psi,
+        |       CASE WHEN psi < 0.1 THEN 'stable'
+        |            WHEN psi < 0.25 THEN 'moderate'
+        |            ELSE 'drifted' END AS verdict,
+        |       (SELECT n_ref FROM counts) AS n_ref,
+        |       (SELECT n_cur FROM counts) AS n_cur
+        |FROM (SELECT 'event_type' AS feature, psi FROM tpsi
+        |      UNION ALL SELECT 'value', psi FROM vpsi)
+        |ORDER BY feature""".stripMargin)
+}
