@@ -201,10 +201,58 @@ object Graph2 {
       .orderBy("hop")
   }
 
+  /** q152's shape: one walk per seed node (part keys % stride == 0),
+    * `WalkSteps` hops. */
+  private[graft] val WalkSteps = 4
+  private[graft] val WalkSeedStride = 10
+
+  /** q152 — RANDOM-WALK CORPUS GENERATION (the DeepWalk/node2vec
+    * pre-step: walks become the "sentences" a skip-gram embedding
+    * trains on) over the undirected co-purchase graph, made fully
+    * DETERMINISTIC: at each step the walker moves to the neighbor
+    * with the minimum salted 60-bit hash of (walk, step, neighbor) —
+    * a hash-race instead of rand() (the q112/q131 discipline), so the
+    * corpus is reproducible under repartitioning and retries, and the
+    * DuckDB oracle replays the identical walks hop by hop.
+    *
+    * Scale shape: each hop is ONE join of the frontier against the
+    * (u-partitioned, cached) adjacency list plus a per-walk argmin —
+    * shuffle cost proportional to frontier x avg-degree per hop, the
+    * standard distributed walk-generation layout; walks never leave
+    * the cluster and the path string builds incrementally. At 100 TB
+    * walk count scales with the node budget, not edges. */
+  def q152WalkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Graph.copurchaseEdges(spark, dir)
+    val und = graft.sources.DfCache.df(spark, s"bfs_und|$dir")(
+      edges.select(col("p1").as("u"), col("p2").as("v"))
+        .unionAll(edges.select(col("p2").as("u"), col("p1").as("v")))
+        .repartition(col("u")))
+    var cur = und.select(col("u").as("walk")).distinct()
+      .filter(col("walk") % WalkSeedStride === 0)
+      .select(col("walk"), col("walk").as("node"),
+        col("walk").cast("string").as("path"))
+    for (step <- 1 to WalkSteps) {
+      val cand = cur.join(und, cur("node") === und("u"))
+        .select(col("walk"), col("path"), col("v"),
+          graft.functions.Hashing.md5Hash60(
+            concat(lit("walk:"), col("walk"), lit(":"), lit(step),
+              lit(":"), col("v"))).as("h"))
+      cur = cand.groupBy("walk")
+        .agg(min_by(struct(col("v"), col("path")),
+          struct(col("h"), col("v"))).as("pick"))
+        .select(col("walk"), col("pick.v").as("node"),
+          concat(col("pick.path"), lit("-"),
+            col("pick.v").cast("string")).as("path"))
+    }
+    cur.select(col("walk"), col("node").as("end_node"), col("path"))
+      .orderBy("walk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ppr" -> (q143Ppr _),
     "q144_hits" -> (q144Hits _),
-    "q145_bfs_reach" -> (q145BfsReach _))
+    "q145_bfs_reach" -> (q145BfsReach _),
+    "q152_walk_corpus" -> (q152WalkCorpus _))
 
   /** PPR oracle: one MATERIALIZED CTE per round (each round is
     * referenced twice — dangling + contributions — so DuckDB's default
@@ -327,8 +375,44 @@ object Graph2 {
        |GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  /** q152 oracle: the walk recurrence unrolled — per hop, the same
+    * salted-hash argmin over the frontier's neighbors. */
+  private def walkSql: String = {
+    val base =
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs
+        |          WHERE support >= ${Graph.MinSupport}),
+        |und AS (SELECT p1 AS u, p2 AS v FROM edges
+        |        UNION ALL SELECT p2, p1 FROM edges),
+        |s0 AS (SELECT DISTINCT u AS walk, u AS node,
+        |              CAST(u AS VARCHAR) AS path
+        |       FROM und WHERE u % $WalkSeedStride = 0)""".stripMargin
+    val steps = (1 to WalkSteps).map { i =>
+      val prev = s"s${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT walk, v AS node, path || '-' || CAST(v AS VARCHAR) AS path
+         |  FROM (
+         |    SELECT w.walk, w.path, u.v,
+         |           row_number() OVER (PARTITION BY w.walk
+         |             ORDER BY ('0x' || substr(md5(
+         |                 'walk:' || CAST(w.walk AS VARCHAR) || ':$i:' ||
+         |                 CAST(u.v AS VARCHAR)), 1, 15))::BIGINT,
+         |               u.v) AS rn
+         |    FROM $prev w JOIN und u ON u.u = w.node)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$steps
+       |SELECT walk, node AS end_node, path
+       |FROM s$WalkSteps ORDER BY walk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q143_ppr" -> pprSql,
     "q144_hits" -> hitsSql,
-    "q145_bfs_reach" -> bfsSql)
+    "q145_bfs_reach" -> bfsSql,
+    "q152_walk_corpus" -> walkSql)
 }

@@ -127,4 +127,41 @@ class Graph2Spec extends SparkTestBase {
     assert(got.find(_._1 == 0).map(_._2) ===
       Some(nodes.count(_ % G2.BfsSeedStride == 0).toLong))
   }
+
+  test("q152 walks match an independent hash-race replay") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Seq[(Long, Long)] = li.toSeq.groupBy(_._1).values
+      .flatMap { grp =>
+        val ps = grp.map(_._2)
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val und = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val expected = und.keySet.toSeq.filter(_ % G2.WalkSeedStride == 0)
+      .sorted.map { start =>
+        var node = start
+        var path = start.toString
+        for (step <- 1 to G2.WalkSteps) {
+          val next = und(node).minBy(v =>
+            (graft.functions.Hashing.md5Hash60Value(
+              s"walk:$start:$step:$v"), v))
+          node = next
+          path = s"$path-$next"
+        }
+        (start, node, path)
+      }
+    val got = G2.q152WalkCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected, s"walks diverge:\n got=${got.take(3)}...\n " +
+      s"exp=${expected.take(3)}...")
+    // walk law: every hop follows an edge of the undirected graph
+    got.foreach { case (_, _, path) =>
+      val hops = path.split("-").map(_.toLong)
+      hops.sliding(2).foreach { w =>
+        assert(und(w(0)).contains(w(1)), s"non-edge hop in $path")
+      }
+    }
+  }
 }
