@@ -112,6 +112,35 @@ object Drift {
       .orderBy("feature")
   }
 
+  /** Streaming drift ledger — the production deployment of q151: a
+    * `foreachBatch` hook that scores every micro-batch's categorical
+    * distribution against the STATIC reference counts (the tuning
+    * snapshot's persisted profile) and appends one
+    * (batch_id, n_events, psi, verdict) row to the ledger directory.
+    * The per-batch work is one groupBy of the micro-batch plus [[psiOf]]
+    * over two tiny tables; the 1-row collect is the scalar-per-batch
+    * discipline (a verdict IS driver-sized). Exactly-once on retries
+    * comes from the same idempotence argument as the upsert sink: the
+    * ledger row is keyed by batch_id, and a replayed batch rewrites
+    * the identical row. */
+  def driftLedgerBatch(refCounts: DataFrame, sinkDir: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val counts = batch.groupBy(col("event_type").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val row = psiOf(refCounts, counts)
+      .select(round(col("psi"), 6).as("psi"))
+      .select(col("psi"), verdictOf(col("psi")).as("verdict"))
+      .collect().head
+    val n = batch.count()
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Seq((batchId, n, row.getDouble(0), row.getString(1)))
+      .toDF("batch_id", "n_events", "psi", "verdict")
+      // overwrite of the batch-keyed subdir, not append: a replayed
+      // batch rewrites the identical row instead of duplicating it
+      .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_psi_drift" -> (q151PsiDrift _))
 
