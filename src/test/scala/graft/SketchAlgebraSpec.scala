@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.{SketchAlgebra => SA}
+
+/** q153 — the HLL inclusion-exclusion overlap matrix: exact arm pinned
+  * against an independent recompute, estimate arm against its
+  * tolerance contract. */
+class SketchAlgebraSpec extends SparkTestBase {
+
+  test("q153 exact overlaps match an independent recompute and every " +
+      "pair clears the tolerance contract") {
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield (a, b, (byType(a) & byType(b)).size.toLong)).toSeq
+    val got = SA.q153HllIntersect(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == expected,
+      s"exact arm diverges:\n got=$got\n exp=$expected")
+    // the estimate's contract: every pair within tolerance (the
+    // synthetic segments overlap heavily, the regime where
+    // inclusion-exclusion is reliable)
+    assert(got.forall(_._4), s"tolerance violated: ${got.filterNot(_._4)}")
+    // matrix shape: C(|types|, 2) unordered pairs
+    assert(got.length == types.size * (types.size - 1) / 2)
+  }
+}
