@@ -345,8 +345,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q158 — CONTAINMENT near-dup detection: C(A→B) = |A∩B| / |A| over
+    * the shared distinct-shingle table. Jaccard (q34) is symmetric and
+    * misses the quote-inclusion shape — a short document reproduced
+    * inside a much longer one scores J = |A|/|B| ≈ 0 but containment
+    * ≈ 1; dedup campaigns run BOTH (PPJoin's companion predicate).
+    * Selection is the exact integer compare 10·n_inter ≥ 9·min(sz1,sz2)
+    * (max-direction containment ≥ 0.9) — max containment always divides
+    * by the SMALLER set, so one predicate covers both directions; the
+    * ratio is rounded only for display.
+    *
+    * Scale: same cached shingle table and shingle-key shuffle class as
+    * q34, but deliberately NO length pruning — containment is exactly
+    * the regime where sizes may differ arbitrarily (that pruning would
+    * be unsound here is the point of the operator); the PPJoin-style
+    * bound that IS sound at scale prefixes on the smaller doc's rarest
+    * shingles (q106's table), documented as the 100 TB path. */
+  def q158ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.join(broadcast(sizes), Seq("doc_id"))
+      .select(col("doc_id").as("id1"), col("shingle"), col("sz").as("sz1"))
+    val b = sh.join(broadcast(sizes), Seq("doc_id"))
+      .select(col("doc_id").as("id2"), col("shingle"), col("sz").as("sz2"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
+      .filter(lit(10) * col("n_inter") >= lit(9) * least(col("sz1"), col("sz2")))
+      .select(col("id1"), col("id2"), col("n_inter"), col("sz1"), col("sz2"),
+        round(col("n_inter").cast("double") / least(col("sz1"), col("sz2")), 6)
+          .as("containment"),
+        round(col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")), 6).as("jaccard"),
+        when(col("sz2") < col("sz1"), col("id2")).otherwise(col("id1"))
+          .as("contained_id"))
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
+    "q158_containment_dedup" -> (q158ContainmentDedup _),
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
@@ -366,6 +406,25 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q158_containment_dedup" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_inter, z1.sz AS sz1, z2.sz AS sz2,
+         |       round(CAST(n_inter AS DOUBLE) / least(z1.sz, z2.sz), 6)
+         |         AS containment,
+         |       round(CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter), 6)
+         |         AS jaccard,
+         |       CASE WHEN z2.sz < z1.sz THEN id2 ELSE id1 END AS contained_id
+         |FROM inter
+         |JOIN sizes z1 ON z1.doc_id = id1
+         |JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE 10 * n_inter >= 9 * least(z1.sz, z2.sz)
+         |ORDER BY id1, id2""".stripMargin,
     "q31_dedup_exact" ->
       """WITH docs AS (SELECT doc_id, md5(text) AS text_hash FROM documents)
         |SELECT doc_id,
