@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] data-governance operators: erasure propagation (q159) and
+  * deterministic MLM-style token masking (q160).
+  *
+  * q159 is the right-to-be-forgotten cascade every pipeline that stores
+  * user-derived data must run: given a forget-list of principals,
+  * delete their rows from every table — including rows that reference
+  * them only TRANSITIVELY (customer → orders → lineitem). The audit
+  * row per table (before/deleted/after) is what the compliance log
+  * keeps.
+  *
+  * q160 is the masked-language-model data prep step: a deterministic
+  * fraction of tokens is replaced by a sentinel and extracted as the
+  * prediction target. Mask choice is a content-independent hash race
+  * over (doc_id, pos) — the q112/q131 never-rand() discipline — so the
+  * same document always masks the same positions under repartitioning,
+  * retries, and re-runs: reproducible training data.
+  */
+object Governance {
+
+  /** Forget-list modulus: principals with user_id ≡ 0 (mod 37). */
+  private[graft] val ForgetMod = 37
+
+  /** q159 — erasure cascade with per-table audit. The forget list is
+    * data-derived (distinct event users ≡ 0 mod [[ForgetMod]] — in
+    * production an explicit uploaded list; the JOIN shapes below are
+    * the point, not the predicate). Cascade: events and customer match
+    * the principal key directly; orders erase via their (erased)
+    * customer; lineitem via its (erased) order — a two-hop transitive
+    * closure done as two semi-joins, never a predicate shortcut, so
+    * the plan is the one a real forget-list drives. Scale: the forget
+    * list and each erased-key frontier broadcast (erasure batches are
+    * driver-small by nature); the lineitem semi-join keys on
+    * l_orderkey, which q134's bucketed layout makes shuffle-free; all
+    * counts are one conditional aggregate per table scan. */
+  def q159ErasureCascade(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(ForgetMod)) === 0)
+    val events = Tables.events(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val delCust = customer.join(broadcast(forget),
+      col("c_custkey") === col("user_id")).select("c_custkey")
+    val delOrd = orders.join(broadcast(delCust),
+      col("o_custkey") === col("c_custkey")).select("o_orderkey")
+    def audit(name: String, df: DataFrame, deleted: DataFrame,
+        key: String, delKey: String): DataFrame =
+      df.join(broadcast(deleted.withColumn("__del", lit(1))),
+          col(key) === col(delKey), "left_outer")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("n_deleted"))
+        .select(lit(name).as("table_name"), col("n_before"),
+          col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    audit("customer", customer,
+        forget.select(col("user_id").as("__k")), "c_custkey", "__k")
+      .unionAll(audit("events", events,
+        forget.select(col("user_id").as("__k")), "user_id", "__k"))
+      .unionAll(audit("lineitem", lineitem,
+        delOrd.select(col("o_orderkey").as("__k")), "l_orderkey", "__k"))
+      .unionAll(audit("orders", orders,
+        delCust.select(col("c_custkey").as("__k")), "o_custkey", "__k"))
+      .orderBy("table_name")
+  }
+
+  /** Mask rate for q160: positions whose 60-bit hash ≡ 0 (mod 20) — an
+    * expected 5% of tokens. */
+  private[graft] val MaskMod = 20
+
+  /** q160 — deterministic MLM masking: token at (doc_id, pos) is
+    * masked iff md5Hash60("doc_id:pos") ≡ 0 mod [[MaskMod]]. Emits the
+    * masked input and the ordered target sequence as md5 digests (the
+    * q64 hashed-rebuild discipline — the compare needs equality, not
+    * the text) plus exact counts. Single posexplode + one groupBy per
+    * doc: O(tokens) rows, shuffle on doc_id only, no joins. Span
+    * merging (T5-style) is a deliberate non-goal here: single-token
+    * masking keeps the target alignment trivially checkable; a span
+    * variant composes this hash race with q81's gap-islands grouping. */
+  def q160MlmMask(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "word")))
+      .withColumn("m",
+        pmod(Hashing.md5Hash60(concat(col("doc_id"), lit(":"), col("pos"))),
+          lit(MaskMod)) === 0)
+    toks.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("word"), col("m"))).as("ts"))
+      .select(col("doc_id"),
+        expr("sort_array(ts)").as("ts"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          expr("transform(ts, s -> IF(s.m, '<mask>', s.word))"))).as("masked_md5"),
+        size(col("ts")).as("n_tokens"),
+        size(expr("filter(ts, s -> s.m)")).as("n_masked"),
+        when(size(expr("filter(ts, s -> s.m)")) > 0,
+          md5(concat_ws(" ",
+            expr("transform(filter(ts, s -> s.m), s -> s.word)"))))
+          .as("target_md5"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_erasure_cascade" -> (q159ErasureCascade _),
+    "q160_mlm_mask" -> (q160MlmMask _))
+
+  val oracles: Map[String, String] = Map(
+    "q159_erasure_cascade" ->
+      s"""WITH forget AS (
+         |  SELECT DISTINCT user_id FROM events WHERE user_id % $ForgetMod = 0),
+         |delc AS (
+         |  SELECT c_custkey FROM customer JOIN forget ON c_custkey = user_id),
+         |delo AS (
+         |  SELECT o_orderkey FROM orders JOIN delc ON o_custkey = c_custkey),
+         |audit AS (
+         |  SELECT 'customer' AS table_name, count(*) AS n_before,
+         |         count(*) FILTER (c_custkey IN (SELECT user_id FROM forget))
+         |           AS n_deleted
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'events', count(*),
+         |         count(*) FILTER (user_id IN (SELECT user_id FROM forget))
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'lineitem', count(*),
+         |         count(*) FILTER (l_orderkey IN (SELECT o_orderkey FROM delo))
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'orders', count(*),
+         |         count(*) FILTER (o_custkey IN (SELECT c_custkey FROM delc))
+         |  FROM orders)
+         |SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
+         |       CAST(n_deleted AS BIGINT) AS n_deleted,
+         |       CAST(n_before - n_deleted AS BIGINT) AS n_after
+         |FROM audit ORDER BY table_name""".stripMargin,
+    "q160_mlm_mask" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, i - 1 AS pos, words[i] AS word
+         |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS words,
+         |               unnest(generate_series(1,
+         |                 len(string_split(trim(text), ' ')))) AS i
+         |        FROM documents)),
+         |flagged AS (
+         |  SELECT doc_id, pos, word,
+         |         ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+         |           % $MaskMod = 0 AS m
+         |  FROM toks)
+         |SELECT doc_id,
+         |       md5(string_agg(CASE WHEN m THEN '<mask>' ELSE word END,
+         |                      ' ' ORDER BY pos)) AS masked_md5,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       CAST(count(*) FILTER (m) AS INTEGER) AS n_masked,
+         |       md5(string_agg(word, ' ' ORDER BY pos) FILTER (m))
+         |         AS target_md5
+         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}
