@@ -239,4 +239,34 @@ class FormatsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("schema evolution: files written before a column-add read as NULL " +
+      "under the evolved declared schema") {
+    // the Tables.scala failure mode, inverted: a declared-schema reader
+    // must tolerate ADDITIVE evolution (new column, old files) — the
+    // one schema change a lake performs routinely — while the encoding
+    // sniff (ExpectationsSpec) guards the breaking kind
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve")
+    tmp.toFile.deleteOnExit()
+    val dir = tmp.toString
+    val v1 = graft.sources.Tables.region(spark, sf)
+    v1.write.mode("overwrite").parquet(s"$dir/t")
+    val v2 = v1.withColumn("r_tier",
+      when(col("r_regionkey") % 2 === 0, "gold").otherwise("standard"))
+    v2.write.mode("append").parquet(s"$dir/t")
+    val evolved = org.apache.spark.sql.types.StructType(
+      graft.sources.Tables.regionSchema :+
+        org.apache.spark.sql.types.StructField("r_tier",
+          org.apache.spark.sql.types.StringType))
+    val back = spark.read.schema(evolved).parquet(s"$dir/t")
+    val n = v1.count()
+    assert(back.count() == 2 * n)
+    // old files: NULL tier; new files: populated per the v2 rule
+    assert(back.filter(col("r_tier").isNull).count() == n)
+    assert(back.filter(col("r_tier") === "gold").count() ==
+      v1.filter(col("r_regionkey") % 2 === 0).count())
+    // and mergeSchema infers the union without a declared schema
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == evolved.fieldNames.toSet)
+  }
 }
