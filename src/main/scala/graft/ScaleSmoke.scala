@@ -83,7 +83,10 @@ object ScaleSmoke {
         "q139_data_expectations", "q140_triangle_count",
         "q141_adamic_adar", "q142_kcore", "q143_ppr", "q144_hits",
         "q145_bfs_reach", "q146_domain_cap", "q147_dsir_select",
-        "q149_bpe_encode", "q150_temperature_mix", "q151_psi_drift", "q152_walk_corpus")
+        "q149_bpe_encode", "q150_temperature_mix", "q151_psi_drift",
+        "q152_walk_corpus", "q154_decayed_engagement", "q155_changepoint",
+        "q156_acf", "q157_phrase_search", "q158_containment_dedup",
+        "q159_erasure_cascade", "q160_mlm_mask")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
