@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] greedy maximum-coverage subset selection (q163) — the
+  * submodular "pick the K most COMPLEMENTARY documents" primitive
+  * behind diversity-aware corpus curation: where q130 ranks by
+  * standalone quality and q147 by target-likeness, max-cover scores a
+  * candidate by what it adds OVER THE ALREADY-CHOSEN set (marginal
+  * gain), the difference between "K good documents" and "K documents
+  * that together span the corpus". Greedy is the canonical algorithm
+  * (provably ≥ (1 − 1/e) of the optimal coverage — the classic
+  * submodularity bound).
+  *
+  * Round shape (K fixed, small): marginal gains for ALL candidates in
+  * one groupBy over the remaining (doc, shingle) table; the argmax is
+  * a 1-row TakeOrdered collect (q137's scalar-per-round discipline);
+  * the winner's shingles are anti-joined out — a shingle-key shuffle,
+  * q34's class — and the remaining table, which only SHRINKS, is
+  * re-materialized per round via localCheckpoint (the q138/q142
+  * recurrence-plan lesson). At 100 TB: K × (one shuffle over the
+  * remaining pairs) with no pairwise joins anywhere; the standard
+  * lazy-greedy priority-queue refinement cuts re-evaluations but
+  * changes no output, so this eager form is the semantics oracle.
+  */
+object MaxCover {
+
+  /** Picks per campaign — fixed so the DuckDB oracle can unroll the
+    * recurrence mechanically (the q138 pattern). */
+  private[graft] val K = 5
+
+  /** q163 — greedy max-cover over distinct word-3-gram shingles: per
+    * round the doc with the most not-yet-covered shingles
+    * (gain DESC, doc_id tie-break), its shingles marked covered.
+    * Output: (round, doc_id, gain, covered_total) — exact integers. */
+  def q163MaxCover(spark: SparkSession, dir: String): DataFrame = {
+    var remaining = Dedup.shingles(spark, dir)
+    val picks = Seq.newBuilder[(Int, Long, Long, Long)]
+    var coveredTotal = 0L
+    (1 to K).foreach { r =>
+      val top = remaining.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1)
+        .collect().head
+      val (docId, gain) = (top.getLong(0), top.getLong(1))
+      coveredTotal += gain
+      picks += ((r, docId, gain, coveredTotal))
+      val won = remaining.filter(col("doc_id") === docId).select("shingle")
+      remaining = remaining
+        .join(won, Seq("shingle"), "left_anti")
+        .filter(col("doc_id") =!= docId)
+        .localCheckpoint() // eager: flatten the shrinking recurrence
+    }
+    import spark.implicits._
+    picks.result().toDF("round", "doc_id", "gain", "covered_total")
+      .orderBy("round")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_max_cover" -> (q163MaxCover _))
+
+  val oracles: Map[String, String] = Map(
+    "q163_max_cover" -> {
+      // mechanical unrolling: round r picks from u{r-1}, covers c{r},
+      // leaves u{r} (MATERIALIZED: each CTE is read by pick, cover,
+      // and the next round — DuckDB's default inlining would expand
+      // the chain exponentially, the q142 lesson)
+      val rounds = (1 to K).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT doc_id, count(*) AS gain FROM u${r - 1}
+           |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+           |u$r AS MATERIALIZED (
+           |  SELECT u.doc_id, u.shingle FROM u${r - 1} u
+           |  WHERE u.doc_id <> (SELECT doc_id FROM p$r)
+           |    AND u.shingle NOT IN (
+           |      SELECT shingle FROM u${r - 1}
+           |      WHERE doc_id = (SELECT doc_id FROM p$r)))""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to K).map { r =>
+        s"SELECT $r AS round, doc_id, gain FROM p$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH ${Dedup.shinglesCte},
+         |u0 AS MATERIALIZED (SELECT doc_id, shingle FROM shingles),
+         |$rounds,
+         |picks AS ($union)
+         |SELECT CAST(round AS INTEGER) AS round, doc_id,
+         |       CAST(gain AS BIGINT) AS gain,
+         |       CAST(sum(gain) OVER (ORDER BY round) AS BIGINT)
+         |         AS covered_total
+         |FROM picks ORDER BY round""".stripMargin
+    })
+}
