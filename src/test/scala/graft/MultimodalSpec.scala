@@ -56,4 +56,43 @@ class MultimodalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q164 phash matches an independent signature recompute and finds " +
+      "nearly every re-encoded variant with zero false pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // corpus is single-byte text, so byte == char sampling is exact
+    assert(docs.forall(_._2.forall(_ < 128)), "corpus must be ASCII")
+    def sig(payload: Array[Byte]): (Long, Long) = {
+      val n = payload.length
+      val s = Array.tabulate(64)(j =>
+        if (n == 0) 0L else (payload((j * (n - 1)) / 63) & 0xff).toLong)
+      val tot = s.sum
+      def pack(off: Int): Long = (0 until 32).map { j =>
+        if (64 * s(off + j) > tot) 1L << j else 0L
+      }.sum
+      (pack(0), pack(32))
+    }
+    val sigs = docs.flatMap { case (id, t) =>
+      val orig = t.getBytes("UTF-8")
+      val variant = orig.clone(); variant(0) = 'z'.toByte
+      Seq(id -> sig(orig), (id + 10000000L) -> sig(variant))
+    }.toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    val got = Multimodal.q164PhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    // every reported pair's hamming matches the independent signatures
+    got.foreach { case (id1, id2, h, isVar) =>
+      assert(h == hamming(sigs(id1), sigs(id2)), s"pair ($id1,$id2)")
+      assert(isVar == (id2 == id1 + 10000000L))
+    }
+    // zero false pairs on this corpus, near-total variant recall; the
+    // few misses are mean-shift bit flips — the honest dHash behavior
+    assert(got.forall(_._4), "unexpected non-variant pair")
+    assert(got.length >= (docs.length * 95) / 100,
+      s"variant recall ${got.length}/${docs.length}")
+  }
 }
