@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] experimentation analytics (q165): deterministic A/B arm
+  * assignment + Welch's two-sample t statistic per metric — the
+  * statistical-inference operator family (the warehouse "is the
+  * treatment moving the metric?" primitive) the engine did not yet
+  * cover.
+  *
+  * Determinism discipline, twice over:
+  *   - ARM ASSIGNMENT is a hash race on user_id (the q97/q112
+  *     never-rand() rule): the same user lands in the same arm in both
+  *     engines, under repartitioning, and on re-runs — which is also
+  *     the PRODUCT requirement (sticky bucketing).
+  *   - THE STATISTIC is computed from exact integer sufficient
+  *     statistics: per (metric, arm) the engine folds only
+  *     (n, Σcents, Σcents²) — BIGINT sums, order-free, sub-2^53 — and
+  *     the t value is ONE fixed arithmetic expression over those six
+  *     integers. Both engines evaluate the identical expression tree
+  *     on identical integers; each IEEE operation (incl. sqrt) is
+  *     correctly rounded, so the doubles match bit-for-bit — no
+  *     variance built-in (var_samp's internal fold order is not
+  *     portable) is ever used.
+  *
+  * Scale: one conditional aggregate over the scan — sufficient
+  * statistics ARE the map-side combine; the t arithmetic runs on
+  * |metrics| rows. This is the textbook reason experimentation
+  * platforms store (n, Σx, Σx²) per arm and nothing else.
+  */
+object Experiment {
+
+  /** q165 — per event type: arm sizes, mean value per arm (exact cents
+    * → rounded display), Welch t, and the |t| > 1.96 verdict. Arms are
+    * user_id-hash split ~50/50; on this synthetic stream the metric is
+    * arm-independent, so verdicts read not_significant — the monitor's
+    * steady state (the spec drives a true-effect branch). */
+  def q165AbWelch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qa"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(!col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qb"))
+    // ONE fixed expression tree over the six exact integers — identical
+    // in the oracle, hence bit-identical doubles (every IEEE op incl.
+    // sqrt is correctly rounded)
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val va = (col("qa").cast("double") - col("sa").cast("double") * ma) /
+      (col("na") - 1)
+    val vb = (col("qb").cast("double") - col("sb").cast("double") * mb) /
+      (col("nb") - 1)
+    val t = (ma - mb) / sqrt(va / col("na") + vb / col("nb"))
+    stats.select(col("event_type"), col("na"), col("nb"),
+        round(ma / 100, 4).as("mean_a"),
+        round(mb / 100, 4).as("mean_b"),
+        round(t, 6).as("t_welch"),
+        when(abs(t) > 1.96, lit("significant"))
+          .otherwise(lit("not_significant")).as("verdict"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_ab_welch" -> (q165AbWelch _))
+
+  val oracles: Map[String, String] = Map(
+    "q165_ab_welch" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN in_a THEN cents * cents ELSE 0 END) AS BIGINT) AS qa,
+        |         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN NOT in_a THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN NOT in_a THEN cents * cents ELSE 0 END) AS BIGINT) AS qb
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |       round((CAST(sa AS DOUBLE) / na) / 100, 4) AS mean_a,
+        |       round((CAST(sb AS DOUBLE) / nb) / 100, 4) AS mean_b,
+        |       round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |             / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                       * (CAST(sa AS DOUBLE) / na)) / (na - 1)) / na
+        |                    + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |                       * (CAST(sb AS DOUBLE) / nb)) / (nb - 1)) / nb),
+        |             6) AS t_welch,
+        |       CASE WHEN abs((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |             / sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                       * (CAST(sa AS DOUBLE) / na)) / (na - 1)) / na
+        |                    + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |                       * (CAST(sb AS DOUBLE) / nb)) / (nb - 1)) / nb))
+        |             > 1.96
+        |            THEN 'significant' ELSE 'not_significant' END AS verdict
+        |FROM stats ORDER BY event_type""".stripMargin)
+}
