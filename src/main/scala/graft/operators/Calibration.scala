@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] score calibration across sources (q168) — quantile
+  * normalization: map every document's quality score onto the GLOBAL
+  * score distribution through its within-source percentile. The
+  * problem it solves is real and specific: per-source score
+  * distributions differ (a "0.8" from a clean source ≠ a "0.8" from a
+  * noisy one), so a single global threshold over raw scores silently
+  * over-keeps some sources — q121 fixed that with per-source
+  * THRESHOLDS; quantile normalization goes further and rescales the
+  * whole distribution, after which one global policy applies uniformly
+  * (the cross-source calibration step before q130's budgeted
+  * selection).
+  *
+  * Exactness: within-source percentile is pure integer rank
+  * arithmetic ((r−1)·G div/mod (n_s−1)); the global calibration curve
+  * is a 1001-point exact type-7 quantile grid (Spark `percentile` ==
+  * DuckDB `quantile_cont`, the q116/q121 proven pairing) rounded once
+  * to 6dp; the interpolation between grid points is one fixed
+  * expression over exact integers and rounded grid values —
+  * bit-identical cross-engine. Scale: the grid is ONE aggregate
+  * broadcast everywhere (a 1001-double table regardless of corpus
+  * size; `approx_percentile` is the documented 100 TB drop-in, q116's
+  * note); ranking is one window hash-partitioned by source. */
+object Calibration {
+
+  /** Calibration grid intervals (grid points = G + 1). */
+  private[graft] val G = 1000
+
+  /** q168 — per document: source, raw quality (q39's formula), and the
+    * quantile-normalized score. */
+  def q168QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // q39's occ helper verbatim — the score must BE q39's score
+    def occ(c: String, pat: String) =
+      ((length(col(c)) - length(expr(s"replace($c, '$pat', '')")))
+        / pat.length).cast("int")
+    val scored = Tables.documents(spark, dir)
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("n_words", size(split(trim(col("text")), " ")))
+      .withColumn("n_stop", occ("padded", " the ") + occ("padded", " a "))
+      .select(col("doc_id"), col("source"),
+        round(log(lit(1.0) + col("n_words"))
+          * (lit(1.0) - col("n_stop").cast("double") / col("n_words")), 6)
+          .as("quality"))
+    val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    val ranked = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+    // percentile's probe array must be FOLDABLE — build it as a literal
+    val probes = (0 to G).map(i => i.toDouble / G).mkString(", ")
+    val grid = scored.agg(expr(
+      s"transform(percentile(quality, array($probes)), x -> round(x, 6))")
+      .as("g"))
+    ranked.crossJoin(broadcast(grid))
+      .withColumn("num", (col("rk") - 1) * G)
+      .withColumn("den", col("ns") - 1)
+      .withColumn("i",
+        when(col("den") === 0, lit(0L)).otherwise(expr("num div den")))
+      .withColumn("rem",
+        when(col("den") === 0, lit(0L)).otherwise(expr("num % den")))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(
+          element_at(col("g"), col("i").cast("int") + 1) +
+            when(col("rem") > 0,
+              (col("rem").cast("double") / col("den")) *
+                (element_at(col("g"), col("i").cast("int") + 2) -
+                  element_at(col("g"), col("i").cast("int") + 1)))
+              .otherwise(lit(0.0)), 6).as("calibrated"))
+      .orderBy("doc_id")
+  }
+
+  /** Quantization clip percentile for q169: coordinates beyond the
+    * |x| p99.9 clip to ±127 (the standard calibration trade — a wider
+    * scale wastes precision on outliers, a narrower one clips). */
+  private[graft] val ClipP = 0.999
+
+  /** q169 — int8 symmetric quantization calibration of the embedding
+    * corpus: scale = p99.9(|x|) (exact percentile, q116's pairing,
+    * rounded once to 6dp), q = clamp(round(x/scale·127)) — the 4×
+    * compression serving tier between full floats and q113's 64× PQ.
+    * The audit row a deployment watches: clip rate and reconstruction
+    * MSE.
+    *
+    * Determinism: round-to-int is floor(y + 0.5) in BOTH engines —
+    * library round() is exactly the operation q154 proved
+    * engine-divergent on boundary values, floor is exact on every
+    * double; the reconstruction error is micro-quantized to an exact
+    * BIGINT (floor(err·10⁶ + 0.5)) before squaring/summing, so the MSE
+    * fold is order-free integer math. Scale: one percentile aggregate
+    * broadcast (approx_percentile the 100 TB drop-in), one narrow
+    * pass; output is one row. */
+  def q169Int8Calibrate(spark: SparkSession, dir: String): DataFrame = {
+    val coords = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("xf").cast("double").as("x"))
+    val scaleDf = coords.agg(
+      expr(s"round(percentile(abs(x), ${ClipP}D), 6)").as("scale"),
+      count(lit(1)).as("n_coords"))
+    val n = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vectors"),
+        max(size(col("embedding"))).as("dim"))
+    coords.crossJoin(broadcast(scaleDf))
+      .withColumn("yq", expr("floor(x / scale * 127 + 0.5D)"))
+      .withColumn("q", least(greatest(col("yq"), lit(-127.0)), lit(127.0)))
+      .withColumn("e6",
+        expr("cast(floor((x - q * scale / 127) * 1000000 + 0.5D) as bigint)"))
+      .agg(min(col("scale")).as("scale"),
+        min(col("n_coords")).as("n_coords"),
+        sum(when(col("yq") =!= col("q"), 1L).otherwise(0L)).as("n_clipped"),
+        sum(col("e6") * col("e6")).as("sse_micro2"))
+      .crossJoin(broadcast(n))
+      .select(col("n_vectors"), col("dim"), col("scale"), col("n_clipped"),
+        round((col("n_clipped").cast("double") / col("n_coords")), 6)
+          .as("clip_rate"),
+        round(col("sse_micro2").cast("double") / col("n_coords") / 1e12, 9)
+          .as("mse"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_quantile_normalize" -> (q168QuantileNormalize _),
+    "q169_int8_calibrate" -> (q169Int8Calibrate _))
+
+  val oracles: Map[String, String] = Map(
+    "q169_int8_calibrate" ->
+      s"""WITH coords AS (
+         |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |sc AS (
+         |  SELECT round(quantile_cont(abs(x), $ClipP), 6) AS scale,
+         |         count(*) AS n_coords
+         |  FROM coords),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |             CAST(max(len(embedding)) AS INTEGER) AS dim
+         |      FROM embeddings),
+         |quant AS (
+         |  SELECT x, scale, n_coords,
+         |         floor(x / scale * 127 + 0.5) AS yq,
+         |         least(greatest(floor(x / scale * 127 + 0.5), -127.0), 127.0)
+         |           AS q
+         |  FROM coords CROSS JOIN sc),
+         |err AS (
+         |  SELECT scale, n_coords,
+         |         CASE WHEN yq <> q THEN 1 ELSE 0 END AS clipped,
+         |         CAST(floor((x - q * scale / 127) * 1000000 + 0.5)
+         |              AS BIGINT) AS e6
+         |  FROM quant)
+         |SELECT (SELECT n_vectors FROM n) AS n_vectors,
+         |       (SELECT dim FROM n) AS dim,
+         |       min(scale) AS scale,
+         |       CAST(sum(clipped) AS BIGINT) AS n_clipped,
+         |       round(CAST(sum(clipped) AS DOUBLE) / min(n_coords), 6)
+         |         AS clip_rate,
+         |       round(CAST(sum(e6 * e6) AS DOUBLE) / min(n_coords) / 1e12, 9)
+         |         AS mse
+         |FROM err""".stripMargin,
+    "q168_quantile_normalize" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ' ' || text || ' ' AS padded,
+         |         len(string_split(trim(text), ' ')) AS n_words,
+         |         text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |         round(ln(1.0 + n_words) * (1.0 -
+         |           CAST(CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+         |                + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+         |                AS INT) AS DOUBLE) / n_words), 6)
+         |           AS quality
+         |  FROM base),
+         |ranked AS (
+         |  SELECT doc_id, source, quality,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY quality, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY source) AS ns
+         |  FROM scored),
+         |grid AS (
+         |  SELECT list_transform(
+         |           quantile_cont(quality,
+         |             list_transform(range(0, ${G + 1}), i -> i / $G.0)),
+         |           x -> round(x, 6)) AS g
+         |  FROM scored)
+         |SELECT doc_id, source, quality,
+         |       round(
+         |         g[CAST(CASE WHEN ns = 1 THEN 0
+         |                     ELSE ((rk - 1) * $G) // (ns - 1) END AS INT) + 1]
+         |         + CASE WHEN ns > 1 AND ((rk - 1) * $G) % (ns - 1) > 0
+         |             THEN (CAST(((rk - 1) * $G) % (ns - 1) AS DOUBLE)
+         |                   / (ns - 1))
+         |                  * (g[CAST(((rk - 1) * $G) // (ns - 1) AS INT) + 2]
+         |                     - g[CAST(((rk - 1) * $G) // (ns - 1) AS INT) + 1])
+         |             ELSE 0.0 END, 6) AS calibrated
+         |FROM ranked CROSS JOIN grid
+         |ORDER BY doc_id""".stripMargin)
+}
