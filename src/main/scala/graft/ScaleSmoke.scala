@@ -89,7 +89,7 @@ object ScaleSmoke {
         "q159_erasure_cascade", "q160_mlm_mask", "q161_hierarchy_rollup",
         "q162_top_component", "q163_max_cover", "q164_phash_dedup", "q165_ab_welch",
         "q166_incremental_sessions", "q167_cuped",
-        "q168_quantile_normalize", "q169_int8_calibrate")
+        "q168_quantile_normalize", "q169_int8_calibrate", "q170_context_assembly")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -273,7 +273,63 @@ object AnnRetrieval {
       .orderBy("rank")
   }
 
+  /** q170 chunking params (q104's context-window values) + budget. */
+  private val CtxWin = 256
+  private val CtxStride = 192
+  private val CtxTopDocs = 5
+  private val CtxTokenBudget = 128
+
+  /** q170 — RAG context assembly: the end-to-end prep a
+    * retrieval-augmented generation serving layer runs per query,
+    * composing four operators this engine already proves separately
+    * into the production order: exact dense top-[[CtxTopDocs]] docs
+    * per query (the cached q36 ground-truth table — rank ≤ 5 slice,
+    * zero extra corpus work), q104's fixed-window chunking of JUST the
+    * retrieved docs, per-query exact chunk dedup by content md5
+    * (near-dup retrieved docs share boilerplate chunks — sending them
+    * twice wastes context window), and q98's running-sum prefix pack
+    * under a [[CtxTokenBudget]]-token budget in (doc rank, chunk
+    * order). The budget is a strict PREFIX: the running sum includes
+    * every deduped chunk in context order, and assembly stops at the
+    * first overflow — a skip-and-continue fill would reorder evidence
+    * relative to retrieval rank.
+    *
+    * Scale: per query the work is [[CtxTopDocs]] documents' worth of
+    * chunking and a ≤dozens-row window — query-batch-bounded,
+    * corpus-independent; the only corpus-scale input is the retrieval
+    * arm, which is the already-audited ANN serving stack. */
+  def q170ContextAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val top = Similarity.q36AnnBruteTopK(spark, dir)
+      .filter(col("rank") <= CtxTopDocs)
+      .select(col("qid"), col("rank"), col("cid").as("doc_id"))
+    val chunks = top
+      .join(Tables.documents(spark, dir), Seq("doc_id"))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, greatest(length(text), 1), $CtxStride),
+             |          p -> struct(p AS start_pos,
+             |                      substring(text, p, $CtxWin) AS chunk))"""
+            .stripMargin)).as(Seq("chunk_ix", "c")))
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_ix"),
+        col("c.start_pos").as("start_pos"),
+        size(split(trim(col("c.chunk")), " ")).as("n_tokens"),
+        md5(col("c.chunk")).as("chunk_md5"))
+    val wDedup = Window.partitionBy("qid", "chunk_md5")
+      .orderBy("rank", "chunk_ix")
+    val wPack = Window.partitionBy("qid").orderBy("rank", "chunk_ix")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("dup_rn", row_number().over(wDedup))
+      .filter(col("dup_rn") === 1)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wPack))
+      .filter(col("cum_tokens") <= CtxTokenBudget)
+      .select("qid", "rank", "doc_id", "chunk_ix", "start_pos",
+        "n_tokens", "cum_tokens", "chunk_md5")
+      .orderBy("qid", "rank", "chunk_ix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_context_assembly" -> (q170ContextAssembly _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q101_centroid_eval" -> (q101CentroidEval _),
     "q120_hybrid_rrf" -> (q120HybridRrf _),
@@ -282,6 +338,54 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q170_context_assembly" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % ${Similarity.QueryStride} = 0
+         |                     AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+         |  FROM dots
+         |  JOIN norms n1 ON n1.vec_id = qid
+         |  JOIN norms n2 ON n2.vec_id = cid),
+         |top AS (
+         |  SELECT qid, cid AS doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |                ORDER BY cosine DESC, cid ASC) AS INT) AS rank
+         |  FROM scored
+         |  QUALIFY rank <= $CtxTopDocs),
+         |chunks AS (
+         |  SELECT t.qid, t.rank, t.doc_id,
+         |         CAST(row_number() OVER (PARTITION BY t.qid, t.doc_id
+         |                ORDER BY p) - 1 AS INT) AS chunk_ix,
+         |         CAST(p AS INT) AS start_pos,
+         |         CAST(len(string_split(trim(substr(d.text, CAST(p AS INT),
+         |                $CtxWin)), ' ')) AS INT) AS n_tokens,
+         |         md5(substr(d.text, CAST(p AS INT), $CtxWin)) AS chunk_md5
+         |  FROM top t
+         |  JOIN documents d USING (doc_id)
+         |  CROSS JOIN LATERAL (
+         |    SELECT unnest(generate_series(1, greatest(length(d.text), 1),
+         |                                  $CtxStride)) AS p)),
+         |deduped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid, chunk_md5
+         |              ORDER BY rank, chunk_ix) AS dup_rn
+         |  FROM chunks QUALIFY dup_rn = 1),
+         |packed AS (
+         |  SELECT qid, rank, doc_id, chunk_ix, start_pos, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY qid
+         |                ORDER BY rank, chunk_ix
+         |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |         chunk_md5
+         |  FROM deduped)
+         |SELECT * FROM packed WHERE cum_tokens <= $CtxTokenBudget
+         |ORDER BY qid, rank, chunk_ix""".stripMargin,
     "q107_semantic_dedup" ->
       """SELECT count(*) AS n_vectors, TRUE AS drops_witnessed,
         |       TRUE AS subset_recall_ok
