@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] co-occurrence analytics: market-basket association mining
+  * (q173) and multi-touch conversion attribution (q174) — the two
+  * "which events explain which outcomes?" operators a commerce or
+  * content pipeline runs over its fact streams.
+  *
+  * Scale shape: q173's pair generation is the classic a-priori
+  * downward-closure pipeline — items below min-support are pruned
+  * BEFORE the basket self-join (an infrequent item cannot be in a
+  * frequent pair), so the quadratic step runs on the filtered basket,
+  * and TPC-H baskets are bounded (≤7 lines), making the per-basket
+  * blow-up O(1); the item-frequency table is dimension-sized and
+  * broadcast to both sides of the lift computation. q174 is ONE window
+  * pass per user (range frame over event-time micros) — the join
+  * formulation (conversions × touches within 7 days) would shuffle a
+  * pair row per (conversion, touch), quadratic in per-user activity,
+  * while the range frame keeps it linear in events.
+  *
+  * Determinism discipline: support/confidence/lift are formed from
+  * exact BIGINT counts (all products < 2^53, so int→double conversion
+  * is exact and the single division correctly rounded — bit-identical
+  * cross-engine); top-k ordering breaks rounded-double ties with the
+  * pair keys. Attribution picks first/last touch by the unique
+  * (event-time micros, event_id) pair, so min/max over the struct is
+  * total and tie-free.
+  */
+object Affinity {
+
+  /** Minimum basket support (a-priori threshold) for q173. */
+  private[graft] val MinSup = 3L
+
+  /** Top-k pairs reported by q173. */
+  private[graft] val TopPairs = 100
+
+  /** q173 — market-basket association rules over lineitem baskets
+    * (basket = order, item = part): for every part pair occurring in
+    * ≥ [[MinSup]] baskets, support, confidence(p1→p2) and lift, top
+    * [[TopPairs]] by lift. Items are deduplicated per basket first
+    * (a part twice in one order counts once), infrequent items pruned
+    * before pairing (downward closure), and pairs oriented p1 < p2 so
+    * each unordered pair appears exactly once. */
+  def q173BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = Tables.lineitem(spark, dir)
+      .agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= MinSup)
+    val frequentItems = items.join(broadcast(freq), Seq("part"))
+      .select(col("okey"), col("part"), col("nf"))
+    val pairs = frequentItems.alias("a")
+      .join(frequentItems.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
+        col("a.nf").as("n1"), col("b.nf").as("n2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= MinSup)
+    pairs.crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_n"), col("n1"), col("n2"),
+        round(col("pair_n").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("pair_n").cast("double") / col("n1"), 6)
+          .as("confidence"),
+        round((col("n_orders") * col("pair_n")).cast("double") /
+          (col("n1") * col("n2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("pair_n").desc, col("p1"), col("p2"))
+      .limit(TopPairs)
+  }
+
+  /** Attribution lookback window in event-time microseconds (7 days). */
+  private[graft] val LookbackUs = 7L * 24 * 3600 * 1000000L
+
+  /** q174 — first/last-touch conversion attribution: each `purchase`
+    * is credited to the earliest and the latest qualifying touch
+    * (`click`/`view`/`signup`) by the same user within the
+    * [[LookbackUs]] window ending at the purchase; purchases with no
+    * touch in window land in channel `none`. Output: per channel, how
+    * many conversions it wins under each attribution model.
+    *
+    * One range-frame window pass per user (order by event-time micros,
+    * frame [−7 d, 0]); the conditional min/max over
+    * struct(us, event_id, type) ignores non-touch rows and is total
+    * because (us, event_id) is unique. */
+  def q174Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-LookbackUs, 0)
+    val touch = col("event_type").isin("click", "view", "signup")
+    val convs = ev
+      .withColumn("first_touch",
+        min(when(touch, struct(col("us"), col("event_id"),
+          col("event_type")))).over(w))
+      .withColumn("last_touch",
+        max(when(touch, struct(col("us"), col("event_id"),
+          col("event_type")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch.event_type"), lit("none")).as("cf"),
+        coalesce(col("last_touch.event_type"), lit("none")).as("cl"))
+    val first = convs.groupBy(col("cf").as("channel"))
+      .agg(count(lit(1)).as("first_touch_convs"))
+    val last = convs.groupBy(col("cl").as("channel"))
+      .agg(count(lit(1)).as("last_touch_convs"))
+    first.join(last, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch_convs"), lit(0L)).as("first_touch_convs"),
+        coalesce(col("last_touch_convs"), lit(0L)).as("last_touch_convs"))
+      .orderBy("channel")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_basket_lift" -> (q173BasketLift _),
+    "q174_attribution" -> (q174Attribution _))
+
+  val oracles: Map[String, String] = Map(
+    "q173_basket_lift" ->
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |n_orders AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |freq AS (
+        |  SELECT part, count(*) AS nf FROM items
+        |  GROUP BY part HAVING count(*) >= $MinSup),
+        |fi AS (
+        |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
+        |pairs AS (
+        |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
+        |         count(*) AS pair_n
+        |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSup)
+        |SELECT p1, p2, pair_n, n1, n2,
+        |       round(CAST(pair_n AS DOUBLE)
+        |             / (SELECT n_orders FROM n_orders), 6) AS support,
+        |       round(CAST(pair_n AS DOUBLE) / n1, 6) AS confidence,
+        |       round(CAST((SELECT n_orders FROM n_orders) * pair_n AS DOUBLE)
+        |             / (n1 * n2), 6) AS lift
+        |FROM pairs
+        |ORDER BY lift DESC, pair_n DESC, p1, p2
+        |LIMIT $TopPairs""".stripMargin,
+    "q174_attribution" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |convs AS (SELECT user_id, event_id, us FROM ev
+        |          WHERE event_type = 'purchase'),
+        |touches AS (SELECT user_id, event_id, event_type, us FROM ev
+        |            WHERE event_type IN ('click', 'view', 'signup')),
+        |attributed AS (
+        |  SELECT c.event_id AS conv_id, t.event_type, t.us, t.event_id,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY t.us, t.event_id) AS rn_first,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY t.us DESC, t.event_id DESC) AS rn_last
+        |  FROM convs c JOIN touches t
+        |    ON t.user_id = c.user_id
+        |   AND t.us BETWEEN c.us - $LookbackUs AND c.us),
+        |per_conv AS (
+        |  SELECT c.event_id AS conv_id,
+        |         COALESCE(f.event_type, 'none') AS cf,
+        |         COALESCE(l.event_type, 'none') AS cl
+        |  FROM convs c
+        |  LEFT JOIN attributed f ON f.conv_id = c.event_id AND f.rn_first = 1
+        |  LEFT JOIN attributed l ON l.conv_id = c.event_id AND l.rn_last = 1),
+        |first AS (SELECT cf AS channel, count(*) AS first_touch_convs
+        |          FROM per_conv GROUP BY cf),
+        |last AS (SELECT cl AS channel, count(*) AS last_touch_convs
+        |         FROM per_conv GROUP BY cl)
+        |SELECT channel,
+        |       COALESCE(first_touch_convs, 0) AS first_touch_convs,
+        |       COALESCE(last_touch_convs, 0) AS last_touch_convs
+        |FROM first FULL OUTER JOIN last USING (channel)
+        |ORDER BY channel""".stripMargin)
+}

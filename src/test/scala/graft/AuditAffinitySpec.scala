@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Affinity, Audit}
+import graft.sources.Tables
+
+/** Semantics pins for the audit (q171/q172) and co-occurrence
+  * (q173/q174) operators, independent of the DuckDB oracle: each law is
+  * recomputed from the raw tables with a DIFFERENT formulation than the
+  * query under test (set algebra / windows / brute force vs fingerprint
+  * join / struct-max / range frame). */
+class AuditAffinitySpec extends SparkTestBase {
+
+  test("q171 class counts follow from the snapshot-synthesis arithmetic") {
+    val out = Audit.q171SnapshotDiff(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    // independent set-algebra recompute: deletion wins over change
+    // (a deleted key is absent from the new snapshot), clones are
+    // always additions (k + 1e9 never collides with real keys)
+    val added = keys.count(_ % Audit.AddMod == 0).toLong
+    val removed = keys.count(_ % Audit.DelMod == 0).toLong
+    val changed =
+      keys.count(k => k % Audit.ChgMod == 0 && k % Audit.DelMod != 0).toLong
+    assert(out.getOrElse("added", 0L) == added)
+    assert(out.getOrElse("removed", 0L) == removed)
+    assert(out.getOrElse("changed", 0L) == changed)
+    assert(out.values.sum == keys.length + added,
+      "every old key plus every clone is classified exactly once")
+  }
+
+  test("q171 key checksum of the added class is the clone-shifted sum") {
+    val row = Audit.q171SnapshotDiff(spark, sf)
+      .filter(col("change_type") === "added").collect()
+    if (row.nonEmpty) {
+      val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
+        .collect().map(_.getLong(0)).filter(_ % Audit.AddMod == 0)
+      assert(row.head.getLong(2) == keys.map(_ + 1000000000L).sum)
+    }
+  }
+
+  test("q172 merge state: untouched base users survive, tombstoned " +
+      "users vanish, upserts carry the window-latest value") {
+    val out = Audit.q172CdcMerge(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // independent latest-wins recompute via a sort, not the struct max
+    val latest = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val last = rows.maxBy(r => (r.getLong(4), r.getLong(1)))
+        u -> (last.getString(2),
+          math.round(last.getDouble(3) * 100))
+      }
+    latest.foreach { case (u, (typ, cents)) =>
+      if (typ == "error") assert(!out.contains(u), s"user $u tombstoned")
+      else assert(out(u) == (cents, "changelog"), s"user $u upserted")
+    }
+    ((0L until Audit.BaseUsers).toSet -- latest.keySet).foreach { u =>
+      assert(out(u) == (Audit.BaseCents, "base"), s"user $u untouched")
+    }
+  }
+
+  test("q173 pairs: oriented, supported, and lift-consistent against " +
+      "a brute-force basket recompute") {
+    val out = Affinity.q173BasketLift(spark, sf).collect()
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = baskets.map(_._1).distinct.length
+    val freq = baskets.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p1, p2, pairN, n1, n2) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p1 < p2)
+      assert(pairN >= Affinity.MinSup)
+      assert(pairCounts((p1, p2)).toLong == pairN, s"pair ($p1,$p2) count")
+      assert(freq(p1).toLong == n1 && freq(p2).toLong == n2)
+      val lift = BigDecimal(nOrders.toLong * pairN.toDouble / (n1 * n2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(7) - lift) < 1e-9, s"lift ($p1,$p2)")
+    }
+  }
+
+  test("q174 conservation: each attribution model credits every " +
+      "purchase exactly once, matching a brute-force scan") {
+    val out = Affinity.q174Attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val touchTypes = Set("click", "view", "signup")
+    val credits = ev.filter(_._3 == "purchase").map { case (u, _, _, us) =>
+      val touches = byUser(u).filter(t => touchTypes(t._3) &&
+        t._4 >= us - Affinity.LookbackUs && t._4 <= us)
+      val first = if (touches.isEmpty) "none"
+        else touches.minBy(t => (t._4, t._2))._3
+      val last = if (touches.isEmpty) "none"
+        else touches.maxBy(t => (t._4, t._2))._3
+      (first, last)
+    }
+    val nConvs = credits.length.toLong
+    assert(out.values.map(_._1).sum == nConvs)
+    assert(out.values.map(_._2).sum == nConvs)
+    credits.groupBy(_._1).foreach { case (ch, xs) =>
+      assert(out(ch)._1 == xs.length.toLong, s"first-touch $ch")
+    }
+    credits.groupBy(_._2).foreach { case (ch, xs) =>
+      assert(out(ch)._2 == xs.length.toLong, s"last-touch $ch")
+    }
+  }
+}
