@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] time-series tranche 2 — the series-repair and series-model
+  * operators that complete q154–q156's monitoring family: calendar
+  * gap-fill (q175), robust outlier scanning (q176), weekly-seasonality
+  * indexing (q177), and linear trend fitting (q178). Together they are
+  * the "is this ingest volume healthy?" toolkit: repair the series to a
+  * dense grid, strip its seasonality, fit its trend, and flag the cells
+  * a robust scale estimate calls anomalous.
+  *
+  * Scale shape: everything except q176's first pass runs on an
+  * aggregated profile table (hours × types, days × types, or user-day
+  * cells), so window/join/regression cost is bounded by the CALENDAR,
+  * not the event count — the q151/q155 discipline. The spine generation
+  * of q175 is one `sequence()` explode off a 1-row min/max aggregate
+  * (never a driver loop), and the two q176 median passes broadcast a
+  * types-sized (or 1-row) statistics table back onto the cells.
+  *
+  * Determinism discipline: counts and cents are exact BIGINTs
+  * end-to-end; medians interpolate halfway between two BIGINTs (exact
+  * in double); every ratio is a single correctly-rounded division of
+  * exactly-converted integers with the parenthesization mirrored
+  * verbatim in the oracle SQL (the q155 rule), so doubles are
+  * bit-identical cross-engine before the display round. */
+object TimeSeries2 {
+
+  private val HourUs = 3600000000L
+
+  /** q175 — calendar gap-fill to an hourly grid: build the dense
+    * (event_type × hour) spine spanning the corpus, left-join the
+    * observed hourly counts, zero-fill the holes, carry the last
+    * observed count forward (the imputation a monitor plots), and flag
+    * the gaps. q90 forward-fills over EXISTING rows; this operator
+    * materializes the missing ones — the step q90 cannot express.
+    * Spine size is #types × #hours regardless of event count. */
+  def q175GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+    val bounds = ev.agg(min(col("hus")).as("h0"), max(col("hus")).as("hmax"))
+    val hourly = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"), ((col("hus") - col("h0")) / HourUs)
+        .cast("long").as("hidx"))
+      .groupBy("event_type", "hidx").agg(count(lit(1)).as("n_obs"))
+    val types = ev.select("event_type").distinct()
+    val spine = bounds
+      .select(col("h0"), explode(sequence(lit(0L),
+        ((col("hmax") - col("h0")) / HourUs).cast("long"))).as("hidx"))
+      .crossJoin(broadcast(types))
+    val w = Window.partitionBy("event_type").orderBy("hidx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hidx"), "left")
+      .withColumn("carried_n",
+        last(col("n_obs"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        timestamp_micros(col("h0") + col("hidx") * HourUs).as("ts_hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        col("carried_n"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy("event_type", "ts_hour")
+  }
+
+  /** Robust-score threshold for q176 (cells beyond Kmad × MAD). */
+  private[graft] val Kmad = 3
+  private[graft] val TopOutliers = 50
+
+  /** q176 — robust outlier scan over user-day spend cells: aggregate
+    * events to (user, day, Σcents), estimate center and scale with
+    * median and MAD (50% breakdown point — a mean/stddev scan is
+    * dragged by the very outliers it hunts), and report the top
+    * [[TopOutliers]] cells whose deviation exceeds [[Kmad]]·MAD.
+    * Two median passes over the CELL table (≤ users × days rows), each
+    * a 1-row statistics aggregate broadcast back; the exact percentile
+    * is the oracle-parity choice, with approx_percentile the documented
+    * 100 TB drop-in (the q72 tradeoff). */
+  def q176MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(expr("cast(round(sum(value) * 100, 0) as bigint)").as("cents"))
+    val med = cells.agg(expr("percentile(cents, 0.5d)").as("med"))
+    val withDev = cells.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = withDev.agg(expr("percentile(adev, 0.5d)").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .filter(col("adev") > col("mad") * Kmad)
+      .select(col("user_id"), col("d"), col("cents"),
+        round(col("med"), 1).as("median_cents"),
+        round(col("mad"), 1).as("mad_cents"),
+        round((col("cents") - col("med")) / col("mad"), 6).as("score"))
+      .orderBy(col("score").desc, col("user_id"), col("d"))
+      .limit(TopOutliers)
+  }
+
+  /** q177 — weekly seasonality index: per (event_type, weekday), the
+    * ratio of that weekday's mean daily count to the type's overall
+    * mean daily count — the multiplicative seasonal profile a volume
+    * forecaster divides out before trend fitting (q178). Runs on the
+    * cached daily profile table; weekdays are ISO (0 = Monday), and
+    * each index is mean_dow / mean_type with both means formed as
+    * single divisions of exact integers. */
+  def q177DowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"),
+        weekday(expr("date_add(d0, day)")).as("dow"), col("n"))
+    val perType = daily.groupBy("event_type")
+      .agg(sum(col("n")).as("s_all"), count(lit(1)).as("k_all"))
+    daily.groupBy("event_type", "dow")
+      .agg(sum(col("n")).as("s_dow"), count(lit(1)).as("k_dow"))
+      .join(broadcast(perType), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("k_dow").as("n_days"),
+        col("s_dow").as("n_events"),
+        round(col("s_dow").cast("double") / col("k_dow"), 6)
+          .as("mean_daily"),
+        round((col("s_dow").cast("double") / col("k_dow")) /
+          (col("s_all").cast("double") / col("k_all")), 6).as("seasonal_ix"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** q178 — per-type linear trend (OLS of daily count on day index):
+    * slope, intercept and R² from the five moment sums, all folded as
+    * exact BIGINTs in ONE map-side-combinable aggregate over the daily
+    * profile — the closed-form regression that needs no iteration and
+    * no sort, the cheapest "is volume growing?" answer at any scale
+    * (magnitudes stay far under 2^53 at the documented 100 TB profile
+    * sizes because the sums are over the DAILY table, not events). */
+  def q178OlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("d"), col("n"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum(col("d")).as("sd"),
+        sum(col("n")).as("sn"), sum(col("d") * col("n")).as("sdn"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("n") * col("n")).as("snn"))
+      .withColumn("num", (col("k") * col("sdn") - col("sd") * col("sn"))
+        .cast("double"))
+      .withColumn("dend", (col("k") * col("sdd") - col("sd") * col("sd"))
+        .cast("double"))
+      .withColumn("denn", (col("k") * col("snn") - col("sn") * col("sn"))
+        .cast("double"))
+      .withColumn("slope", col("num") / col("dend"))
+      .select(col("event_type"), col("k").as("n_days"),
+        round(col("slope"), 6).as("slope"),
+        round((col("sn").cast("double") - col("slope") * col("sd")) /
+          col("k"), 6).as("intercept"),
+        round((col("num") * col("num")) / (col("dend") * col("denn")), 6)
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_gap_fill" -> (q175GapFill _),
+    "q176_mad_outliers" -> (q176MadOutliers _),
+    "q177_dow_seasonality" -> (q177DowSeasonality _),
+    "q178_ols_trend" -> (q178OlsTrend _))
+
+  val oracles: Map[String, String] = Map(
+    "q175_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hus
+        |  FROM events),
+        |bounds AS (SELECT min(hus) AS h0, max(hus) AS hmax FROM ev),
+        |hourly AS (
+        |  SELECT event_type,
+        |         (hus - (SELECT h0 FROM bounds)) // 3600000000 AS hidx,
+        |         count(*) AS n_obs
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT t.event_type, CAST(g.hidx AS BIGINT) AS hidx
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(range(0,
+        |    ((SELECT hmax FROM bounds) - (SELECT h0 FROM bounds))
+        |      // 3600000000 + 1)) AS hidx) g)
+        |SELECT s.event_type,
+        |       make_timestamp((SELECT h0 FROM bounds)
+        |                      + s.hidx * 3600000000) AS ts_hour,
+        |       COALESCE(h.n_obs, 0) AS n,
+        |       last_value(h.n_obs IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.hidx
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS carried_n,
+        |       h.n_obs IS NULL AS is_gap
+        |FROM spine s LEFT JOIN hourly h
+        |  ON h.event_type = s.event_type AND h.hidx = s.hidx
+        |ORDER BY s.event_type, ts_hour""".stripMargin,
+    "q176_mad_outliers" ->
+      s"""WITH cells AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+        |        FROM cells),
+        |dev AS (
+        |  SELECT user_id, d, cents,
+        |         abs(cents - (SELECT med FROM med)) AS adev
+        |  FROM cells),
+        |mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        |SELECT user_id, d, cents,
+        |       round((SELECT med FROM med), 1) AS median_cents,
+        |       round((SELECT mad FROM mad), 1) AS mad_cents,
+        |       round((cents - (SELECT med FROM med))
+        |             / (SELECT mad FROM mad), 6) AS score
+        |FROM dev
+        |WHERE adev > $Kmad * (SELECT mad FROM mad)
+        |ORDER BY score DESC, user_id, d
+        |LIMIT $TopOutliers""".stripMargin,
+    "q177_dow_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, d, count(*) AS n FROM ev GROUP BY 1, 2),
+        |typed AS (
+        |  SELECT event_type, CAST(isodow(d) - 1 AS INTEGER) AS dow, n
+        |  FROM daily),
+        |per_type AS (
+        |  SELECT event_type, sum(n) AS s_all, count(*) AS k_all
+        |  FROM typed GROUP BY 1)
+        |SELECT t.event_type, dow, count(*) AS n_days,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_daily,
+        |       round((CAST(sum(n) AS DOUBLE) / count(*)) /
+        |             (CAST(p.s_all AS DOUBLE) / p.k_all), 6) AS seasonal_ix
+        |FROM typed t JOIN per_type p ON p.event_type = t.event_type
+        |GROUP BY t.event_type, dow, p.s_all, p.k_all
+        |ORDER BY t.event_type, dow""".stripMargin,
+    "q178_ols_trend" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), d) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT event_type, count(*) AS k,
+        |         CAST(sum(day) AS BIGINT) AS sd,
+        |         CAST(sum(n) AS BIGINT) AS sn,
+        |         CAST(sum(day * n) AS BIGINT) AS sdn,
+        |         CAST(sum(day * day) AS BIGINT) AS sdd,
+        |         CAST(sum(n * n) AS BIGINT) AS snn
+        |  FROM daily GROUP BY 1),
+        |fitted AS (
+        |  SELECT event_type, k,
+        |         CAST(k * sdn - sd * sn AS DOUBLE) AS num,
+        |         CAST(k * sdd - sd * sd AS DOUBLE) AS dend,
+        |         CAST(k * snn - sn * sn AS DOUBLE) AS denn,
+        |         sd, sn
+        |  FROM sums)
+        |SELECT event_type, k AS n_days,
+        |       round(num / dend, 6) AS slope,
+        |       round((CAST(sn AS DOUBLE) - (num / dend) * sd) / k, 6)
+        |         AS intercept,
+        |       round((num * num) / (dend * denn), 6) AS r2
+        |FROM fitted ORDER BY event_type""".stripMargin)
+}
