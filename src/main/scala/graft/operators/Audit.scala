@@ -142,11 +142,92 @@ object Audit {
       .orderBy("user_id")
   }
 
+  /** Divisor simulating a partial orders ingest for q181: dropping
+    * keys ≡0 mod 997 from the parent side orphans their lineitems, so
+    * the referential checks have real violations to catch (the q139
+    * lesson: an audit that can only ever pass proves nothing). */
+  private[graft] val OrphanMod = 997
+
+  /** q181 — referential-integrity audit: FK orphan scans across the
+    * star schema (lineitem→orders, lineitem→part, orders→customer,
+    * customer→nation), one row per constraint with violation and
+    * checked counts. Complements q139, which validates VALUES with
+    * per-table scans — these are the JOIN-shaped constraints a
+    * single-table fold cannot express. The orders parent is
+    * deterministically decimated (see [[OrphanMod]]) to simulate the
+    * partial-ingest failure the audit exists to catch.
+    *
+    * Each check is a left-anti join on the FK: child keys project to
+    * the key column before the join (shuffle carries keys only), dim
+    * parents (customer, nation) broadcast, and the fact-fact orphan
+    * scan (lineitem vs orders) shuffles on the natural join key — at
+    * 100 TB the documented accelerations are a parent-key bloom filter
+    * at the child scan and storage bucketing on orderkey (q134). */
+  def q181IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % OrphanMod =!= 0)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    def check(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, broadcastParent: Boolean)
+        : DataFrame = {
+      val p = parent.select(col(pkey))
+      val rhs = if (broadcastParent) broadcast(p) else p
+      val orphans = child.select(col(key))
+        .join(rhs, col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val total = child.agg(count(lit(1)).as("n_checked"))
+      orphans.crossJoin(total).select(lit(name).as("constraint_name"),
+        col("violations"), col("n_checked"))
+    }
+    check("customer_nation_fk", cust, "c_nationkey", nat, "n_nationkey",
+        broadcastParent = true)
+      .unionByName(check("lineitem_orders_fk", li, "l_orderkey", ord,
+        "o_orderkey", broadcastParent = false))
+      .unionByName(check("lineitem_part_fk", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", broadcastParent = true))
+      .unionByName(check("orders_customer_fk", ord, "o_custkey", cust,
+        "c_custkey", broadcastParent = true))
+      .orderBy("constraint_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_snapshot_diff" -> (q171SnapshotDiff _),
-    "q172_cdc_merge" -> (q172CdcMerge _))
+    "q172_cdc_merge" -> (q172CdcMerge _),
+    "q181_integrity_audit" -> (q181IntegrityAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q181_integrity_audit" ->
+      s"""WITH ord AS (
+        |  SELECT * FROM orders WHERE o_orderkey % $OrphanMod <> 0),
+        |checks AS (
+        |  SELECT 'customer_nation_fk' AS constraint_name,
+        |         (SELECT count(*) FROM customer c
+        |          WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                            WHERE n.n_nationkey = c.c_nationkey))
+        |           AS violations,
+        |         (SELECT count(*) FROM customer) AS n_checked
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_fk',
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM ord o
+        |                            WHERE o.o_orderkey = l.l_orderkey)),
+        |         (SELECT count(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'lineitem_part_fk',
+        |         (SELECT count(*) FROM lineitem l
+        |          WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                            WHERE p.p_partkey = l.l_partkey)),
+        |         (SELECT count(*) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk',
+        |         (SELECT count(*) FROM ord o
+        |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey)),
+        |         (SELECT count(*) FROM ord))
+        |SELECT constraint_name, violations, n_checked FROM checks
+        |ORDER BY constraint_name""".stripMargin,
     "q171_snapshot_diff" ->
       s"""WITH old AS (
         |  SELECT o_orderkey AS k, o_custkey AS custkey,

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] user-lifecycle analytics over the events stream: lifetime
+  * survival curve (q179), inter-arrival cadence statistics (q180), and
+  * rolling active-user counts with stickiness (q182) — the engagement
+  * dashboard trio that sits beside q83's cohort matrix and q81's
+  * sessions.
+  *
+  * Scale shape (the q151/q155 profile-table discipline throughout):
+  * q179 folds users to a LIFETIME HISTOGRAM (≤ #days rows) with one
+  * map-side-combinable aggregate, and the survival suffix-sum windows
+  * over the tiny spine only — never a per-user window. q182 avoids the
+  * (users × days) range join entirely: each observed (user, day) is
+  * exploded map-side into the ≤7 trailing windows it serves, so the
+  * distinct-count shuffle carries at most 7× the deduplicated
+  * user-day table and no range predicate survives to the join. q180 is
+  * one window pass partitioned on (user, type); its exact percentiles
+  * are the oracle-parity choice with approx_percentile the documented
+  * 100 TB drop-in (the q72/q176 tradeoff).
+  *
+  * Determinism: lifetimes/deltas are exact integer micros; rates are
+  * single correctly-rounded divisions of < 2^53 integers; percentile
+  * interpolation over BIGINTs matches DuckDB quantile_cont (parity
+  * proven by q56/q116). */
+object Lifecycle {
+
+  /** Longest lifetime (days) reported on the q179 curve. */
+  private[graft] val MaxLifetimeDays = 28
+
+  /** q179 — lifetime survival curve: S(k) = fraction of users whose
+    * observed lifetime (last event − first event) reaches ≥ k days,
+    * for k = 0..[[MaxLifetimeDays]] — the retention summary that does
+    * not need a cohort axis. Users fold to min/max micros (one
+    * combinable aggregate), lifetimes to a histogram, and S(k) is a
+    * suffix sum over the 29-row spine (single-partition window over
+    * spine rows only — bounded by the CURVE length, not by users). */
+  def q179SurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val lifetimes = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(least(
+        ((col("last_us") - col("first_us")) / 86400000000L).cast("long"),
+        lit(MaxLifetimeDays.toLong)).as("ltd"))
+    val hist = lifetimes.groupBy("ltd").agg(count(lit(1)).as("n"))
+    val spine = spark.range(0L, MaxLifetimeDays + 1L)
+      .select(col("id").as("k"))
+    val w = Window.orderBy(col("ltd").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val survived = hist
+      .withColumn("surv", sum(col("n")).over(w))
+    spine.join(survived, col("k") === col("ltd"), "left")
+      .withColumn("survived",
+        max(col("surv")).over(Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(
+        hist.agg(sum(col("n")).as("total_users"))))
+      .select(col("k").as("day"),
+        coalesce(col("survived"), lit(0L)).as("survived"),
+        col("total_users"),
+        round(coalesce(col("survived"), lit(0L)).cast("double") /
+          col("total_users"), 6).as("survival_rate"))
+      .orderBy("day")
+  }
+
+  /** q180 — inter-arrival cadence per event type: the gap between a
+    * user's consecutive events of the SAME type (lag over the
+    * (user, type) stream), summarized as count / mean / median / p90
+    * seconds — the "how often does this signal fire per user?"
+    * profile that sizes watermarks (q44-q47) and session gaps (q81).
+    * One window pass partitioned on (user_id, event_type); the
+    * summary aggregate is grouped by type alone. */
+  def q180InterArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("delta_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("delta_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("delta_us")).as("sum_us"),
+        expr("percentile(delta_us, 0.5d)").as("p50_us"),
+        expr("percentile(delta_us, 0.9d)").as("p90_us"))
+      .select(col("event_type"), col("n_gaps"),
+        round((col("sum_us").cast("double") / col("n_gaps")) / 1e6, 6)
+          .as("mean_s"),
+        round(col("p50_us") / 1e6, 6).as("p50_s"),
+        round(col("p90_us") / 1e6, 6).as("p90_s"))
+      .orderBy("event_type")
+  }
+
+  /** Trailing window length (days) for q182's WAU. */
+  private[graft] val WauDays = 7
+
+  /** q182 — rolling active users: per calendar day, DAU (distinct
+    * users that day) and trailing-7-day WAU, plus the DAU/WAU
+    * stickiness ratio. The WAU join is inverted into a map-side
+    * explode — each deduplicated (user, day) emits the ≤7 target days
+    * it keeps active, so no range join and no per-day rescan; the
+    * distinct count then shuffles once on (target_day, user). Day
+    * spine is dense (q175's repair discipline): a day with no events
+    * still reports its WAU from the trailing window. */
+  def q182ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val bounds = du.agg(min(col("d")).as("d0"), max(col("d")).as("dmax"))
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("user_id"), explode(expr(
+        s"sequence(d, date_add(d, ${WauDays - 1}), interval 1 day)"))
+        .as("target_d"))
+      .groupBy("target_d")
+      .agg(count_distinct(col("user_id")).as("wau"))
+    val spine = bounds.select(
+      explode(expr("sequence(d0, dmax, interval 1 day)")).as("day"))
+    spine
+      .join(dau, col("day") === col("d"), "left").drop("d")
+      .join(wau, col("day") === col("target_d"), "left").drop("target_d")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") / col("wau"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_survival_curve" -> (q179SurvivalCurve _),
+    "q180_interarrival" -> (q180InterArrival _),
+    "q182_active_users" -> (q182ActiveUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "q179_survival_curve" ->
+      s"""WITH lt AS (
+        |  SELECT least(
+        |    (max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |     - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000,
+        |    $MaxLifetimeDays) AS ltd
+        |  FROM events GROUP BY user_id),
+        |total AS (SELECT count(*) AS total_users FROM lt),
+        |spine AS (SELECT CAST(unnest(range(0, ${MaxLifetimeDays + 1}))
+        |                 AS BIGINT) AS day)
+        |SELECT day,
+        |       (SELECT count(*) FROM lt WHERE ltd >= day) AS survived,
+        |       (SELECT total_users FROM total) AS total_users,
+        |       round(CAST((SELECT count(*) FROM lt WHERE ltd >= day)
+        |               AS DOUBLE)
+        |             / (SELECT total_users FROM total), 6) AS survival_rate
+        |FROM spine ORDER BY day""".stripMargin,
+    "q180_interarrival" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |               PARTITION BY user_id, event_type
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |           AS delta_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |       round((CAST(sum(delta_us) AS DOUBLE) / count(*)) / 1e6, 6)
+        |         AS mean_s,
+        |       round(quantile_cont(CAST(delta_us AS DOUBLE), 0.5) / 1e6, 6)
+        |         AS p50_s,
+        |       round(quantile_cont(CAST(delta_us AS DOUBLE), 0.9) / 1e6, 6)
+        |         AS p90_s
+        |FROM seq WHERE delta_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q182_active_users" ->
+      s"""WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |bounds AS (SELECT min(d) AS d0, max(d) AS dmax FROM du),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series((SELECT d0 FROM bounds),
+        |    (SELECT dmax FROM bounds), INTERVAL 1 DAY)) AS DATE) AS day),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        |contrib AS (
+        |  SELECT user_id, d + CAST(o.off AS INTEGER) AS target_d
+        |  FROM du CROSS JOIN
+        |    (SELECT unnest(range(0, $WauDays)) AS off) o),
+        |wau AS (SELECT target_d, count(DISTINCT user_id) AS wau
+        |        FROM contrib GROUP BY target_d)
+        |SELECT s.day,
+        |       COALESCE(dau.dau, 0) AS dau,
+        |       COALESCE(wau.wau, 0) AS wau,
+        |       round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / wau.wau, 6)
+        |         AS stickiness
+        |FROM spine s
+        |LEFT JOIN dau ON dau.d = s.day
+        |LEFT JOIN wau ON wau.target_d = s.day
+        |ORDER BY s.day""".stripMargin)
+}
