@@ -118,11 +118,88 @@ object Affinity {
       .orderBy("channel")
   }
 
+  /** Pair support floor and neighborhood size for q183. */
+  private[graft] val NeighborMinSup = 2L
+  private[graft] val TopNeighbors = 5
+
+  /** q183 — item-item cosine neighborhoods (the memory-based
+    * collaborative filter): for every part, its [[TopNeighbors]] most
+    * similar parts by co-purchase cosine pair_n / √(n1·n2) over
+    * ≥ [[NeighborMinSup]]-support pairs. Same a-priori-pruned pair
+    * pipeline as q173, then the oriented pairs are symmetrized
+    * (union of both directions — each direction computed once) and
+    * ranked per item by a window over the PAIR table, which is
+    * support-pruned and therefore far smaller than items²; the cosine
+    * is a single correctly-rounded division of √(exact product), so
+    * ranking on the unrounded value is cross-engine-stable, with
+    * (pair_n desc, neighbor) breaking exact ties. */
+  def q183ItemNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= NeighborMinSup)
+    val fi = items.join(broadcast(freq), Seq("part"))
+      .select(col("okey"), col("part"), col("nf"))
+    val pairs = fi.alias("a")
+      .join(fi.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
+        col("a.nf").as("n1"), col("b.nf").as("n2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= NeighborMinSup)
+    val sym = pairs.select(col("p1").as("item"), col("p2").as("neighbor"),
+        col("n1"), col("n2"), col("pair_n"))
+      .unionByName(pairs.select(col("p2").as("item"), col("p1").as("neighbor"),
+        col("n2").as("n1"), col("n1").as("n2"), col("pair_n")))
+      .withColumn("cos",
+        col("pair_n").cast("double") / sqrt((col("n1") * col("n2"))
+          .cast("double")))
+    sym.withColumn("rank", row_number().over(
+        Window.partitionBy("item")
+          .orderBy(col("cos").desc, col("pair_n").desc, col("neighbor"))))
+      .filter(col("rank") <= TopNeighbors)
+      .select(col("item"), col("rank"), col("neighbor"), col("pair_n"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("item", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_basket_lift" -> (q173BasketLift _),
-    "q174_attribution" -> (q174Attribution _))
+    "q174_attribution" -> (q174Attribution _),
+    "q183_item_neighbors" -> (q183ItemNeighbors _))
 
   val oracles: Map[String, String] = Map(
+    "q183_item_neighbors" ->
+      s"""WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |freq AS (
+        |  SELECT part, count(*) AS nf FROM items
+        |  GROUP BY part HAVING count(*) >= $NeighborMinSup),
+        |fi AS (
+        |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
+        |pairs AS (
+        |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
+        |         count(*) AS pair_n
+        |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $NeighborMinSup),
+        |sym AS (
+        |  SELECT p1 AS item, p2 AS neighbor, n1, n2, pair_n FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, n2, n1, pair_n FROM pairs),
+        |scored AS (
+        |  SELECT item, neighbor, pair_n,
+        |         CAST(pair_n AS DOUBLE)
+        |           / sqrt(CAST(n1 * n2 AS DOUBLE)) AS cos
+        |  FROM sym),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cos DESC, pair_n DESC, neighbor) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT item, rank, neighbor, pair_n, round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= $TopNeighbors
+        |ORDER BY item, rank""".stripMargin,
     "q173_basket_lift" ->
       s"""WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] value-contribution analytics over the orders/lineitem facts:
+  * RFM customer segmentation (q184) and Pareto revenue-concentration
+  * profiling (q185) — the "who matters and how concentrated is the
+  * business?" pair every commerce warehouse derives from its fact
+  * star.
+  *
+  * Scale shape: both operators first FOLD the fact table to an
+  * entity-grain profile (customer triple, part revenue) with one
+  * map-side-combinable aggregate — the q151/q179 profile-table
+  * discipline — and every window after that runs over the profile:
+  * q185's global sort is bounded by |parts| (dimension-sized), and
+  * q184's three ntile windows by |customers|. The ntile windows are
+  * single-partition by construction (a global quantile needs a global
+  * order); the documented 100 TB drop-in is q168's broadcast
+  * percentile-boundary grid, which trades exact equal-count buckets
+  * for an O(1)-boundary map-side assignment.
+  *
+  * Determinism: every window order is total (entity key tie-breaks),
+  * money is exact BIGINT cents, and shares are single
+  * correctly-rounded divisions of < 2^53 integers. */
+object Contribution {
+
+  /** q184 — RFM segmentation: per customer, recency (days since last
+    * order at the corpus max date), frequency (order count), monetary
+    * (exact cents), each scored into quintiles by `ntile(5)` with 1 =
+    * best (most recent / most frequent / highest spend), then rolled
+    * up per (r, f, m) segment with customer count and segment revenue
+    * — the classic marketing cube, 125 cells max regardless of
+    * customer count. */
+  def q184RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .as("cents"))
+    val dmax = byCust.agg(max(col("last_d")).as("dmax"))
+    val profile = byCust.crossJoin(broadcast(dmax))
+      .select(col("custkey"), datediff(col("dmax"), col("last_d"))
+        .as("recency_days"), col("frequency"), col("cents"))
+    profile
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("custkey").asc)))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("custkey").asc)))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents").desc, col("custkey").asc)))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("segment_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** q185 — Pareto revenue concentration: parts folded to exact
+    * revenue cents, sorted descending, cut into revenue-ranked
+    * count-deciles (`ntile(10)` with part-key tie-break), each decile
+    * reporting its part count, revenue, share and cumulative share —
+    * the 10-row concentration curve behind every "top X% of SKUs
+    * drive Y% of revenue" statement. The inclusive cumulative sum is
+    * taken over the 10 decile rows, never over parts. */
+  def q185ParetoDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
+        .as("cents"))
+    val deciled = byPart.withColumn("decile", ntile(10).over(
+      Window.orderBy(col("cents").desc, col("part").asc)))
+    val perDecile = deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+    val total = perDecile.agg(sum(col("cents")).as("total_cents"))
+    perDecile
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_parts"), col("cents"),
+        round(col("cents").cast("double") / col("total_cents"), 6)
+          .as("share"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_rfm_segments" -> (q184RfmSegments _),
+    "q185_pareto_deciles" -> (q185ParetoDeciles _))
+
+  val oracles: Map[String, String] = Map(
+    "q184_rfm_segments" ->
+      """WITH by_cust AS (
+        |  SELECT o_custkey AS custkey,
+        |         max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |dmax AS (SELECT max(last_d) AS dmax FROM by_cust),
+        |profile AS (
+        |  SELECT custkey,
+        |         date_diff('day', last_d, (SELECT dmax FROM dmax))
+        |           AS recency_days,
+        |         frequency, cents
+        |  FROM by_cust),
+        |scored AS (
+        |  SELECT CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC)
+        |              AS INTEGER) AS r_score,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey ASC)
+        |              AS INTEGER) AS f_score,
+        |         CAST(ntile(5) OVER (ORDER BY cents DESC, custkey ASC)
+        |              AS INTEGER) AS m_score,
+        |         cents
+        |  FROM profile)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+    "q185_pareto_deciles" ->
+      """WITH by_part AS (
+        |  SELECT l_partkey AS part,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |deciled AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY cents DESC, part ASC)
+        |              AS INTEGER) AS decile, cents
+        |  FROM by_part),
+        |per_decile AS (
+        |  SELECT decile, count(*) AS n_parts,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM deciled GROUP BY 1),
+        |total AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents
+        |          FROM per_decile)
+        |SELECT decile, n_parts, cents,
+        |       round(CAST(cents AS DOUBLE)
+        |             / (SELECT total_cents FROM total), 6) AS share,
+        |       round(CAST(sum(cents) OVER (ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE) / (SELECT total_cents FROM total), 6)
+        |         AS cum_share
+        |FROM per_decile ORDER BY decile""".stripMargin)
+}
