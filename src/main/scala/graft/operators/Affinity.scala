@@ -164,12 +164,67 @@ object Affinity {
       .orderBy("item", "rank")
   }
 
+  /** q186 — behavioral affinity between event types: each type is a
+    * user-indexed count vector; for every type pair, the cosine of
+    * those vectors — "do the users who click also purchase?". The
+    * self-join runs on the (user, type, n) profile — ≤ |types| rows
+    * per user — so pair partials combine map-side and the output is
+    * |types|²/2 rows at any event volume. Dot products and norms fold
+    * exact BIGINTs (all < 2^53); cosine is √+division, pinned
+    * identically in the oracle. */
+  def q186TypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val vec = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val norms = vec.groupBy("event_type")
+      .agg(sum(col("n") * col("n")).as("norm2"))
+    val dots = vec.alias("a")
+      .join(vec.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(sum(col("a.n") * col("b.n")).as("dot"),
+        count(lit(1)).as("n_users"))
+    dots
+      .join(broadcast(norms.withColumnRenamed("event_type", "t1")
+        .withColumnRenamed("norm2", "norm1")), Seq("t1"))
+      .join(broadcast(norms.withColumnRenamed("event_type", "t2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n_users"), col("dot"),
+        round(col("dot").cast("double") /
+          sqrt((col("norm1") * col("norm2")).cast("double")), 6)
+          .as("cosine"))
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_basket_lift" -> (q173BasketLift _),
     "q174_attribution" -> (q174Attribution _),
-    "q183_item_neighbors" -> (q183ItemNeighbors _))
+    "q183_item_neighbors" -> (q183ItemNeighbors _),
+    "q186_type_affinity" -> (q186TypeAffinity _))
 
   val oracles: Map[String, String] = Map(
+    "q186_type_affinity" ->
+      """WITH vec AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT event_type, CAST(sum(n * n) AS BIGINT) AS norm2
+        |  FROM vec GROUP BY 1),
+        |dots AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |         CAST(sum(a.n * b.n) AS BIGINT) AS dot,
+        |         count(*) AS n_users
+        |  FROM vec a JOIN vec b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_users, dot,
+        |       round(CAST(dot AS DOUBLE)
+        |             / sqrt(CAST(n1.norm2 * n2.norm2 AS DOUBLE)), 6)
+        |         AS cosine
+        |FROM dots
+        |JOIN norms n1 ON n1.event_type = t1
+        |JOIN norms n2 ON n2.event_type = t2
+        |ORDER BY t1, t2""".stripMargin,
     "q183_item_neighbors" ->
       s"""WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part

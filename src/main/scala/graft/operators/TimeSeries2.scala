@@ -153,13 +153,57 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** Alert threshold for q187 in quarters (4·|Δ| > prev ⟺ |Δ|/prev
+    * > 25%) — a pure integer compare, no division in the predicate. */
+  private[graft] val AlertQuarters = 4
+
+  /** q187 — day-over-day volume alerts: per event type, flag every
+    * day whose count moved more than 25% against the previous
+    * observed day — the simplest production volume monitor, run on
+    * the daily profile table so the lag window is series-bounded.
+    * The alert predicate is exact integer arithmetic
+    * ([[AlertQuarters]]·|Δ| > prev); the displayed pct_change is one
+    * correctly-rounded division. */
+  def q187DodAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull &&
+        abs(col("n") - col("prev_n")) * AlertQuarters > col("prev_n"))
+      .select(col("event_type"),
+        expr("date_add(d0, day)").as("alert_day"),
+        col("prev_n"), col("n"),
+        round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 6)
+          .as("pct_change"))
+      .orderBy("event_type", "alert_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_gap_fill" -> (q175GapFill _),
     "q176_mad_outliers" -> (q176MadOutliers _),
     "q177_dow_seasonality" -> (q177DowSeasonality _),
-    "q178_ols_trend" -> (q178OlsTrend _))
+    "q178_ols_trend" -> (q178OlsTrend _),
+    "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q187_dod_alerts" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, d, count(*) AS n FROM ev GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, d, n,
+        |         lag(n) OVER (PARTITION BY event_type ORDER BY d)
+        |           AS prev_n
+        |  FROM daily)
+        |SELECT event_type, d AS alert_day, prev_n, n,
+        |       round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS pct_change
+        |FROM lagged
+        |WHERE prev_n IS NOT NULL
+        |  AND abs(n - prev_n) * $AlertQuarters > prev_n
+        |ORDER BY event_type, alert_day""".stripMargin,
     "q175_gap_fill" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -37,6 +37,35 @@ class ContributionSpec extends SparkTestBase {
     }
   }
 
+  test("q186 type affinity: cosines match a brute user-vector " +
+      "recompute and cover every co-active type pair") {
+    val out = Affinity.q186TypeAffinity(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val vec = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = vec.keys.map(_._2).toSeq.distinct.sorted
+    val users = vec.keys.map(_._1).toSeq.distinct
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val (t1, t2) = (types(i), types(j))
+      val prods = users.flatMap { u =>
+        for (a <- vec.get((u, t1)); b <- vec.get((u, t2))) yield (a * b, 1L)
+      }
+      if (prods.nonEmpty) {
+        val (nUsers, dot, cos) = out((t1, t2))
+        assert(nUsers == prods.length.toLong, s"($t1,$t2) users")
+        assert(dot == prods.map(_._1).sum, s"($t1,$t2) dot")
+        val n1 = math.sqrt(users.flatMap(u => vec.get((u, t1)))
+          .map(n => (n * n).toDouble).sum)
+        val n2 = math.sqrt(users.flatMap(u => vec.get((u, t2)))
+          .map(n => (n * n).toDouble).sum)
+        assert(math.abs(cos - dot / (n1 * n2)) < 1e-6, s"($t1,$t2) cos")
+      } else assert(!out.contains((t1, t2)))
+    }
+  }
+
   test("q184 RFM: customers and revenue conserved, quintile marginals " +
       "balanced within 1") {
     val out = Contribution.q184RfmSegments(spark, sf).collect()

@@ -86,6 +86,24 @@ class TimeSeries2Spec extends SparkTestBase {
     }
   }
 
+  test("q187 alerts fire exactly where the sequential daily scan " +
+      "crosses the 25% gate") {
+    val out = TimeSeries2.q187DodAlerts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2), r.getLong(3)))
+    val expected = rawEvents.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      val daily = xs.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      daily.zip(daily.drop(1)).collect {
+        case ((_, prev), (d, n))
+            if math.abs(n - prev) * TimeSeries2.AlertQuarters > prev =>
+          (t, d, prev, n)
+      }
+    }.sortBy(a => (a._1, a._2))
+    assert(out.toSeq == expected)
+    assert(expected.nonEmpty, "the gate must actually fire on this data")
+  }
+
   test("q178 OLS matches a closed-form recompute on the daily series") {
     val out = TimeSeries2.q178OlsTrend(spark, sf).collect()
       .map(r => r.getString(0) ->
