@@ -5,99 +5,85 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** [EXT] table-audit operators: snapshot differencing (q171) and
-  * changelog merge-apply (q172) — the two halves of the reconciliation
-  * loop every lakehouse ingest runs: "what changed between yesterday's
-  * snapshot and today's?" and "apply this CDC changelog to the base
-  * table with latest-wins upsert/delete semantics" (the batch analogue
-  * of MERGE INTO).
+/** [EXT] table-audit operators: changelog merge-apply (q172, the batch
+  * analogue of MERGE INTO), replica-consistency reconciliation (q171,
+  * three-way: base + changelog → expected, diffed against the replica),
+  * and FK integrity scanning (q181) — the apply/verify loop every
+  * replicated lakehouse runs per ingest cycle. q136 (Relational) is
+  * the sibling two-version row-level change feed; q171 differs in that
+  * its reference side is COMPUTED from upstream inputs, so it catches
+  * apply-pipeline bugs, not just drift.
   *
-  * Scale shape: q171 fingerprints each row to a fixed-width md5 BEFORE
-  * the full-outer join, so the shuffle carries (key, 32-byte hash) —
-  * never the payload — and the unchanged mass (at 100 TB, ~all of it)
-  * is filtered right after the join without ever materializing wide
-  * rows. q172 reduces the changelog with ONE max(struct(...)) aggregate
-  * (map-side partial combine: each task emits at most one row per key)
-  * instead of a row_number window, which would sort every change record
-  * inside the shuffle; the merge itself is a single full-outer join on
-  * the key. On a partitioned production base table the same plan gets
+  * Scale shape: q172 reduces the changelog with ONE max(struct(...))
+  * aggregate (map-side partial combine: each task emits at most one
+  * row per key) instead of a row_number window, which would sort every
+  * change record inside the shuffle; the merge itself is a single
+  * full-outer join on the key. q171 reduces both sides to (key, value)
+  * before its full-outer join and folds the verdicts to a ≤4-row
+  * report. On a partitioned production base table these plans get
   * dynamic partition pruning from the changelog's touched-partition
   * set for free.
   *
-  * Determinism discipline: fingerprints hash only exactly-serialized
-  * fields (BIGINT cents, strings, `yyyy-MM-dd` dates — both engines
-  * print them identically; doubles are never hashed). The synthetic
-  * "new" snapshot of q171 and the upsert/delete ops of q172 are derived
-  * from key arithmetic (`k % p == 0`), not engine hashes, so the oracle
-  * reproduces them bit-identically; latest-wins ties are impossible
-  * because (event ts micros, event_id) is unique.
+  * Determinism discipline: the synthetic replica corruption and the
+  * upsert/delete ops are derived from key arithmetic (`k % p == 0`),
+  * not engine hashes, so the oracle reproduces them bit-identically;
+  * latest-wins ties are impossible because (event ts micros, event_id)
+  * is unique.
   */
 object Audit {
 
-  /** Divisors synthesizing the q171 "new" snapshot from the old one:
-    * keys ≡0 mod 97 are deleted, ≡0 mod 89 get a price bump (changed),
-    * ≡0 mod 101 are cloned to key+10^9 (added). Pairwise coprime, so
-    * a key can be both deleted and cloned — the diff must handle it. */
-  private[graft] val DelMod = 97
-  private[graft] val ChgMod = 89
-  private[graft] val AddMod = 101
+  /** Divisors synthesizing the q171 corrupted replica from the
+    * expected state: keys ≡0 mod 31 are missing at the replica,
+    * ≡0 mod 29 carry a corrupted value, ≡0 mod 37 are cloned to a
+    * phantom key. Pairwise coprime so classes overlap-free by key
+    * (a missing key cannot also be value-checked) except the phantom
+    * clones, which coexist with their source row. */
+  private[graft] val MissMod = 31
+  private[graft] val CorruptMod = 29
+  private[graft] val PhantomMod = 37
 
-  /** Orders snapshot normalized for fingerprinting: key + exactly
-    * serializable payload (BIGINT cents, strings, DATE). */
-  private def ordersSnapshot(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select(
-      col("o_orderkey").as("k"),
-      col("o_custkey").as("custkey"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("priority"),
-      col("o_orderdate").cast("date").as("odate"),
-      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
-
-  /** Row fingerprint over the payload columns. md5 (not Spark murmur
-    * `hash()`) so the DuckDB oracle computes the identical digest. */
-  private def fingerprinted(df: DataFrame): DataFrame =
-    df.select(col("k"),
-      md5(concat_ws("|", col("custkey"), col("status"), col("priority"),
-        col("odate").cast("string"), col("cents"))).as("fp"))
-
-  /** q171 — snapshot diff audit: classify every key of two table
-    * snapshots as added / removed / changed / unchanged by comparing
-    * row fingerprints under a full-outer join, then fold each class to
-    * an audit line (count, key checksum, key range) — the
-    * reconciliation report a pipeline emits per ingest cycle. The
-    * "new" snapshot is synthesized deterministically from the old one
-    * (see [[DelMod]]/[[ChgMod]]/[[AddMod]]) so the operator exercises
-    * all four classes on driver-fixed data.
+  /** q171 — replica-consistency audit (three-way reconciliation):
+    * derive the EXPECTED post-merge state from base + changelog (the
+    * q172 merge), diff it against what a replica actually holds, and
+    * fold the discrepancies into an audit report
+    * (missing_at_replica / phantom_at_replica / value_mismatch /
+    * consistent, with key checksums) — the cross-region replication
+    * validator, distinct from q136's row-level two-version change
+    * feed: here the reference side is COMPUTED from upstream inputs,
+    * so the audit catches apply-pipeline bugs, not just drift. The
+    * replica is synthesized deterministically (see
+    * [[MissMod]]/[[CorruptMod]]/[[PhantomMod]]) so every class is
+    * exercised on driver-fixed data.
     *
-    * The join input is (key, fp) only — payload never shuffles — and
-    * the per-class rollup is a 4-row aggregate, so output size is
-    * independent of table size; `key_checksum` (exact BIGINT Σkey) lets
-    * two sides of a replication pair compare reports without exchanging
-    * key lists. */
-  def q171SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val old = ordersSnapshot(spark, dir)
-    val newSnap = old
-      .filter(col("k") % DelMod =!= 0)
+    * Both sides reduce to (key, cents) before the full-outer join and
+    * the report is a ≤4-row aggregate — output size independent of
+    * table size; `key_checksum` (exact Σkey) lets two sites compare
+    * reports without exchanging key lists. */
+  def q171ReplicaAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = q172CdcMerge(spark, dir).select(
+      col("user_id").as("k"), col("cents"))
+    val replica = expected
+      .filter(col("k") % MissMod =!= 0)
       .withColumn("cents",
-        when(col("k") % ChgMod === 0, col("cents") + 1000L)
+        when(col("k") % CorruptMod === 0, col("cents") + 1L)
           .otherwise(col("cents")))
       .unionByName(
-        old.filter(col("k") % AddMod === 0)
-          .withColumn("k", col("k") + 1000000000L))
-    val o = fingerprinted(old).withColumnRenamed("fp", "fp_old")
-    val n = fingerprinted(newSnap).withColumnRenamed("fp", "fp_new")
-    o.join(n, Seq("k"), "full_outer")
+        expected.filter(col("k") % PhantomMod === 0)
+          .withColumn("k", col("k") + 10000L))
+    expected.withColumnRenamed("cents", "cents_e")
+      .join(replica.withColumnRenamed("cents", "cents_r"),
+        Seq("k"), "full_outer")
       .select(col("k"),
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
-          .when(col("fp_old") =!= col("fp_new"), "changed")
-          .otherwise("unchanged").as("change_type"))
-      .groupBy("change_type")
+        when(col("cents_r").isNull, "missing_at_replica")
+          .when(col("cents_e").isNull, "phantom_at_replica")
+          .when(col("cents_e") =!= col("cents_r"), "value_mismatch")
+          .otherwise("consistent").as("status"))
+      .groupBy("status")
       .agg(count(lit(1)).as("n_keys"),
         sum(col("k")).as("key_checksum"),
         min(col("k")).as("min_key"),
         max(col("k")).as("max_key"))
-      .orderBy("change_type")
+      .orderBy("status")
   }
 
   /** Provisioned account range for the q172 base snapshot: users
@@ -193,7 +179,7 @@ object Audit {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q171_snapshot_diff" -> (q171SnapshotDiff _),
+    "q171_replica_audit" -> (q171ReplicaAudit _),
     "q172_cdc_merge" -> (q172CdcMerge _),
     "q181_integrity_audit" -> (q181IntegrityAudit _))
 
@@ -228,36 +214,45 @@ object Audit {
         |         (SELECT count(*) FROM ord))
         |SELECT constraint_name, violations, n_checked FROM checks
         |ORDER BY constraint_name""".stripMargin,
-    "q171_snapshot_diff" ->
-      s"""WITH old AS (
-        |  SELECT o_orderkey AS k, o_custkey AS custkey,
-        |         o_orderstatus AS status, o_orderpriority AS priority,
-        |         CAST(o_orderdate AS DATE) AS odate,
-        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
-        |  FROM orders),
-        |new_snap AS (
-        |  SELECT k, custkey, status, priority, odate,
-        |         CASE WHEN k % $ChgMod = 0 THEN cents + 1000
-        |              ELSE cents END AS cents
-        |  FROM old WHERE k % $DelMod <> 0
+    "q171_replica_audit" ->
+      s"""WITH base AS (
+        |  SELECT CAST(unnest(range(0, $BaseUsers)) AS BIGINT) AS user_id,
+        |         CAST($BaseCents AS BIGINT) AS base_cents),
+        |chg AS (
+        |  SELECT user_id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |                    event_id DESC) AS rn
+        |  FROM events),
+        |latest AS (SELECT user_id, op, cents AS chg_cents
+        |           FROM chg WHERE rn = 1),
+        |expected AS (
+        |  SELECT COALESCE(base.user_id, latest.user_id) AS k,
+        |         CASE WHEN op = 'U' THEN chg_cents
+        |              ELSE base_cents END AS cents
+        |  FROM base FULL OUTER JOIN latest
+        |    ON base.user_id = latest.user_id
+        |  WHERE op IS NULL OR op <> 'D'),
+        |replica AS (
+        |  SELECT k, CASE WHEN k % $CorruptMod = 0 THEN cents + 1
+        |                 ELSE cents END AS cents
+        |  FROM expected WHERE k % $MissMod <> 0
         |  UNION ALL
-        |  SELECT k + 1000000000, custkey, status, priority, odate, cents
-        |  FROM old WHERE k % $AddMod = 0),
-        |o AS (SELECT k, md5(concat_ws('|', custkey, status, priority,
-        |        CAST(odate AS VARCHAR), cents)) AS fp_old FROM old),
-        |n AS (SELECT k, md5(concat_ws('|', custkey, status, priority,
-        |        CAST(odate AS VARCHAR), cents)) AS fp_new FROM new_snap),
+        |  SELECT k + 10000, cents FROM expected
+        |  WHERE k % $PhantomMod = 0),
         |classified AS (
-        |  SELECT COALESCE(o.k, n.k) AS k,
-        |         CASE WHEN o.k IS NULL THEN 'added'
-        |              WHEN n.k IS NULL THEN 'removed'
-        |              WHEN fp_old <> fp_new THEN 'changed'
-        |              ELSE 'unchanged' END AS change_type
-        |  FROM o FULL OUTER JOIN n ON o.k = n.k)
-        |SELECT change_type, count(*) AS n_keys,
+        |  SELECT COALESCE(e.k, r.k) AS k,
+        |         CASE WHEN r.k IS NULL THEN 'missing_at_replica'
+        |              WHEN e.k IS NULL THEN 'phantom_at_replica'
+        |              WHEN e.cents <> r.cents THEN 'value_mismatch'
+        |              ELSE 'consistent' END AS status
+        |  FROM expected e FULL OUTER JOIN replica r ON e.k = r.k)
+        |SELECT status, count(*) AS n_keys,
         |       CAST(sum(k) AS BIGINT) AS key_checksum,
         |       min(k) AS min_key, max(k) AS max_key
-        |FROM classified GROUP BY change_type ORDER BY change_type""".stripMargin,
+        |FROM classified GROUP BY status ORDER BY status""".stripMargin,
     "q172_cdc_merge" ->
       s"""WITH base AS (
         |  SELECT CAST(unnest(range(0, $BaseUsers)) AS BIGINT) AS user_id,

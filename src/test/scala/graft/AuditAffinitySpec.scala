@@ -12,33 +12,33 @@ import graft.sources.Tables
   * join / struct-max / range frame). */
 class AuditAffinitySpec extends SparkTestBase {
 
-  test("q171 class counts follow from the snapshot-synthesis arithmetic") {
-    val out = Audit.q171SnapshotDiff(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val keys = Tables.orders(spark, sf)
-      .select(col("o_orderkey")).collect().map(_.getLong(0))
-    // independent set-algebra recompute: deletion wins over change
-    // (a deleted key is absent from the new snapshot), clones are
-    // always additions (k + 1e9 never collides with real keys)
-    val added = keys.count(_ % Audit.AddMod == 0).toLong
-    val removed = keys.count(_ % Audit.DelMod == 0).toLong
-    val changed =
-      keys.count(k => k % Audit.ChgMod == 0 && k % Audit.DelMod != 0).toLong
-    assert(out.getOrElse("added", 0L) == added)
-    assert(out.getOrElse("removed", 0L) == removed)
-    assert(out.getOrElse("changed", 0L) == changed)
-    assert(out.values.sum == keys.length + added,
-      "every old key plus every clone is classified exactly once")
-  }
-
-  test("q171 key checksum of the added class is the clone-shifted sum") {
-    val row = Audit.q171SnapshotDiff(spark, sf)
-      .filter(col("change_type") === "added").collect()
-    if (row.nonEmpty) {
-      val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
-        .collect().map(_.getLong(0)).filter(_ % Audit.AddMod == 0)
-      assert(row.head.getLong(2) == keys.map(_ + 1000000000L).sum)
-    }
+  test("q171 discrepancy classes follow from the corruption " +
+      "arithmetic applied to the q172 expected state") {
+    val out = Audit.q171ReplicaAudit(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent recompute: expected keys from the merge output,
+    // corruption classes by set algebra (missing wins over corrupt —
+    // a dropped key is never value-checked; phantoms never collide
+    // because expected keys < 10000)
+    val expectedKeys = Audit.q172CdcMerge(spark, sf)
+      .select(col("user_id")).collect().map(_.getLong(0))
+    assert(expectedKeys.forall(_ < 10000L))
+    val missing = expectedKeys.filter(_ % Audit.MissMod == 0)
+    val phantoms = expectedKeys.filter(_ % Audit.PhantomMod == 0)
+    val mismatched = expectedKeys.filter(k =>
+      k % Audit.CorruptMod == 0 && k % Audit.MissMod != 0)
+    assert(out.getOrElse("missing_at_replica", (0L, 0L)) ==
+      (missing.length.toLong, missing.sum))
+    assert(out.getOrElse("phantom_at_replica", (0L, 0L)) ==
+      (phantoms.length.toLong, phantoms.map(_ + 10000L).sum))
+    assert(out.getOrElse("value_mismatch", (0L, 0L)) ==
+      (mismatched.length.toLong, mismatched.sum))
+    assert(out.values.map(_._1).sum ==
+      expectedKeys.length.toLong + phantoms.length,
+      "every expected key plus every phantom is classified exactly once")
+    assert(missing.nonEmpty && phantoms.nonEmpty && mismatched.nonEmpty,
+      "every discrepancy class must be exercised at this SF")
   }
 
   test("q172 merge state: untouched base users survive, tombstoned " +
