@@ -65,9 +65,20 @@ object Explain {
                               // DESIGN (unsound for containment)
     "q161_hierarchy_rollup", // path-enumeration explode + ONE exchange
                              // folds every subtree
-    "q166_incremental_sessions") // both halves sessionized on ONE
+    "q166_incremental_sessions", // both halves sessionized on ONE
                                  // user-key exchange each; O(users)
                                  // open-state full-outer merge
+    "q172_cdc_merge",    // latest-wins via max(struct): partial agg
+                         // pre-folds the changelog map-side, no window
+                         // sort; merge = one full-outer join on the key
+    "q173_basket_lift",  // a-priori prune BEFORE the basket self-join;
+                         // broadcast freq + n_orders scalar
+    "q174_attribution",  // ONE range-frame window pass per user — no
+                         // conversions×touches pair join
+    "q182_active_users", // WAU via map-side sequence-explode (≤7× the
+                         // deduped user-day table), never a range join
+    "q183_item_neighbors") // support-pruned pair table, per-item window
+                           // over pairs only — never items²
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

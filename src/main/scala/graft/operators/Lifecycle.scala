@@ -132,12 +132,136 @@ object Lifecycle {
       .orderBy("day")
   }
 
+  /** Lag histogram cap (days) for q188; `NeverBucket` marks signups
+    * with no subsequent purchase. */
+  private[graft] val MaxLagDays = 7L
+  private[graft] val NeverBucket = -1L
+
+  /** q188 — signup→purchase conversion lag: for every user with a
+    * signup, the days until their FIRST purchase at-or-after it,
+    * bucketed 0..[[MaxLagDays]] (capped) with [[NeverBucket]] for
+    * never-converted — the timing dimension q82's step-count funnel
+    * does not carry. Two user-grain conditional aggregates (signup
+    * floor, then earliest qualifying purchase via conditional min over
+    * the joined stream) — both map-side-combinable; the lag division
+    * is exact-integer micros → floor days (oracle `//`). */
+  def q188ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signups, Seq("user_id"))
+      .filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"),
+        first(col("s_us")).as("s_us"))
+    signups.join(
+        firstPurchase.select(col("user_id"),
+          least(((col("p_us") - col("s_us")) / 86400000000L).cast("long"),
+            lit(MaxLagDays)).as("lag_days")),
+        Seq("user_id"), "left")
+      .select(coalesce(col("lag_days"), lit(NeverBucket)).as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_days")
+  }
+
+  /** q189 — cohort LTV curve: users cohorted by first-activity week,
+    * purchase revenue accumulated by cohort age in weeks, reported as
+    * cumulative cents per cohort user — the revenue companion to
+    * q83's count-based retention matrix. Events fold straight to the
+    * (cohort_week, age_week) grain (one combinable aggregate over the
+    * scan after a user-grain cohort assignment join); the cumulative
+    * window runs over that weeks² profile, never events. */
+  def q189LtvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"), col("value"),
+      (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      .crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        ((col("first_day") - col("d0")) / 7L).cast("long").as("cohort_w"),
+        col("first_day"))
+    val sizes = cohorts.groupBy("cohort_w")
+      .agg(count(lit(1)).as("cohort_users"))
+    val revenue = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_w"),
+        ((col("day") - col("first_day")) / 7L).cast("long").as("age_w"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("cohort_w", "age_w").agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("cohort_w").orderBy("age_w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    revenue
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_w"))
+      .select(col("cohort_w"), col("age_w"), col("cohort_users"),
+        col("cents"), col("cum_cents"),
+        round(col("cum_cents").cast("double") / col("cohort_users") / 100.0,
+          6).as("ltv_per_user"))
+      .orderBy("cohort_w", "age_w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_survival_curve" -> (q179SurvivalCurve _),
     "q180_interarrival" -> (q180InterArrival _),
-    "q182_active_users" -> (q182ActiveUsers _))
+    "q182_active_users" -> (q182ActiveUsers _),
+    "q188_conversion_lag" -> (q188ConversionLag _),
+    "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q188_conversion_lag" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |signups AS (
+        |  SELECT user_id, min(us) AS s_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |first_purchase AS (
+        |  SELECT e.user_id, min(e.us) AS p_us, min(s.s_us) AS s_us
+        |  FROM ev e JOIN signups s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= s.s_us
+        |  GROUP BY e.user_id),
+        |lags AS (
+        |  SELECT s.user_id,
+        |         CASE WHEN fp.user_id IS NULL THEN $NeverBucket
+        |              ELSE least((fp.p_us - fp.s_us) // 86400000000,
+        |                         $MaxLagDays) END AS lag_days
+        |  FROM signups s
+        |  LEFT JOIN first_purchase fp ON fp.user_id = s.user_id)
+        |SELECT lag_days, count(*) AS n_users
+        |FROM lags GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+    "q189_ltv_curve" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM ev),
+        |cohorts AS (
+        |  SELECT user_id,
+        |         (min(day) - (SELECT d0 FROM d0)) // 7 AS cohort_w,
+        |         min(day) AS first_day
+        |  FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort_w, count(*) AS cohort_users
+        |          FROM cohorts GROUP BY cohort_w),
+        |revenue AS (
+        |  SELECT c.cohort_w, (e.day - c.first_day) // 7 AS age_w,
+        |         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_w, age_w, cents,
+        |         CAST(sum(cents) OVER (PARTITION BY cohort_w ORDER BY age_w
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_cents
+        |  FROM revenue)
+        |SELECT c.cohort_w, c.age_w, s.cohort_users, c.cents, c.cum_cents,
+        |       round(CAST(c.cum_cents AS DOUBLE) / s.cohort_users / 100.0, 6)
+        |         AS ltv_per_user
+        |FROM cum c JOIN sizes s ON s.cohort_w = c.cohort_w
+        |ORDER BY c.cohort_w, c.age_w""".stripMargin,
     "q179_survival_curve" ->
       s"""WITH lt AS (
         |  SELECT least(

@@ -11,9 +11,10 @@ class LifecycleSpec extends SparkTestBase {
 
   private lazy val rawEvents = Tables.events(spark, sf)
     .select(col("user_id"), col("event_id"), col("event_type"),
-      unix_micros(col("ts")).as("us"))
+      unix_micros(col("ts")).as("us"), col("value"))
     .collect()
-    .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+      r.getDouble(4)))
 
   test("q179 survival curve is monotone, anchored at 1.0, and matches " +
       "per-user lifetime recompute") {
@@ -69,6 +70,55 @@ class LifecycleSpec extends SparkTestBase {
         p._2 <= k && p._2 > k - Lifecycle.WauDays).map(_._1).distinct
       assert(wau == wauSet.length.toLong, s"wau day $k")
     }
+  }
+
+  test("q188 conversion lags match a sequential signup→purchase scan " +
+      "and conserve signed-up users") {
+    val out = Lifecycle.q188ConversionLag(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rawEvents.groupBy(_._1)
+    val lags = byUser.values.flatMap { xs =>
+      val signups = xs.filter(_._3 == "signup").map(_._4)
+      if (signups.isEmpty) None
+      else {
+        val s = signups.min
+        val ps = xs.filter(e => e._3 == "purchase" && e._4 >= s).map(_._4)
+        Some(if (ps.isEmpty) Lifecycle.NeverBucket
+        else math.min((ps.min - s) / 86400000000L, Lifecycle.MaxLagDays))
+      }
+    }.toSeq
+    assert(out.values.sum == lags.length.toLong, "signed-up users conserved")
+    lags.groupBy(identity).foreach { case (bucket, xs) =>
+      assert(out(bucket) == xs.length.toLong, s"bucket $bucket")
+    }
+  }
+
+  test("q189 LTV curve: cumulative revenue is conserved per cohort " +
+      "and matches a brute recompute") {
+    val out = Lifecycle.q189LtvCurve(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val day = (us: Long) => us / 86400000000L
+    val d0 = rawEvents.map(e => day(e._4)).min
+    val firstDay = rawEvents.groupBy(_._1).view
+      .mapValues(xs => xs.map(e => day(e._4)).min).toMap
+    val cohortOf = firstDay.view.mapValues(fd => (fd - d0) / 7L).toMap
+    val sizes = cohortOf.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val cells = rawEvents.filter(_._3 == "purchase").groupBy { e =>
+      (cohortOf(e._1), (day(e._4) - firstDay(e._1)) / 7L)
+    }.view.mapValues(xs => xs.map(e => math.round(e._5 * 100)).sum).toMap
+    out.groupBy(_._1._1).foreach { case (cw, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      var cum = 0L
+      sorted.foreach { case ((_, age), (users, cents, cumCents)) =>
+        assert(users == sizes(cw), s"cohort $cw size")
+        assert(cents == cells((cw, age)), s"cell ($cw,$age)")
+        cum += cents
+        assert(cumCents == cum, s"cum ($cw,$age)")
+      }
+    }
+    assert(out.map(_._2._2).sum == cells.values.sum, "revenue conserved")
   }
 
   test("q181 integrity audit: decimated parent produces exactly the " +
