@@ -89,7 +89,15 @@ object ScaleSmoke {
         "q159_erasure_cascade", "q160_mlm_mask", "q161_hierarchy_rollup",
         "q162_top_component", "q163_max_cover", "q164_phash_dedup", "q165_ab_welch",
         "q166_incremental_sessions", "q167_cuped",
-        "q168_quantile_normalize", "q169_int8_calibrate", "q170_context_assembly")
+        "q168_quantile_normalize", "q169_int8_calibrate", "q170_context_assembly",
+        "q171_replica_audit", "q172_cdc_merge", "q173_basket_lift",
+        "q174_attribution", "q175_gap_fill", "q176_mad_outliers",
+        "q177_dow_seasonality", "q178_ols_trend", "q179_survival_curve",
+        "q180_interarrival", "q181_integrity_audit", "q182_active_users",
+        "q183_item_neighbors", "q184_rfm_segments", "q185_pareto_deciles",
+        "q186_type_affinity", "q187_dod_alerts", "q188_conversion_lag",
+        "q189_ltv_curve", "q190_rolling_median", "q191_journey_mining",
+        "q192_skyline", "q193_rank_delta")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** [EXT] seed-anchored graph analytics — the second half of the graph
   * family (q138/q140–q142 in [[Graph]]): personalized PageRank, HITS,
   * and multi-source BFS. These are the "trusted-seed expansion"
@@ -248,11 +250,67 @@ object Graph2 {
       .orderBy("walk")
   }
 
+  /** q195 parameters: relaxation rounds (bounded-hop semantics) and
+    * the weight numerator (cost = WeightNum div support, so heavily
+    * co-purchased links are cheap — ≥1 always, exact integer). */
+  private[graft] val SsspRounds = 4
+  private[graft] val WeightNum = 1000L
+
+  /** q195 — bounded-hop weighted SSSP (Bellman–Ford relaxation): the
+    * cheapest ≤[[SsspRounds]]-hop cost from the smallest part key to
+    * every reachable part over the co-purchase graph, edge cost
+    * inversely tied to support ([[WeightNum]] div support) — the
+    * weighted companion to q145's unweighted hop BFS, the
+    * "recommendation distance" metric. Per round ONE edges⋈dist join
+    * + a min fold; dist only ever improves (min-monotone), rounds are
+    * data-independent (bounded-hop is the DECLARED semantics, so the
+    * oracle unrolls exactly [[SsspRounds]] materialized CTE rounds);
+    * per-round localCheckpoint flattens the recurrence (the q138/q142
+    * lesson). Output folds to a cost-decile histogram + exact total,
+    * so the result is audit-sized at any graph scale. */
+  def q195WeightedSssp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val sup = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    val edges = graft.sources.DfCache.df(spark, s"sssp_edges|$dir")(
+      sup.select(col("p1").as("u"), col("p2").as("v"),
+          expr(s"$WeightNum div support").as("w"))
+        .unionAll(sup.select(col("p2").as("u"), col("p1").as("v"),
+          expr(s"$WeightNum div support").as("w")))
+        .repartition(col("u")))
+    val src = edges.agg(min(col("u")).as("src"))
+    var dist = edges.crossJoin(broadcast(src))
+      .filter(col("u") === col("src"))
+      .select(col("u").as("node"), lit(0L).as("cost"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = edges
+        .join(dist.select(col("node").as("u"), col("cost")), Seq("u"))
+        .select(col("v").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    dist
+      .select((col("cost") / 100L).cast("long").as("cost_bucket"),
+        col("cost"))
+      .groupBy("cost_bucket")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("cost")).as("total_cost"),
+        min(col("cost")).as("min_cost"), max(col("cost")).as("max_cost"))
+      .orderBy("cost_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ppr" -> (q143Ppr _),
     "q144_hits" -> (q144Hits _),
     "q145_bfs_reach" -> (q145BfsReach _),
-    "q152_walk_corpus" -> (q152WalkCorpus _))
+    "q152_walk_corpus" -> (q152WalkCorpus _),
+    "q195_weighted_sssp" -> (q195WeightedSssp _))
 
   /** PPR oracle: one MATERIALIZED CTE per round (each round is
     * referenced twice — dangling + contributions — so DuckDB's default
@@ -410,9 +468,45 @@ object Graph2 {
        |FROM s$WalkSteps ORDER BY walk""".stripMargin
   }
 
+  /** q195 oracle: the Bellman–Ford relaxation unrolled into exactly
+    * [[SsspRounds]] materialized min-fold rounds (bounded-hop cost is
+    * the DECLARED semantics, so the unroll is exact, not a contract). */
+  private def ssspSql: String = {
+    val base =
+      s"""WITH sup AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS MATERIALIZED (
+        |  SELECT p1 AS u, p2 AS v, $WeightNum // support AS w FROM sup
+        |  UNION ALL
+        |  SELECT p2, p1, $WeightNum // support FROM sup),
+        |src AS (SELECT min(u) AS s FROM edges),
+        |d0 AS (SELECT (SELECT s FROM src) AS node,
+        |              CAST(0 AS BIGINT) AS cost)""".stripMargin
+    val rounds = (1 to SsspRounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM $prev
+         |    UNION ALL
+         |    SELECT e.v AS node, p.cost + e.w AS cost
+         |    FROM edges e JOIN $prev p ON e.u = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT cost // 100 AS cost_bucket,
+       |       count(*) AS n_nodes,
+       |       CAST(sum(cost) AS BIGINT) AS total_cost,
+       |       min(cost) AS min_cost, max(cost) AS max_cost
+       |FROM d$SsspRounds GROUP BY 1 ORDER BY cost_bucket""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q143_ppr" -> pprSql,
     "q144_hits" -> hitsSql,
     "q145_bfs_reach" -> bfsSql,
-    "q152_walk_corpus" -> walkSql)
+    "q152_walk_corpus" -> walkSql,
+    "q195_weighted_sssp" -> ssspSql)
 }

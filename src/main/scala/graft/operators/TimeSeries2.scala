@@ -179,7 +179,42 @@ object TimeSeries2 {
       .orderBy("event_type", "alert_day")
   }
 
+  /** q194 — Theil–Sen robust trend: per type, the MEDIAN of all
+    * pairwise slopes of the daily series (and the median-residual
+    * intercept under that slope) — the 29%-breakdown companion to
+    * q178's OLS, immune to the outlier days q187 alerts on. The pair
+    * generation is a self-join of the daily profile with itself
+    * (≤ days²/2 rows per type — calendar-bounded, the q156 lag-join
+    * discipline taken quadratic because days are few); each slope is
+    * one correctly-rounded division of exact integers, and both
+    * medians interpolate doubles identically cross-engine. */
+  def q194TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("d"), col("n"))
+    val slopes = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.n") - col("a.n")).cast("double") /
+          (col("b.d") - col("a.d"))).as("slope"))
+    val tsSlope = slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5d)").as("ts_slope"))
+    daily.join(broadcast(tsSlope), Seq("event_type"))
+      .select(col("event_type"), col("n_pairs"), col("ts_slope"),
+        (col("n").cast("double") - col("ts_slope") * col("d"))
+          .as("res_intercept"))
+      .groupBy("event_type", "n_pairs", "ts_slope")
+      .agg(expr("percentile(res_intercept, 0.5d)").as("ts_intercept"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("ts_slope"), 6).as("ts_slope"),
+        round(col("ts_intercept"), 6).as("ts_intercept"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_theil_sen" -> (q194TheilSen _),
     "q175_gap_fill" -> (q175GapFill _),
     "q176_mad_outliers" -> (q176MadOutliers _),
     "q177_dow_seasonality" -> (q177DowSeasonality _),
@@ -187,6 +222,35 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q194_theil_sen" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS d,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |         CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.d < b.d),
+        |ts AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |         quantile_cont(slope, 0.5) AS ts_slope
+        |  FROM slopes GROUP BY 1),
+        |res AS (
+        |  SELECT d.event_type, t.n_pairs, t.ts_slope,
+        |         CAST(d.n AS DOUBLE) - t.ts_slope * d.d AS res_intercept
+        |  FROM daily d JOIN ts t ON t.event_type = d.event_type)
+        |SELECT event_type, n_pairs,
+        |       round(ts_slope, 6) AS ts_slope,
+        |       round(quantile_cont(res_intercept, 0.5), 6) AS ts_intercept
+        |FROM res GROUP BY event_type, n_pairs, ts_slope
+        |ORDER BY event_type""".stripMargin,
     "q187_dod_alerts" ->
       s"""WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d

@@ -128,6 +128,41 @@ class Graph2Spec extends SparkTestBase {
       Some(nodes.count(_ % G2.BfsSeedStride == 0).toLong))
   }
 
+  test("q195 bounded-hop SSSP matches an independent Bellman-Ford " +
+      "relaxation with the same integer weights") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.toSeq.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2)
+    val edges = support.toSeq.flatMap { case ((a, b), s) =>
+      val w = G2.WeightNum / s
+      Seq((a, b, w), (b, a, w))
+    }
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3))).toMap
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to G2.SsspRounds) {
+      val relaxed = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Seq.empty).map { case (v, w) => v -> (d + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val expected = dist.values.groupBy(_ / 100L).view.map { case (b, xs) =>
+      (b, xs.size.toLong, xs.sum, xs.min, xs.max)
+    }.toSeq.sortBy(_._1)
+    val got = G2.q195WeightedSssp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"SSSP diverges:\n got=$got\n exp=$expected")
+    // the source itself is reachable at cost 0
+    assert(dist(src) == 0L && got.head._4 == 0L)
+  }
+
   test("q152 walks match an independent hash-race replay") {
     val li = graft.sources.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey").collect()

@@ -86,6 +86,33 @@ class TimeSeries2Spec extends SparkTestBase {
     }
   }
 
+  test("q194 Theil-Sen slope/intercept match a brute pairwise-median " +
+      "recompute") {
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val out = TimeSeries2.q194TheilSen(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    rawEvents.groupBy(_._1).foreach { case (t, xs) =>
+      val day0 = rawEvents.map(_._2 / 86400000000L).min
+      val daily = xs.groupBy(_._2 / 86400000000L - day0).view
+        .mapValues(_.length).toSeq.sortBy(_._1)
+      val slopes = for {
+        i <- daily.indices; j <- (i + 1) until daily.length
+      } yield (daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1)
+      val slope = median(slopes)
+      val intercept = median(daily.map { case (d, n) => n - slope * d })
+      val (nPairs, oSlope, oIntercept) = out(t)
+      assert(nPairs == slopes.length.toLong, s"$t pairs")
+      assert(math.abs(oSlope - slope) < 1e-5, s"$t slope")
+      assert(math.abs(oIntercept - intercept) < 1e-5, s"$t intercept")
+    }
+  }
+
   test("q187 alerts fire exactly where the sequential daily scan " +
       "crosses the 25% gate") {
     val out = TimeSeries2.q187DodAlerts(spark, sf).collect()
