@@ -97,7 +97,8 @@ object ScaleSmoke {
         "q183_item_neighbors", "q184_rfm_segments", "q185_pareto_deciles",
         "q186_type_affinity", "q187_dod_alerts", "q188_conversion_lag",
         "q189_ltv_curve", "q190_rolling_median", "q191_journey_mining",
-        "q192_skyline", "q193_rank_delta")
+        "q192_skyline", "q193_rank_delta", "q194_theil_sen",
+        "q195_weighted_sssp")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

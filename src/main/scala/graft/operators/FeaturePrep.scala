@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] ML feature-preparation operators: temporal train/test
+  * splitting with an embargo gap (q196), smoothed target encoding
+  * (q197), and mutual-information feature relevance (q198) — the
+  * feature-engineering steps between q53's curation and a trainer,
+  * complementing the hash split (q97) and cluster-leakage split
+  * (q117) with the TIME dimension and the two classic categorical
+  * feature statistics.
+  *
+  * Scale shape: q196 is one scan against two broadcast integer bounds;
+  * q197/q198 fold the facts to category-grain sufficient statistics
+  * (category cardinality-bounded) and every derived number is computed
+  * on that profile.
+  *
+  * Determinism: the split boundary and embargo are PURE integer micros
+  * (min + span·4 div 5 — no percentile interpolation in the
+  * boundary); encodings are pinned-order divisions of exact integers;
+  * q198's per-cell PMI terms use log2 of an exact ratio (the q123
+  * precedent) and the MI total is micro-quantized to exact BIGINTs
+  * BEFORE summation (the q169 discipline) so the fold is order-free.
+  */
+object FeaturePrep {
+
+  /** Embargo gap (micros) between train and test for q196. */
+  private[graft] val EmbargoUs = 86400000000L
+
+  /** q196 — temporal split with embargo: train = events strictly
+    * before (t* − 1 day), embargo = the dropped day, test = at/after
+    * t*, where t* = min + span·4/5 in exact integer micros — the
+    * leakage-safe split for time-series models, where a hash split
+    * (q97) would let the model peek across the boundary and an
+    * adjacent split leaks label windows; the embargo purges rows whose
+    * look-ahead features would straddle t*. One scan, two broadcast
+    * integer bounds, three audit rows. */
+  def q196TemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .select((col("t0") + expr("(t1 - t0) * 4 div 5")).as("t_star"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("us"),
+        when(col("us") < col("t_star") - EmbargoUs, "1_train")
+          .when(col("us") < col("t_star"), "2_embargo")
+          .otherwise("3_test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy("split")
+  }
+
+  /** Smoothing pseudo-count for q197. */
+  private[graft] val SmoothM = 10
+
+  /** q197 — smoothed target encoding: each order-priority category
+    * encoded as (Σ target + M·prior) / (n + M) with the global mean as
+    * prior — the shrinkage that keeps rare categories from memorizing
+    * their few labels. Sufficient statistics fold per category
+    * (cardinality-bounded, broadcast-scale); prior and encoding are
+    * pinned-order divisions of exact cents. */
+  def q197TargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("category"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val global = rows.agg(sum(col("cents")).as("s_all"),
+      count(lit(1)).as("n_all"))
+    rows.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("n"),
+        round(col("s").cast("double") / col("n") / 100.0, 6)
+          .as("raw_mean"),
+        round((col("s").cast("double") +
+          lit(SmoothM) * (col("s_all").cast("double") / col("n_all"))) /
+          (col("n") + SmoothM) / 100.0, 6).as("encoded"),
+        round(col("n").cast("double") / (col("n") + SmoothM), 6)
+          .as("shrink_weight"))
+      .orderBy("category")
+  }
+
+  /** q198 — mutual information between event type and ISO weekday:
+    * per-cell PMI contributions p_ij·log2(N·n_ij/(n_i·n_j)) over the
+    * |types|×7 contingency table plus the MI total — "does WHEN an
+    * event happens carry information about WHAT it is?", the feature-
+    * relevance screen run before spending a model on a feature. The
+    * contingency table is one combinable fold of the scan; every
+    * marginal joins back broadcast. Each cell term is micro-quantized
+    * to exact BIGINT micro-bits BEFORE the total sum (the q169
+    * discipline) so the fold is order-free; log2 consumes one
+    * correctly-rounded division of an exact integer ratio (the q123
+    * precedent). */
+  def q198MutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        weekday(to_date(col("ts"))).as("dow"))
+      .groupBy("t", "dow").agg(count(lit(1)).as("n_ij"))
+    val rowM = cells.groupBy("t").agg(sum(col("n_ij")).as("n_i"))
+    val colM = cells.groupBy("dow").agg(sum(col("n_ij")).as("n_j"))
+    val total = cells.agg(sum(col("n_ij")).as("n_all"))
+    val terms = cells
+      .join(broadcast(rowM), Seq("t"))
+      .join(broadcast(colM), Seq("dow"))
+      .crossJoin(broadcast(total))
+      .select(col("t"), col("dow"), col("n_ij"),
+        log2((col("n_ij") * col("n_all")).cast("double") /
+          (col("n_i") * col("n_j"))).as("pmi_bits"),
+        col("n_all"))
+      .withColumn("term_micro",
+        expr("cast(round(pmi_bits * n_ij / n_all * 1e6, 0) as bigint)"))
+    val mi = terms.agg((sum(col("term_micro")).cast("double") / 1e6)
+      .as("mi_bits_total"))
+    terms.crossJoin(broadcast(mi))
+      .select(col("t"), col("dow"), col("n_ij"),
+        round(col("pmi_bits"), 6).as("pmi_bits"),
+        round(col("mi_bits_total"), 6).as("mi_bits_total"))
+      .orderBy("t", "dow")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_temporal_split" -> (q196TemporalSplit _),
+    "q197_target_encoding" -> (q197TargetEncoding _),
+    "q198_mutual_information" -> (q198MutualInformation _))
+
+  val oracles: Map[String, String] = Map(
+    "q196_temporal_split" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |bounds AS (
+        |  SELECT min(us) + (max(us) - min(us)) * 4 // 5 AS t_star
+        |  FROM ev),
+        |tagged AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN us < (SELECT t_star FROM bounds) - $EmbargoUs
+        |                THEN '1_train'
+        |              WHEN us < (SELECT t_star FROM bounds)
+        |                THEN '2_embargo'
+        |              ELSE '3_test' END AS split
+        |  FROM ev)
+        |SELECT split, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(us) AS min_us, max(us) AS max_us
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
+    "q197_target_encoding" ->
+      s"""WITH rows_ AS (
+        |  SELECT o_orderpriority AS category,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |global AS (
+        |  SELECT CAST(sum(cents) AS BIGINT) AS s_all, count(*) AS n_all
+        |  FROM rows_),
+        |per_cat AS (
+        |  SELECT category, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |  FROM rows_ GROUP BY category)
+        |SELECT category, n,
+        |       round(CAST(s AS DOUBLE) / n / 100.0, 6) AS raw_mean,
+        |       round((CAST(s AS DOUBLE) +
+        |         $SmoothM * (CAST((SELECT s_all FROM global) AS DOUBLE)
+        |           / (SELECT n_all FROM global)))
+        |         / (n + $SmoothM) / 100.0, 6) AS encoded,
+        |       round(CAST(n AS DOUBLE) / (n + $SmoothM), 6)
+        |         AS shrink_weight
+        |FROM per_cat ORDER BY category""".stripMargin,
+    "q198_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT event_type AS t,
+        |         CAST(isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) - 1
+        |              AS INTEGER) AS dow,
+        |         count(*) AS n_ij
+        |  FROM events GROUP BY 1, 2),
+        |row_m AS (SELECT t, CAST(sum(n_ij) AS BIGINT) AS n_i
+        |          FROM cells GROUP BY t),
+        |col_m AS (SELECT dow, CAST(sum(n_ij) AS BIGINT) AS n_j
+        |          FROM cells GROUP BY dow),
+        |total AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_all FROM cells),
+        |terms AS (
+        |  SELECT c.t, c.dow, c.n_ij,
+        |         log2(CAST(c.n_ij * (SELECT n_all FROM total) AS DOUBLE)
+        |              / (r.n_i * m.n_j)) AS pmi_bits,
+        |         (SELECT n_all FROM total) AS n_all
+        |  FROM cells c
+        |  JOIN row_m r ON r.t = c.t
+        |  JOIN col_m m ON m.dow = c.dow),
+        |quant AS (
+        |  SELECT t, dow, n_ij, pmi_bits,
+        |         CAST(round(pmi_bits * n_ij / n_all * 1e6, 0) AS BIGINT)
+        |           AS term_micro
+        |  FROM terms),
+        |mi AS (SELECT CAST(sum(term_micro) AS DOUBLE) / 1e6
+        |         AS mi_bits_total FROM quant)
+        |SELECT t, dow, n_ij,
+        |       round(pmi_bits, 6) AS pmi_bits,
+        |       round((SELECT mi_bits_total FROM mi), 6) AS mi_bits_total
+        |FROM quant ORDER BY t, dow""".stripMargin)
+}
