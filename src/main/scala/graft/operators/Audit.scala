@@ -178,12 +178,52 @@ object Audit {
       .orderBy("constraint_name")
   }
 
+  /** q199 — partition fingerprint manifest: per day-partition of the
+    * events table, row count, exact cents sum, and an ORDER-FREE
+    * content fingerprint (bit_xor of a 60-bit md5 over the exactly-
+    * serialized row) — the manifest two replication sites exchange to
+    * find the divergent partition without exchanging rows (q171 then
+    * reconciles just that partition). XOR is the right fold: it is
+    * commutative/associative (partitioning-proof), never overflows,
+    * and any single-row difference flips it; doubles are never hashed
+    * (cents only) so the fingerprint is engine-portable. One
+    * map-side-combinable aggregate over the scan. */
+  def q199PartitionManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("d"), col("cents"),
+        graft.functions.Hashing.md5Hash60(concat_ws("|",
+          col("event_id"), col("us"), col("user_id"), col("event_type"),
+          col("cents"))).as("h"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents_sum"),
+        expr("bit_xor(h)").as("fingerprint"))
+      .orderBy("d")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_replica_audit" -> (q171ReplicaAudit _),
     "q172_cdc_merge" -> (q172CdcMerge _),
-    "q181_integrity_audit" -> (q181IntegrityAudit _))
+    "q181_integrity_audit" -> (q181IntegrityAudit _),
+    "q199_partition_manifest" -> (q199PartitionManifest _))
 
   val oracles: Map[String, String] = Map(
+    "q199_partition_manifest" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         ('0x' || substr(md5(concat_ws('|', event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)), user_id, event_type,
+        |            CAST(round(value * 100, 0) AS BIGINT))), 1, 15))::BIGINT
+        |           AS h
+        |  FROM events)
+        |SELECT d, count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       bit_xor(h) AS fingerprint
+        |FROM rows_ GROUP BY d ORDER BY d""".stripMargin,
     "q181_integrity_audit" ->
       s"""WITH ord AS (
         |  SELECT * FROM orders WHERE o_orderkey % $OrphanMod <> 0),

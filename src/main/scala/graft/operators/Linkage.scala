@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] probabilistic record linkage (q200): Fellegi–Sunter
+  * agreement-weight scoring — the published probabilistic-ER model
+  * behind production entity resolvers: per comparison field, estimate
+  * m = P(agree | match) and u = P(agree | non-match), score every
+  * candidate pair by Σ log2(m/u) over agreeing fields plus
+  * Σ log2((1−m)/(1−u)) over disagreeing ones, and inspect the score
+  * separation between true matches and non-matches. q79's edit-
+  * distance fuzzy join answers "are these strings close?"; this
+  * answers the calibrated question "how much EVIDENCE is this
+  * agreement pattern?" — and learns the weights from the data.
+  *
+  * Fixture: a deterministically perturbed copy of customer
+  * (segment / balance-bucket / nation flipped for key-arithmetic
+  * subsets — a record can carry several perturbations), candidate
+  * pairs blocked on nationkey — which is itself perturbed for some
+  * records, so blocking honestly MISSES those true matches, exactly
+  * like production blocking does.
+  *
+  * Scale shape: pairs are generated per nation block (dimension-keyed
+  * shuffle; block sizes are the classic ER cost knob and the
+  * documented production variant is multi-pass finer blocking);
+  * m/u are ONE conditional aggregate over the labeled pairs (exact
+  * integer ratios, broadcast back); each pair's score is a single
+  * fixed 3-term expression — no fold across a variable-length field
+  * set — so the double is bit-identical cross-engine. Output is a
+  * (score-bucket × label) histogram: audit-sized at any scale. */
+object Linkage {
+
+  private[graft] val SegMod = 7L
+  private[graft] val BucketMod = 11L
+  private[graft] val NationMod = 13L
+
+  /** q200 — Fellegi–Sunter linkage weights; see the module doc. */
+  def q200LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"),
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("cast(floor(c_acctbal / 1000) as int)").as("bkt"))
+    val alt = base.select(col("k"),
+      when(col("k") % NationMod === 0, (col("nat") + 1) % 25)
+        .otherwise(col("nat")).as("nat"),
+      when(col("k") % SegMod === 0, lit("PERTURBED"))
+        .otherwise(col("seg")).as("seg"),
+      when(col("k") % BucketMod === 0, col("bkt") + 1)
+        .otherwise(col("bkt")).as("bkt"))
+    val pairs = base.alias("a")
+      .join(alt.alias("b"), col("a.nat") === col("b.nat"))
+      .select((col("a.k") === col("b.k")).as("is_match"),
+        (col("a.seg") === col("b.seg")).as("ag_seg"),
+        (col("a.bkt") === col("b.bkt")).as("ag_bkt"))
+    // m/u as exact integer ratios; add-one smoothing keeps every
+    // log argument finite (a field that always agrees on matches
+    // would otherwise give m = 1 and an infinite disagreement weight)
+    def rate(flag: Column, label: Column): Column =
+      (sum(when(label && flag, 1L).otherwise(0L)) + 1L).cast("double") /
+        (sum(when(label, 1L).otherwise(0L)) + 2L)
+    val mu = pairs.agg(
+      rate(col("ag_seg"), col("is_match")).as("m_seg"),
+      rate(col("ag_seg"), !col("is_match")).as("u_seg"),
+      rate(col("ag_bkt"), col("is_match")).as("m_bkt"),
+      rate(col("ag_bkt"), !col("is_match")).as("u_bkt"))
+    def term(agree: Column, m: Column, u: Column): Column =
+      when(agree, log2(m / u))
+        .otherwise(log2((lit(1.0) - m) / (lit(1.0) - u)))
+    val scored = pairs.crossJoin(broadcast(mu))
+      .select(col("is_match"),
+        (term(col("ag_seg"), col("m_seg"), col("u_seg")) +
+          term(col("ag_bkt"), col("m_bkt"), col("u_bkt"))).as("w"))
+    scored
+      .select(col("is_match"),
+        floor(col("w")).cast("long").as("w_bucket"))
+      .groupBy("is_match", "w_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("is_match", "w_bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_linkage_weights" -> (q200LinkageWeights _))
+
+  val oracles: Map[String, String] = Map(
+    "q200_linkage_weights" ->
+      s"""WITH base AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt
+        |  FROM customer),
+        |alt AS (
+        |  SELECT k,
+        |         CASE WHEN k % $NationMod = 0 THEN (nat + 1) % 25
+        |              ELSE nat END AS nat,
+        |         CASE WHEN k % $SegMod = 0 THEN 'PERTURBED'
+        |              ELSE seg END AS seg,
+        |         CASE WHEN k % $BucketMod = 0 THEN bkt + 1
+        |              ELSE bkt END AS bkt
+        |  FROM base),
+        |pairs AS (
+        |  SELECT a.k = b.k AS is_match,
+        |         a.seg = b.seg AS ag_seg,
+        |         a.bkt = b.bkt AS ag_bkt
+        |  FROM base a JOIN alt b ON a.nat = b.nat),
+        |mu AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE is_match AND ag_seg) + 1 AS DOUBLE)
+        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_seg,
+        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_seg) + 1
+        |      AS DOUBLE)
+        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_seg,
+        |    CAST(count(*) FILTER (WHERE is_match AND ag_bkt) + 1 AS DOUBLE)
+        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_bkt,
+        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_bkt) + 1
+        |      AS DOUBLE)
+        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_bkt
+        |  FROM pairs),
+        |scored AS (
+        |  SELECT is_match,
+        |         (CASE WHEN ag_seg THEN log2(m_seg / u_seg)
+        |               ELSE log2((1.0 - m_seg) / (1.0 - u_seg)) END +
+        |          CASE WHEN ag_bkt THEN log2(m_bkt / u_bkt)
+        |               ELSE log2((1.0 - m_bkt) / (1.0 - u_bkt)) END)
+        |           AS w
+        |  FROM pairs CROSS JOIN mu)
+        |SELECT is_match, CAST(floor(w) AS BIGINT) AS w_bucket,
+        |       count(*) AS n_pairs
+        |FROM scored GROUP BY 1, 2
+        |ORDER BY is_match, w_bucket""".stripMargin)
+}

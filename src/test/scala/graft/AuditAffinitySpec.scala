@@ -41,6 +41,33 @@ class AuditAffinitySpec extends SparkTestBase {
       "every discrepancy class must be exercised at this SF")
   }
 
+  test("q199 manifest: per-day xor fingerprint matches a sequential " +
+      "recompute and flips on any single-row change") {
+    val out = Audit.q199PartitionManifest(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value")).collect()
+      .map { r =>
+        val cents = math.round(r.getDouble(4) * 100)
+        val h = graft.functions.Hashing.md5Hash60Value(
+          s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}|" +
+            s"${r.getString(3)}|$cents")
+        (r.getLong(1) / 86400000000L, cents, h)
+      }
+    rows.groupBy(_._1).foreach { case (d, xs) =>
+      val (n, cents, fp) = out(d)
+      assert(n == xs.length.toLong, s"day $d count")
+      assert(cents == xs.map(_._2).sum, s"day $d cents")
+      val expected = xs.map(_._3).foldLeft(0L)(_ ^ _)
+      assert(fp == expected, s"day $d fingerprint")
+      // sensitivity: xor-ing in any extra row hash changes the print
+      assert((expected ^ xs.head._3) != expected)
+    }
+    assert(out.keySet == rows.map(_._1).toSet)
+  }
+
   test("q172 merge state: untouched base users survive, tombstoned " +
       "users vanish, upserts carry the window-latest value") {
     val out = Audit.q172CdcMerge(spark, sf).collect()
