@@ -77,8 +77,14 @@ object Explain {
                          // conversions×touches pair join
     "q182_active_users", // WAU via map-side sequence-explode (≤7× the
                          // deduped user-day table), never a range join
-    "q183_item_neighbors") // support-pruned pair table, per-item window
+    "q183_item_neighbors", // support-pruned pair table, per-item window
                            // over pairs only — never items²
+    "q195_weighted_sssp",  // per-round edges⋈dist + min fold, flat
+                           // recurrence via localCheckpoint
+    "q199_partition_manifest", // one combinable xor/sum/count fold over
+                               // the scan — manifest, no join
+    "q200_linkage_weights") // nation-blocked pair join; m/u one
+                            // conditional aggregate broadcast back
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -98,7 +98,9 @@ object ScaleSmoke {
         "q186_type_affinity", "q187_dod_alerts", "q188_conversion_lag",
         "q189_ltv_curve", "q190_rolling_median", "q191_journey_mining",
         "q192_skyline", "q193_rank_delta", "q194_theil_sen",
-        "q195_weighted_sssp")
+        "q195_weighted_sssp", "q196_temporal_split",
+        "q197_target_encoding", "q198_mutual_information",
+        "q199_partition_manifest", "q200_linkage_weights")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
