@@ -39,31 +39,61 @@ object Affinity {
   /** Top-k pairs reported by q173. */
   private[graft] val TopPairs = 100
 
-  /** q173 — market-basket association rules over lineitem baskets
-    * (basket = order, item = part): for every part pair occurring in
-    * ≥ [[MinSup]] baskets, support, confidence(p1→p2) and lift, top
-    * [[TopPairs]] by lift. Items are deduplicated per basket first
-    * (a part twice in one order counts once), infrequent items pruned
-    * before pairing (downward closure), and pairs oriented p1 < p2 so
-    * each unordered pair appears exactly once. */
-  def q173BasketLift(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+  /** Distinct (basket, item) incidence — one fact scan feeding pair
+    * generation AND the basket count. */
+  private def basketItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
-    val nOrders = Tables.lineitem(spark, dir)
-      .agg(count_distinct(col("l_orderkey")).as("n_orders"))
+
+  /** A-priori support-pruned oriented co-purchase pairs at `minSup`:
+    * (p1, p2, n1, n2, pair_n), p1 < p2 — the pipeline shared by q173
+    * (lift rules) and q183 (cosine neighborhoods): items below
+    * min-support are pruned BEFORE the basket self-join (downward
+    * closure), the freq table broadcast. */
+  private def supportedPairs(spark: SparkSession, dir: String,
+      minSup: Long): DataFrame = {
+    val items = basketItems(spark, dir)
     val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
-      .filter(col("nf") >= MinSup)
-    val frequentItems = items.join(broadcast(freq), Seq("part"))
+      .filter(col("nf") >= minSup)
+    val fi = items.join(broadcast(freq), Seq("part"))
       .select(col("okey"), col("part"), col("nf"))
-    val pairs = frequentItems.alias("a")
-      .join(frequentItems.alias("b"),
+    fi.alias("a")
+      .join(fi.alias("b"),
         col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
       .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
         col("a.nf").as("n1"), col("b.nf").as("n2"))
       .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= MinSup)
-    pairs.crossJoin(broadcast(nOrders))
+      .filter(col("pair_n") >= minSup)
+  }
+
+  /** Shared oracle CTE prefix mirroring [[supportedPairs]]. */
+  private def pairsCte(minSup: Long): String =
+    s"""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      |  FROM lineitem),
+      |freq AS (
+      |  SELECT part, count(*) AS nf FROM items
+      |  GROUP BY part HAVING count(*) >= $minSup),
+      |fi AS (
+      |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
+      |pairs AS (
+      |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
+      |         count(*) AS pair_n
+      |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $minSup)""".stripMargin
+
+  /** q173 — market-basket association rules over lineitem baskets
+    * (basket = order, item = part): for every part pair occurring in
+    * ≥ [[MinSup]] baskets, support, confidence(p1→p2) and lift, top
+    * [[TopPairs]] by lift. Items are deduplicated per basket first
+    * (a part twice in one order counts once); pair generation via
+    * [[supportedPairs]]; the basket count comes from the same
+    * incidence projection — the fact table is scanned once. */
+  def q173BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val nOrders = basketItems(spark, dir)
+      .agg(count_distinct(col("okey")).as("n_orders"))
+    supportedPairs(spark, dir, MinSup).crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("pair_n"), col("n1"), col("n2"),
         round(col("pair_n").cast("double") / col("n_orders"), 6)
           .as("support"),
@@ -134,20 +164,7 @@ object Affinity {
     * ranking on the unrounded value is cross-engine-stable, with
     * (pair_n desc, neighbor) breaking exact ties. */
   def q183ItemNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
-      .filter(col("nf") >= NeighborMinSup)
-    val fi = items.join(broadcast(freq), Seq("part"))
-      .select(col("okey"), col("part"), col("nf"))
-    val pairs = fi.alias("a")
-      .join(fi.alias("b"),
-        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
-        col("a.nf").as("n1"), col("b.nf").as("n2"))
-      .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= NeighborMinSup)
+    val pairs = supportedPairs(spark, dir, NeighborMinSup)
     val sym = pairs.select(col("p1").as("item"), col("p2").as("neighbor"),
         col("n1"), col("n2"), col("pair_n"))
       .unionByName(pairs.select(col("p2").as("item"), col("p1").as("neighbor"),
@@ -226,19 +243,7 @@ object Affinity {
         |JOIN norms n2 ON n2.event_type = t2
         |ORDER BY t1, t2""".stripMargin,
     "q183_item_neighbors" ->
-      s"""WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-        |  FROM lineitem),
-        |freq AS (
-        |  SELECT part, count(*) AS nf FROM items
-        |  GROUP BY part HAVING count(*) >= $NeighborMinSup),
-        |fi AS (
-        |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
-        |pairs AS (
-        |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
-        |         count(*) AS pair_n
-        |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
-        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $NeighborMinSup),
+      s"""${pairsCte(NeighborMinSup)},
         |sym AS (
         |  SELECT p1 AS item, p2 AS neighbor, n1, n2, pair_n FROM pairs
         |  UNION ALL
@@ -256,21 +261,9 @@ object Affinity {
         |FROM ranked WHERE rank <= $TopNeighbors
         |ORDER BY item, rank""".stripMargin,
     "q173_basket_lift" ->
-      s"""WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-        |  FROM lineitem),
+      s"""${pairsCte(MinSup)},
         |n_orders AS (
-        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
-        |freq AS (
-        |  SELECT part, count(*) AS nf FROM items
-        |  GROUP BY part HAVING count(*) >= $MinSup),
-        |fi AS (
-        |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
-        |pairs AS (
-        |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
-        |         count(*) AS pair_n
-        |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
-        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $MinSup)
+        |  SELECT count(DISTINCT okey) AS n_orders FROM items)
         |SELECT p1, p2, pair_n, n1, n2,
         |       round(CAST(pair_n AS DOUBLE)
         |             / (SELECT n_orders FROM n_orders), 6) AS support,

@@ -60,7 +60,7 @@ object Audit {
     * table size; `key_checksum` (exact Σkey) lets two sites compare
     * reports without exchanging key lists. */
   def q171ReplicaAudit(spark: SparkSession, dir: String): DataFrame = {
-    val expected = q172CdcMerge(spark, dir).select(
+    val expected = mergedState(spark, dir).select(
       col("user_id").as("k"), col("cents"))
     val replica = expected
       .filter(col("k") % MissMod =!= 0)
@@ -106,7 +106,14 @@ object Audit {
     * partial-aggregatable: at 100 TB each map task pre-folds its
     * partition to ≤1 row/key before the shuffle, where the window
     * formulation would sort the full changelog. */
-  def q172CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+  def q172CdcMerge(spark: SparkSession, dir: String): DataFrame =
+    mergedState(spark, dir).orderBy("user_id")
+
+  /** Unsorted merge core shared by q172 (which adds the presentation
+    * sort) and q171 (which consumes it three times as a subtree — a
+    * trailing global sort there would be re-evaluated and immediately
+    * destroyed by the joins). */
+  private def mergedState(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.range(0L, BaseUsers)
       .select(col("id").as("user_id"), lit(BaseCents).as("base_cents"))
     val latest = Tables.events(spark, dir)
@@ -125,7 +132,6 @@ object Audit {
         when(col("op") === "U", col("chg_cents"))
           .otherwise(col("base_cents")).as("cents"),
         when(col("op") === "U", "changelog").otherwise("base").as("src"))
-      .orderBy("user_id")
   }
 
   /** Divisor simulating a partial orders ingest for q181: dropping

@@ -154,7 +154,7 @@ object Lifecycle {
       .join(signups, Seq("user_id"))
       .filter(col("us") >= col("s_us"))
       .groupBy("user_id").agg(min(col("us")).as("p_us"),
-        first(col("s_us")).as("s_us"))
+        min(col("s_us")).as("s_us"))
     signups.join(
         firstPurchase.select(col("user_id"),
           least(((col("p_us") - col("s_us")) / 86400000000L).cast("long"),

@@ -82,7 +82,7 @@ object TimeSeries2 {
   def q176MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(expr("cast(round(sum(value) * 100, 0) as bigint)").as("cents"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
     val med = cells.agg(expr("percentile(cents, 0.5d)").as("med"))
     val withDev = cells.crossJoin(broadcast(med))
       .withColumn("adev", abs(col("cents") - col("med")))
@@ -300,7 +300,8 @@ object TimeSeries2 {
     "q176_mad_outliers" ->
       s"""WITH cells AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
-        |         CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
         |  FROM events GROUP BY 1, 2),
         |med AS (SELECT quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
         |        FROM cells),

@@ -53,7 +53,9 @@ class TimeSeries2Spec extends SparkTestBase {
     }
     val cells = rawEvents
       .groupBy(e => (e._3, e._2 / 86400000000L))
-      .map { case (_, xs) => math.round(xs.map(_._4).sum * 100).toDouble }
+      .map { case (_, xs) =>
+        xs.map(e => math.round(e._4 * 100)).sum.toDouble
+      }
       .toSeq
     val med = medianOf(cells)
     val mad = medianOf(cells.map(c => math.abs(c - med)))
