@@ -96,6 +96,21 @@ object FeaturePrep {
     * correctly-rounded division of an exact integer ratio (the q123
     * precedent). */
   def q198MutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val terms = contingency(spark, dir)
+      .select(col("t"), col("dow"), col("n_ij"),
+        log2((col("n_ij") * col("n_all")).cast("double") /
+          (col("n_i") * col("n_j"))).as("pmi_bits"),
+        col("n_all"))
+      .withColumn("term_micro",
+        expr("cast(round(pmi_bits * n_ij / n_all * 1e6, 0) as bigint)"))
+    miReport(terms)
+  }
+
+  /** The (type × weekday) contingency table with marginals and total
+    * joined on — shared by q198 (mutual information) and q201
+    * (chi-square); one combinable fold of the scan, marginals
+    * broadcast back. */
+  private def contingency(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .select(col("event_type").as("t"),
         weekday(to_date(col("ts"))).as("dow"))
@@ -103,16 +118,13 @@ object FeaturePrep {
     val rowM = cells.groupBy("t").agg(sum(col("n_ij")).as("n_i"))
     val colM = cells.groupBy("dow").agg(sum(col("n_ij")).as("n_j"))
     val total = cells.agg(sum(col("n_ij")).as("n_all"))
-    val terms = cells
+    cells
       .join(broadcast(rowM), Seq("t"))
       .join(broadcast(colM), Seq("dow"))
       .crossJoin(broadcast(total))
-      .select(col("t"), col("dow"), col("n_ij"),
-        log2((col("n_ij") * col("n_all")).cast("double") /
-          (col("n_i") * col("n_j"))).as("pmi_bits"),
-        col("n_all"))
-      .withColumn("term_micro",
-        expr("cast(round(pmi_bits * n_ij / n_all * 1e6, 0) as bigint)"))
+  }
+
+  private def miReport(terms: DataFrame): DataFrame = {
     val mi = terms.agg((sum(col("term_micro")).cast("double") / 1e6)
       .as("mi_bits_total"))
     terms.crossJoin(broadcast(mi))
@@ -122,10 +134,39 @@ object FeaturePrep {
       .orderBy("t", "dow")
   }
 
+  /** q201 — chi-square test of independence on the same (type ×
+    * weekday) contingency as q198: per-cell expected counts
+    * e = n_i·n_j/N, standardized residuals (n−e)/√e, and the χ²
+    * statistic with its degrees of freedom — the significance
+    * companion to q198's effect-size view (MI says how MUCH the
+    * margins interact, χ² says whether the interaction clears
+    * sampling noise). Per-cell χ² terms are micro-quantized to exact
+    * BIGINTs before the total (the q198/q169 discipline); dof is
+    * exact integer arithmetic on the distinct margin counts. */
+  def q201ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val terms = contingency(spark, dir)
+      .withColumn("e",
+        (col("n_i") * col("n_j")).cast("double") / col("n_all"))
+      .withColumn("term_micro", expr(
+        "cast(round((n_ij - e) * (n_ij - e) / e * 1e6, 0) as bigint)"))
+    val stat = terms.agg(
+      (sum(col("term_micro")).cast("double") / 1e6).as("chi2_total"),
+      ((count_distinct(col("t")) - 1) *
+        (count_distinct(col("dow")) - 1)).as("dof"))
+    terms.crossJoin(broadcast(stat))
+      .select(col("t"), col("dow"), col("n_ij"),
+        round(col("e"), 6).as("expected"),
+        round((col("n_ij") - col("e")) / sqrt(col("e")), 6)
+          .as("std_residual"),
+        round(col("chi2_total"), 6).as("chi2_total"), col("dof"))
+      .orderBy("t", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_temporal_split" -> (q196TemporalSplit _),
     "q197_target_encoding" -> (q197TargetEncoding _),
-    "q198_mutual_information" -> (q198MutualInformation _))
+    "q198_mutual_information" -> (q198MutualInformation _),
+    "q201_chi_square" -> (q201ChiSquare _))
 
   val oracles: Map[String, String] = Map(
     "q196_temporal_split" ->
@@ -167,6 +208,41 @@ object FeaturePrep {
         |       round(CAST(n AS DOUBLE) / (n + $SmoothM), 6)
         |         AS shrink_weight
         |FROM per_cat ORDER BY category""".stripMargin,
+    "q201_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS t,
+        |         CAST(isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) - 1
+        |              AS INTEGER) AS dow,
+        |         count(*) AS n_ij
+        |  FROM events GROUP BY 1, 2),
+        |row_m AS (SELECT t, CAST(sum(n_ij) AS BIGINT) AS n_i
+        |          FROM cells GROUP BY t),
+        |col_m AS (SELECT dow, CAST(sum(n_ij) AS BIGINT) AS n_j
+        |          FROM cells GROUP BY dow),
+        |total AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_all FROM cells),
+        |terms AS (
+        |  SELECT c.t, c.dow, c.n_ij,
+        |         CAST(r.n_i * m.n_j AS DOUBLE)
+        |           / (SELECT n_all FROM total) AS e
+        |  FROM cells c
+        |  JOIN row_m r ON r.t = c.t
+        |  JOIN col_m m ON m.dow = c.dow),
+        |quant AS (
+        |  SELECT t, dow, n_ij, e,
+        |         CAST(round((n_ij - e) * (n_ij - e) / e * 1e6, 0)
+        |              AS BIGINT) AS term_micro
+        |  FROM terms),
+        |stat AS (
+        |  SELECT CAST(sum(term_micro) AS DOUBLE) / 1e6 AS chi2_total,
+        |         (count(DISTINCT t) - 1) * (count(DISTINCT dow) - 1)
+        |           AS dof
+        |  FROM quant)
+        |SELECT t, dow, n_ij,
+        |       round(e, 6) AS expected,
+        |       round((n_ij - e) / sqrt(e), 6) AS std_residual,
+        |       round((SELECT chi2_total FROM stat), 6) AS chi2_total,
+        |       (SELECT dof FROM stat) AS dof
+        |FROM quant ORDER BY t, dow""".stripMargin,
     "q198_mutual_information" ->
       """WITH cells AS (
         |  SELECT event_type AS t,

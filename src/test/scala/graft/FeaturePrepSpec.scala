@@ -55,6 +55,35 @@ class FeaturePrepSpec extends SparkTestBase {
     }
   }
 
+  test("q201 chi-square: expected counts, residuals, total, and dof " +
+      "match a sequential recompute; residual mass is centered") {
+    val out = FeaturePrep.q201ChiSquare(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.getDayOfWeek
+        .getValue - 1))
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowM = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colM = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = ev.length.toLong
+    var microTotal = 0L
+    out.foreach { case ((t, dow), (nij, e, res, _, dof)) =>
+      assert(cells((t, dow)) == nij)
+      val expectedE = rowM(t).toDouble * colM(dow) / n
+      assert(math.abs(e - expectedE) < 1e-4, s"e ($t,$dow)")
+      assert(math.abs(res - (nij - expectedE) / math.sqrt(expectedE))
+        < 1e-4, s"residual ($t,$dow)")
+      assert(dof == (rowM.size - 1).toLong * (colM.size - 1))
+      microTotal += math.round(
+        (nij - expectedE) * (nij - expectedE) / expectedE * 1e6)
+    }
+    assert(math.abs(out.head._2._4 - microTotal / 1e6) < 1e-4, "chi2")
+    assert(out.head._2._4 >= 0.0)
+  }
+
   test("q198 MI: contingency conservation, PMI cell recompute, and " +
       "the micro-quantized total matches") {
     val out = FeaturePrep.q198MutualInformation(spark, sf).collect()
