@@ -64,11 +64,17 @@ object Bench {
       val ts = runs.flatMap(_.toMap.apply(name))
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal values (0.1ms resolution — below host noise): the
+    // driver's artifact keeps only a tail of this line, so every byte
+    // saved per entry is more queries surviving into BENCH_r{N}.json
+    val qs = results
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.4f")
+      }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout keeps only a tail, which truncated the
     // front of the r2/r3 metric lines (round totals unrecoverable from the

@@ -109,12 +109,19 @@ object FeaturePrep {
   /** The (type × weekday) contingency table with marginals and total
     * joined on — shared by q198 (mutual information) and q201
     * (chi-square); one combinable fold of the scan, marginals
-    * broadcast back. */
-  private def contingency(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.events(spark, dir)
+    * broadcast back. q198 consumes the OBSERVED cells (a zero cell
+    * contributes 0·log = 0 to MI by convention, and its PMI would be
+    * log2(0)); q201 densifies first — see [[q201ChiSquare]]. */
+  private def contingency(spark: SparkSession, dir: String): DataFrame =
+    withMarginals(observedCells(spark, dir))
+
+  private def observedCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("event_type").as("t"),
         weekday(to_date(col("ts"))).as("dow"))
       .groupBy("t", "dow").agg(count(lit(1)).as("n_ij"))
+
+  private def withMarginals(cells: DataFrame): DataFrame = {
     val rowM = cells.groupBy("t").agg(sum(col("n_ij")).as("n_i"))
     val colM = cells.groupBy("dow").agg(sum(col("n_ij")).as("n_j"))
     val total = cells.agg(sum(col("n_ij")).as("n_all"))
@@ -140,11 +147,22 @@ object FeaturePrep {
     * statistic with its degrees of freedom — the significance
     * companion to q198's effect-size view (MI says how MUCH the
     * margins interact, χ² says whether the interaction clears
-    * sampling noise). Per-cell χ² terms are micro-quantized to exact
-    * BIGINTs before the total (the q198/q169 discipline); dof is
-    * exact integer arithmetic on the distinct margin counts. */
+    * sampling noise). Unlike MI, a (t, dow) cell with n_ij = 0 but
+    * expected > 0 DOES contribute ((0−e)²/e = e) to χ², so the
+    * observed cells are densified onto the |types|×|dows| cross
+    * product with zero fill before scoring (ADVICE r8) — marginals
+    * are unchanged by the zero rows. Per-cell χ² terms are
+    * micro-quantized to exact BIGINTs before the total (the
+    * q198/q169 discipline); dof is exact integer arithmetic on the
+    * distinct margin counts. */
   def q201ChiSquare(spark: SparkSession, dir: String): DataFrame = {
-    val terms = contingency(spark, dir)
+    val observed = observedCells(spark, dir)
+    val dense = observed.select("t").distinct()
+      .crossJoin(observed.select("dow").distinct())
+      .join(observed, Seq("t", "dow"), "left")
+      .select(col("t"), col("dow"),
+        coalesce(col("n_ij"), lit(0L)).as("n_ij"))
+    val terms = withMarginals(dense)
       .withColumn("e",
         (col("n_i") * col("n_j")).cast("double") / col("n_all"))
       .withColumn("term_micro", expr(
@@ -209,12 +227,18 @@ object FeaturePrep {
         |         AS shrink_weight
         |FROM per_cat ORDER BY category""".stripMargin,
     "q201_chi_square" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT event_type AS t,
         |         CAST(isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) - 1
         |              AS INTEGER) AS dow,
         |         count(*) AS n_ij
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT tt.t, dd.dow,
+        |         CAST(COALESCE(o.n_ij, 0) AS BIGINT) AS n_ij
+        |  FROM (SELECT DISTINCT t FROM obs) tt
+        |  CROSS JOIN (SELECT DISTINCT dow FROM obs) dd
+        |  LEFT JOIN obs o ON o.t = tt.t AND o.dow = dd.dow),
         |row_m AS (SELECT t, CAST(sum(n_ij) AS BIGINT) AS n_i
         |          FROM cells GROUP BY t),
         |col_m AS (SELECT dow, CAST(sum(n_ij) AS BIGINT) AS n_j

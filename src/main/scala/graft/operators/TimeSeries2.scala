@@ -87,8 +87,11 @@ object TimeSeries2 {
     val withDev = cells.crossJoin(broadcast(med))
       .withColumn("adev", abs(col("cents") - col("med")))
     val mad = withDev.agg(expr("percentile(adev, 0.5d)").as("mad"))
+    // MAD = 0 (over half the cells at the median) would make the score
+    // division NULL here but ±Inf in IEEE engines — out of contract,
+    // guarded identically in the oracle (ADVICE r8)
     withDev.crossJoin(broadcast(mad))
-      .filter(col("adev") > col("mad") * Kmad)
+      .filter(col("mad") > 0 && col("adev") > col("mad") * Kmad)
       .select(col("user_id"), col("d"), col("cents"),
         round(col("med"), 1).as("median_cents"),
         round(col("mad"), 1).as("mad_cents"),
@@ -144,6 +147,11 @@ object TimeSeries2 {
       .withColumn("denn", (col("k") * col("snn") - col("sn") * col("sn"))
         .cast("double"))
       .withColumn("slope", col("num") / col("dend"))
+      // a 1-day series (dend = 0) or constant counts (denn = 0) have no
+      // defined slope/r2 — NULL here vs NaN/Inf in IEEE engines, so both
+      // are filtered out of contract, mirrored in the oracle (ADVICE r8);
+      // dend > 0 is implied by k >= 2 (day indexes are distinct)
+      .filter(col("k") >= 2 && col("denn") =!= 0.0)
       .select(col("event_type"), col("k").as("n_days"),
         round(col("slope"), 6).as("slope"),
         round((col("sn").cast("double") - col("slope") * col("sd")) /
@@ -316,7 +324,8 @@ object TimeSeries2 {
         |       round((cents - (SELECT med FROM med))
         |             / (SELECT mad FROM mad), 6) AS score
         |FROM dev
-        |WHERE adev > $Kmad * (SELECT mad FROM mad)
+        |WHERE (SELECT mad FROM mad) > 0
+        |  AND adev > $Kmad * (SELECT mad FROM mad)
         |ORDER BY score DESC, user_id, d
         |LIMIT $TopOutliers""".stripMargin,
     "q177_dow_seasonality" ->
@@ -370,5 +379,7 @@ object TimeSeries2 {
         |       round((CAST(sn AS DOUBLE) - (num / dend) * sd) / k, 6)
         |         AS intercept,
         |       round((num * num) / (dend * denn), 6) AS r2
-        |FROM fitted ORDER BY event_type""".stripMargin)
+        |FROM fitted
+        |WHERE k >= 2 AND denn <> 0
+        |ORDER BY event_type""".stripMargin)
 }
