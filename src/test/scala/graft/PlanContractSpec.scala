@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Expression, In, IsNotNull}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, FilterExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, ProjectExec, RangeExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.datasources.GraftFilterTranslator
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+/** The ENFORCED physical-plan contract over every registered query
+  * (VERDICT r08 #1): `docs/PLANS.md` hand-audits the plans, and an
+  * r03-era spec pinned q35 only — this spec generalizes that check so
+  * a future edit that silently regresses a join strategy (a data×data
+  * cartesian, a nested-loop pair scan, a simple scan predicate that
+  * stops translating into the reader) fails ONE NAMED TEST instead of
+  * waiting for a bench diff. It is the `Tables.eventsDecoder` lesson
+  * (turn silent misbehavior into one loud failure) applied to plans.
+  *
+  * The contract is checked on `queryExecution.sparkPlan` — the
+  * selected physical plan BEFORE exchange insertion and adaptive
+  * wrapping, so the tree is fully traversable (the AQE wrapper is a
+  * leaf node that would hide everything) and join-strategy choices
+  * are exactly what the planner committed to. Scalar-subquery INNER
+  * plans are not yet physical at this stage and are outside the
+  * automated walk (they are no-grouping aggregates by construction;
+  * `docs/PLANS.md` covers them).
+  *
+  * Rules:
+  *  1. `CartesianProductExec` never appears — no exceptions. (Even
+  *     the deliberate small-dims cross join q16 must broadcast one
+  *     side.)
+  *  2. `BroadcastNestedLoopJoinExec` is allowed ONLY when the build
+  *     side provably stays tiny — a no-grouping aggregate, a
+  *     LIMIT/local relation/Range of ≤ [[PlanContract.SmallBuild]]
+  *     rows, or a broadcast-join of such — reached through
+  *     row-preserving operators ([[PlanContract.tinyBuild]]); OR the
+  *     query is in [[PlanContract.BnljAllow]], where each entry
+  *     documents WHY its build is bounded by something the planner
+  *     cannot see (a unique-key equality, a fixed sampling rate, a
+  *     k-bounded model table, an enum-keyed sketch table).
+  *  3. Every parquet data filter with a PUSHABLE SHAPE — a bare
+  *     attribute of atomic type compared to a literal, an IN over
+  *     literals, or IsNotNull of an attribute — must actually
+  *     translate into a reader predicate. Computed-expression guards
+  *     (`isnotnull(md5(text))`, size-of-split bounds) are legitimately
+  *     untranslatable and ignored; but a simple predicate that stops
+  *     translating means every row group is read only to drop rows
+  *     post-materialization — exactly the 100 TB regression this
+  *     audit exists to catch.
+  */
+object PlanContract {
+
+  /** LIMIT/Range/local-relation sizes at or under this bound count as
+    * a tiny build side. */
+  val SmallBuild = 1000
+
+  /** Queries whose BNLJ build side is bounded by construction in a
+    * way the planner cannot prove — each entry documents the bound.
+    * An entry here still forbids cartesians and unpushed simple
+    * predicates; it only licenses the named query's nested-loop
+    * broadcast. */
+  val BnljAllow: Map[String, String] = Map(
+    // deliberate dimension cross join: build = region scan (5 rows)
+    "q16_cross_join" -> "region dimension scan, 5 rows",
+    // single query vector selected by unique-key equality vec_id = 0
+    "q120_hybrid_rrf" -> "one query vector (vec_id = 0)",
+    "q133_cell_serving" -> "one query vector (vec_id = 0)",
+    // fixed-rate query batch: vec_id % 100 = 0 (1% of the table)
+    "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
+    "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
+    // cached k-bounded centroid/codebook tables (k IVF lists / PQ
+    // codewords per subspace — model-size, not data-size)
+    "q52_ann_ivf_topk" -> "cached centroid table, k rows",
+    "q148_ann_incremental" -> "cached centroid table, k rows",
+    "q114_ann_ivfpq" -> "cached centroid + codebook tables",
+    "q107_semantic_dedup" -> "cached centroid table, k rows",
+    // per-event-type HLL sketch table: enum-keyed, ≤ |types| rows
+    "q153_hll_intersect" -> "per-type sketch table, enum-keyed",
+    // dense-grid spines: build = distinct over an enum-sized key
+    "q175_gap_fill" -> "hourly spine × distinct event types",
+    "q201_chi_square" -> "types × weekdays zero-fill distincts")
+
+  /** True when `p` provably emits at most ~[[SmallBuild]] rows, by
+    * structural descent through row-preserving operators. */
+  def tinyBuild(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || tinyBuild(a.child)
+    case g: GlobalLimitExec    => g.limit <= SmallBuild
+    case c: CollectLimitExec   => c.limit <= SmallBuild
+    case l: LocalLimitExec     => l.limit <= SmallBuild || tinyBuild(l.child)
+    case l: LocalTableScanExec => l.rows.size <= SmallBuild
+    case r: RangeExec          => r.numElements <= BigInt(SmallBuild)
+    case p: ProjectExec        => tinyBuild(p.child)
+    case f: FilterExec         => tinyBuild(f.child)
+    case s: SortExec           => tinyBuild(s.child)
+    // a broadcast join of two tiny sides is at most their product —
+    // the nested-scalar crossJoin chain (q147's shape)
+    case j: BroadcastNestedLoopJoinExec =>
+      tinyBuild(j.left) && tinyBuild(j.right)
+    case j: BroadcastHashJoinExec =>
+      tinyBuild(j.left) && tinyBuild(j.right)
+    case other => other.children match {
+      // descend through single-child wrappers that preserve row count
+      // (exchanges, reuse, codegen adaptors); Generate/Union/Expand
+      // can grow row counts and fall through to false
+      case Seq(only) if other.nodeName.contains("Exchange") ||
+        other.nodeName.contains("Subquery") ||
+        other.nodeName.contains("InputAdapter") ||
+        other.nodeName.contains("WholeStageCodegen") => tinyBuild(only)
+      case _ => false
+    }
+  }
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  /** A predicate shape the parquet source CAN push: bare atomic
+    * attribute vs literal (or IsNotNull / IN-literals on one). */
+  def pushableShape(e: Expression): Boolean = e match {
+    case IsNotNull(a: AttributeReference) => atomic(a.dataType)
+    case b: BinaryComparison => (b.left, b.right) match {
+      case (a: AttributeReference, l) => atomic(a.dataType) && l.foldable
+      case (l, a: AttributeReference) => atomic(a.dataType) && l.foldable
+      case _ => false
+    }
+    case In(a: AttributeReference, vs) =>
+      atomic(a.dataType) && vs.forall(_.foldable)
+    case _ => false
+  }
+
+  /** All plan-contract violations for one query's physical plan. */
+  def violations(name: String, df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.sparkPlan
+    val carts = plan.collect { case c: CartesianProductExec => c }
+      .map(_ => s"$name: CartesianProduct in physical plan")
+    val bnlj = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.flatMap { j =>
+      val build = j.buildSide match {
+        case BuildLeft  => j.left
+        case BuildRight => j.right
+      }
+      if (tinyBuild(build)) None
+      else if (BnljAllow.contains(name)) {
+        usedGrants.add(name); None
+      } else Some(
+        s"$name: BroadcastNestedLoopJoin with unbounded build " +
+          s"side (${build.nodeName}); not provably tiny, not allow-listed")
+    }
+    carts ++ bnlj ++ unpushedScans(name, plan)
+  }
+
+  /** Allow-list entries actually exercised during a sweep — lets the
+    * spec flag grants that are no longer needed. Plan shapes depend on
+    * session cache state (a cached codebook shows as
+    * InMemoryTableScan, an uncached one as a provably-tiny aggregate),
+    * so staleness is only meaningful across the SAME sweep that
+    * checked the violations. */
+  val usedGrants = scala.collection.mutable.Set.empty[String]
+
+  /** Pushable-shaped scan predicates that failed source translation. */
+  def unpushedScans(name: String, plan: SparkPlan): Seq[String] =
+    plan.collect { case s: FileSourceScanExec =>
+      s.dataFilters.filter(pushableShape).filter { f =>
+        GraftFilterTranslator.translate(f).isEmpty
+      }.map { f =>
+        s"$name: pushable-shaped predicate did not translate into the " +
+          s"parquet reader: $f"
+      }
+    }.flatten
+}
+
+class PlanContractSpec extends SparkTestBase {
+
+  test("all registered queries satisfy the physical-plan contract " +
+      "(no cartesian, no unbounded nested-loop join, simple predicates " +
+      "pushed)") {
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failures = all.flatMap { case (name, fn) =>
+      try PlanContract.violations(name, fn(spark, sf))
+      catch { case e: Throwable =>
+        Seq(s"$name: plan construction failed: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} plan-contract violations:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("every BnljAllow entry was exercised by the sweep (no stale " +
+      "grants)") {
+    // only meaningful right after the full-sweep test above (plan
+    // shapes depend on the session cache state it established)
+    assume(PlanContract.usedGrants.nonEmpty, "full sweep did not run")
+    val stale = PlanContract.BnljAllow.keySet -- PlanContract.usedGrants
+    assert(stale.isEmpty,
+      s"allow-list entries no longer needed (tighten the contract): " +
+        s"${stale.mkString(", ")}")
+  }
+
+  test("the contract goes red on a deliberately induced cartesian " +
+      "(checker is live, not vacuous)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // force a genuine CartesianProductExec: cross join with broadcast
+    // disabled so the planner cannot fall back to a BNLJ
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val bad = docs.crossJoin(docs.select(col("doc_id").as("d2")))
+      val v = PlanContract.violations("induced", bad)
+      assert(v.exists(_.contains("CartesianProduct")),
+        s"checker missed an induced cartesian; got: $v")
+    }
+  }
+
+  test("the contract goes red on a data×data nested-loop join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bad = docs.crossJoin(
+      broadcast(docs.select(col("doc_id").as("d2"))))
+    val v = PlanContract.violations("induced_bnlj", bad)
+    assert(v.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"checker missed a fact-build nested loop; got: $v")
+  }
+
+  test("the contract goes red on a simple predicate that cannot " +
+      "translate into the reader") {
+    import org.apache.spark.sql.catalyst.expressions.{Add, EqualTo, Literal}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val healthy = emb.filter(col("vec_id") === 17L)
+      .queryExecution.sparkPlan
+    // sanity in both directions on the real plan first
+    assert(PlanContract.unpushedScans("healthy", healthy).isEmpty,
+      "a translating predicate must not be flagged")
+    val scan = healthy.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val attr = scan.output.find(_.name == "vec_id").get
+    // pushable SHAPE (bare atomic attribute vs foldable expression)
+    // that the source translator rejects (it requires a bare Literal)
+    // — the seam every real translation failure goes through
+    val crafted = scan.copy(dataFilters =
+      Seq(EqualTo(attr, Add(Literal(1L), Literal(16L)))))
+    val reported = PlanContract.unpushedScans("induced_unpushed", crafted)
+    assert(reported.exists(_.contains("did not translate")),
+      s"checker missed an untranslated pushable predicate; got: $reported")
+  }
+
+  test("scalar broadcast crossJoins stay allowed (tinyBuild proof)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val scalar = docs.agg(count(lit(1)).as("n"))
+    val ok = docs.crossJoin(broadcast(scalar))
+    assert(PlanContract.violations("scalar_cross", ok).isEmpty)
+  }
+
+  private def withSqlConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
