@@ -19,18 +19,27 @@ import graft.sources.Tables
   * Fixture: a deterministically perturbed copy of customer
   * (segment / balance-bucket / nation flipped for key-arithmetic
   * subsets — a record can carry several perturbations), candidate
-  * pairs blocked on nationkey — which is itself perturbed for some
-  * records, so blocking honestly MISSES those true matches, exactly
-  * like production blocking does.
+  * pairs MULTI-PASS blocked (VERDICT r08 #2): pass 1 on
+  * (nation, balance-bucket), pass 2 on (nation, segment), union'd and
+  * deduped on the pair key. A record pair is a candidate iff it
+  * agrees on nation AND at least one of the two compared fields —
+  * the standard production mitigation for single-key blocking, whose
+  * per-block pair mass grows (N/|blocks|)² in the dimension.
+  * Blocking is honest about recall: a true match whose nation is
+  * perturbed, or with BOTH bkt and seg perturbed (k divisible by
+  * 7·11), is MISSED by every pass — exactly like production blocking.
   *
-  * Scale shape: pairs are generated per nation block (dimension-keyed
-  * shuffle; block sizes are the classic ER cost knob and the
-  * documented production variant is multi-pass finer blocking);
-  * m/u are ONE conditional aggregate over the labeled pairs (exact
-  * integer ratios, broadcast back); each pair's score is a single
-  * fixed 3-term expression — no fold across a variable-length field
-  * set — so the double is bit-identical cross-engine. Output is a
-  * (score-bucket × label) histogram: audit-sized at any scale. */
+  * Scale shape: each pass is a dimension-keyed equi-join on a
+  * compound key, so per-block pair mass is bounded by the FINER
+  * (nat, field) block sizes — growing the customer dimension 10×
+  * grows candidates ~10× per pass (same-block density is diluted by
+  * the finer key), not 100× as nat-only blocking would; the union
+  * dedup is one shuffle on the pair key. m/u are ONE conditional
+  * aggregate over the labeled pairs (exact integer ratios, broadcast
+  * back); each pair's score is a single fixed 3-term expression — no
+  * fold across a variable-length field set — so the double is
+  * bit-identical cross-engine. Output is a (score-bucket × label)
+  * histogram: audit-sized at any scale. */
 object Linkage {
 
   private[graft] val SegMod = 7L
@@ -51,11 +60,19 @@ object Linkage {
         .otherwise(col("seg")).as("seg"),
       when(col("k") % BucketMod === 0, col("bkt") + 1)
         .otherwise(col("bkt")).as("bkt"))
-    val pairs = base.alias("a")
-      .join(alt.alias("b"), col("a.nat") === col("b.nat"))
-      .select((col("a.k") === col("b.k")).as("is_match"),
+    // multi-pass blocking: each pass joins on a FINER compound key;
+    // a pair agreeing on both fields appears in both passes, so the
+    // union dedups on the pair key (rows for the same pair carry
+    // identical flags — the dedup pick is deterministic)
+    def pass(key: String): DataFrame = base.alias("a")
+      .join(alt.alias("b"),
+        col("a.nat") === col("b.nat") && col(s"a.$key") === col(s"b.$key"))
+      .select(col("a.k").as("ak"), col("b.k").as("bk"),
+        (col("a.k") === col("b.k")).as("is_match"),
         (col("a.seg") === col("b.seg")).as("ag_seg"),
         (col("a.bkt") === col("b.bkt")).as("ag_bkt"))
+    val pairs = pass("bkt").unionByName(pass("seg"))
+      .dropDuplicates("ak", "bk")
     // m/u as exact integer ratios; add-one smoothing keeps every
     // log argument finite (a field that always agrees on matches
     // would otherwise give m = 1 and an infinite disagreement weight)
@@ -87,6 +104,10 @@ object Linkage {
 
   val oracles: Map[String, String] = Map(
     "q200_linkage_weights" ->
+      // the union-of-passes with pair-key dedup is semantically one
+      // join on nat with (bkt OR seg) agreement — the oracle states
+      // the SEMANTICS; the Spark side keeps the per-pass equi-join
+      // formulation that scales
       s"""WITH base AS (
         |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
         |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt
@@ -104,7 +125,8 @@ object Linkage {
         |  SELECT a.k = b.k AS is_match,
         |         a.seg = b.seg AS ag_seg,
         |         a.bkt = b.bkt AS ag_bkt
-        |  FROM base a JOIN alt b ON a.nat = b.nat),
+        |  FROM base a JOIN alt b
+        |    ON a.nat = b.nat AND (a.bkt = b.bkt OR a.seg = b.seg)),
         |mu AS (
         |  SELECT
         |    CAST(count(*) FILTER (WHERE is_match AND ag_seg) + 1 AS DOUBLE)

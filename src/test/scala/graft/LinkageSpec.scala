@@ -24,8 +24,11 @@ class LinkageSpec extends SparkTestBase {
         if (k % Linkage.SegMod == 0) "PERTURBED" else seg,
         if (k % Linkage.BucketMod == 0) bkt + 1 else bkt)
     }
+    // multi-pass blocking semantics: nation agrees AND at least one of
+    // (balance bucket, segment) agrees — the union-of-passes dedup
     val pairs = for {
-      a <- base; b <- alt if a._2 == b._2
+      a <- base; b <- alt
+      if a._2 == b._2 && (a._4 == b._4 || a._3 == b._3)
     } yield (a._1 == b._1, a._3 == b._3, a._4 == b._4)
     def rate(sel: ((Boolean, Boolean, Boolean)) => Boolean,
         label: ((Boolean, Boolean, Boolean)) => Boolean): Double = {
