@@ -25,7 +25,7 @@ object Dedup {
 
   /** Distinct word-3-gram shingles for an arbitrary document frame
     * (must carry doc_id + text). */
-  private def shingleRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("shingle", explode(expr(
@@ -361,8 +361,22 @@ object Dedup {
     * be unsound here is the point of the operator); the PPJoin-style
     * bound that IS sound at scale prefixes on the smaller doc's rarest
     * shingles (q106's table), documented as the 100 TB path. */
-  def q158ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  def q158ContainmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(shingles(spark, dir))
+      .select(col("id1"), col("id2"), col("n_inter"), col("sz1"), col("sz2"),
+        round(col("n_inter").cast("double") / least(col("sz1"), col("sz2")), 6)
+          .as("containment"),
+        round(col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")), 6).as("jaccard"),
+        when(col("sz2") < col("sz1"), col("id2")).otherwise(col("id1"))
+          .as("contained_id"))
+      .orderBy("id1", "id2")
+
+  /** The containment kernel shared by q158 (full corpus) and q202
+    * (exact-dedup survivors): shingle-key intersection join, pair rows
+    * (id1 < id2) with intersection and both set sizes, kept where
+    * max-direction containment ≥ 0.9 (exact integer compare). */
+  private[graft] def containmentPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.join(broadcast(sizes), Seq("doc_id"))
       .select(col("doc_id").as("id1"), col("shingle"), col("sz").as("sz1"))
@@ -374,19 +388,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"),
         first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
       .filter(lit(10) * col("n_inter") >= lit(9) * least(col("sz1"), col("sz2")))
+  }
+
+  /** q202 — the PRODUCTION containment-dedup order (VERDICT r08 #6):
+    * exact dedup (q31) FIRST, containment (q158) over the unique
+    * survivors only. q158's scale caveat is that a mass-duplicate
+    * corpus pays bucket² in the shingle join — every exact-twin pair
+    * is also a containment pair, so the pair table is output-bound by
+    * the twin count. Removing exact twins first collapses each twin
+    * group to its canonical doc, so the containment join only ever
+    * sees one representative per distinct text; the twin blow-up is
+    * structurally impossible, not just unlikely (the spec proves the
+    * pair-count gap on a constructed twins corpus). Output carries
+    * each side's exact-group size so the collapsed mass stays
+    * auditable. */
+  def q202ContainmentPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = q31DedupExact(spark, dir)
+      .filter(!col("is_duplicate"))
+      .select(col("doc_id"), col("group_size").as("n_exact"))
+    val sh = shingles(spark, dir)
+      .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+    containmentPairs(sh)
+      .join(broadcast(survivors.select(col("doc_id").as("id1"),
+        col("n_exact").as("n_exact1"))), Seq("id1"))
+      .join(broadcast(survivors.select(col("doc_id").as("id2"),
+        col("n_exact").as("n_exact2"))), Seq("id2"))
       .select(col("id1"), col("id2"), col("n_inter"), col("sz1"), col("sz2"),
         round(col("n_inter").cast("double") / least(col("sz1"), col("sz2")), 6)
           .as("containment"),
-        round(col("n_inter").cast("double") /
-          (col("sz1") + col("sz2") - col("n_inter")), 6).as("jaccard"),
-        when(col("sz2") < col("sz1"), col("id2")).otherwise(col("id1"))
-          .as("contained_id"))
+        col("n_exact1"), col("n_exact2"))
       .orderBy("id1", "id2")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31DedupExact _),
     "q158_containment_dedup" -> (q158ContainmentDedup _),
+    "q202_containment_pipeline" -> (q202ContainmentPipeline _),
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
@@ -406,6 +443,32 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q202_containment_pipeline" ->
+      s"""WITH $shinglesCte,
+         |docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id, count(*) AS n_exact
+         |  FROM docs GROUP BY h),
+         |ssh AS (
+         |  SELECT s.doc_id, s.shingle
+         |  FROM shingles s JOIN surv v ON v.doc_id = s.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM ssh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM ssh a JOIN ssh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_inter, z1.sz AS sz1, z2.sz AS sz2,
+         |       round(CAST(n_inter AS DOUBLE) / least(z1.sz, z2.sz), 6)
+         |         AS containment,
+         |       v1.n_exact AS n_exact1, v2.n_exact AS n_exact2
+         |FROM inter
+         |JOIN sizes z1 ON z1.doc_id = id1
+         |JOIN sizes z2 ON z2.doc_id = id2
+         |JOIN surv v1 ON v1.doc_id = id1
+         |JOIN surv v2 ON v2.doc_id = id2
+         |WHERE 10 * n_inter >= 9 * least(z1.sz, z2.sz)
+         |ORDER BY id1, id2""".stripMargin,
     "q158_containment_dedup" ->
       s"""WITH $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
