@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
   private val SrcDir = "/root/testdata/sf0.1"
   private val OutDir = "/tmp/graft_sfx1"
+  private val DimDir = "/tmp/graft_sfdim"
   private val Copies = 10
 
-  private def replicate(spark: SparkSession, table: String, keyCols: Seq[String],
-      offset: Long): DataFrame = {
+  private def replicate(spark: SparkSession, table: String,
+      keyOffsets: Seq[(String, Long)]): DataFrame = {
     val base = spark.read.parquet(s"$SrcDir/$table.parquet")
+    val offs = keyOffsets.toMap
     base.crossJoin(
         spark.range(Copies).select(col("id").as("__copy")))
       .select(base.columns.map { c =>
-        if (keyCols.contains(c)) (col(c) + col("__copy") * offset).as(c)
-        else col(c)
+        offs.get(c) match {
+          case Some(off) => (col(c) + col("__copy") * off).as(c)
+          case None      => col(c)
+        }
       }: _*)
   }
 
@@ -33,13 +37,13 @@ object ScaleSmoke {
     // facts scale 10x with shifted keys; dims stay (same selectivity
     // shape as a bigger SF: more facts per dim row)
     Seq(
-      ("lineitem", Seq("l_orderkey"), 100000000L),
-      ("orders", Seq("o_orderkey"), 100000000L),
-      ("events", Seq("event_id"), 100000000L),
-      ("documents", Seq("doc_id"), 10000000L),
-      ("embeddings", Seq("vec_id"), 10000000L)
-    ).foreach { case (t, keys, off) =>
-      replicate(spark, t, keys, off)
+      ("lineitem", Seq("l_orderkey" -> 100000000L)),
+      ("orders", Seq("o_orderkey" -> 100000000L)),
+      ("events", Seq("event_id" -> 100000000L)),
+      ("documents", Seq("doc_id" -> 10000000L)),
+      ("embeddings", Seq("vec_id" -> 10000000L))
+    ).foreach { case (t, keys) =>
+      replicate(spark, t, keys)
         .write.mode("overwrite").parquet(s"$OutDir/$t.parquet")
     }
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -49,11 +53,93 @@ object ScaleSmoke {
     println(s"[scale] built $OutDir")
   }
 
+  /** Dim-growth dataset (VERDICT r08 #4): pseudo-sf1 grows facts but
+    * keeps dims/users constant, so customer-/part-quadratic effects
+    * are structurally unmeasured there. This build grows CUSTOMER and
+    * PART 10x (key-shifted copies), and re-keys the fact copies so
+    * copy i references dim copy i — fact-per-dim density stays
+    * constant, the dimension tables themselves grow, which is exactly
+    * the axis that stresses dimension-blocked pair generation (q200,
+    * q79), dimension-wide windows/sorts (q185, q192, q184), and
+    * fact-pair profiles keyed by dimension (q183, q193). */
+  def buildDim(spark: SparkSession): Unit = {
+    val cOff = 10000000L; val pOff = 10000000L; val oOff = 100000000L
+    Seq(
+      ("part", Seq("p_partkey" -> pOff)),
+      ("orders", Seq("o_orderkey" -> oOff, "o_custkey" -> cOff)),
+      ("lineitem", Seq("l_orderkey" -> oOff, "l_partkey" -> pOff))
+    ).foreach { case (t, keys) =>
+      replicate(spark, t, keys)
+        .write.mode("overwrite").parquet(s"$DimDir/$t.parquet")
+    }
+    // customer copies are NEW IDENTITIES, not clones: the key shifts
+    // AND the name gets a per-copy suffix (a clone corpus is the
+    // q158/q202 twins harness; dimension growth means new people with
+    // new names but the same low-cardinality nat/seg/bucket attrs —
+    // exactly the axis that breaks attribute blocking while
+    // name-keyed blocking keeps block sizes constant)
+    replicate(spark, "customer", Seq("c_custkey" -> cOff))
+      .withColumn("__copy", expr(s"c_custkey div $cOff"))
+      .withColumn("c_name",
+        when(col("__copy") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("~"), col("__copy"))))
+      .drop("__copy")
+      .write.mode("overwrite").parquet(s"$DimDir/customer.parquet")
+    Seq("region", "nation", "supplier", "events", "documents",
+      "embeddings").foreach { t =>
+      spark.read.parquet(s"$SrcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$DimDir/$t.parquet")
+    }
+    println(s"[scale] built $DimDir")
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val only = args.drop(1).toSet
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "dimbuild") buildDim(spark)
+    if (mode == "dimrun") {
+      // the queries whose cost is keyed to customer/part dimension
+      // size — the axis pseudo-sf1 cannot stress
+      val dimQueries = Seq("q200_linkage_weights", "q203_linkage_retrieval",
+        "q79_fuzzy_match",
+        "q183_item_neighbors", "q184_rfm_segments", "q185_pareto_deciles",
+        "q192_skyline", "q193_rank_delta")
+        .filter(n => only.isEmpty || only(n))
+      dimQueries.foreach { n =>
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+      dimQueries.foreach { name =>
+        Seq(SrcDir -> "sf0.1", DimDir -> "sfdim").foreach {
+          case (dir, label) =>
+            graft.sources.DfCache.clear(spark)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              println(f"[scale] $name $label: $dt%.2f s")
+            } catch { case e: Throwable =>
+              println(s"[scale] $name $label FAILED: ${e.getMessage}")
+            }
+        }
+      }
+      // the verdict's q200 metric: candidate-pair MASS under dimension
+      // growth (blocking quality, not just wall-clock) — attribute
+      // blocking (fixed key cardinality) vs q203's name-prefix
+      // retrieval blocking (cardinality grows with the dimension)
+      Seq(SrcDir -> "sf0.1", DimDir -> "sfdim").foreach { case (dir, label) =>
+        graft.sources.DfCache.clear(spark)
+        val n = operators.Linkage.candidatePairs(spark, dir).count()
+        val r = operators.Linkage.retrievedPairs(spark, dir).count()
+        val c = spark.read.parquet(s"$dir/customer.parquet").count()
+        println(s"[scale] q200_candidate_pairs $label: $n pairs over $c customers")
+        println(s"[scale] q203_retrieved_pairs $label: $r pairs over $c customers")
+      }
+    }
     if (mode == "build" || mode == "all") build(spark)
     if (mode == "run" || mode == "all") {
       // lsh_topk is measured DIRECTLY (Similarity.lshTopK), not via the

@@ -77,7 +77,15 @@ object Graph2 {
     val withSeed = nodes.withColumn("s",
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
     var r = withSeed.withColumn("r", col("s"))
-    for (_ <- 1 to PprIterations) {
+    // q138's convergence gate (VERDICT r08 #8): at ConvergenceEps =
+    // 1e-12 the early exit fires only on a bit-exact fixed point, so
+    // the skipped rounds are no-ops and the oracle's full unroll still
+    // matches; the flag tells a fixed point from a budget stop. The L1
+    // delta is a 1-row job over the two checkpointed rounds (the
+    // scalar-per-round discipline).
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < PprIterations && delta >= Graph.ConvergenceEps) {
       val withDeg = r.join(outdeg, Seq("node"), "left")
       val dang = withDeg.filter(col("d").isNull)
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
@@ -86,7 +94,7 @@ object Graph2 {
           .select(col("node").as("src"), col("r"), col("d")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("d")).as("c"))
-      r = withSeed.join(contribs, Seq("node"), "left")
+      val next = withSeed.join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("is_seed"), col("s"),
           (lit(1.0 - Damping) * col("s") +
@@ -94,8 +102,15 @@ object Graph2 {
               (coalesce(col("c"), lit(0.0)) + col("dm") * col("s")))
             .as("r"))
         .localCheckpoint()
+      delta = next.join(r.select(col("node"), col("r").as("r_prev")),
+          Seq("node"))
+        .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
+        .collect()(0).getDouble(0)
+      r = next
+      it += 1
     }
-    r.select(col("node"), col("is_seed"), round(col("r"), 8).as("ppr"))
+    r.select(col("node"), col("is_seed"), round(col("r"), 8).as("ppr"),
+        lit(delta < Graph.ConvergenceEps).as("converged"))
       .filter(col("ppr") > 0)
       .orderBy(desc("ppr"), asc("node"))
       .limit(TopK)
@@ -129,7 +144,13 @@ object Graph2 {
         .repartition(col("node")))
     var h = hubs0.withColumn("h", lit(1.0))
     var a: DataFrame = null
-    for (_ <- 1 to HitsIterations) {
+    // same convergence gate as q143/q138: the L1 delta of the
+    // normalized hub vector between sweeps — at 1e-12 an early exit
+    // means the singular vectors are bit-stable and remaining sweeps
+    // are no-ops, so the oracle's full unroll still matches
+    var delta = Double.MaxValue
+    var it = 0
+    while (it < HitsIterations && delta >= Graph.ConvergenceEps) {
       val araw = edges.join(h.select(col("node").as("src"), col("h")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -143,15 +164,22 @@ object Graph2 {
         .groupBy(col("src").as("node"))
         .agg(sum(col("a")).as("h"))
       val hnorm = hraw.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
-      h = hraw.crossJoin(broadcast(hnorm))
+      val hnext = hraw.crossJoin(broadcast(hnorm))
         .select(col("node"), (col("h") / col("nrm")).as("h"))
         .localCheckpoint()
+      delta = hnext.join(h.select(col("node"), col("h").as("h_prev")),
+          Seq("node"))
+        .agg(coalesce(sum(abs(col("h") - col("h_prev"))), lit(0.0)))
+        .collect()(0).getDouble(0)
+      h = hnext
+      it += 1
     }
+    val conv = lit(delta < Graph.ConvergenceEps).as("converged")
     val topA = a.select(lit("authority").as("kind"), col("node"),
-        round(col("a"), 8).as("score"))
+        round(col("a"), 8).as("score"), conv)
       .orderBy(desc("score"), asc("node")).limit(HitsTopK)
     val topH = h.select(lit("hub").as("kind"), col("node"),
-        round(col("h"), 8).as("score"))
+        round(col("h"), 8).as("score"), conv)
       .orderBy(desc("score"), asc("node")).limit(HitsTopK)
     topA.unionAll(topH).orderBy(asc("kind"), desc("score"), asc("node"))
   }
@@ -358,7 +386,10 @@ object Graph2 {
          |  FROM sv LEFT JOIN contrib$i c USING (node))""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$base$iters
-       |SELECT node, is_seed, round(r, 8) AS ppr
+       |SELECT node, is_seed, round(r, 8) AS ppr,
+       |       (SELECT sum(abs(a.r - b.r)) < ${Graph.ConvergenceEps}
+       |        FROM r$PprIterations a
+       |        JOIN r${PprIterations - 1} b USING (node)) AS converged
        |FROM r$PprIterations
        |WHERE round(r, 8) > 0
        |ORDER BY ppr DESC, node LIMIT $TopK""".stripMargin
@@ -390,8 +421,13 @@ object Graph2 {
          |  SELECT node, h / (SELECT sqrt(sum(h * h)) FROM hraw$i) AS h
          |  FROM hraw$i)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"""$base$iters
-       |SELECT kind, node, score FROM (
+    s"""$base$iters,
+       |conv AS (
+       |  SELECT sum(abs(a.h - b.h)) < ${Graph.ConvergenceEps} AS converged
+       |  FROM h$HitsIterations a
+       |  JOIN h${HitsIterations - 1} b USING (node))
+       |SELECT kind, node, score, (SELECT converged FROM conv) AS converged
+       |FROM (
        |  (SELECT 'authority' AS kind, node, round(a, 8) AS score
        |   FROM a$HitsIterations ORDER BY score DESC, node LIMIT $HitsTopK)
        |  UNION ALL
