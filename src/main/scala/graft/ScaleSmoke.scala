@@ -186,7 +186,9 @@ object ScaleSmoke {
         "q192_skyline", "q193_rank_delta", "q194_theil_sen",
         "q195_weighted_sssp", "q196_temporal_split",
         "q197_target_encoding", "q198_mutual_information",
-        "q199_partition_manifest", "q200_linkage_weights")
+        "q199_partition_manifest", "q200_linkage_weights",
+        "q201_chi_square", "q202_containment_pipeline",
+        "q203_linkage_retrieval")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
