@@ -45,13 +45,82 @@ object Skew {
         col("n_rows"))
       .orderBy("returnflag")
 
+  /** Heavy hitters reported by q206. */
+  private[graft] val TopHitters = 5
+
+  /** q206 — group-key SKEW PROFILER: the audit a data engineer runs
+    * BEFORE choosing a shuffle strategy (salt factor, AQE skew
+    * thresholds, broadcast cutoffs) — per-key row counts of a join/agg
+    * key folded to one decision row: key cardinality, max/mean/p50/
+    * p90/p99 of per-key counts, the top-[[TopHitters]] keys' share in
+    * ppm, and the suggested salt factor ceil(max / p90) — the spread
+    * that levels the hottest reducer to a high-percentile one (q75's
+    * salt knob, derived from data instead of guessed).
+    *
+    * Scale: the per-key count table is ONE map-side-combinable fold of
+    * the scan, key-cardinality-bounded; every statistic (exact
+    * percentiles included) runs on that profile table, and the top-k
+    * is a TakeOrdered over it. Integer counts end-to-end; mean/p*
+    * interpolate between integers (exact in double, q56's precedent);
+    * share is integer ppm via `div`. */
+  def q206SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(TopHitters)
+      .agg(sum(col("n")).as("top_n"))
+    counts
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        expr("percentile(n, 0.5d)").as("p50"),
+        expr("percentile(n, 0.9d)").as("p90"),
+        expr("percentile(n, 0.99d)").as("p99"))
+      .crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        round(col("p50"), 2).as("p50_n"),
+        round(col("p90"), 2).as("p90_n"),
+        round(col("p99"), 2).as("p99_n"),
+        expr("top_n * 1000000 div n_rows").as("top5_share_ppm"),
+        round(col("max_n").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"),
+        ceil(col("max_n").cast("double") / col("p90")).cast("long")
+          .as("suggested_salt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q75_salted_agg" -> (q75SaltedAgg _))
+    "q75_salted_agg" -> (q75SaltedAgg _),
+    "q206_skew_profile" -> (q206SkewProfile _))
 
   val oracles: Map[String, String] = Map(
     "q75_salted_agg" ->
       """SELECT l_returnflag AS returnflag,
         |       round(sum(l_extendedprice), 2) AS total_price,
         |       count(*) AS n_rows
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_skew_profile" ->
+      s"""WITH counts AS (
+        |  SELECT l_partkey AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |top AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS top_n FROM (
+        |    SELECT n FROM counts ORDER BY n DESC, key
+        |    LIMIT $TopHitters)),
+        |agg AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(max(n) AS BIGINT) AS max_n,
+        |         quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+        |         quantile_cont(CAST(n AS DOUBLE), 0.9) AS p90,
+        |         quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99
+        |  FROM counts)
+        |SELECT n_keys, n_rows, max_n,
+        |       round(p50, 2) AS p50_n,
+        |       round(p90, 2) AS p90_n,
+        |       round(p99, 2) AS p99_n,
+        |       CAST((SELECT top_n FROM top) * 1000000 // n_rows
+        |            AS BIGINT) AS top5_share_ppm,
+        |       round(CAST(max_n AS DOUBLE) * n_keys / n_rows, 4)
+        |         AS skew_ratio,
+        |       CAST(ceil(CAST(max_n AS DOUBLE) / p90) AS BIGINT)
+        |         AS suggested_salt
+        |FROM agg""".stripMargin)
 }
