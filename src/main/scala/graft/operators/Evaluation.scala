@@ -66,10 +66,121 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** Benford first-digit probabilities log10(1 + 1/d), pinned ONCE to
+    * a millionth: Math.log10 and libm log10 are 1-ulp accurate, not
+    * correctly rounded, so the raw doubles can diverge cross-engine
+    * (the q154 pow() lesson) — both engines instead parse the SAME
+    * 6-decimal literals, generated from one Scala computation. */
+  private[graft] val Benford6: Seq[(Int, Double)] = (1 to 9).map { d =>
+    d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6
+  }
+
+  /** q208 — first-digit (Benford) distribution audit over order
+    * amounts: observed leading-digit counts of positive cents vs the
+    * Benford expectation, per-digit standardized residuals, and the
+    * χ² distance (micro-quantized fold, the q201 discipline). The
+    * classic anomaly screen for fabricated or truncated amount
+    * columns — synthetic uniform prices FAIL it loudly, which is
+    * exactly what the audit should report on this data. One
+    * combinable digit fold of the scan; everything after runs on 9
+    * rows. */
+  def q208DigitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val benfordCase = Benford6
+      .map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE digit ", " ", " END")
+    val obs = Tables.orders(spark, dir)
+      .select(expr("cast(round(o_totalprice * 100, 0) as bigint)").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum(col("n_obs")).as("n_all"))
+    val terms = obs.crossJoin(broadcast(total))
+      .withColumn("e", expr(benfordCase) * col("n_all").cast("double"))
+      .withColumn("term_micro", expr(
+        "cast(round((n_obs - e) * (n_obs - e) / e * 1e6, 0) as bigint)"))
+    val stat = terms.agg(
+      (sum(col("term_micro")).cast("double") / 1e6).as("chi2_total"))
+    terms.crossJoin(broadcast(stat))
+      .select(col("digit"), col("n_obs"),
+        round(col("e"), 4).as("expected"),
+        round((col("n_obs") - col("e")) / sqrt(col("e")), 6)
+          .as("std_residual"),
+        round(col("chi2_total"), 6).as("chi2_total"))
+      .orderBy("digit")
+  }
+
+  /** Eval-sample size per stratum for q209. */
+  private[graft] val SampleK = 20
+
+  /** q209 — deterministic fixed-size eval sample per stratum: exactly
+    * [[SampleK]] events per event type, picked by md5 hash-rank (the
+    * q97/q112 never-rand() rule — stable across engines, re-runs, and
+    * repartitioning), the construction every eval-set builder needs
+    * when strata must be EXACTLY sized, where q68's fraction sampling
+    * cannot promise counts. The rank-filter plans as Spark's
+    * WindowGroupLimit: each map task keeps only its local top-K per
+    * type BEFORE the shuffle, so the sort never sees the full
+    * stratum — the reason this shape survives 100 TB strata. */
+  def q209EvalSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("rk", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        md5(col("event_id").cast("string")).as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleK)
+      .select(col("event_type"), col("rn"), col("event_id"))
+      .orderBy("event_type", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q205_ranking_auc" -> (q205RankingAuc _))
+    "q205_ranking_auc" -> (q205RankingAuc _),
+    "q208_digit_audit" -> (q208DigitAudit _),
+    "q209_eval_sample" -> (q209EvalSample _))
 
   val oracles: Map[String, String] = Map(
+    "q208_digit_audit" -> {
+      val benfordCase = Benford6
+        .map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH obs AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+        |           AS digit,
+        |         count(*) AS n_obs
+        |  FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |        FROM orders)
+        |  WHERE c > 0 GROUP BY 1),
+        |total AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_all FROM obs),
+        |terms AS (
+        |  SELECT digit, n_obs,
+        |         ($benfordCase)
+        |           * CAST((SELECT n_all FROM total) AS DOUBLE) AS e
+        |  FROM obs),
+        |quant AS (
+        |  SELECT digit, n_obs, e,
+        |         CAST(round((n_obs - e) * (n_obs - e) / e * 1e6, 0)
+        |              AS BIGINT) AS term_micro
+        |  FROM terms),
+        |stat AS (SELECT CAST(sum(term_micro) AS DOUBLE) / 1e6
+        |           AS chi2_total FROM quant)
+        |SELECT digit, n_obs,
+        |       round(e, 4) AS expected,
+        |       round((n_obs - e) / sqrt(e), 6) AS std_residual,
+        |       round((SELECT chi2_total FROM stat), 6) AS chi2_total
+        |FROM quant ORDER BY digit""".stripMargin
+    },
+    "q209_eval_sample" ->
+      s"""WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+        |         AS INTEGER) AS rn
+        |  FROM events)
+        |SELECT event_type, rn, event_id
+        |FROM ranked WHERE rn <= $SampleK
+        |ORDER BY event_type, rn""".stripMargin,
     "q205_ranking_auc" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -57,3 +57,87 @@ class EvaluationSpec extends SparkTestBase {
       "suggested salt")
   }
 }
+
+/** q207/q208/q209 pinned against sequential recomputes and (q209) the
+  * rank-limit physical plan. */
+class Evaluation2Spec extends SparkTestBase {
+
+  test("q207 lead-lag r equals a sequential Pearson over the aligned " +
+      "daily series") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    val byType = daily.groupBy(_._1)
+      .view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    val got = graft.operators.CrossCorr.q207LeadLag(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    for (t1 <- types; t2 <- types if t1 < t2; lag <- -3 to 3) {
+      val m1 = byType(t1); val m2 = byType(t2)
+      val pairs = m1.toSeq.flatMap { case (d, n1) =>
+        m2.get(d + lag).map(n2 => (n1, n2))
+      }
+      val k = pairs.length.toLong
+      if (k >= 2) {
+        val s1 = pairs.map(_._1).sum; val s2 = pairs.map(_._2).sum
+        val s12 = pairs.map(p => p._1 * p._2).sum
+        val s11 = pairs.map(p => p._1 * p._1).sum
+        val s22 = pairs.map(p => p._2 * p._2).sum
+        val num = (k * s12 - s1 * s2).toDouble
+        val d1 = (k * s11 - s1 * s1).toDouble
+        val d2 = (k * s22 - s2 * s2).toDouble
+        if (d1 > 0 && d2 > 0) {
+          val r = math.rint(num / math.sqrt(d1 * d2) * 1e6) / 1e6
+          val g = got.get((t1, t2, lag))
+          assert(g.exists(v => v._1 == k && v._2 == r),
+            s"($t1,$t2,$lag): got $g exp ($k,$r)")
+        }
+      }
+    }
+  }
+
+  test("q208 digit counts match a sequential recompute and residuals " +
+      "are consistent with the chi-square total") {
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(expr("cast(round(o_totalprice * 100, 0) as bigint)").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val obs = cents.groupBy(_.toString.head.asDigit)
+      .view.mapValues(_.length.toLong).toMap
+    val n = cents.length.toLong
+    val rows = graft.operators.Evaluation.q208DigitAudit(spark, sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == obs.keys.toSeq.sorted)
+    var chi2micro = 0L
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == obs(d), s"digit $d count")
+      val p = graft.operators.Evaluation.Benford6.toMap.apply(d)
+      val e = p * n
+      assert(r.getDouble(2) == math.rint(e * 1e4) / 1e4, s"digit $d e")
+      chi2micro += math.rint((obs(d) - e) * (obs(d) - e) / e * 1e6).toLong
+    }
+    assert(rows.head.getDouble(4) ==
+      math.rint(chi2micro / 1e6 * 1e6) / 1e6)
+  }
+
+  test("q209 takes exactly K per stratum, is repartition-invariant, " +
+      "and plans as WindowGroupLimit (map-side top-K)") {
+    val out = graft.operators.Evaluation.q209EvalSample(spark, sf)
+    val rows = out.collect()
+    val perType = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    perType.foreach { case (t, n) =>
+      assert(n == graft.operators.Evaluation.SampleK, s"stratum $t: $n")
+    }
+    // rank-limit pushdown: the physical plan must carry WindowGroupLimit
+    // so each map task keeps only its local top-K before the shuffle
+    assert(out.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"), "rank-limit pushdown missing")
+    // hash-rank determinism under a different partitioning
+    val again = graft.operators.Evaluation.q209EvalSample(spark, sf)
+      .repartition(7).orderBy("event_type", "rn").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
