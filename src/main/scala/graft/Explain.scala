@@ -83,8 +83,19 @@ object Explain {
                            // recurrence via localCheckpoint
     "q199_partition_manifest", // one combinable xor/sum/count fold over
                                // the scan — manifest, no join
-    "q200_linkage_weights") // nation-blocked pair join; m/u one
+    "q200_linkage_weights", // multi-pass blocked pair join; m/u one
                             // conditional aggregate broadcast back
+    "q202_containment_pipeline", // exact-first survivors feed the
+                                 // shared containment kernel
+    "q203_linkage_retrieval", // sampled m/u + name-prefix-blocked
+                              // candidate retrieval (linear in dims)
+    "q204_exact_substr", // window-hash equi-join + islands windows
+                         // over matched pairs only
+    "q205_ranking_auc",  // distinct-score profile window, one division
+    "q206_skew_profile", // key-bounded count profile + TakeOrdered
+    "q207_lead_lag",     // calendar-bounded pair x lag fan-out
+    "q208_digit_audit",  // one digit fold, 9-row tail
+    "q209_eval_sample")  // WindowGroupLimit: map-side top-K per stratum
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -96,7 +107,16 @@ object Explain {
       .append(sfDir).append(")\n\n")
     sb.append("Checks per plan: filters reach the parquet scan " +
       "(PushedFilters), only needed columns read (ReadSchema), small dims " +
-      "broadcast, WholeStageCodegen spans cover the hot path.\n")
+      "broadcast, WholeStageCodegen spans cover the hot path.\n\n" +
+      "Since round 9 the load-bearing subset of this audit is ENFORCED, " +
+      "not just recorded: `PlanContractSpec` walks EVERY registered " +
+      "query's physical plan and fails on any `CartesianProduct`, any " +
+      "`BroadcastNestedLoopJoin` whose build side is not provably tiny " +
+      "(outside the documented `PlanContract.BnljAllow` grants — " +
+      "query-point/query-batch broadcasts, cached k-bounded model " +
+      "tables, enum-keyed spines), and any pushable-shaped scan " +
+      "predicate that fails source translation. This file remains the " +
+      "full narrative audit; the spec is the tripwire.\n")
     Audited.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, sfDir)
