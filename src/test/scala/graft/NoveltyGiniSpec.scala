@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q210 pinned against a sequential set recompute; q211 against the
+  * INDEPENDENT mean-absolute-difference Gini definition (the rank
+  * formula in the query and the pairwise formula here agree only if
+  * both are implemented correctly). */
+class NoveltyGiniSpec extends SparkTestBase {
+
+  test("q210 novelty equals a sequential shingle-set recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        r.getLong(0) ->
+          (if (ws.length < 3) Set.empty[String]
+           else ws.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+    val ref = docs.filter(_._1 % 2 == 0).values.flatten.toSet
+    val expected = docs.filter { case (id, s) => id % 2 == 1 && s.nonEmpty }
+      .map { case (id, s) =>
+        id -> (s.size.toLong, (s -- ref).size.toLong)
+      }
+    val got = graft.operators.Curation2.q210NoveltySelect(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    got.foreach { case (id, (n, nov, ratio)) =>
+      val (en, enov) = expected(id)
+      assert(n == en && nov == enov, s"doc $id: ($n,$nov) vs ($en,$enov)")
+      assert(ratio == math.rint(enov.toDouble / en * 1e6) / 1e6)
+    }
+    // the reported list is the true top-K by (novelty desc, doc_id)
+    val topK = expected.toSeq
+      .map { case (id, (n, nov)) => (id, nov.toDouble / n) }
+      .sortBy { case (id, r) => (-r, id) }
+      .take(graft.operators.Curation2.NoveltyTopK).map(_._1)
+    assert(got.map(_._1).toSeq == topK)
+  }
+
+  test("q211 Gini equals the pairwise mean-absolute-difference " +
+      "definition per nation") {
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+        .as("cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byNation = spend.toSeq
+      .map { case (c, cents) => (nat(c), cents) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = graft.operators.Contribution.q211RevenueGini(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    byNation.foreach { case (n, xs) =>
+      val (cnt, tot, gini) = got(n)
+      assert(cnt == xs.length.toLong && tot == xs.sum)
+      // independent definition: G = Σ_ij |x_i − x_j| / (2 n Σx)
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val expG = mad.toDouble / (2.0 * xs.length * xs.sum)
+      assert(math.abs(gini - expG) < 1e-6, s"nation $n: $gini vs $expG")
+    }
+    assert(got.keySet == byNation.keySet)
+  }
+}
