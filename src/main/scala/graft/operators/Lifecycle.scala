@@ -97,6 +97,46 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** q212 — WATERMARK-LATENESS profile: per event type (standing in
+    * for the ingest shard — production partitions by the transport's
+    * own shard key), order events by arrival sequence (event_id — the
+    * generator's monotone assignment, the declared arrival proxy) and
+    * measure each event's lateness against the running event-time
+    * maximum: exactly the quantity Structured Streaming's watermark
+    * bounds. The output row per type — late fraction, p50/p95/p99/max
+    * lateness, and the suggested watermark delay ceil(p99) seconds —
+    * is the data-derived answer to "what `withWatermark` delay keeps
+    * 99% of events?" that q44–q47 currently take as a given constant.
+    *
+    * Scale shape: one window pass per shard partition (the honest
+    * cost of any arrival-order audit — the same q81 class), then a
+    * type-grain percentile fold. All lateness values are exact
+    * integer micros; percentiles interpolate between integers (q56's
+    * precedent); the suggestion is exact integer ceil. */
+  def q212LatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("percentile(late_us, 0.5d)").as("p50_us"),
+        expr("percentile(late_us, 0.95d)").as("p95_us"),
+        expr("percentile(late_us, 0.99d)").as("p99_us"),
+        max(col("late_us")).as("max_us"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6)
+          .as("late_frac"),
+        round(col("p50_us") / 1e6, 3).as("p50_late_s"),
+        round(col("p95_us") / 1e6, 3).as("p95_late_s"),
+        expr("cast(max_us div 1000000 as bigint)").as("max_late_s"),
+        ceil(col("p99_us") / 1e6).cast("long").as("wm_suggest_s"))
+      .orderBy("event_type")
+  }
+
   /** Trailing window length (days) for q182's WAU. */
   private[graft] val WauDays = 7
 
@@ -205,6 +245,7 @@ object Lifecycle {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_survival_curve" -> (q179SurvivalCurve _),
     "q180_interarrival" -> (q180InterArrival _),
+    "q212_lateness_profile" -> (q212LatenessProfile _),
     "q182_active_users" -> (q182ActiveUsers _),
     "q188_conversion_lag" -> (q188ConversionLag _),
     "q189_ltv_curve" -> (q189LtvCurve _))
@@ -279,6 +320,33 @@ object Lifecycle {
         |               AS DOUBLE)
         |             / (SELECT total_users FROM total), 6) AS survival_rate
         |FROM spine ORDER BY day""".stripMargin,
+    "q212_lateness_profile" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |lat AS (
+        |  SELECT event_type,
+        |         max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - us AS late_us
+        |  FROM ev),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |         CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_late,
+        |         quantile_cont(CAST(late_us AS DOUBLE), 0.5) AS p50_us,
+        |         quantile_cont(CAST(late_us AS DOUBLE), 0.95) AS p95_us,
+        |         quantile_cont(CAST(late_us AS DOUBLE), 0.99) AS p99_us,
+        |         CAST(max(late_us) AS BIGINT) AS max_us
+        |  FROM lat GROUP BY 1)
+        |SELECT event_type, n_events, n_late,
+        |       round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_frac,
+        |       round(p50_us / 1e6, 3) AS p50_late_s,
+        |       round(p95_us / 1e6, 3) AS p95_late_s,
+        |       CAST(max_us // 1000000 AS BIGINT) AS max_late_s,
+        |       CAST(ceil(p99_us / 1e6) AS BIGINT) AS wm_suggest_s
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q180_interarrival" ->
       """WITH seq AS (
         |  SELECT event_type,

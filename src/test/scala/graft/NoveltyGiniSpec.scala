@@ -67,3 +67,33 @@ class NoveltyGiniSpec extends SparkTestBase {
     assert(got.keySet == byNation.keySet)
   }
 }
+
+/** q212 pinned against a sequential arrival-replay recompute. */
+class LatenessSpec extends SparkTestBase {
+
+  test("q212 lateness profile equals a sequential running-max replay " +
+      "and the suggested watermark covers >= 99% of events") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ev.groupBy(_._1)
+    val got = graft.operators.Lifecycle.q212LatenessProfile(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    byType.foreach { case (t, xs) =>
+      var mx = Long.MinValue
+      val lates = xs.sortBy(_._2).map { case (_, _, us) =>
+        mx = math.max(mx, us); mx - us
+      }
+      val r = got(t)
+      assert(r.getLong(1) == lates.length.toLong)
+      assert(r.getLong(2) == lates.count(_ > 0).toLong)
+      assert(r.getLong(6) == lates.max / 1000000, s"$t max")
+      // the suggestion must cover at least 99% of this shard's events
+      val wmUs = r.getLong(7) * 1000000L
+      val covered = lates.count(_ <= wmUs).toDouble / lates.length
+      assert(covered >= 0.99, s"$t: wm covers only $covered")
+    }
+  }
+}
