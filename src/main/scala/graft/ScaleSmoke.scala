@@ -188,7 +188,10 @@ object ScaleSmoke {
         "q197_target_encoding", "q198_mutual_information",
         "q199_partition_manifest", "q200_linkage_weights",
         "q201_chi_square", "q202_containment_pipeline",
-        "q203_linkage_retrieval")
+        "q203_linkage_retrieval", "q204_exact_substr",
+        "q205_ranking_auc", "q206_skew_profile", "q207_lead_lag",
+        "q208_digit_audit", "q209_eval_sample", "q210_novelty_select",
+        "q211_revenue_gini", "q212_lateness_profile")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
