@@ -105,6 +105,49 @@ object Affinity {
       .limit(TopPairs)
   }
 
+  /** Triple support threshold for q214 (the data's max triple support
+    * is small — baskets hold ≤ 7 items — so the threshold is the
+    * repeated-triple cut, not a tuning knob). */
+  private[graft] val TriMinSup = 2L
+
+  /** q214 — A-PRIORI FREQUENT TRIPLES: the second pruning level of
+    * market-basket mining (q173 is level one). Downward closure does
+    * the work twice: items are restricted to members of some
+    * ≥[[TriMinSup]]-support PAIR before the basket 3-way self-join
+    * (a triple can only be frequent if all three pairs are), so the
+    * cubic candidate space never materializes — per basket the join
+    * is bounded by C(frequent items in basket, 3), and TPC-H baskets
+    * hold ≤ 7 items. Output carries the three pair supports as exact
+    * integers (the audit columns a rule miner thresholds on);
+    * equality with the naive all-triples oracle is EXACT because
+    * downward closure loses nothing — the same
+    * semantics-vs-scalable-form split as q200/q203. */
+  def q214FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val pairs2 = supportedPairs(spark, dir, TriMinSup)
+      .select("p1", "p2", "pair_n")
+    val members = pairs2.select(col("p1").as("part"))
+      .unionByName(pairs2.select(col("p2").as("part"))).distinct()
+    val fi = basketItems(spark, dir).join(broadcast(members), Seq("part"))
+    val tri = fi.alias("a")
+      .join(fi.alias("b"),
+        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+      .join(fi.alias("c"),
+        col("a.okey") === col("c.okey") && col("b.part") < col("c.part"))
+      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"),
+        col("c.part").as("pc"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriMinSup)
+    def sup(x: String, y: String, as: String) = pairs2.select(
+      col("p1").as(x), col("p2").as(y), col("pair_n").as(as))
+    tri
+      .join(broadcast(sup("pa", "pb", "sup_ab")), Seq("pa", "pb"))
+      .join(broadcast(sup("pa", "pc", "sup_ac")), Seq("pa", "pc"))
+      .join(broadcast(sup("pb", "pc", "sup_bc")), Seq("pb", "pc"))
+      .select(col("pa"), col("pb"), col("pc"), col("support"),
+        col("sup_ab"), col("sup_ac"), col("sup_bc"))
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+  }
+
   /** Attribution lookback window in event-time microseconds (7 days). */
   private[graft] val LookbackUs = 7L * 24 * 3600 * 1000000L
 
@@ -215,11 +258,29 @@ object Affinity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_basket_lift" -> (q173BasketLift _),
+    "q214_frequent_triples" -> (q214FrequentTriples _),
     "q174_attribution" -> (q174Attribution _),
     "q183_item_neighbors" -> (q183ItemNeighbors _),
     "q186_type_affinity" -> (q186TypeAffinity _))
 
   val oracles: Map[String, String] = Map(
+    "q214_frequent_triples" ->
+      s"""${pairsCte(TriMinSup)},
+        |tri AS (
+        |  SELECT a.part AS pa, b.part AS pb, c.part AS pc,
+        |         count(*) AS support
+        |  FROM items a
+        |  JOIN items b ON b.okey = a.okey AND b.part > a.part
+        |  JOIN items c ON c.okey = a.okey AND c.part > b.part
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= $TriMinSup)
+        |SELECT pa, pb, pc, support,
+        |       ab.pair_n AS sup_ab, ac.pair_n AS sup_ac,
+        |       bc.pair_n AS sup_bc
+        |FROM tri
+        |JOIN pairs ab ON ab.p1 = pa AND ab.p2 = pb
+        |JOIN pairs ac ON ac.p1 = pa AND ac.p2 = pc
+        |JOIN pairs bc ON bc.p1 = pb AND bc.p2 = pc
+        |ORDER BY support DESC, pa, pb, pc""".stripMargin,
     "q186_type_affinity" ->
       """WITH vec AS (
         |  SELECT user_id, event_type, count(*) AS n

@@ -36,15 +36,7 @@ object Evaluation {
   /** q205 — exact ROC-AUC of spend vs purchaser label; one audit row:
     * counts, the doubled Mann–Whitney U (exact integer), and AUC. */
   def q205RankingAuc(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
-      .groupBy("user_id")
-      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("pcnt"))
-    val med = perUser.agg(expr("percentile(pcnt, 0.5d)").as("med"))
-    val users = perUser.crossJoin(broadcast(med))
-      .select(col("cents"),
-        (col("pcnt") > col("med")).cast("long").as("label"))
+    val users = scoredUsers(spark, dir)
     val byScore = users.groupBy("cents")
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
@@ -134,12 +126,94 @@ object Evaluation {
       .orderBy("event_type", "rn")
   }
 
+  /** The per-user (score, label) frame shared by q205 (AUC) and q213
+    * (reliability curve): spend cents vs above-median purchase count. */
+  private def scoredUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pcnt"))
+    val med = perUser.agg(expr("percentile(pcnt, 0.5d)").as("med"))
+    perUser.crossJoin(broadcast(med))
+      .select(col("user_id"), col("cents"),
+        (col("pcnt") > col("med")).cast("long").as("label"))
+  }
+
+  /** q213 — reliability (calibration) curve: the decile companion to
+    * q205's single-number AUC — users ranked by score into ten
+    * equal-count bins (`ntile` with full tie-break), each bin
+    * reporting its size, positive count, positive rate, mean score
+    * and lift over the global rate. A well-ranking score shows a
+    * monotone curve; AUC alone cannot show WHERE the ranking is
+    * miscalibrated. The ntile window runs over the user-grain profile
+    * (never events); every rate/lift is a single division of exact
+    * integers. */
+  def q213ReliabilityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val users = scoredUsers(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("user_id"))
+    val binned = users.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"),
+        sum(col("cents")).as("cents"))
+    val global = binned.agg(sum(col("n_pos")).as("g_pos"),
+      sum(col("n_users")).as("g_n"))
+    binned.crossJoin(broadcast(global))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_users"), 6)
+          .as("pos_rate"),
+        round(col("cents").cast("double") / col("n_users") / 100.0, 2)
+          .as("mean_spend"),
+        round((col("n_pos").cast("double") / col("n_users")) /
+          (col("g_pos").cast("double") / col("g_n")), 6).as("lift"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_ranking_auc" -> (q205RankingAuc _),
     "q208_digit_audit" -> (q208DigitAudit _),
-    "q209_eval_sample" -> (q209EvalSample _))
+    "q209_eval_sample" -> (q209EvalSample _),
+    "q213_reliability_curve" -> (q213ReliabilityCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q213_reliability_curve" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) AS BIGINT) AS pcnt
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(CAST(pcnt AS DOUBLE), 0.5) AS med
+        |        FROM per_user),
+        |users AS (
+        |  SELECT user_id, cents,
+        |         CASE WHEN pcnt > (SELECT med FROM med) THEN 1
+        |              ELSE 0 END AS label
+        |  FROM per_user),
+        |binned AS (
+        |  SELECT CAST(ntile(10) OVER (ORDER BY cents DESC, user_id)
+        |              AS INTEGER) AS decile,
+        |         cents, label
+        |  FROM users),
+        |agg AS (
+        |  SELECT decile, count(*) AS n_users,
+        |         CAST(sum(label) AS BIGINT) AS n_pos,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM binned GROUP BY 1),
+        |global AS (
+        |  SELECT CAST(sum(n_pos) AS BIGINT) AS g_pos,
+        |         CAST(sum(n_users) AS BIGINT) AS g_n
+        |  FROM agg)
+        |SELECT decile, n_users, n_pos,
+        |       round(CAST(n_pos AS DOUBLE) / n_users, 6) AS pos_rate,
+        |       round(CAST(cents AS DOUBLE) / n_users / 100.0, 2)
+        |         AS mean_spend,
+        |       round((CAST(n_pos AS DOUBLE) / n_users) /
+        |             (CAST((SELECT g_pos FROM global) AS DOUBLE)
+        |              / (SELECT g_n FROM global)), 6) AS lift
+        |FROM agg ORDER BY decile""".stripMargin,
     "q208_digit_audit" -> {
       val benfordCase = Benford6
         .map { case (d, p) => s"WHEN $d THEN CAST($p AS DOUBLE)" }

@@ -97,3 +97,68 @@ class LatenessSpec extends SparkTestBase {
     }
   }
 }
+
+/** q213/q214 pinned against sequential recomputes. */
+class CurveTriplesSpec extends SparkTestBase {
+
+  test("q213 reliability deciles equal a sequential ntile recompute") {
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("pcnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val counts = users.map(_._3.toDouble).sorted
+    val med =
+      if (counts.length % 2 == 1) counts(counts.length / 2)
+      else (counts(counts.length / 2 - 1) + counts(counts.length / 2)) / 2
+    val sorted = users.sortBy(u => (-u._2, u._1))
+    val n = sorted.length
+    // standard ntile: first (n % 10) buckets get one extra row
+    val base = n / 10; val extra = n % 10
+    val bounds = (1 to 10).scanLeft(0) { (acc, b) =>
+      acc + base + (if (b <= extra) 1 else 0)
+    }
+    val got = graft.operators.Evaluation.q213ReliabilityCurve(spark, sf)
+      .collect()
+    (1 to 10).foreach { b =>
+      val slice = sorted.slice(bounds(b - 1), bounds(b))
+      val r = got(b - 1)
+      assert(r.getInt(0) == b)
+      assert(r.getLong(1) == slice.length.toLong, s"decile $b size")
+      assert(r.getLong(2) == slice.count(_._3 > med).toLong,
+        s"decile $b positives")
+    }
+    // a spend-ranked score must show decile-1 lift above decile-10
+    assert(got.head.getDouble(5) > got.last.getDouble(5))
+  }
+
+  test("q214 frequent triples equal the naive all-triples recompute " +
+      "(downward closure loses nothing)") {
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byBasket = items.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toVector).toMap
+    val naive = byBasket.values.flatMap { ps =>
+      ps.combinations(3).map(c => (c(0), c(1), c(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= graft.operators.Affinity.TriMinSup).toMap
+    val got = graft.operators.Affinity.q214FrequentTriples(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == naive.keySet,
+      s"missing=${naive.keySet -- got.keySet} extra=${got.keySet -- naive.keySet}")
+    // supports match, and every pair support >= the triple support
+    val pairSup = byBasket.values.flatMap { ps =>
+      ps.combinations(2).map(c => (c(0), c(1)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case ((a, b, c), (sup, ab, ac, bc)) =>
+      assert(sup == naive((a, b, c)))
+      assert(ab == pairSup((a, b)) && ac == pairSup((a, c)) &&
+        bc == pairSup((b, c)))
+      assert(ab >= sup && ac >= sup && bc >= sup)
+    }
+  }
+}
