@@ -191,7 +191,9 @@ object ScaleSmoke {
         "q203_linkage_retrieval", "q204_exact_substr",
         "q205_ranking_auc", "q206_skew_profile", "q207_lead_lag",
         "q208_digit_audit", "q209_eval_sample", "q210_novelty_select",
-        "q211_revenue_gini", "q212_lateness_profile")
+        "q211_revenue_gini", "q212_lateness_profile",
+        "q213_reliability_curve", "q214_frequent_triples",
+        "q215_data_card")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -232,13 +232,71 @@ object Curation2 {
       .limit(NoveltyTopK)
   }
 
+  /** q215 — per-source CORPUS DATA CARD: the one-table profile a
+    * dataset release ships (datasheets-for-datasets shape) and a
+    * curation pipeline regenerates per refresh — per source: document
+    * count, distinct-text count and exact-duplicate fraction (q31's
+    * md5 grouping folded to a rate), token count statistics
+    * (whitespace tokens: total, mean, p50/p95 — tokenizer-budget
+    * inputs), and mean document bytes. Everything folds in one
+    * combinable pass over the scan plus a source-grain percentile on
+    * the per-doc profile; counts exact BIGINTs, each rate/mean one
+    * division. */
+  def q215DataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        octet_length(col("text")).cast("long").as("bytes"))
+    docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_unique"),
+        sum(col("toks")).as("total_tokens"),
+        expr("percentile(toks, 0.5d)").as("p50_toks"),
+        expr("percentile(toks, 0.95d)").as("p95_toks"),
+        sum(col("bytes")).as("total_bytes"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round((col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs"), 6).as("dup_frac"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 2)
+          .as("mean_tokens"),
+        round(col("p50_toks"), 1).as("p50_tokens"),
+        round(col("p95_toks"), 1).as("p95_tokens"),
+        round(col("total_bytes").cast("double") / col("n_docs"), 2)
+          .as("mean_bytes"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_domain_cap" -> (q146DomainCap _),
     "q147_dsir_select" -> (q147DsirSelect _),
     "q150_temperature_mix" -> (q150TemperatureMix _),
-    "q210_novelty_select" -> (q210NoveltySelect _))
+    "q210_novelty_select" -> (q210NoveltySelect _),
+    "q215_data_card" -> (q215DataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q215_data_card" ->
+      """WITH docs AS (
+        |  SELECT source, md5(text) AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+        |           AS bytes
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT h) AS n_unique,
+        |       round(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+        |             / count(*), 6) AS dup_frac,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |       round(CAST(sum(toks) AS DOUBLE) / count(*), 2)
+        |         AS mean_tokens,
+        |       round(quantile_cont(CAST(toks AS DOUBLE), 0.5), 1)
+        |         AS p50_tokens,
+        |       round(quantile_cont(CAST(toks AS DOUBLE), 0.95), 1)
+        |         AS p95_tokens,
+        |       round(CAST(sum(bytes) AS DOUBLE) / count(*), 2)
+        |         AS mean_bytes
+        |FROM docs GROUP BY source ORDER BY source""".stripMargin,
     "q210_novelty_select" ->
       s"""WITH ${Dedup.shinglesCte},
         |ref AS (

@@ -162,3 +162,28 @@ class CurveTriplesSpec extends SparkTestBase {
     }
   }
 }
+
+/** q215 pinned against a sequential per-source recompute. */
+class DataCardSpec extends SparkTestBase {
+
+  test("q215 data card equals a sequential per-source profile") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = graft.operators.Curation2.q215DataCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val texts = xs.map(_._2)
+      val r = got(src)
+      assert(r.getLong(1) == texts.length.toLong)
+      assert(r.getLong(2) == texts.distinct.length.toLong)
+      val toks = texts.map(_.split(" ").length.toLong)
+      assert(r.getLong(4) == toks.sum, s"$src tokens")
+      val bytes = texts.map(_.getBytes("UTF-8").length.toLong)
+      assert(r.getDouble(8) ==
+        math.rint(bytes.sum.toDouble / texts.length * 100) / 100,
+        s"$src bytes")
+    }
+    assert(got.keySet == docs.map(_._1).toSet)
+  }
+}
