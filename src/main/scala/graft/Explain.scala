@@ -95,7 +95,14 @@ object Explain {
     "q206_skew_profile", // key-bounded count profile + TakeOrdered
     "q207_lead_lag",     // calendar-bounded pair x lag fan-out
     "q208_digit_audit",  // one digit fold, 9-row tail
-    "q209_eval_sample")  // WindowGroupLimit: map-side top-K per stratum
+    "q209_eval_sample",  // WindowGroupLimit: map-side top-K per stratum
+    "q210_novelty_select", // one shingle-key anti-style join, no pairs
+    "q211_revenue_gini", // customer profile + nation-bounded rank window
+    "q212_lateness_profile", // per-shard arrival-order window
+    "q213_reliability_curve", // user-profile ntile, broadcast global rate
+    "q214_frequent_triples", // member-pruned 3-way basket join,
+                             // broadcast pair supports
+    "q215_data_card")    // one combinable fold + source percentile
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
