@@ -121,7 +121,7 @@ object Explain {
       "`BroadcastNestedLoopJoin` whose build side is not provably tiny " +
       "(outside the documented `PlanContract.BnljAllow` grants — " +
       "query-point/query-batch broadcasts, cached k-bounded model " +
-      "tables, enum-keyed spines), and any pushable-shaped scan " +
+      "tables, enum-keyed spines), any GLOBAL window not in the documented profile-bounded `GlobalWindowAllow` grants, and any pushable-shaped scan " +
       "predicate that fails source translation. This file remains the " +
       "full narrative audit; the spec is the tripwire.\n")
     Audited.foreach { name =>

@@ -50,6 +50,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   *     translating means every row group is read only to drop rows
   *     post-materialization — exactly the 100 TB regression this
   *     audit exists to catch.
+  *  4. GLOBAL windows (empty partitionSpec — every row through ONE
+  *     task) are allowed only for queries in
+  *     [[PlanContract.GlobalWindowAllow]], each entry documenting the
+  *     profile-bounded table the window runs over (dimension / score
+  *     / calendar / sketch-width profiles, never raw facts).
   */
 object PlanContract {
 
@@ -133,11 +138,52 @@ object PlanContract {
     case _ => false
   }
 
+  /** Queries whose GLOBAL (unpartitioned) window provably runs over a
+    * profile-bounded table — a distinct-score/key/calendar/pair
+    * profile, never raw facts — so the single partition holds
+    * profile-cardinality rows at any data scale. Every other global
+    * window is the classic scale-killer (all data through one task)
+    * and fails the sweep. */
+  val GlobalWindowAllow: Map[String, String] = Map(
+    "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
+    "q213_reliability_curve" -> "user-grain spend profile ntile",
+    "q185_pareto_deciles" -> "part-dimension revenue profile",
+    "q192_skyline" -> "part-dimension price/size profile",
+    "q62_ntile" -> "supplier-dimension revenue profile",
+    "q130_token_budget_select" -> "doc-grain quality profile",
+    "q112_weighted_sample" -> "doc-grain weight profile",
+    "q10_first_seen_keys" ->
+      ("distinct-key dimension profile; sort+zipWithIndex documented " +
+        "for huge dims (module doc)"),
+    "q21_window_analytic" -> "aggregate-fact profile (≤ 192 rows)",
+    "q61_range_frame" -> "daily revenue series (calendar-bounded)",
+    "q82_funnel" -> "3-row funnel step table",
+    "q92_count_min" -> "CMS sketch-width table",
+    "q96_bm25" -> "query-term posting-bounded score table",
+    "q99_data_mix" -> "language-grain mix table",
+    "q120_hybrid_rrf" -> "top-k retrieval arm tables (≤ k rows)",
+    "q150_temperature_mix" -> "language-grain rate table",
+    "q184_rfm_segments" -> "customer-dimension RFM profile",
+    "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
+    "q193_rank_delta" -> "part-dimension per-half rank profiles")
+
   /** All plan-contract violations for one query's physical plan. */
   def violations(name: String, df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.sparkPlan
     val carts = plan.collect { case c: CartesianProductExec => c }
       .map(_ => s"$name: CartesianProduct in physical plan")
+    val gw = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+    }.flatMap { _ =>
+      if (GlobalWindowAllow.contains(name)) {
+        usedWindowGrants.add(name); None
+      } else Some(
+        s"$name: GLOBAL window (empty partitionSpec) — all rows " +
+          "through one task; not a documented profile-bounded window")
+    }
     val bnlj = plan.collect {
       case j: BroadcastNestedLoopJoinExec => j
     }.flatMap { j =>
@@ -152,7 +198,7 @@ object PlanContract {
         s"$name: BroadcastNestedLoopJoin with unbounded build " +
           s"side (${build.nodeName}); not provably tiny, not allow-listed")
     }
-    carts ++ bnlj ++ unpushedScans(name, plan)
+    carts ++ gw ++ bnlj ++ unpushedScans(name, plan)
   }
 
   /** Allow-list entries actually exercised during a sweep — lets the
@@ -162,6 +208,7 @@ object PlanContract {
     * so staleness is only meaningful across the SAME sweep that
     * checked the violations. */
   val usedGrants = scala.collection.mutable.Set.empty[String]
+  val usedWindowGrants = scala.collection.mutable.Set.empty[String]
 
   /** Pushable-shaped scan predicates that failed source translation. */
   def unpushedScans(name: String, plan: SparkPlan): Seq[String] =
@@ -201,6 +248,10 @@ class PlanContractSpec extends SparkTestBase {
     assert(stale.isEmpty,
       s"allow-list entries no longer needed (tighten the contract): " +
         s"${stale.mkString(", ")}")
+    val staleW = PlanContract.GlobalWindowAllow.keySet --
+      PlanContract.usedWindowGrants
+    assert(staleW.isEmpty,
+      s"global-window grants no longer needed: ${staleW.mkString(", ")}")
   }
 
   test("the contract goes red on a deliberately induced cartesian " +
@@ -246,6 +297,16 @@ class PlanContractSpec extends SparkTestBase {
     val reported = PlanContract.unpushedScans("induced_unpushed", crafted)
     assert(reported.exists(_.contains("did not translate")),
       s"checker missed an untranslated pushable predicate; got: $reported")
+  }
+
+  test("the contract goes red on a global window over a fact table") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bad = ev.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("event_id")))
+    val v = PlanContract.violations("induced_global_window", bad)
+    assert(v.exists(_.contains("GLOBAL window")),
+      s"checker missed a global fact window; got: $v")
   }
 
   test("scalar broadcast crossJoins stay allowed (tinyBuild proof)") {
