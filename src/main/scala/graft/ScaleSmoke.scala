@@ -193,7 +193,7 @@ object ScaleSmoke {
         "q208_digit_audit", "q209_eval_sample", "q210_novelty_select",
         "q211_revenue_gini", "q212_lateness_profile",
         "q213_reliability_curve", "q214_frequent_triples",
-        "q215_data_card")
+        "q215_data_card", "q216_k_anonymity")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

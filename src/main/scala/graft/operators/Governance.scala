@@ -108,11 +108,92 @@ object Governance {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity threshold for q216. */
+  private[graft] val KAnon = 5L
+  private[graft] val WorstClasses = 10
+
+  /** q216 — k-ANONYMITY / l-DIVERSITY audit: before a table leaves a
+    * trust boundary, group it by its QUASI-IDENTIFIERS (here nation ×
+    * market segment × balance-k$-bucket — attributes an adversary can
+    * link externally) and measure re-identification risk: a row in an
+    * equivalence class smaller than k is linkable, and a class whose
+    * SENSITIVE attribute (account balance cents) takes few distinct
+    * values leaks it even at size ≥ k (the l-diversity refinement).
+    * Output: the [[WorstClasses]] smallest classes (size asc — the
+    * release blockers), each with its size and distinct-sensitive
+    * count, plus the global audit — class count, k_min, rows below
+    * [[KAnon]] and their fraction, l_min — broadcast onto every row
+    * (the q201 shape: one table, audit-complete).
+    *
+    * Scale shape: ONE combinable group-by on the quasi-id key folds
+    * size and distinct-sensitive per class (count_distinct shuffles
+    * once on (class, value)); every global statistic is a 1-row
+    * aggregate over the CLASS table (quasi-id-cardinality-bounded);
+    * the worst-offender pick is a TakeOrdered. Integers end-to-end
+    * except the one fraction division. */
+  def q216KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal / 1000) as int)").as("bkt"),
+        expr("cast(round(c_acctbal * 100, 0) as bigint)").as("sens"))
+      .groupBy("nat", "seg", "bkt")
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("sens")).as("l_distinct"))
+    val global = classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).as("n_rows"),
+      min(col("class_size")).as("k_min"),
+      sum(when(col("class_size") < KAnon, col("class_size"))
+        .otherwise(0L)).as("rows_below_k"),
+      min(col("l_distinct")).as("l_min"))
+    classes
+      .orderBy(col("class_size"), col("nat"), col("seg"), col("bkt"))
+      .limit(WorstClasses)
+      .crossJoin(broadcast(global))
+      .select(col("nat"), col("seg"), col("bkt"), col("class_size"),
+        col("l_distinct"), col("n_classes"), col("k_min"),
+        col("rows_below_k"),
+        round(col("rows_below_k").cast("double") / col("n_rows"), 6)
+          .as("frac_below_k"),
+        col("l_min"))
+      .orderBy(col("class_size"), col("nat"), col("seg"), col("bkt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_erasure_cascade" -> (q159ErasureCascade _),
-    "q160_mlm_mask" -> (q160MlmMask _))
+    "q160_mlm_mask" -> (q160MlmMask _),
+    "q216_k_anonymity" -> (q216KAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q216_k_anonymity" ->
+      s"""WITH classes AS (
+         |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt,
+         |         count(*) AS class_size,
+         |         count(DISTINCT CAST(round(c_acctbal * 100, 0)
+         |                             AS BIGINT)) AS l_distinct
+         |  FROM customer GROUP BY 1, 2, 3),
+         |global AS (
+         |  SELECT count(*) AS n_classes,
+         |         CAST(sum(class_size) AS BIGINT) AS n_rows,
+         |         CAST(min(class_size) AS BIGINT) AS k_min,
+         |         CAST(sum(CASE WHEN class_size < $KAnon
+         |                       THEN class_size ELSE 0 END) AS BIGINT)
+         |           AS rows_below_k,
+         |         CAST(min(l_distinct) AS BIGINT) AS l_min
+         |  FROM classes),
+         |worst AS (
+         |  SELECT nat, seg, bkt, CAST(class_size AS BIGINT) AS class_size,
+         |         CAST(l_distinct AS BIGINT) AS l_distinct
+         |  FROM classes
+         |  ORDER BY class_size, nat, seg, bkt LIMIT $WorstClasses)
+         |SELECT w.nat, w.seg, w.bkt, w.class_size, w.l_distinct,
+         |       g.n_classes, g.k_min, g.rows_below_k,
+         |       round(CAST(g.rows_below_k AS DOUBLE) / g.n_rows, 6)
+         |         AS frac_below_k,
+         |       g.l_min
+         |FROM worst w CROSS JOIN global g
+         |ORDER BY w.class_size, w.nat, w.seg, w.bkt""".stripMargin,
     "q159_erasure_cascade" ->
       s"""WITH forget AS (
          |  SELECT DISTINCT user_id FROM events WHERE user_id % $ForgetMod = 0),

@@ -187,3 +187,40 @@ class DataCardSpec extends SparkTestBase {
     assert(got.keySet == docs.map(_._1).toSet)
   }
 }
+
+/** q216 pinned against a sequential equivalence-class recompute. */
+class KAnonymitySpec extends SparkTestBase {
+
+  test("q216 k-anonymity audit equals a sequential class recompute " +
+      "and every reported class is among the k smallest") {
+    val rows = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000) as int)"),
+        expr("cast(round(c_acctbal * 100, 0) as bigint)")).collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getInt(2)), r.getLong(3)))
+    val classes = rows.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).distinct.length.toLong))
+      .toMap
+    val kMin = classes.values.map(_._1).min
+    val lMin = classes.values.map(_._2).min
+    val belowK = classes.values.collect {
+      case (sz, _) if sz < graft.operators.Governance.KAnon => sz
+    }.sum
+    val got = graft.operators.Governance.q216KAnonymity(spark, sf)
+      .collect()
+    got.foreach { r =>
+      val key = (r.getInt(0), r.getString(1), r.getInt(2))
+      val (sz, l) = classes(key)
+      assert(r.getLong(3) == sz && r.getLong(4) == l, s"class $key")
+      assert(r.getLong(6) == kMin && r.getLong(9) == lMin)
+      assert(r.getLong(7) == belowK)
+    }
+    // the listing is exactly the 10 smallest classes under the pinned
+    // tie-break
+    val expectedKeys = classes.toSeq
+      .sortBy { case ((n, s, b), (sz, _)) => (sz, n, s, b) }
+      .take(10).map(_._1)
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      == expectedKeys)
+  }
+}
