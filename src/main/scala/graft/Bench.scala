@@ -21,10 +21,12 @@ object Bench {
     // plan shapes at sfDir hit the cache). sf0.001 keys differ from
     // sfDir's, so the timed run still pays its own fact/shingle builds.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.foreach { case (name, fn) =>
         try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
     }
     // OS page-cache warm of the measured dir (plain byte read, no Spark
@@ -66,15 +68,20 @@ object Bench {
     }
     // 4-decimal values (0.1ms resolution — below host noise): the
     // driver's artifact keeps only a tail of this line, so every byte
-    // saved per entry is more queries surviving into BENCH_r{N}.json
+    // saved per entry is more queries surviving into BENCH_r{N}.json.
+    // Locale.ROOT: a comma decimal separator from a non-English default
+    // locale would make the JSON invalid (ADVICE r09).
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(v))
     val qs = results
       .map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.4f")
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 4))
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout keeps only a tail, which truncated the
     // front of the r2/r3 metric lines (round totals unrecoverable from the
@@ -85,6 +92,30 @@ object Bench {
       line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    // DURABLE per-round artifact (VERDICT r09 #7): the driver's
+    // BENCH_r{N}.json keeps only a truncated stdout tail, so
+    // round-over-round per-query diffs were only computable when
+    // bench_out.json happened to be refreshed in the same state. Infer
+    // the CURRENT round as 1 + the highest committed BENCH_r*.json and
+    // write the full line to docs/bench/r{N}.json, committed with the
+    // round.
+    try {
+      val cwd = java.nio.file.Paths.get(".")
+      val re = "BENCH_r(\\d+)\\.json".r
+      var maxRound = 0
+      java.nio.file.Files.list(cwd).forEach { p =>
+        p.getFileName.toString match {
+          case re(n) => maxRound = math.max(maxRound, n.toInt)
+          case _ => ()
+        }
+      }
+      val dir = java.nio.file.Paths.get("docs", "bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(
+        dir.resolve(f"r${maxRound + 1}%02d.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write round sidecar: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -77,15 +77,19 @@ object Graph2 {
     val withSeed = nodes.withColumn("s",
       when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
     var r = withSeed.withColumn("r", col("s"))
-    // q138's convergence gate (VERDICT r08 #8): at ConvergenceEps =
-    // 1e-12 the early exit fires only on a bit-exact fixed point, so
-    // the skipped rounds are no-ops and the oracle's full unroll still
-    // matches; the flag tells a fixed point from a budget stop. The L1
-    // delta is a 1-row job over the two checkpointed rounds (the
-    // scalar-per-round discipline).
+    // Convergence gate, delta FOLDED into the round (VERDICT r09 #2):
+    // the previous rank rides the round's node table as r_prev (the
+    // prior round IS the node universe — same rows as withSeed), so the
+    // L1 delta is a scan-only 1-row aggregate over the fresh checkpoint
+    // instead of a per-round scores⋈prev-scores shuffle join. The early
+    // exit fires only on delta == 0.0 — a TRUE bit-exact fixed point
+    // (sum of |diffs| is 0 iff every diff is 0), so skipped rounds are
+    // exact no-ops and the oracle's full unroll matches bit-for-bit
+    // (ADVICE r09: `< eps` could in principle skip a sub-eps-moving
+    // round). The output flag keeps the oracle's `< eps` semantics.
     var delta = Double.MaxValue
     var it = 0
-    while (it < PprIterations && delta >= Graph.ConvergenceEps) {
+    while (it < PprIterations && delta != 0.0) {
       val withDeg = r.join(outdeg, Seq("node"), "left")
       val dang = withDeg.filter(col("d").isNull)
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
@@ -94,19 +98,19 @@ object Graph2 {
           .select(col("node").as("src"), col("r"), col("d")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("d")).as("c"))
-      val next = withSeed.join(contribs, Seq("node"), "left")
+      val next = r.withColumnRenamed("r", "r_prev")
+        .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"), col("is_seed"), col("s"),
+        .select(col("node"), col("is_seed"), col("s"), col("r_prev"),
           (lit(1.0 - Damping) * col("s") +
             lit(Damping) *
               (coalesce(col("c"), lit(0.0)) + col("dm") * col("s")))
             .as("r"))
         .localCheckpoint()
-      delta = next.join(r.select(col("node"), col("r").as("r_prev")),
-          Seq("node"))
+      delta = next
         .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
         .collect()(0).getDouble(0)
-      r = next
+      r = next.drop("r_prev")
       it += 1
     }
     r.select(col("node"), col("is_seed"), round(col("r"), 8).as("ppr"),
@@ -144,13 +148,18 @@ object Graph2 {
         .repartition(col("node")))
     var h = hubs0.withColumn("h", lit(1.0))
     var a: DataFrame = null
-    // same convergence gate as q143/q138: the L1 delta of the
-    // normalized hub vector between sweeps — at 1e-12 an early exit
-    // means the singular vectors are bit-stable and remaining sweeps
-    // are no-ops, so the oracle's full unroll still matches
+    // Convergence gate, delta FOLDED into the sweep (VERDICT r09 #2):
+    // the previous hub score joins onto the supplier-sized hraw table
+    // BEFORE normalization (hub nodes == distinct srcs on both sides,
+    // so the inner join is row-preserving), rides the checkpoint as
+    // h_prev, and the L1 delta becomes a scan-only 1-row aggregate —
+    // no separate scores⋈prev-scores join job per sweep. Early exit
+    // only on delta == 0.0, a TRUE bit-exact fixed point, so skipped
+    // sweeps are exact no-ops and the oracle's full unroll matches
+    // bit-for-bit (ADVICE r09). The output flag keeps `< eps`.
     var delta = Double.MaxValue
     var it = 0
-    while (it < HitsIterations && delta >= Graph.ConvergenceEps) {
+    while (it < HitsIterations && delta != 0.0) {
       val araw = edges.join(h.select(col("node").as("src"), col("h")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -159,19 +168,24 @@ object Graph2 {
       a = araw.crossJoin(broadcast(anorm))
         .select(col("node"), (col("a") / col("nrm")).as("a"))
         .localCheckpoint()
-      val hraw = edges.join(a.select(col("node").as("dst"), col("a")),
+      val hagg = edges.join(a.select(col("node").as("dst"), col("a")),
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("a")).as("h"))
-      val hnorm = hraw.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
+      // norm over the RAW aggregate (not the joined frame): the join
+      // is row-preserving but reorders rows, and a float sum must keep
+      // its exact order for the cross-engine hash to hold
+      val hnorm = hagg.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
+      val hraw = hagg
+        .join(h.select(col("node"), col("h").as("h_prev")), Seq("node"))
       val hnext = hraw.crossJoin(broadcast(hnorm))
-        .select(col("node"), (col("h") / col("nrm")).as("h"))
+        .select(col("node"), (col("h") / col("nrm")).as("h"),
+          col("h_prev"))
         .localCheckpoint()
-      delta = hnext.join(h.select(col("node"), col("h").as("h_prev")),
-          Seq("node"))
+      delta = hnext
         .agg(coalesce(sum(abs(col("h") - col("h_prev"))), lit(0.0)))
         .collect()(0).getDouble(0)
-      h = hnext
+      h = hnext.drop("h_prev")
       it += 1
     }
     val conv = lit(delta < Graph.ConvergenceEps).as("converged")

@@ -3,9 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
 import graft.sources.Tables
 
-/** [EXT] probabilistic record linkage (q200): Fellegi–Sunter
+/** [EXT] probabilistic record linkage (q200/q203): Fellegi–Sunter
   * agreement-weight scoring — the published probabilistic-ER model
   * behind production entity resolvers: per comparison field, estimate
   * m = P(agree | match) and u = P(agree | non-match), score every
@@ -19,32 +20,63 @@ import graft.sources.Tables
   * Fixture: a deterministically perturbed copy of customer
   * (segment / balance-bucket / nation flipped for key-arithmetic
   * subsets — a record can carry several perturbations), candidate
-  * pairs MULTI-PASS blocked (VERDICT r08 #2): pass 1 on
-  * (nation, balance-bucket), pass 2 on (nation, segment), union'd and
-  * deduped on the pair key. A record pair is a candidate iff it
-  * agrees on nation AND at least one of the two compared fields —
-  * the standard production mitigation for single-key blocking, whose
-  * per-block pair mass grows (N/|blocks|)² in the dimension.
-  * Blocking is honest about recall: a true match whose nation is
-  * perturbed, or with BOTH bkt and seg perturbed (k divisible by
-  * 7·11), is MISSED by every pass — exactly like production blocking.
+  * pairs MULTI-PASS blocked: pass 1 on (nation, balance-bucket),
+  * pass 2 on (nation, segment), union'd and deduped on the pair key.
+  * A record pair is a candidate iff it agrees on nation AND at least
+  * one of the two compared fields. Blocking is honest about recall: a
+  * true match whose nation is perturbed, or with BOTH bkt and seg
+  * perturbed (k divisible by 7·11), is MISSED by every pass — exactly
+  * like production blocking.
   *
-  * Scale shape: each pass is a dimension-keyed equi-join on a
-  * compound key, so per-block pair mass is bounded by the FINER
-  * (nat, field) block sizes — growing the customer dimension 10×
-  * grows candidates ~10× per pass (same-block density is diluted by
-  * the finer key), not 100× as nat-only blocking would; the union
-  * dedup is one shuffle on the pair key. m/u are ONE conditional
-  * aggregate over the labeled pairs (exact integer ratios, broadcast
-  * back); each pair's score is a single fixed 3-term expression — no
-  * fold across a variable-length field set — so the double is
-  * bit-identical cross-engine. Output is a (score-bucket × label)
-  * histogram: audit-sized at any scale. */
+  * SCALE DISCIPLINE (VERDICT r09 #1). Attribute blocking has FIXED
+  * key cardinality (25 nations × ~11 buckets × 5 segments), so block
+  * sizes — and with them candidate-pair mass — grow QUADRATICALLY in
+  * the customer dimension: the round-9 dim-growth harness measured
+  * 100× pairs at 10× customers (docs/SCALE.md). Multi-pass blocking
+  * shrinks the constant, never the exponent. The registered plans
+  * therefore never run the full attribute-blocked candidate set:
+  *
+  *  1. WEIGHT LEARNING (q200, and step 1 of q203) runs the multi-pass
+  *     attribute blocking over a BOUNDED ESTIMATION SAMPLE — records
+  *     whose salted 60-bit key hash is ≡ 0 mod s, with
+  *     s = max(1, n div [[EstTarget]]) computed from the data itself
+  *     (a broadcast 1-row aggregate, no driver collect). The sample
+  *     size is ~[[EstTarget]] keys at ANY dimension size, so the
+  *     estimation pair mass is bounded by what fixed attribute blocks
+  *     do to ~1000 records — constant as the dimension grows, the
+  *     production "estimate m/u on a sample" discipline (m/u need a
+  *     pair SAMPLE, not the census). Hash-based systematic sampling
+  *     (never `k % s` directly) keeps the sample free of aliasing
+  *     against the key-arithmetic perturbation periods.
+  *  2. CANDIDATE RETRIEVAL (q203) blocks on the HIGH-CARDINALITY key:
+  *     the name prefix (all but the last character) — neighborhood
+  *     size stays ~constant as the dimension grows because new
+  *     customers bring new names (block cardinality ∝ N, the
+  *     sorted-neighborhood idea as an equi-join), so retrieval pair
+  *     mass is O(N · window), never (N/blocks)². Measured linear on
+  *     the dim-growth harness (9.1× pairs at 10× dims, round 9).
+  *
+  * The FULL attribute-blocked candidate set ([[candidatePairs]]) is
+  * retained only as ground truth: LinkageSpec proves sample-learned
+  * m/u ≈ census-learned m/u on sf0.01, and the dim-growth harness
+  * keeps its round-9 quadratic measurement as the documented
+  * counter-example. It is never registered.
+  *
+  * Output of both queries is a (score-bucket × label) histogram:
+  * audit-sized at any scale. Each pair's score is a single fixed
+  * 3-term expression over exact integer-ratio m/u — no fold across a
+  * variable-length field set — so the double is bit-identical
+  * cross-engine. */
 object Linkage {
 
   private[graft] val SegMod = 7L
   private[graft] val BucketMod = 11L
   private[graft] val NationMod = 13L
+
+  /** Target estimation-sample size: s = max(1, n div EstTarget) keys
+    * survive, so the attribute-blocked estimation pair mass is bounded
+    * regardless of dimension size. */
+  private[graft] val EstTarget = 1000L
 
   /** The perturbed-pair fixture: (base, alt) record frames carrying
     * key, name, nation, segment, balance bucket. */
@@ -77,17 +109,44 @@ object Linkage {
       (col("a.seg") === col("b.seg")).as("ag_seg"),
       (col("a.bkt") === col("b.bkt")).as("ag_bkt"))
 
-  /** The multi-pass-blocked candidate pairs with agreement flags —
-    * factored out so the dim-growth harness (ScaleSmoke dim mode) can
-    * measure the candidate-pair mass directly. Multi-pass blocking:
-    * each pass joins on a FINER compound key; a pair agreeing on both
-    * fields appears in both passes, so the union dedups on the pair
-    * key (rows for the same pair carry identical flags — the dedup
-    * pick is deterministic). */
+  /** The FULL multi-pass-blocked candidate pairs with agreement flags —
+    * ground truth only (LinkageSpec, dim-growth harness); measured
+    * dimension-QUADRATIC in round 9 and therefore never part of a
+    * registered plan. Each pass joins on a FINER compound key; a pair
+    * agreeing on both fields appears in both passes, so the union
+    * dedups on the pair key (rows for the same pair carry identical
+    * flags — the dedup pick is deterministic). */
   private[graft] def candidatePairs(spark: SparkSession, dir: String)
       : DataFrame = {
     val (base, alt) = records(spark, dir)
     blockPass(base, alt, "bkt").unionByName(blockPass(base, alt, "seg"))
+      .dropDuplicates("ak", "bk")
+  }
+
+  /** 1-row modulus frame: s = max(1, n div target), computed from the
+    * base dimension itself so the sample self-scales. */
+  private def estParams(base: DataFrame, target: Long): DataFrame =
+    base.agg(greatest(lit(1L), expr(s"count(1) div $target")).as("s"))
+
+  /** Hash-systematic estimation sample: keys whose salted 60-bit hash
+    * is ≡ 0 mod s (broadcast scalar join, no driver collect). */
+  private def estSample(df: DataFrame, params: DataFrame): DataFrame =
+    df.crossJoin(broadcast(params))
+      .filter(Hashing.md5Hash60(
+        concat(lit("linkest:"), col("k"))) % col("s") === 0)
+      .drop("s")
+
+  /** Estimation pairs: the multi-pass attribute blocking restricted to
+    * the bounded hash sample — ~[[EstTarget]] keys per side at any
+    * dimension size, so pair mass is CONSTANT under dim growth.
+    * Factored out so the dim-growth harness can count it. */
+  private[graft] def estimationPairs(spark: SparkSession, dir: String,
+      target: Long = EstTarget): DataFrame = {
+    val (base, alt) = records(spark, dir)
+    val params = estParams(base, target)
+    val eb = estSample(base, params)
+    val ea = estSample(alt, params)
+    blockPass(eb, ea, "bkt").unionByName(blockPass(eb, ea, "seg"))
       .dropDuplicates("ak", "bk")
   }
 
@@ -106,6 +165,10 @@ object Linkage {
       rate(col("ag_bkt"), !col("is_match")).as("u_bkt"))
   }
 
+  /** Spec hook: sample-learned m/u at an explicit target. */
+  private[graft] def estimatedMu(spark: SparkSession, dir: String,
+      target: Long): DataFrame = muOf(estimationPairs(spark, dir, target))
+
   /** Score a pair frame with broadcast m/u weights and fold to the
     * (is_match, floor(w)) histogram. */
   private def scoreHistogram(pairs: DataFrame, mu: DataFrame): DataFrame = {
@@ -123,52 +186,29 @@ object Linkage {
       .orderBy("is_match", "w_bucket")
   }
 
-  /** q200 — Fellegi–Sunter linkage weights; see the module doc. */
-  def q200LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(spark, dir)
-    scoreHistogram(pairs, muOf(pairs))
+  /** Spec hook: q200 at an explicit estimation target (forces real
+    * sampling at sf0.01, where the default modulus is 1). */
+  private[graft] def q200With(spark: SparkSession, dir: String,
+      target: Long): DataFrame = {
+    val est = estimationPairs(spark, dir, target)
+    scoreHistogram(est, muOf(est))
   }
 
-  /** Every [[EstSample]]-th key lands in q203's estimation sample. */
-  private[graft] val EstSample = 5L
+  /** q200 — Fellegi–Sunter linkage weights learned AND audited on the
+    * bounded estimation sample; see the module doc. */
+  def q200LinkageWeights(spark: SparkSession, dir: String): DataFrame =
+    q200With(spark, dir, EstTarget)
 
-  /** q203 — linkage AT SCALE: the production decomposition the
-    * dim-growth harness demands (docs/SCALE.md round-9 section).
-    * Attribute blocking (q200) has FIXED key cardinality (25 nations
-    * × ~11 buckets × 5 segments), so block sizes — and with them the
-    * candidate-pair mass — grow quadratically as the customer
-    * dimension grows (measured: 100× pairs at 10× dims). q79's
-    * key-range blocks stay flat because their cardinality grows WITH
-    * the data. This operator applies that lesson to linkage:
-    *
-    *  1. WEIGHT LEARNING on a bounded estimation sample — the q200
-    *     multi-pass attribute blocking restricted to every
-    *     [[EstSample]]-th key on both sides, so estimation pair mass
-    *     is 1/[[EstSample]]² of q200's (production sets the rate
-    *     ∝ 1/√N for constant mass); m/u need a pair SAMPLE, not the
-    *     full candidate set.
-    *  2. CANDIDATE RETRIEVAL blocked on the HIGH-CARDINALITY key:
-    *     the name prefix (all but the last character) — neighborhood
-    *     size stays ~constant as the dimension grows because new
-    *     customers bring new names (block cardinality ∝ N, the
-    *     sorted-neighborhood idea as an equi-join), so retrieval pair
-    *     mass is O(N · window), never (N/blocks)².
-    *  3. Score the retrieved candidates with the learned weights —
-    *     the same fixed 3-term expression as q200, bit-identical
-    *     cross-engine.
-    *
+  /** q203 — linkage retrieval AT SCALE: sample-learned weights (step 1,
+    * shared with q200) scoring name-prefix-blocked retrieval candidates
+    * (step 2) — the full production decomposition; see the module doc.
     * Output: (is_match, w_bucket) histogram of the RETRIEVED pairs —
     * matches concentrate in the high buckets scored by sample-learned
     * weights, prefix-neighbor non-matches in the low ones. */
   def q203LinkageRetrieval(spark: SparkSession, dir: String): DataFrame = {
     val (base, alt) = records(spark, dir)
-    val est = {
-      val eb = base.filter(col("k") % EstSample === 0)
-      val ea = alt.filter(col("k") % EstSample === 0)
-      blockPass(eb, ea, "bkt").unionByName(blockPass(eb, ea, "seg"))
-        .dropDuplicates("ak", "bk")
-    }
-    scoreHistogram(retrievedPairs(base, alt), muOf(est))
+    scoreHistogram(retrievedPairs(base, alt),
+      muOf(estimationPairs(spark, dir, EstTarget)))
   }
 
   /** Name-prefix-blocked retrieval candidates (step 2 of q203) —
@@ -196,42 +236,74 @@ object Linkage {
     "q200_linkage_weights" -> (q200LinkageWeights _),
     "q203_linkage_retrieval" -> (q203LinkageRetrieval _))
 
+  /** Shared oracle CTE prefix: fixture, modulus, hash sample, blocked
+    * estimation pairs, and sample-learned m/u. The hash sample is the
+    * q152 cross-engine identity: Spark `conv(substr(md5(x),1,15),16,10)`
+    * == DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  private def estPrefixSql: String =
+    s"""WITH base AS (
+      |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+      |         c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt
+      |  FROM customer),
+      |alt AS (
+      |  SELECT k, nm,
+      |         CASE WHEN k % $NationMod = 0 THEN (nat + 1) % 25
+      |              ELSE nat END AS nat,
+      |         CASE WHEN k % $SegMod = 0 THEN 'PERTURBED'
+      |              ELSE seg END AS seg,
+      |         CASE WHEN k % $BucketMod = 0 THEN bkt + 1
+      |              ELSE bkt END AS bkt
+      |  FROM base),
+      |params AS (SELECT greatest(1, count(*) // $EstTarget) AS s FROM base),
+      |eb AS (SELECT * FROM base
+      |       WHERE ('0x' || substr(md5('linkest:' || CAST(k AS VARCHAR)),
+      |                             1, 15))::BIGINT
+      |             % (SELECT s FROM params) = 0),
+      |ea AS (SELECT * FROM alt
+      |       WHERE ('0x' || substr(md5('linkest:' || CAST(k AS VARCHAR)),
+      |                             1, 15))::BIGINT
+      |             % (SELECT s FROM params) = 0),
+      |est AS (
+      |  SELECT a.k = b.k AS is_match,
+      |         a.seg = b.seg AS ag_seg,
+      |         a.bkt = b.bkt AS ag_bkt
+      |  FROM eb a JOIN ea b
+      |    ON a.nat = b.nat AND (a.bkt = b.bkt OR a.seg = b.seg)),
+      |mu AS (
+      |  SELECT
+      |    CAST(count(*) FILTER (WHERE is_match AND ag_seg) + 1 AS DOUBLE)
+      |      / (count(*) FILTER (WHERE is_match) + 2) AS m_seg,
+      |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_seg) + 1
+      |      AS DOUBLE)
+      |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_seg,
+      |    CAST(count(*) FILTER (WHERE is_match AND ag_bkt) + 1 AS DOUBLE)
+      |      / (count(*) FILTER (WHERE is_match) + 2) AS m_bkt,
+      |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_bkt) + 1
+      |      AS DOUBLE)
+      |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_bkt
+      |  FROM est)""".stripMargin
+
+  private def histogramSql(pairsCte: String): String =
+    s"""scored AS (
+      |  SELECT is_match,
+      |         (CASE WHEN ag_seg THEN log2(m_seg / u_seg)
+      |               ELSE log2((1.0 - m_seg) / (1.0 - u_seg)) END +
+      |          CASE WHEN ag_bkt THEN log2(m_bkt / u_bkt)
+      |               ELSE log2((1.0 - m_bkt) / (1.0 - u_bkt)) END)
+      |           AS w
+      |  FROM $pairsCte CROSS JOIN mu)
+      |SELECT is_match, CAST(floor(w) AS BIGINT) AS w_bucket,
+      |       count(*) AS n_pairs
+      |FROM scored GROUP BY 1, 2
+      |ORDER BY is_match, w_bucket""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q200_linkage_weights" ->
+      s"""$estPrefixSql,
+        |${histogramSql("est")}""".stripMargin,
     "q203_linkage_retrieval" ->
-      s"""WITH base AS (
-        |  SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-        |         c_mktsegment AS seg,
-        |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt
-        |  FROM customer),
-        |alt AS (
-        |  SELECT k, nm,
-        |         CASE WHEN k % $NationMod = 0 THEN (nat + 1) % 25
-        |              ELSE nat END AS nat,
-        |         CASE WHEN k % $SegMod = 0 THEN 'PERTURBED'
-        |              ELSE seg END AS seg,
-        |         CASE WHEN k % $BucketMod = 0 THEN bkt + 1
-        |              ELSE bkt END AS bkt
-        |  FROM base),
-        |est AS (
-        |  SELECT a.k = b.k AS is_match,
-        |         a.seg = b.seg AS ag_seg,
-        |         a.bkt = b.bkt AS ag_bkt
-        |  FROM base a JOIN alt b
-        |    ON a.nat = b.nat AND (a.bkt = b.bkt OR a.seg = b.seg)
-        |  WHERE a.k % $EstSample = 0 AND b.k % $EstSample = 0),
-        |mu AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (WHERE is_match AND ag_seg) + 1 AS DOUBLE)
-        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_seg,
-        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_seg) + 1
-        |      AS DOUBLE)
-        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_seg,
-        |    CAST(count(*) FILTER (WHERE is_match AND ag_bkt) + 1 AS DOUBLE)
-        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_bkt,
-        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_bkt) + 1
-        |      AS DOUBLE)
-        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_bkt
-        |  FROM est),
+      s"""$estPrefixSql,
         |cand AS (
         |  SELECT a.k = b.k AS is_match,
         |         a.seg = b.seg AS ag_seg,
@@ -239,65 +311,5 @@ object Linkage {
         |  FROM base a JOIN alt b
         |    ON substr(a.nm, 1, length(a.nm) - 1)
         |       = substr(b.nm, 1, length(b.nm) - 1)),
-        |scored AS (
-        |  SELECT is_match,
-        |         (CASE WHEN ag_seg THEN log2(m_seg / u_seg)
-        |               ELSE log2((1.0 - m_seg) / (1.0 - u_seg)) END +
-        |          CASE WHEN ag_bkt THEN log2(m_bkt / u_bkt)
-        |               ELSE log2((1.0 - m_bkt) / (1.0 - u_bkt)) END)
-        |           AS w
-        |  FROM cand CROSS JOIN mu)
-        |SELECT is_match, CAST(floor(w) AS BIGINT) AS w_bucket,
-        |       count(*) AS n_pairs
-        |FROM scored GROUP BY 1, 2
-        |ORDER BY is_match, w_bucket""".stripMargin,
-    "q200_linkage_weights" ->
-      // the union-of-passes with pair-key dedup is semantically one
-      // join on nat with (bkt OR seg) agreement — the oracle states
-      // the SEMANTICS; the Spark side keeps the per-pass equi-join
-      // formulation that scales
-      s"""WITH base AS (
-        |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
-        |         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bkt
-        |  FROM customer),
-        |alt AS (
-        |  SELECT k,
-        |         CASE WHEN k % $NationMod = 0 THEN (nat + 1) % 25
-        |              ELSE nat END AS nat,
-        |         CASE WHEN k % $SegMod = 0 THEN 'PERTURBED'
-        |              ELSE seg END AS seg,
-        |         CASE WHEN k % $BucketMod = 0 THEN bkt + 1
-        |              ELSE bkt END AS bkt
-        |  FROM base),
-        |pairs AS (
-        |  SELECT a.k = b.k AS is_match,
-        |         a.seg = b.seg AS ag_seg,
-        |         a.bkt = b.bkt AS ag_bkt
-        |  FROM base a JOIN alt b
-        |    ON a.nat = b.nat AND (a.bkt = b.bkt OR a.seg = b.seg)),
-        |mu AS (
-        |  SELECT
-        |    CAST(count(*) FILTER (WHERE is_match AND ag_seg) + 1 AS DOUBLE)
-        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_seg,
-        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_seg) + 1
-        |      AS DOUBLE)
-        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_seg,
-        |    CAST(count(*) FILTER (WHERE is_match AND ag_bkt) + 1 AS DOUBLE)
-        |      / (count(*) FILTER (WHERE is_match) + 2) AS m_bkt,
-        |    CAST(count(*) FILTER (WHERE NOT is_match AND ag_bkt) + 1
-        |      AS DOUBLE)
-        |      / (count(*) FILTER (WHERE NOT is_match) + 2) AS u_bkt
-        |  FROM pairs),
-        |scored AS (
-        |  SELECT is_match,
-        |         (CASE WHEN ag_seg THEN log2(m_seg / u_seg)
-        |               ELSE log2((1.0 - m_seg) / (1.0 - u_seg)) END +
-        |          CASE WHEN ag_bkt THEN log2(m_bkt / u_bkt)
-        |               ELSE log2((1.0 - m_bkt) / (1.0 - u_bkt)) END)
-        |           AS w
-        |  FROM pairs CROSS JOIN mu)
-        |SELECT is_match, CAST(floor(w) AS BIGINT) AS w_bucket,
-        |       count(*) AS n_pairs
-        |FROM scored GROUP BY 1, 2
-        |ORDER BY is_match, w_bucket""".stripMargin)
+        |${histogramSql("cand")}""".stripMargin)
 }

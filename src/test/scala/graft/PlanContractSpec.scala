@@ -23,10 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * selected physical plan BEFORE exchange insertion and adaptive
   * wrapping, so the tree is fully traversable (the AQE wrapper is a
   * leaf node that would hide everything) and join-strategy choices
-  * are exactly what the planner committed to. Scalar-subquery INNER
-  * plans are not yet physical at this stage and are outside the
-  * automated walk (they are no-grouping aggregates by construction;
-  * `docs/PLANS.md` covers them).
+  * are exactly what the planner committed to. Subquery INNER plans
+  * (still logical at this stage) are planned and recursed into with
+  * the same rules (VERDICT r09 #4), so a cartesian or unpushed scan
+  * hiding inside a scalar subquery fails the same named test.
   *
   * Rules:
   *  1. `CartesianProductExec` never appears — no exceptions. (Even
@@ -152,9 +152,6 @@ object PlanContract {
     "q62_ntile" -> "supplier-dimension revenue profile",
     "q130_token_budget_select" -> "doc-grain quality profile",
     "q112_weighted_sample" -> "doc-grain weight profile",
-    "q10_first_seen_keys" ->
-      ("distinct-key dimension profile; sort+zipWithIndex documented " +
-        "for huge dims (module doc)"),
     "q21_window_analytic" -> "aggregate-fact profile (≤ 192 rows)",
     "q61_range_frame" -> "daily revenue series (calendar-bounded)",
     "q82_funnel" -> "3-row funnel step table",
@@ -167,9 +164,18 @@ object PlanContract {
     "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
     "q193_rank_delta" -> "part-dimension per-half rank profiles")
 
-  /** All plan-contract violations for one query's physical plan. */
-  def violations(name: String, df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.sparkPlan
+  /** All plan-contract violations for one query's physical plan,
+    * INCLUDING subquery inner plans (VERDICT r09 #4): scalar/IN/EXISTS
+    * subquery expressions at the `sparkPlan` stage still hold their
+    * (optimized) LOGICAL inner plans — physical planning of the outer
+    * does not plan them — so each one is planned here and recursed
+    * into with the same allow-lists. */
+  def violations(name: String, df: DataFrame): Seq[String] =
+    planViolations(name, df.queryExecution.sparkPlan,
+      df.sparkSession, depth = 0)
+
+  private def planViolations(name: String, plan: SparkPlan,
+      spark: org.apache.spark.sql.SparkSession, depth: Int): Seq[String] = {
     val carts = plan.collect { case c: CartesianProductExec => c }
       .map(_ => s"$name: CartesianProduct in physical plan")
     val gw = plan.collect {
@@ -198,7 +204,25 @@ object PlanContract {
         s"$name: BroadcastNestedLoopJoin with unbounded build " +
           s"side (${build.nodeName}); not provably tiny, not allow-listed")
     }
-    carts ++ gw ++ bnlj ++ unpushedScans(name, plan)
+    // recurse into subquery inner plans (depth-capped as a loop guard;
+    // registered queries nest at most one level of scalar subqueries)
+    val subs =
+      if (depth >= 3) Nil
+      else plan.flatMap { node =>
+        node.expressions.flatMap(_.collect {
+          case pe: org.apache.spark.sql.catalyst.expressions
+              .PlanExpression[_] => pe.plan
+        })
+      }.collect {
+        case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => lp
+      }.flatMap { lp =>
+        try planViolations(name,
+          spark.sessionState.executePlan(lp).sparkPlan, spark, depth + 1)
+        catch { case scala.util.control.NonFatal(e) => Seq(
+          s"$name: subquery inner plan could not be walked: ${e.getMessage}")
+        }
+      }
+    carts ++ gw ++ bnlj ++ unpushedScans(name, plan) ++ subs
   }
 
   /** Allow-list entries actually exercised during a sweep — lets the
@@ -264,6 +288,21 @@ class PlanContractSpec extends SparkTestBase {
       val v = PlanContract.violations("induced", bad)
       assert(v.exists(_.contains("CartesianProduct")),
         s"checker missed an induced cartesian; got: $v")
+    }
+  }
+
+  test("the contract goes red on a cartesian hidden inside a scalar " +
+      "subquery (the walk recurses into inner plans)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("pc_docs")
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val bad = spark.sql(
+        """SELECT doc_id,
+          |  (SELECT count(*) FROM pc_docs a CROSS JOIN pc_docs b) AS n
+          |FROM pc_docs""".stripMargin)
+      val v = PlanContract.violations("induced_subquery", bad)
+      assert(v.exists(_.contains("CartesianProduct")),
+        s"checker missed a cartesian inside a scalar subquery; got: $v")
     }
   }
 
