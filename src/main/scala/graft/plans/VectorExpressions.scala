@@ -231,6 +231,10 @@ object GraftFunctions {
     "graft_bloom_contains" -> ((children: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children(0), children(1))),
+    // same discipline for the Count-Min point-frequency probe: the
+    // serialized sketch is a binary literal, the probe is codegen
+    "graft_cms_estimate" -> ((children: Seq[Expression]) =>
+      CmsEstimateCount(children(0), children(1))),
     "graft_gear_ends" -> ((children: Seq[Expression]) =>
       GearChunkEnds(children(0))))
 
@@ -264,6 +268,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateCount].getName,
+        "graft_cms_estimate"),
+      (children: Seq[Expression]) =>
+        CmsEstimateCount(children(0), children(1))))
     extensions.injectFunction((
       FunctionIdentifier("graft_gear_ends"),
       new ExpressionInfo(classOf[GearChunkEnds].getName, "graft_gear_ends"),

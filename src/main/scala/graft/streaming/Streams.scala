@@ -36,6 +36,20 @@ object Streams {
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "10 minutes"))
 
+  /** q212's STREAMING TWIN (VERDICT r09 #8): hourly per-type counts
+    * under an explicit watermark delay — the live enforcement of the
+    * lateness bound q212 profiles in batch. Rows whose hour window has
+    * been finalized by the watermark (global max event time minus
+    * delay, advanced per micro-batch) are DROPPED before aggregation;
+    * StreamingLatenessSpec asserts the dropped set is exactly what the
+    * batch lateness audit predicts for the same arrival order. */
+  def latenessWindowCounts(events: DataFrame, delaySeconds: Long): DataFrame =
+    events.withWatermark("ts", s"$delaySeconds seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Sliding 1-hour windows advancing every 15 minutes (each event
     * contributes to 4 windows). */
   def slidingCounts(events: DataFrame): DataFrame =

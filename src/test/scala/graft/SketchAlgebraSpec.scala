@@ -30,4 +30,30 @@ class SketchAlgebraSpec extends SparkTestBase {
     // matrix shape: C(|types|, 2) unordered pairs
     assert(got.length == types.size * (types.size - 1) / 2)
   }
+
+  test("graft_cms_estimate (codegen CMS probe) equals direct " +
+      "estimateCount and propagates null keys") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 42)
+    Seq("view", "view", "purchase", "view", "cart").foreach(cms.addString)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val out = Seq(Some("view"), Some("purchase"), Some("absent"), None)
+      .toDF("k")
+      .select(col("k"),
+        call_function("graft_cms_estimate", lit(bytes), col("k")).as("est"))
+      .collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toSeq
+    assert(out == Seq(
+      Some("view") -> Some(cms.estimateCount("view")),
+      Some("purchase") -> Some(cms.estimateCount("purchase")),
+      Some("absent") -> Some(cms.estimateCount("absent")),
+      None -> None))
+    assert(cms.estimateCount("view") >= 3L)
+  }
 }
