@@ -204,7 +204,9 @@ object ScaleSmoke {
         "q208_digit_audit", "q209_eval_sample", "q210_novelty_select",
         "q211_revenue_gini", "q212_lateness_profile",
         "q213_reliability_curve", "q214_frequent_triples",
-        "q215_data_card", "q216_k_anonymity")
+        "q215_data_card", "q216_k_anonymity", "q217_kmv_distinct",
+        "q218_conformal_threshold", "q219_span_excision",
+        "q220_epoch_shuffle")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

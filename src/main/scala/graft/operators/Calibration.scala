@@ -122,9 +122,69 @@ object Calibration {
           .as("mse"))
   }
 
+  /** q218 coverage target 1 − α = [[ConfNum]]/[[ConfDen]] (α = 0.1). */
+  private[graft] val ConfNum = 9L
+  private[graft] val ConfDen = 10L
+
+  /** q218 — SPLIT-CONFORMAL calibration (distribution-free prediction
+    * intervals — Vovk et al.'s conformal prediction, the standard
+    * post-hoc uncertainty wrapper for any point model): hash-split the
+    * data into calibration/evaluation halves, fit a trivial per-group
+    * model on calibration (the segment mean), take each calibration
+    * row's nonconformity score (absolute residual), and set the
+    * interval radius to the ⌈(n+1)(1−α)⌉-th smallest calibration score
+    * — the finite-sample quantile that guarantees ≥ 1−α coverage on
+    * exchangeable data. The evaluation half then audits realized
+    * coverage.
+    *
+    * Determinism: residuals are kept in SCALED integer units
+    * (|cents·n_cal − sum_cents| — the residual vs the mean times
+    * n_cal), so scores, ranks, the selected threshold, and every
+    * coverage comparison are exact integers; the only doubles are the
+    * two final single-division ratios. The rank is selected with a
+    * full (score, key) tie-break.
+    *
+    * Scale shape: model + threshold come from ONE grouped fold plus a
+    * rank window over the CALIBRATION half partitioned by segment
+    * (dimension-grain profile, never facts); coverage is a second
+    * grouped fold. Output is |segments| rows. */
+  def q218ConformalThreshold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val base = Tables.customer(spark, dir).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        expr("cast(round(c_acctbal * 100, 0) as bigint)").as("cents"))
+      .withColumn("is_cal",
+        Hashing.md5Hash60(concat(lit("conf:"), col("k"))) % 2 === 0)
+    val model = base.filter(col("is_cal")).groupBy("seg")
+      .agg(count(lit(1)).as("n_cal"), sum(col("cents")).as("sum_cents"))
+    val scored = base.join(model, Seq("seg"))
+      .withColumn("r", abs(col("cents") * col("n_cal") - col("sum_cents")))
+      .withColumn("m_rank",
+        expr(s"((n_cal + 1) * $ConfNum + ${ConfDen - 1}) div $ConfDen"))
+    val wr = Window.partitionBy("seg").orderBy(col("r"), col("k"))
+    val thr = scored.filter(col("is_cal"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === col("m_rank"))
+      .select(col("seg"), col("r").as("thr_scaled"))
+    scored.filter(!col("is_cal"))
+      .join(thr, Seq("seg"))
+      .groupBy(col("seg"), col("n_cal"), col("m_rank"), col("thr_scaled"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("r") <= col("thr_scaled"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("seg"), col("n_cal"), col("n_eval"), col("m_rank"),
+        col("thr_scaled"),
+        round(col("covered").cast("double") / col("n_eval"), 6)
+          .as("coverage"),
+        (col("covered") * ConfDen >= col("n_eval") * ConfNum)
+          .as("meets_target"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_quantile_normalize" -> (q168QuantileNormalize _),
-    "q169_int8_calibrate" -> (q169Int8Calibrate _))
+    "q169_int8_calibrate" -> (q169Int8Calibrate _),
+    "q218_conformal_threshold" -> (q218ConformalThreshold _))
 
   val oracles: Map[String, String] = Map(
     "q169_int8_calibrate" ->
@@ -195,5 +255,40 @@ object Calibration {
          |                     - g[CAST(((rk - 1) * $G) // (ns - 1) AS INT) + 1])
          |             ELSE 0.0 END, 6) AS calibrated
          |FROM ranked CROSS JOIN grid
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q218_conformal_threshold" ->
+      s"""WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents,
+        |         ('0x' || substr(md5('conf:' || CAST(c_custkey AS VARCHAR)),
+        |                         1, 15))::BIGINT % 2 = 0 AS is_cal
+        |  FROM customer),
+        |model AS (
+        |  SELECT seg, count(*) AS n_cal,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base WHERE is_cal GROUP BY seg),
+        |scored AS (
+        |  SELECT b.k, b.seg, b.is_cal, m.n_cal, m.sum_cents,
+        |         abs(b.cents * m.n_cal - m.sum_cents) AS r,
+        |         ((m.n_cal + 1) * $ConfNum + ${ConfDen - 1}) // $ConfDen
+        |           AS m_rank
+        |  FROM base b JOIN model m ON b.seg = m.seg),
+        |thr AS (
+        |  SELECT seg, r AS thr_scaled FROM (
+        |    SELECT seg, r, m_rank,
+        |           row_number() OVER (PARTITION BY seg ORDER BY r, k) AS rn
+        |    FROM scored WHERE is_cal)
+        |  WHERE rn = m_rank)
+        |SELECT s.seg, CAST(s.n_cal AS BIGINT) AS n_cal,
+        |       CAST(count(*) AS BIGINT) AS n_eval,
+        |       CAST(s.m_rank AS BIGINT) AS m_rank,
+        |       t.thr_scaled,
+        |       round(CAST(count(*) FILTER (WHERE s.r <= t.thr_scaled)
+        |               AS DOUBLE) / count(*), 6) AS coverage,
+        |       count(*) FILTER (WHERE s.r <= t.thr_scaled) * $ConfDen
+        |         >= count(*) * $ConfNum AS meets_target
+        |FROM scored s JOIN thr t ON s.seg = t.seg
+        |WHERE NOT s.is_cal
+        |GROUP BY s.seg, s.n_cal, s.m_rank, t.thr_scaled
+        |ORDER BY s.seg""".stripMargin)
 }

@@ -93,8 +93,62 @@ object ExactSubstr {
         col("n_runs"), col("n_shared_windows"))
   }
 
+  /** q219 — SPAN EXCISION audit (the ACTION q204's detection feeds —
+    * published exact-substring training-data dedup excises repeated
+    * spans while KEEPING the documents): every W-word window occurrence
+    * that is not the corpus-first occurrence of its hash (first =
+    * minimal (doc_id, idx) — self-repetition within a document counts)
+    * marks its word interval excisable; per document the intervals are
+    * merged (gaps-and-islands union) and the per-source report gives
+    * docs touched, words excised, and the excision rate.
+    *
+    * Scale shape: one shuffle on the window hash to rank occurrences
+    * (heavy buckets only where windows actually repeat — the q204
+    * class, with the same exact-dedup-first production mitigation),
+    * then doc-grain interval-union windows (bounded by document
+    * length) and a source-grain fold. Output is |sources| rows. All
+    * arithmetic is exact integers except the final single-division
+    * rate. */
+  def q219SpanExcision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wins = windows(docs)
+    val wOcc = Window.partitionBy("wh").orderBy("doc_id", "idx")
+    val dup = wins.withColumn("rn", row_number().over(wOcc))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("idx"), (col("idx") + lit(W - 1)).as("e"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = dup
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("idx") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg((max(col("e")) - min(col("idx")) + lit(1L)).as("span"))
+      .groupBy("doc_id")
+      .agg(sum(col("span")).as("excised_words"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("excised_words").isNotNull, 1L).otherwise(0L))
+          .as("docs_touched"),
+        sum(col("n_words")).as("total_words"),
+        coalesce(sum(col("excised_words")), lit(0L)).as("excised_words"),
+        coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"))
+      .withColumn("excision_rate",
+        round(col("excised_words").cast("double") / col("total_words"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q204_exact_substr" -> (q204ExactSubstr _))
+    "q204_exact_substr" -> (q204ExactSubstr _),
+    "q219_span_excision" -> (q219SpanExcision _))
 
   val oracles: Map[String, String] = Map(
     "q204_exact_substr" ->
@@ -137,5 +191,57 @@ object ExactSubstr {
         |       n_runs, n_shared_windows
         |FROM best
         |ORDER BY longest_run_words DESC, id1, id2
-        |LIMIT $TopPairs""".stripMargin)
+        |LIMIT $TopPairs""".stripMargin,
+    "q219_span_excision" ->
+      s"""WITH wins AS (
+        |  SELECT doc_id, i AS idx,
+        |         md5(array_to_string(ws[i:i + ${W - 1}], ' ')) AS wh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |               unnest(generate_series(1,
+        |                 len(string_split(text, ' ')) - ${W - 1})) AS i
+        |        FROM documents)
+        |  WHERE len(ws) >= $W),
+        |dup AS (
+        |  SELECT doc_id, idx, idx + ${W - 1} AS e FROM (
+        |    SELECT doc_id, idx,
+        |           row_number() OVER (PARTITION BY wh
+        |             ORDER BY doc_id, idx) AS rn
+        |    FROM wins)
+        |  WHERE rn > 1),
+        |marked AS (
+        |  SELECT doc_id, idx, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY idx
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                IS NULL
+        |              OR idx > max(e) OVER (PARTITION BY doc_id
+        |                ORDER BY idx
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM dup),
+        |islands AS (
+        |  SELECT doc_id, idx, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS island
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, island, max(e) - min(idx) + 1 AS span
+        |  FROM islands GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(span) AS BIGINT) AS excised_words,
+        |         count(*) AS n_spans
+        |  FROM spans GROUP BY 1),
+        |d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |      FROM documents)
+        |SELECT d.source, count(*) AS n_docs,
+        |       count(p.doc_id) AS docs_touched,
+        |       CAST(sum(d.n_words) AS BIGINT) AS total_words,
+        |       CAST(coalesce(sum(p.excised_words), 0) AS BIGINT)
+        |         AS excised_words,
+        |       CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans,
+        |       round(CAST(coalesce(sum(p.excised_words), 0) AS DOUBLE)
+        |             / CAST(sum(d.n_words) AS BIGINT), 6) AS excision_rate
+        |FROM d LEFT JOIN perdoc p USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
 }

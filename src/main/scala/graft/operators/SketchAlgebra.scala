@@ -59,8 +59,61 @@ object SketchAlgebra {
       .orderBy("type_a", "type_b")
   }
 
+  /** KMV sketch size (q217): 64 hashes ⇒ ~1/√62 ≈ 12.7% standard
+    * relative error; the sketch is 512 bytes per group. */
+  private[graft] val KmvK = 64
+
+  /** 2^60 — the hash space size of [[graft.functions.Hashing.md5Hash60]];
+    * exactly representable as a double (power of two). */
+  private val HashSpace = 1152921504606846976d
+
+  /** q217 — KMV (bottom-k) distinct sketch per event-type user segment
+    * plus a "__all" row built by MERGING the per-type sketches (never
+    * re-reading rows) — the deterministic sibling of q100's HLL union
+    * rollup. Because the k smallest distinct hashes are a deterministic
+    * function of the input SET, the whole output — sketch size, k-th
+    * hash, estimate — is oracle-exact, unlike every other sketch in the
+    * family (tolerance contracts). Estimator: (k−1)·2^60/h_k for a full
+    * sketch; the exact distinct count when fewer than k hashes exist
+    * (both branches exercised: types are under k at sf0.001, over at
+    * sf0.01+).
+    *
+    * Scale shape: the aggregator dedups inside its capped k-buffer, so
+    * partial aggregation does the heavy lifting map-side — no distinct
+    * pre-shuffle; the per-type sketch table is |types| rows × 512
+    * bytes, and the union row is arithmetic over those sketches alone.
+    * The exact arm (countDistinct) is the test-scale contract the
+    * sketch exists to replace at 100 TB. */
+  def q217KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BottomKAggregator, Hashing}
+    val kmv = udaf(new BottomKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        Hashing.md5Hash60(concat(lit("kmv:"), col("user_id"))).as("h"))
+    val perType = hashed.groupBy(col("event_type").as("scope"))
+      .agg(kmv(col("h")).as("sk"))
+    val union = perType.select(explode(col("sk")).as("h"))
+      .agg(kmv(col("h")).as("sk"))
+      .select(lit("__all").as("scope"), col("sk"))
+    val sketches = perType.unionByName(union)
+    val exact = hashed.groupBy(col("event_type").as("scope"))
+      .agg(countDistinct(col("h")).as("n_exact"))
+      .unionByName(hashed.agg(countDistinct(col("h")).as("n_exact"))
+        .select(lit("__all").as("scope"), col("n_exact")))
+    sketches.join(exact, Seq("scope"))
+      .select(col("scope"), col("n_exact"),
+        size(col("sk")).as("sk_size"),
+        element_at(col("sk"), -1).as("kth_hash"),
+        round(when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * HashSpace) /
+            element_at(col("sk"), -1).cast("double")), 4).as("kmv_est"))
+      .orderBy("scope")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q153_hll_intersect" -> (q153HllIntersect _))
+    "q153_hll_intersect" -> (q153HllIntersect _),
+    "q217_kmv_distinct" -> (q217KmvDistinct _))
 
   /** Exact-overlap arm in SQL; the sketch estimate's tolerance verdict
     * is the engine-side contract (the q52/q148 pattern). */
@@ -73,5 +126,39 @@ object SketchAlgebra {
         |FROM tu a JOIN tu b
         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+    // fully EXACT oracle (no tolerance arm): KMV sketch contents are a
+    // deterministic function of the input set, and bottom-k of the
+    // union of sketches == bottom-k of the union of sets
+    "q217_kmv_distinct" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h
+        |  FROM events),
+        |ranked AS (
+        |  SELECT event_type AS scope, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |           AS rn
+        |  FROM h
+        |  UNION ALL
+        |  SELECT '__all', h, row_number() OVER (ORDER BY h)
+        |  FROM (SELECT DISTINCT h FROM h)),
+        |sk AS (
+        |  SELECT scope, count(*) AS sk_size, max(h) AS kth_hash
+        |  FROM ranked WHERE rn <= $KmvK GROUP BY scope),
+        |ex AS (
+        |  SELECT event_type AS scope, count(DISTINCT h) AS n_exact
+        |  FROM h GROUP BY 1
+        |  UNION ALL
+        |  SELECT '__all', count(DISTINCT h) FROM h)
+        |SELECT sk.scope, CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |       CAST(sk.sk_size AS INTEGER) AS sk_size, sk.kth_hash,
+        |       round(CASE WHEN sk.sk_size < $KmvK
+        |                  THEN CAST(sk.sk_size AS DOUBLE)
+        |                  ELSE (${KmvK - 1}.0 * 1152921504606846976.0)
+        |                       / CAST(sk.kth_hash AS DOUBLE) END, 4)
+        |         AS kmv_est
+        |FROM sk JOIN ex ON sk.scope = ex.scope
+        |ORDER BY sk.scope""".stripMargin)
 }

@@ -95,9 +95,61 @@ object TrainingPipeline {
       .orderBy("bucket")
   }
 
+  /** q220 epochs audited and target docs per shard (the shard count
+    * self-scales: n_shards = max(4, n_docs div [[ShardTarget]]), the
+    * q200 adaptive-modulus discipline, so per-shard size — and with it
+    * every within-shard sort — stays bounded at any corpus size). */
+  private[graft] val ShuffleEpochs = 3
+  private[graft] val ShardTarget = 100L
+
+  /** q220 — REPRODUCIBLE EPOCH SHUFFLE + sharding audit: the data-order
+    * contract of a multi-epoch training run. Epoch e reads documents in
+    * order of h = hash("ep:" ‖ e ‖ doc_id) within shard h mod n_shards —
+    * a deterministic permutation per epoch (retry-safe, seekable,
+    * engine-portable: the q112/q131 hash-race discipline applied to the
+    * whole corpus order), with different epochs getting genuinely
+    * different orders from the salt. The audit emits, per epoch, the
+    * shard-size spread (load balance across data-loader workers) and an
+    * order-sensitive checksum Σ rank·doc_id — two runs, or two engines,
+    * produce the same bytes in the same order iff these match.
+    *
+    * Scale shape: one scan × |epochs|, shard assignment is a pure
+    * column expression, the within-shard rank is exactly the
+    * sortWithinPartitions a shard writer already pays (window
+    * partitioned by (epoch, shard); per-partition size is bounded by
+    * the self-scaling shard count), and the report folds to |epochs|
+    * rows. */
+  def q220EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val params = docs.agg(
+      greatest(lit(4L), expr(s"count(1) div $ShardTarget")).as("n_shards"))
+    val epochs = spark.range(1, ShuffleEpochs + 1)
+      .select(col("id").as("epoch"))
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .crossJoin(broadcast(params))
+      .withColumn("h", Hashing.md5Hash60(
+        concat(lit("ep:"), col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("shard", pmod(col("h"), col("n_shards")))
+    val wS = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    keyed.withColumn("rn", row_number().over(wS))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("sz"),
+        sum(col("rn") * col("doc_id")).as("ck"))
+      .groupBy("epoch")
+      .agg(sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_shards"),
+        min(col("sz")).as("min_shard_docs"),
+        max(col("sz")).as("max_shard_docs"),
+        sum(col("ck")).as("order_checksum"))
+      .orderBy("epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_length_buckets" -> (q122LengthBuckets _),
-    "q53_curation_pipeline" -> (q53CurationPipeline _))
+    "q53_curation_pipeline" -> (q53CurationPipeline _),
+    "q220_epoch_shuffle" -> (q220EpochShuffle _))
 
   val oracles: Map[String, String] = Map(
     // exact continuous quartile edges (quantile_cont == Spark
@@ -157,5 +209,33 @@ object TrainingPipeline {
         |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |       round(avg(n_words), 6) AS avg_tokens
         |FROM curated
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q220_epoch_shuffle" ->
+      s"""WITH p AS (
+        |  SELECT greatest(4, count(*) // $ShardTarget) AS n_shards
+        |  FROM documents),
+        |k AS (
+        |  SELECT e.epoch, d.doc_id,
+        |         ('0x' || substr(md5('ep:' || CAST(e.epoch AS VARCHAR)
+        |                              || ':' || CAST(d.doc_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(1, $ShuffleEpochs))
+        |                AS epoch) e),
+        |r AS (
+        |  SELECT epoch, h % (SELECT n_shards FROM p) AS shard, doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY epoch, h % (SELECT n_shards FROM p)
+        |           ORDER BY h, doc_id) AS rn
+        |  FROM k),
+        |ps AS (
+        |  SELECT epoch, shard, count(*) AS sz,
+        |         CAST(sum(rn * doc_id) AS BIGINT) AS ck
+        |  FROM r GROUP BY 1, 2)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       count(*) AS n_shards,
+        |       min(sz) AS min_shard_docs, max(sz) AS max_shard_docs,
+        |       CAST(sum(ck) AS BIGINT) AS order_checksum
+        |FROM ps GROUP BY epoch ORDER BY epoch""".stripMargin)
 }

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BottomKAggregator, Hashing}
+import graft.operators.{Calibration, ExactSubstr, SketchAlgebra, TrainingPipeline}
+import graft.sources.Tables
+
+/** Independent-formulation semantics pins for the round-10 operators
+  * (q217 KMV sketch, q218 split-conformal, q219 span excision, q220
+  * epoch shuffle): each is recomputed sequentially from the same
+  * fixture with plain Scala collections and compared exactly. */
+class Round10Spec extends SparkTestBase {
+
+  test("BottomKAggregator: reduce/merge equal the k smallest distinct " +
+      "values regardless of partitioning") {
+    val agg = new BottomKAggregator(8)
+    val xs = Seq(5L, 3L, 9L, 3L, 1L, 14L, 7L, 2L, 11L, 2L, 6L, 8L, 10L,
+      1L, 12L)
+    val expected = xs.distinct.sorted.take(8)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(whole.toSeq == expected)
+    // merge of arbitrary splits == whole
+    for (cut <- Seq(1, 4, 7, 14)) {
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == expected, s"split at $cut diverged")
+    }
+    // duplicates never inflate the sketch
+    assert(agg.reduce(whole, 3L).toSeq == expected)
+  }
+
+  test("q217 KMV sketch equals a sequential bottom-k of the distinct " +
+      "user hashes, and the __all row merges losslessly") {
+    val out = SketchAlgebra.q217KmvDistinct(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def sketchOf(hs: Set[Long]): Seq[Long] =
+      hs.toSeq.sorted.take(SketchAlgebra.KmvK)
+    def expect(hs: Set[Long]): (Long, Int, Long, Double) = {
+      val sk = sketchOf(hs)
+      val est =
+        if (sk.size < SketchAlgebra.KmvK) sk.size.toDouble
+        else (SketchAlgebra.KmvK - 1).toDouble * 1152921504606846976d /
+          sk.last.toDouble
+      (hs.size.toLong, sk.size, sk.last,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    val byType = evs.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(r => Hashing.md5Hash60Value(s"kmv:${r._2}")).toSet
+    }
+    byType.foreach { case (t, hs) =>
+      assert(out(t) == expect(hs), s"type $t diverged")
+    }
+    // __all from merged sketches == bottom-k of the union of sets
+    val allHs = byType.values.reduce(_ ++ _)
+    assert(out("__all") == expect(allHs))
+  }
+
+  test("q218 split-conformal threshold and coverage equal a sequential " +
+      "recompute, and the threshold rank is the finite-sample quantile") {
+    val out = Calibration.q218ConformalThreshold(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val rows = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val bySeg = rows.groupBy(_._2)
+    bySeg.foreach { case (seg, rs) =>
+      val (cal, ev) = rs.partition(r =>
+        Hashing.md5Hash60Value(s"conf:${r._1}") % 2 == 0)
+      val nCal = cal.length.toLong
+      val sum = cal.map(_._3).sum
+      def score(r: (Long, String, Long)): Long = math.abs(r._3 * nCal - sum)
+      val m = ((nCal + 1) * Calibration.ConfNum + Calibration.ConfDen - 1) /
+        Calibration.ConfDen
+      val thr = cal.map(r => (score(r), r._1)).sorted.apply(m.toInt - 1)._1
+      val covered = ev.count(r => score(r) <= thr).toLong
+      val coverage = BigDecimal(covered.toDouble / ev.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(seg) == ((nCal, ev.length.toLong, m, thr, coverage,
+        covered * Calibration.ConfDen >= ev.length * Calibration.ConfNum)),
+        s"segment $seg diverged")
+      assert(m <= nCal, s"fixture must support the quantile rank ($seg)")
+    }
+  }
+
+  test("q219 span excision equals a sequential interval-union recompute") {
+    val out = ExactSubstr.q219SpanExcision(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val W = 8
+    // all window occurrences, globally ordered per hash
+    val occ = docs.flatMap { case (id, _, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < W) Seq.empty
+      else (1 to (ws.length - W + 1)).map { i =>
+        val h = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(ws.slice(i - 1, i + W - 1).mkString(" ")
+              .getBytes("UTF-8"))
+          d.map("%02x".format(_)).mkString
+        }
+        (h, id, i)
+      }
+    }
+    val dupByDoc = occ.groupBy(_._1).values.flatMap { os =>
+      os.sortBy(o => (o._2, o._3)).drop(1)
+    }.toSeq.groupBy(_._2)
+    def unionLen(intervals: Seq[(Int, Int)]): (Long, Long) = {
+      var spans = 0L; var words = 0L
+      var curS = -1; var curE = -2
+      intervals.sortBy(_._1).foreach { case (s, e) =>
+        if (s > curE) {
+          if (curE >= curS) { spans += 1; words += curE - curS + 1 }
+          curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      if (curE >= curS) { spans += 1; words += curE - curS + 1 }
+      (words, spans)
+    }
+    val perSource = docs.groupBy(_._2).map { case (src, ds) =>
+      val words = ds.map(_._3.split(" ", -1).length.toLong).sum
+      val touched = ds.count(d => dupByDoc.contains(d._1)).toLong
+      val (ex, sp) = ds.map { d =>
+        dupByDoc.get(d._1) match {
+          case Some(os) => unionLen(os.map(o => (o._3, o._3 + W - 1)))
+          case None => (0L, 0L)
+        }
+      }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      src -> ((ds.length.toLong, touched, words, ex, sp))
+    }
+    perSource.foreach { case (src, exp) =>
+      assert(out(src) == exp, s"source $src diverged: ${out(src)} vs $exp")
+    }
+    assert(perSource.values.exists(_._2 > 0), "fixture has excisions")
+  }
+
+  test("q220 epoch shuffle: per-epoch checksums match a sequential " +
+      "replay of the permutation and differ across epochs") {
+    val out = TrainingPipeline.q220EpochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val nShards = math.max(4L, ids.length / TrainingPipeline.ShardTarget)
+    (1 to TrainingPipeline.ShuffleEpochs).foreach { e =>
+      val keyed = ids.map { id =>
+        val h = Hashing.md5Hash60Value(s"ep:$e:$id")
+        (h % nShards, h, id)
+      }
+      // .toSeq first: mapping a Map to (size, checksum) tuples would
+      // rebuild a Map keyed on size and silently dedup equal-size shards
+      val perShard = keyed.groupBy(_._1).toSeq.map { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        (rows.length.toLong,
+          sorted.zipWithIndex.map { case (r, i) => (i + 1) * r._3 }.sum)
+      }
+      val exp = (ids.length.toLong, perShard.size.toLong,
+        perShard.map(_._1).min, perShard.map(_._1).max,
+        perShard.map(_._2).sum)
+      assert(out(e.toLong) == exp, s"epoch $e diverged")
+    }
+    // the salt gives each epoch a different order
+    assert(out.values.map(_._5).toSet.size == TrainingPipeline.ShuffleEpochs)
+  }
+}
