@@ -206,7 +206,8 @@ object ScaleSmoke {
         "q213_reliability_curve", "q214_frequent_triples",
         "q215_data_card", "q216_k_anonymity", "q217_kmv_distinct",
         "q218_conformal_threshold", "q219_span_excision",
-        "q220_epoch_shuffle")
+        "q220_epoch_shuffle", "q221_vocab_coverage",
+        "q222_metric_stability", "q223_centroid_separation")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

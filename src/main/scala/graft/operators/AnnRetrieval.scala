@@ -328,7 +328,54 @@ object AnnRetrieval {
       .orderBy("qid", "rank", "chunk_ix")
   }
 
+  /** q223 — PER-CLASS CENTROID SEPARATION: the pairwise cosine matrix
+    * of label centroids over the embedding table — the embedding-space
+    * separability audit run before trusting labels for retrieval
+    * filtering or classifier training (well-separated centroids ⇒ the
+    * label is recoverable from the geometry; near-parallel centroids ⇒
+    * the classes are entangled).
+    *
+    * Determinism discipline (the q169 micro-quantization pattern, plus
+    * one trick): per-coordinate sums fold MICRO-QUANTIZED BIGINTs, the
+    * centroid itself is re-quantized to integer micro-units after the
+    * single mean division, and — because cosine is scale-invariant —
+    * the dot/norm folds then run entirely over exact integers, so the
+    * only doubles are two sqrts, one product, and one division at the
+    * very end. No float sum ever crosses rows.
+    *
+    * Scale shape: one posexplode + (label × dim) hash aggregate (the
+    * combinable fold of the scan), then all pair arithmetic happens on
+    * the |labels|·dim centroid profile — 640 rows here, model-sized at
+    * any corpus scale. */
+  def q223CentroidSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val cd = graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+            .as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+    val a = cd.select(col("label").as("label_a"), col("pos"),
+      col("n").as("na"), col("cq").as("ca"))
+    val b = cd.select(col("label").as("label_b"), col("pos"),
+      col("n").as("nb"), col("cq").as("cb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_centroid_separation" -> (q223CentroidSeparation _),
     "q170_context_assembly" -> (q170ContextAssembly _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q101_centroid_eval" -> (q101CentroidEval _),
@@ -338,6 +385,40 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q223_centroid_separation" ->
+      """WITH ex AS (
+        |  SELECT label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cd AS (
+        |  SELECT label, pos, count(*) AS n,
+        |         CAST(sum(vm) AS BIGINT) AS s
+        |  FROM ex GROUP BY 1, 2),
+        |cq AS (
+        |  SELECT label, pos, n,
+        |         CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS cqv
+        |  FROM cd),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         a.n AS na, b.n AS nb,
+        |         a.cqv AS ca, b.cqv AS cb
+        |  FROM cq a JOIN cq b ON a.pos = b.pos AND a.label < b.label),
+        |agg AS (
+        |  SELECT label_a, label_b,
+        |         CAST(max(na) AS BIGINT) AS n_a,
+        |         CAST(max(nb) AS BIGINT) AS n_b,
+        |         CAST(sum(ca * cb) AS BIGINT) AS dot,
+        |         CAST(sum(ca * ca) AS BIGINT) AS na2,
+        |         CAST(sum(cb * cb) AS BIGINT) AS nb2
+        |  FROM p GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b,
+        |       round(CAST(dot AS DOUBLE) /
+        |             (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+        |             6) AS cos_sim
+        |FROM agg ORDER BY label_a, label_b""".stripMargin,
     "q170_context_assembly" ->
       s"""WITH ex AS (
          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -170,13 +170,104 @@ object Evaluation {
       .orderBy("decile")
   }
 
+  /** q222 replicate count (half-rate hash subsamples). */
+  private[graft] val StabilityReps = 32
+
+  /** q222 — METRIC STABILITY via deterministic subsample replicates
+    * (the subsampling-bootstrap question "how much does this metric
+    * move under resampling?" made fully reproducible): for each of
+    * [[StabilityReps]] replicates, take the half of events whose
+    * salted 60-bit hash of (replicate, event_id) is even and recompute
+    * the per-type mean event value; report the full-data mean next
+    * to the replicate spread (min / max / range, and how many
+    * replicates land within ±1% of the full mean). Every replicate
+    * mean is one exact-integer cents sum over the subsample divided
+    * once — bit-identical cross-engine; min/max/range are selections
+    * and one subtraction of such doubles, so the whole report is
+    * deterministic without any variance fold (a sum of squared doubles
+    * would be summation-order-dependent).
+    *
+    * Scale shape: ONE scan of events fanned out by a broadcast
+    * replicate spine (|reps| tiny), one (type × replicate) hash
+    * aggregate, then a |types|-row fold. The hash subsample needs no
+    * shuffle of its own. */
+  def q222MetricStability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val reps = spark.range(0, StabilityReps).select(col("id").as("rep"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val full = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"), sum(col("cents")).as("sum_full"))
+      .select(col("event_type"), col("n_full"),
+        (col("sum_full").cast("double") / col("n_full") / 100.0)
+          .as("full_mean"))
+    val repMeans = base.crossJoin(broadcast(reps))
+      .filter(Hashing.md5Hash60(
+        concat(lit("boot:"), col("rep"), lit(":"), col("event_id")))
+        % 2 === 0)
+      .groupBy("event_type", "rep")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .select(col("event_type"), col("rep"),
+        (col("s").cast("double") / col("n") / 100.0).as("m"))
+    repMeans.join(full, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_full"), col("full_mean"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(col("m")).as("rep_min"), max(col("m")).as("rep_max"),
+        sum(when(abs(col("m") - col("full_mean")) <=
+          col("full_mean") * 0.01, 1L).otherwise(0L)).as("within_1pct"))
+      .select(col("event_type"), col("n_full"),
+        round(col("full_mean"), 6).as("full_mean"),
+        col("n_reps"),
+        round(col("rep_min"), 6).as("rep_min"),
+        round(col("rep_max"), 6).as("rep_max"),
+        round(col("rep_max") - col("rep_min"), 6).as("rep_range"),
+        col("within_1pct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_metric_stability" -> (q222MetricStability _),
     "q205_ranking_auc" -> (q205RankingAuc _),
     "q208_digit_audit" -> (q208DigitAudit _),
     "q209_eval_sample" -> (q209EvalSample _),
     "q213_reliability_curve" -> (q213ReliabilityCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q222_metric_stability" ->
+      s"""WITH base AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |full_m AS (
+        |  SELECT event_type, count(*) AS n_full,
+        |         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |           / count(*) / 100.0 AS full_mean
+        |  FROM base GROUP BY event_type),
+        |reps AS (SELECT unnest(generate_series(0, ${StabilityReps - 1}))
+        |           AS rep),
+        |rep_m AS (
+        |  SELECT b.event_type, r.rep,
+        |         CAST(CAST(sum(b.cents) AS BIGINT) AS DOUBLE)
+        |           / count(*) / 100.0 AS m
+        |  FROM base b CROSS JOIN reps r
+        |  WHERE ('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR)
+        |                            || ':' || CAST(b.event_id AS VARCHAR)),
+        |                        1, 15))::BIGINT % 2 = 0
+        |  GROUP BY b.event_type, r.rep),
+        |agg AS (
+        |  SELECT m.event_type, f.n_full, f.full_mean,
+        |         count(*) AS n_reps,
+        |         min(m.m) AS rep_min, max(m.m) AS rep_max,
+        |         CAST(count(*) FILTER (WHERE abs(m.m - f.full_mean)
+        |                <= f.full_mean * 0.01) AS BIGINT) AS within_1pct
+        |  FROM rep_m m JOIN full_m f ON m.event_type = f.event_type
+        |  GROUP BY m.event_type, f.n_full, f.full_mean)
+        |SELECT event_type, n_full, round(full_mean, 6) AS full_mean,
+        |       n_reps, round(rep_min, 6) AS rep_min,
+        |       round(rep_max, 6) AS rep_max,
+        |       round(rep_max - rep_min, 6) AS rep_range, within_1pct
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q213_reliability_curve" ->
       """WITH per_user AS (
         |  SELECT user_id,

@@ -443,6 +443,50 @@ object TextOps {
         .as("reduction_bounded_by_pair_counts"))
   }
 
+  /** q221 vocabulary budgets audited (top-N cut points). */
+  private[graft] val CoverageNs = Seq(50, 200, 800)
+
+  /** q221 — VOCABULARY COVERAGE curve: what fraction of all token
+    * occurrences the top-N most frequent vocabulary units cover, for
+    * candidate vocabulary budgets N — the tokenizer-design question
+    * ("how big must the vocab be before OOV mass is negligible?")
+    * answered from the corpus itself, the empirical face of Zipf's
+    * law. The unit is the word BIGRAM — the BPE merge-candidate space
+    * (the driver corpus has a fixed 31-word unigram vocabulary, so the
+    * unigram curve is degenerate; the ~900-bigram space has real
+    * tail mass).
+    *
+    * Scale shape: bigram counts are one explode + hash aggregate;
+    * each budget's coverage is a TakeOrdered top-N (count desc, unit
+    * tie-break — map-side partial top-N, no global window, no full
+    * sort) folded to one row. Output is |budgets| rows; everything is
+    * exact integers except the final single-division coverage ratio. */
+  def q221VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.sources.DfCache.df(spark, s"bigram_counts|$dir")(
+      Tables.documents(spark, dir)
+        .select(split(trim(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> concat(ws[i-1], ' ', ws[i]))")).as("unit"))
+        .groupBy("unit").agg(count(lit(1)).as("n")))
+    val totals = counts.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    CoverageNs.map { n =>
+        counts.orderBy(col("n").desc, col("unit")).limit(n)
+          .agg(count(lit(1)).as("vocab_used"),
+            sum(col("n")).as("covered"))
+          .select(lit(n).as("top_n"), col("vocab_used"), col("covered"))
+      }
+      .reduce(_.unionByName(_))
+      .crossJoin(broadcast(totals))
+      .select(col("top_n"), col("vocab_used"), col("n_vocab"),
+        col("covered"), col("total_tokens"),
+        round(col("covered").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+      .orderBy("top_n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_bpe_train" -> (q137BpeTrain _),
     "q123_pmi_cooccurrence" -> (q123PmiCooccurrence _),
@@ -456,9 +500,39 @@ object TextOps {
     "q39_quality_score" -> (q39QualityScore _),
     "q40_token_count" -> (q40TokenCount _),
     "q41_fingerprint" -> (q41Fingerprint _),
-    "q42_multimodal_meta" -> (q42MultimodalMeta _))
+    "q42_multimodal_meta" -> (q42MultimodalMeta _),
+    "q221_vocab_coverage" -> (q221VocabCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q221_vocab_coverage" -> {
+      val covArms = CoverageNs.map { n =>
+        s"""  SELECT $n AS top_n, count(*) AS vocab_used,
+           |         CAST(sum(n) AS BIGINT) AS covered
+           |  FROM ranked WHERE rn <= $n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+        |  SELECT ws[i] || ' ' || ws[i + 1] AS unit
+        |  FROM (SELECT string_split(trim(text), ' ') AS ws,
+        |               unnest(generate_series(1,
+        |                 len(string_split(trim(text), ' ')) - 1)) AS i
+        |        FROM documents)
+        |  WHERE len(ws) >= 2),
+        |counts AS (SELECT unit, count(*) AS n FROM toks GROUP BY unit),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+        |               count(*) AS n_vocab
+        |        FROM counts),
+        |ranked AS (SELECT unit, n,
+        |                  row_number() OVER (ORDER BY n DESC, unit) AS rn
+        |           FROM counts),
+        |cov AS (
+        |$covArms)
+        |SELECT CAST(cov.top_n AS INTEGER) AS top_n, cov.vocab_used,
+        |       t.n_vocab, cov.covered, t.total_tokens,
+        |       round(CAST(cov.covered AS DOUBLE) / t.total_tokens, 6)
+        |         AS coverage
+        |FROM cov CROSS JOIN tot t
+        |ORDER BY top_n""".stripMargin
+    },
     // first merge + histogram totals recomputed exactly; iterative tail
     // pinned by the independent Scala reference in TextOpsBpeSpec
     "q137_bpe_train" ->

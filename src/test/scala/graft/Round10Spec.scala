@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BottomKAggregator, Hashing}
-import graft.operators.{Calibration, ExactSubstr, SketchAlgebra, TrainingPipeline}
+import graft.operators.{AnnRetrieval, Calibration, Evaluation, ExactSubstr, SketchAlgebra, TextOps, TrainingPipeline}
 import graft.sources.Tables
 
 /** Independent-formulation semantics pins for the round-10 operators
@@ -172,5 +172,89 @@ class Round10Spec extends SparkTestBase {
     }
     // the salt gives each epoch a different order
     assert(out.values.map(_._5).toSet.size == TrainingPipeline.ShuffleEpochs)
+  }
+
+  test("q221 bigram coverage equals a sequential Zipf-curve recompute") {
+    val out = TextOps.q221VocabCoverage(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ws = t.trim.split(" ", -1)
+      if (ws.length >= 2)
+        ws.sliding(2).foreach { p =>
+          val bg = p.mkString(" ")
+          counts(bg) = counts.getOrElse(bg, 0L) + 1L
+        }
+    }
+    val total = counts.values.sum
+    val ranked = counts.toSeq.sortBy { case (u, n) => (-n, u) }
+    TextOps.CoverageNs.foreach { n =>
+      val top = ranked.take(n)
+      assert(out(n) == ((top.size.toLong, counts.size.toLong,
+        top.map(_._2).sum, total)), s"budget $n diverged")
+    }
+    // the curve is non-degenerate on this fixture
+    assert(out(TextOps.CoverageNs.head)._3 < total)
+  }
+
+  test("q222 replicate means equal a sequential hash-subsample replay") {
+    val out = Evaluation.q222MetricStability(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(7))).toMap
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    evs.groupBy(_._1).foreach { case (t, rows) =>
+      val fullMean = rows.map(_._3).sum.toDouble / rows.length / 100.0
+      val means = (0 until Evaluation.StabilityReps).map { b =>
+        val sub = rows.filter(r =>
+          Hashing.md5Hash60Value(s"boot:$b:${r._2}") % 2 == 0)
+        sub.map(_._3).sum.toDouble / sub.length / 100.0
+      }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val within = means.count(m => math.abs(m - fullMean) <=
+        fullMean * 0.01).toLong
+      assert(out(t) == ((rows.length.toLong,
+        Evaluation.StabilityReps.toLong, r6(means.min), r6(means.max),
+        within)), s"type $t diverged")
+    }
+  }
+
+  test("q223 centroid cosines equal a sequential micro-quantized " +
+      "recompute and the classes are separable on this fixture") {
+    val out = AnnRetrieval.q223CentroidSeparation(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    // HALF_UP (away from zero), matching SQL round(): math.round would
+    // send -x.5 toward +inf and diverge on negative coordinates
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cents = vecs.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> Array.tabulate(dim) { d =>
+        val s = vs.map(v => rnd(v._2(d).toDouble * 1000000)).sum
+        rnd(s.toDouble / vs.length)
+      }
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.keys.foreach { case (la, lb) =>
+      val (ca, cb) = (cents(la), cents(lb))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na2 = ca.map(x => x * x).sum
+      val nb2 = cb.map(x => x * x).sum
+      val cos = dot.toDouble / (math.sqrt(na2.toDouble) *
+        math.sqrt(nb2.toDouble))
+      assert(out((la, lb)) == r6(cos), s"pair ($la,$lb) diverged")
+    }
+    // separability: every inter-class centroid pair is far from parallel
+    assert(out.values.forall(c => math.abs(c) < 0.5))
   }
 }
