@@ -177,7 +177,7 @@ object Evaluation {
     * (the subsampling-bootstrap question "how much does this metric
     * move under resampling?" made fully reproducible): for each of
     * [[StabilityReps]] replicates, take the half of events whose
-    * salted 60-bit hash of (replicate, event_id) is even and recompute
+    * replicate membership bit is set and recompute
     * the per-type mean event value; report the full-data mean next
     * to the replicate spread (min / max / range, and how many
     * replicates land within ±1% of the full mean). Every replicate
@@ -187,30 +187,35 @@ object Evaluation {
     * deterministic without any variance fold (a sum of squared doubles
     * would be summation-order-dependent).
     *
-    * Scale shape: ONE scan of events fanned out by a broadcast
-    * replicate spine (|reps| tiny), one (type × replicate) hash
-    * aggregate, then a |types|-row fold. The hash subsample needs no
-    * shuffle of its own. */
+    * Scale shape: replicate b's membership is BIT b of ONE salted
+    * 60-bit hash per row, so all [[StabilityReps]] replicates fold in
+    * a SINGLE wide aggregate over one scan — 2·reps conditional sums,
+    * never a reps× row fan-out (a replicate-spine cross join measured
+    * 34s at pseudo-sf1; this shape scans once). The wide
+    * (type × 2·reps) aggregate then melts to the |types|·reps profile
+    * for the spread fold. */
   def q222MetricStability(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
-    val reps = spark.range(0, StabilityReps).select(col("id").as("rep"))
     val base = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    val full = base.groupBy("event_type")
-      .agg(count(lit(1)).as("n_full"), sum(col("cents")).as("sum_full"))
-      .select(col("event_type"), col("n_full"),
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        Hashing.md5Hash60(concat(lit("boot:"), col("event_id"))).as("h"))
+    val repAggs = (0 until StabilityReps).flatMap { b =>
+      val in = expr(s"(shiftright(h, $b) & 1) = 1")
+      Seq(sum(when(in, col("cents")).otherwise(lit(0L))).as(s"s$b"),
+        sum(when(in, 1L).otherwise(0L)).as(s"c$b"))
+    }
+    val wide = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"),
+        (sum(col("cents")).as("sum_full") +: repAggs): _*)
+    wide.select(col("event_type"), col("n_full"),
         (col("sum_full").cast("double") / col("n_full") / 100.0)
-          .as("full_mean"))
-    val repMeans = base.crossJoin(broadcast(reps))
-      .filter(Hashing.md5Hash60(
-        concat(lit("boot:"), col("rep"), lit(":"), col("event_id")))
-        % 2 === 0)
-      .groupBy("event_type", "rep")
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-      .select(col("event_type"), col("rep"),
-        (col("s").cast("double") / col("n") / 100.0).as("m"))
-    repMeans.join(full, Seq("event_type"))
+          .as("full_mean"),
+        explode(array((0 until StabilityReps).map { b =>
+          struct(col(s"s$b").as("s"), col(s"c$b").as("c"))
+        }: _*)).as("r"))
+      .select(col("event_type"), col("n_full"), col("full_mean"),
+        (col("r.s").cast("double") / col("r.c") / 100.0).as("m"))
       .groupBy(col("event_type"), col("n_full"), col("full_mean"))
       .agg(count(lit(1)).as("n_reps"),
         min(col("m")).as("rep_min"), max(col("m")).as("rep_max"),
@@ -236,8 +241,10 @@ object Evaluation {
   val oracles: Map[String, String] = Map(
     "q222_metric_stability" ->
       s"""WITH base AS (
-        |  SELECT event_type, event_id,
-        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  SELECT event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         ('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h
         |  FROM events),
         |full_m AS (
         |  SELECT event_type, count(*) AS n_full,
@@ -250,10 +257,8 @@ object Evaluation {
         |  SELECT b.event_type, r.rep,
         |         CAST(CAST(sum(b.cents) AS BIGINT) AS DOUBLE)
         |           / count(*) / 100.0 AS m
-        |  FROM base b CROSS JOIN reps r
-        |  WHERE ('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR)
-        |                            || ':' || CAST(b.event_id AS VARCHAR)),
-        |                        1, 15))::BIGINT % 2 = 0
+        |FROM base b CROSS JOIN reps r
+        |  WHERE ((b.h >> r.rep) & 1) = 1
         |  GROUP BY b.event_type, r.rep),
         |agg AS (
         |  SELECT m.event_type, f.n_full, f.full_mean,

@@ -212,7 +212,7 @@ class Round10Spec extends SparkTestBase {
       val fullMean = rows.map(_._3).sum.toDouble / rows.length / 100.0
       val means = (0 until Evaluation.StabilityReps).map { b =>
         val sub = rows.filter(r =>
-          Hashing.md5Hash60Value(s"boot:$b:${r._2}") % 2 == 0)
+          ((Hashing.md5Hash60Value(s"boot:${r._2}") >> b) & 1L) == 1L)
         sub.map(_._3).sum.toDouble / sub.length / 100.0
       }
       def r6(x: Double) = BigDecimal(x)
