@@ -207,7 +207,8 @@ object ScaleSmoke {
         "q215_data_card", "q216_k_anonymity", "q217_kmv_distinct",
         "q218_conformal_threshold", "q219_span_excision",
         "q220_epoch_shuffle", "q221_vocab_coverage",
-        "q222_metric_stability", "q223_centroid_separation")
+        "q222_metric_stability", "q223_centroid_separation",
+        "q224_mmr_retrieval")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

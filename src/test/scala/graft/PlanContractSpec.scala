@@ -76,6 +76,9 @@ object PlanContract {
     // fixed-rate query batch: vec_id % 100 = 0 (1% of the table)
     "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
     "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
+    // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
+    // candidate relation (InMemoryRelation subtrees are outside the
+    // walk), so no grant is needed — documented in Mmr.scala instead
     // cached k-bounded centroid/codebook tables (k IVF lists / PQ
     // codewords per subspace — model-size, not data-size)
     "q52_ann_ivf_topk" -> "cached centroid table, k rows",

@@ -257,4 +257,49 @@ class Round10Spec extends SparkTestBase {
     // separability: every inter-class centroid pair is far from parallel
     assert(out.values.forall(c => math.abs(c) < 0.5))
   }
+
+  test("q224 MMR selection equals a sequential greedy replay and " +
+      "genuinely diversifies (picks differ from pure top-k)") {
+    import graft.operators.Mmr
+    val out = Mmr.q224MmrRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(v => rnd(v.toDouble * 1000000)))
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val lam = Mmr.MmrLambdaPct / 100.0
+    val om = (100 - Mmr.MmrLambdaPct) / 100.0
+    var diversified = false
+    vecs.keys.filter(_ % 100 == 0).foreach { qid =>
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(Mmr.MmrPool)
+      var selected = Seq(pool.head._1)
+      (2 to Mmr.MmrK).foreach { r =>
+        val pick = pool.filterNot(p => selected.contains(p._1))
+          .map { case (c, rel) =>
+            val ms = selected.map(s => cos(vecs(c), vecs(s))).max
+            (c, lam * rel - om * ms)
+          }
+          .minBy { case (c, score) => (-score, c) }._1
+        selected = selected :+ pick
+      }
+      selected.zipWithIndex.foreach { case (c, i) =>
+        assert(out((qid, i + 1)) == c, s"qid $qid round ${i + 1} diverged")
+      }
+      // diversification: MMR's picks differ from the pure-relevance
+      // top-k for at least one query on this fixture
+      if (selected != pool.take(Mmr.MmrK).map(_._1)) diversified = true
+    }
+    assert(diversified)
+  }
 }
