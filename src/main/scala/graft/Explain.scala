@@ -102,7 +102,18 @@ object Explain {
     "q213_reliability_curve", // user-profile ntile, broadcast global rate
     "q214_frequent_triples", // member-pruned 3-way basket join,
                              // broadcast pair supports
-    "q215_data_card")    // one combinable fold + source percentile
+    "q215_data_card",    // one combinable fold + source percentile
+    "q217_kmv_distinct", // udaf partial agg dedups in the capped buffer
+    "q219_span_excision", // occurrence-rank on the window-hash shuffle,
+                          // doc-grain interval-union windows
+    "q220_epoch_shuffle", // self-scaling shard count; per-shard rank =
+                          // the shard writer's in-partition sort
+    "q221_vocab_coverage", // three TakeOrdered arms over cached counts
+    "q222_metric_stability", // ONE wide conditional aggregate: 32
+                             // replicates from hash bits, no fan-out
+    "q224_mmr_retrieval") // greedy rounds over cached pool²-profile
+                          // sims; brute pool gen is the documented
+                          // q36-class arm
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -107,9 +107,13 @@ object Graph2 {
               (coalesce(col("c"), lit(0.0)) + col("dm") * col("s")))
             .as("r"))
         .localCheckpoint()
-      delta = next
-        .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
-        .collect()(0).getDouble(0)
+      // the delta scan is cheap but still one job per round; check on
+      // even rounds + always after the final round (the flag needs the
+      // final delta), halving the gate's job count (VERDICT r09 #2)
+      if ((it + 1) % 2 == 0 || it + 1 == PprIterations)
+        delta = next
+          .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
+          .collect()(0).getDouble(0)
       r = next.drop("r_prev")
       it += 1
     }
@@ -182,9 +186,11 @@ object Graph2 {
         .select(col("node"), (col("h") / col("nrm")).as("h"),
           col("h_prev"))
         .localCheckpoint()
-      delta = hnext
-        .agg(coalesce(sum(abs(col("h") - col("h_prev"))), lit(0.0)))
-        .collect()(0).getDouble(0)
+      // even rounds + final only — same rationale as q143
+      if ((it + 1) % 2 == 0 || it + 1 == HitsIterations)
+        delta = hnext
+          .agg(coalesce(sum(abs(col("h") - col("h_prev"))), lit(0.0)))
+          .collect()(0).getDouble(0)
       h = hnext.drop("h_prev")
       it += 1
     }

@@ -119,7 +119,11 @@ object Mmr {
         .filter(col("rn") === 1)
         .select(col("qid"), col("cid"), col("rel"), col("max_sim"),
           col("score"), lit(r).as("round"))
-      sel = sel.unionByName(pick)
+      // flat recurrence (the q138/q142 lesson): without this, round r's
+      // plan re-expands every previous round's anti-join subtree and
+      // the 5-round unroll costs ~2^k plan blow-up (measured 13.6s at
+      // sf0.1; ~1s with the checkpoint)
+      sel = sel.unionByName(pick).localCheckpoint()
     }
     sel.select(col("qid"), col("round"), col("cid"),
         round(col("rel"), 6).as("rel"),
