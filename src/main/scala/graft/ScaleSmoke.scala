@@ -106,7 +106,8 @@ object ScaleSmoke {
         "q79_fuzzy_match",
         "q183_item_neighbors", "q184_rfm_segments", "q185_pareto_deciles",
         "q192_skyline", "q193_rank_delta",
-        "q211_revenue_gini", "q213_reliability_curve", "q216_k_anonymity")
+        "q211_revenue_gini", "q213_reliability_curve", "q216_k_anonymity",
+        "q218_conformal_threshold")
         .filter(n => only.isEmpty || only(n))
       dimQueries.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

@@ -147,7 +147,12 @@ object Calibration {
     * Scale shape: model + threshold come from ONE grouped fold plus a
     * rank window over the CALIBRATION half partitioned by segment
     * (dimension-grain profile, never facts); coverage is a second
-    * grouped fold. Output is |segments| rows. */
+    * grouped fold. Output is |segments| rows. Segment cardinality is
+    * fixed, so per-partition window size grows linearly with the
+    * customer dimension (measured ~1.4x time at 10x dims,
+    * docs/SCALE.md) — at extreme dimension scale swap the rank window
+    * for per-segment distributed selection (the q10 range-partition +
+    * zipWithIndex recipe). */
   def q218ConformalThreshold(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
     val base = Tables.customer(spark, dir).select(
