@@ -209,7 +209,8 @@ object ScaleSmoke {
         "q218_conformal_threshold", "q219_span_excision",
         "q220_epoch_shuffle", "q221_vocab_coverage",
         "q222_metric_stability", "q223_centroid_separation",
-        "q224_mmr_retrieval")
+        "q224_mmr_retrieval", "q225_weighted_median",
+        "q226_incremental_kmv")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

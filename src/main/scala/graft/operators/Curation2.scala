@@ -268,7 +268,51 @@ object Curation2 {
       .orderBy("source")
   }
 
+  /** q225 — EXACT WEIGHTED MEDIAN per source: the importance-weighted
+    * location statistic curation reports need when documents carry
+    * weights (bytes, dedup multiplicity, sampling weight) — the plain
+    * median answers "the middle DOCUMENT", the weighted median "the
+    * middle BYTE". Lower weighted median: the smallest value x (ties
+    * broken by doc_id) whose running weight reaches half the total
+    * (2·cumW ≥ W — an exact integer compare, no percentile
+    * interpolation, no doubles anywhere). The unweighted lower median
+    * rides along through the identical machinery with weight 1, so the
+    * report shows exactly how much the weighting MOVES the statistic.
+    *
+    * Scale shape: one scan derives (words, chars); the cumulative
+    * windows partition by source over the doc-grain profile (fixed
+    * source cardinality — per-partition size grows with docs-per-
+    * source; at extreme scale swap for per-source distributed
+    * selection, the q10/q218 note); the qualifying-row pick is a
+    * min-struct fold, output |sources| rows. */
+  def q225WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_words", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_words"),
+        col("n_chars"))
+      .withColumn("cum_w", sum(col("n_chars")).over(w))
+      .withColumn("cum_n", count(lit(1)).over(w))
+    val totals = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_w"))
+    base.join(totals, Seq("source"))
+      .groupBy("source", "n_docs", "tot_w")
+      .agg(
+        min(when(col("cum_w") * 2 >= col("tot_w"),
+          struct(col("n_words"), col("doc_id")))).as("wm"),
+        min(when(col("cum_n") * 2 >= col("n_docs"),
+          struct(col("n_words"), col("doc_id")))).as("um"))
+      .select(col("source"), col("n_docs"), col("tot_w").as("total_chars"),
+        col("wm.n_words").as("weighted_median_words"),
+        col("um.n_words").as("median_words"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_weighted_median" -> (q225WeightedMedian _),
     "q146_domain_cap" -> (q146DomainCap _),
     "q147_dsir_select" -> (q147DsirSelect _),
     "q150_temperature_mix" -> (q150TemperatureMix _),
@@ -276,6 +320,35 @@ object Curation2 {
     "q215_data_card" -> (q215DataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q225_weighted_median" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+        |           AS n_words,
+        |         n_chars
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_words, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source
+        |           ORDER BY n_words, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_w,
+        |         count(*) OVER (PARTITION BY source
+        |           ORDER BY n_words, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_n
+        |  FROM base),
+        |t AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS tot_w
+        |      FROM base GROUP BY 1)
+        |SELECT c.source, t.n_docs, t.tot_w AS total_chars,
+        |       min(CASE WHEN c.cum_w * 2 >= t.tot_w
+        |                THEN c.n_words END) AS weighted_median_words,
+        |       min(CASE WHEN c.cum_n * 2 >= t.n_docs
+        |                THEN c.n_words END) AS median_words
+        |FROM c JOIN t ON c.source = t.source
+        |GROUP BY c.source, t.n_docs, t.tot_w
+        |ORDER BY c.source""".stripMargin,
     "q215_data_card" ->
       """WITH docs AS (
         |  SELECT source, md5(text) AS h,

@@ -111,9 +111,58 @@ object SketchAlgebra {
       .orderBy("scope")
   }
 
+  /** q226 — INCREMENTAL cross-batch KMV maintenance (q217's sketch run
+    * as a STORE, the q102/q127 incremental discipline for distinct
+    * counts): one bottom-k sketch per ingest day, then every
+    * day-D cumulative distinct-user estimate derives from the DAILY
+    * SKETCHES ALONE (day-spine join over sketch elements + re-merge) —
+    * history is never re-read, which is the entire economics of a
+    * sketch store at 100 TB/day. The exact arm is computed scale-safely
+    * too: first-seen day per user (one groupBy), cumulated over the
+    * calendar spine — so the oracle pins BOTH arms exactly (KMV
+    * contents are deterministic; no tolerance contract).
+    *
+    * Scale shape: the scan folds once into |days| sketches (512 B
+    * each); everything cumulative runs on the |days| × k element table
+    * (calendar × sketch-width — KBs at any scale). The day-spine
+    * non-equi joins are over that profile table and the |days|-row
+    * spine. */
+  def q226IncrementalKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BottomKAggregator, Hashing}
+    val kmv = udaf(new BottomKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        Hashing.md5Hash60(concat(lit("kmv:"), col("user_id"))).as("h"))
+    val daily = graft.sources.DfCache.df(spark, s"kmv_daily|$dir")(
+      ev.groupBy("day").agg(kmv(col("h")).as("sk")))
+    val days = daily.select(col("day").as("d"))
+    val cum = daily.select(col("day"), explode(col("sk")).as("h"))
+      .join(broadcast(days), col("day") <= col("d"))
+      .groupBy("d").agg(kmv(col("h")).as("csk"))
+    val firstSeen = ev.groupBy("h").agg(min(col("day")).as("fday"))
+      .groupBy("fday").agg(count(lit(1)).as("n_new"))
+    val cumExact = firstSeen
+      .join(broadcast(days), col("fday") <= col("d"))
+      .groupBy("d").agg(sum(col("n_new")).as("cum_exact"))
+    cum.join(cumExact, Seq("d"))
+      .join(firstSeen.withColumnRenamed("fday", "d"), Seq("d"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new_users"),
+        col("cum_exact").as("cum_exact_users"),
+        size(col("csk")).as("cum_sketch_size"),
+        round(when(size(col("csk")) < KmvK,
+          size(col("csk")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble * HashSpace) /
+            element_at(col("csk"), -1).cast("double")), 4)
+          .as("cum_kmv_est"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_hll_intersect" -> (q153HllIntersect _),
-    "q217_kmv_distinct" -> (q217KmvDistinct _))
+    "q217_kmv_distinct" -> (q217KmvDistinct _),
+    "q226_incremental_kmv" -> (q226IncrementalKmv _))
 
   /** Exact-overlap arm in SQL; the sketch estimate's tolerance verdict
     * is the engine-side contract (the q52/q148 pattern). */
@@ -160,5 +209,45 @@ object SketchAlgebra {
         |                       / CAST(sk.kth_hash AS DOUBLE) END, 4)
         |         AS kmv_est
         |FROM sk JOIN ex ON sk.scope = ex.scope
-        |ORDER BY sk.scope""".stripMargin)
+        |ORDER BY sk.scope""".stripMargin,
+    "q226_incremental_kmv" ->
+      s"""WITH ev AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |         ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h
+        |  FROM events),
+        |dsk AS (
+        |  SELECT day, h FROM (
+        |    SELECT day, h,
+        |           row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |    FROM ev)
+        |  WHERE rn <= $KmvK),
+        |days AS (SELECT DISTINCT day AS d FROM ev),
+        |cum AS (
+        |  SELECT d, count(*) AS cum_sketch_size, max(h) AS kth FROM (
+        |    SELECT d, h FROM (
+        |      SELECT u.d, u.h,
+        |             row_number() OVER (PARTITION BY u.d ORDER BY u.h)
+        |               AS rn
+        |      FROM (SELECT DISTINCT y.d, e.h
+        |            FROM dsk e JOIN days y ON e.day <= y.d) u)
+        |    WHERE rn <= $KmvK)
+        |  GROUP BY d),
+        |fs AS (SELECT h, min(day) AS fday FROM ev GROUP BY h),
+        |nn AS (SELECT fday, count(*) AS n_new FROM fs GROUP BY 1),
+        |cex AS (SELECT y.d, CAST(sum(n.n_new) AS BIGINT) AS cum_exact
+        |        FROM nn n JOIN days y ON n.fday <= y.d GROUP BY 1)
+        |SELECT c.d AS day,
+        |       CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new_users,
+        |       x.cum_exact AS cum_exact_users,
+        |       CAST(c.cum_sketch_size AS INTEGER) AS cum_sketch_size,
+        |       round(CASE WHEN c.cum_sketch_size < $KmvK
+        |                  THEN CAST(c.cum_sketch_size AS DOUBLE)
+        |                  ELSE (${KmvK - 1}.0 * 1152921504606846976.0)
+        |                       / CAST(c.kth AS DOUBLE) END, 4)
+        |         AS cum_kmv_est
+        |FROM cum c
+        |JOIN cex x ON x.d = c.d
+        |LEFT JOIN nn ON nn.fday = c.d
+        |ORDER BY day""".stripMargin)
 }

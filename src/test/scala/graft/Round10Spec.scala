@@ -258,6 +258,65 @@ class Round10Spec extends SparkTestBase {
     assert(out.values.forall(c => math.abs(c) < 0.5))
   }
 
+  test("q225 weighted median equals a sequential cumulative-weight " +
+      "selection and weighting genuinely moves the statistic") {
+    import graft.operators.Curation2
+    val out = Curation2.q225WeightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split(" ", -1).length.toLong, r.getLong(3)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._1))
+      val totW = ds.map(_._4).sum
+      var cw = 0L
+      val wm = sorted.find { d => cw += d._4; cw * 2 >= totW }.get._3
+      val um = sorted((ds.length - 1) / 2)._3
+      assert(out(src) == ((ds.length.toLong, totW, wm, um)),
+        s"source $src diverged: ${out(src)} vs (${ds.length}, $totW, $wm, $um)")
+    }
+    assert(out.values.exists(v => v._3 != v._4),
+      "weighted and unweighted medians should differ somewhere")
+  }
+
+  test("q226 cumulative KMV from daily sketches equals the bottom-k " +
+      "of the cumulative distinct set (lossless sketch merge)") {
+    import graft.operators.SketchAlgebra
+    val out = SketchAlgebra.q226IncrementalKmv(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toString,
+        Hashing.md5Hash60Value(s"kmv:${r.getLong(1)}")))
+    val k = SketchAlgebra.KmvK
+    val byDay = evs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val days = byDay.keys.toSeq.sorted
+    // daily sketches = per-day bottom-k; cumulative sketch re-merged
+    // from SKETCHES must equal bottom-k of the union of daily SETS
+    val dailySk = byDay.view.mapValues(_.toSeq.sorted.take(k)).toMap
+    days.foreach { d =>
+      val upTo = days.filter(_ <= d)
+      val mergedFromSketches =
+        upTo.flatMap(dailySk).distinct.sorted.take(k)
+      val full = upTo.flatMap(byDay).toSet
+      assert(mergedFromSketches == full.toSeq.sorted.take(k),
+        s"sketch merge lossy at $d")
+      val sk = mergedFromSketches
+      val est =
+        if (sk.size < k) sk.size.toDouble
+        else (k - 1).toDouble * 1152921504606846976d / sk.last.toDouble
+      val newUsers = byDay(d) --
+        days.filter(_ < d).flatMap(byDay).toSet
+      assert(out(d) == ((newUsers.size.toLong, full.size.toLong, sk.size,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)), s"day $d diverged")
+    }
+  }
+
   test("q224 MMR selection equals a sequential greedy replay and " +
       "genuinely diversifies (picks differ from pure top-k)") {
     import graft.operators.Mmr
