@@ -180,13 +180,105 @@ object FeaturePrep {
       .orderBy("t", "dow")
   }
 
+  /** q227's user-grain feature set: every feature an exact integer. */
+  private[graft] val CorrFeatures =
+    Seq("f_events", "f_spend", "f_purchases", "f_days")
+
+  /** q227 — FEATURE CORRELATION MATRIX: pairwise Pearson correlation
+    * of the user-grain feature vector (event count, spend cents,
+    * purchase count, active days) — the feature-redundancy audit run
+    * before training on engineered features (|r| → 1 means a feature
+    * buys nothing and destabilizes linear models). q57 computes one
+    * corr pair inline; this is the p×p matrix as ONE pass.
+    *
+    * Exactness: every feature is an exact integer, so all sufficient
+    * statistics (Σx, Σx², Σxy, n) fold as exact BIGINTs in a single
+    * wide aggregate; corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(…)) is
+    * formed from integer-exact terms, floats touched only in the two
+    * sqrts and one division (the q223 discipline). At extreme scale
+    * the integer terms outgrow int64 — swap to DECIMAL(38,0), the
+    * documented q154 drop-in.
+    *
+    * Scale shape: one user-grain aggregate over the scan, ONE global
+    * wide fold of 15 sums, then pure arithmetic on a 1-row frame
+    * melted to C(p,2) = 6 output rows. */
+  def q227FeatureCorr(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.events(spark, dir).groupBy("user_id").agg(
+      count(lit(1)).as("f_events"),
+      sum(expr("cast(round(value * 100, 0) as bigint)")).as("f_spend"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("f_purchases"),
+      countDistinct(to_date(col("ts"))).as("f_days"))
+    val pairs = for {
+      i <- CorrFeatures.indices; j <- CorrFeatures.indices if i < j
+    } yield (CorrFeatures(i), CorrFeatures(j))
+    val sums =
+      CorrFeatures.map(f => sum(col(f)).as(s"sx_$f")) ++
+        CorrFeatures.map(f => sum(col(f) * col(f)).as(s"sxx_$f")) ++
+        pairs.map { case (a, b) =>
+          sum(col(a) * col(b)).as(s"sxy_${a}_$b")
+        }
+    val wide = feats.agg(count(lit(1)).as("n"), sums: _*)
+    wide.select(col("n"), explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("fa"), lit(b).as("fb"),
+          (col("n") * col(s"sxy_${a}_$b") -
+            col(s"sx_$a") * col(s"sx_$b")).as("num"),
+          (col("n") * col(s"sxx_$a") -
+            col(s"sx_$a") * col(s"sx_$a")).as("dena"),
+          (col("n") * col(s"sxx_$b") -
+            col(s"sx_$b") * col(s"sx_$b")).as("denb"))
+      }: _*)).as("p"))
+      .select(col("p.fa").as("feature_a"), col("p.fb").as("feature_b"),
+        col("n").as("n_users"),
+        round(col("p.num").cast("double") /
+          (sqrt(col("p.dena").cast("double")) *
+            sqrt(col("p.denb").cast("double"))), 6).as("pearson_r"))
+      .orderBy("feature_a", "feature_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_feature_corr" -> (q227FeatureCorr _),
     "q196_temporal_split" -> (q196TemporalSplit _),
     "q197_target_encoding" -> (q197TargetEncoding _),
     "q198_mutual_information" -> (q198MutualInformation _),
     "q201_chi_square" -> (q201ChiSquare _))
 
+  private def featureCorrSql: String = {
+    val pairs = for {
+      i <- CorrFeatures.indices; j <- CorrFeatures.indices if i < j
+    } yield (CorrFeatures(i), CorrFeatures(j))
+    val sumCols = (
+      CorrFeatures.map(f => s"CAST(sum($f) AS BIGINT) AS sx_$f") ++
+        CorrFeatures.map(f => s"CAST(sum($f * $f) AS BIGINT) AS sxx_$f") ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum($a * $b) AS BIGINT) AS sxy_${a}_$b"
+        }).mkString(",\n       ")
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS feature_a, '$b' AS feature_b, n AS n_users,
+         |  round(CAST(n * sxy_${a}_$b - sx_$a * sx_$b AS DOUBLE) /
+         |        (sqrt(CAST(n * sxx_$a - sx_$a * sx_$a AS DOUBLE)) *
+         |         sqrt(CAST(n * sxx_$b - sx_$b * sx_$b AS DOUBLE))), 6)
+         |    AS pearson_r
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS f_events,
+      |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |           AS f_spend,
+      |         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+      |              AS BIGINT) AS f_purchases,
+      |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS f_days
+      |  FROM events GROUP BY 1),
+      |wide AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |       $sumCols
+      |  FROM feats)
+      |SELECT * FROM ($arms)
+      |ORDER BY feature_a, feature_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q227_feature_corr" -> featureCorrSql,
     "q196_temporal_split" ->
       s"""WITH ev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us

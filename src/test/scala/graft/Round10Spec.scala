@@ -317,6 +317,41 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("q227 feature correlations equal a sequential sufficient-" +
+      "statistics recompute") {
+    import graft.operators.FeaturePrep
+    val out = FeaturePrep.q227FeatureCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val feats = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDate(3).toString))
+      .groupBy(_._1).values.map { rows =>
+        Map(
+          "f_events" -> rows.size.toLong,
+          "f_spend" -> rows.map(_._3).sum,
+          "f_purchases" -> rows.count(_._2 == "purchase").toLong,
+          "f_days" -> rows.map(_._4).toSet.size.toLong)
+      }.toSeq
+    val n = feats.size.toLong
+    FeaturePrep.CorrFeatures.combinations(2).foreach { case Seq(a, b) =>
+      val sx = feats.map(_(a)).sum; val sy = feats.map(_(b)).sum
+      val sxx = feats.map(f => f(a) * f(a)).sum
+      val syy = feats.map(f => f(b) * f(b)).sum
+      val sxy = feats.map(f => f(a) * f(b)).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      val r6 = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(out((a, b)) == ((n, r6)), s"pair ($a,$b) diverged")
+    }
+  }
+
   test("q224 MMR selection equals a sequential greedy replay and " +
       "genuinely diversifies (picks differ from pure top-k)") {
     import graft.operators.Mmr
