@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -193,11 +193,13 @@ object FeaturePrep {
     *
     * Exactness: every feature is an exact integer, so all sufficient
     * statistics (Σx, Σx², Σxy, n) fold as exact BIGINTs in a single
-    * wide aggregate; corr = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(…)) is
-    * formed from integer-exact terms, floats touched only in the two
-    * sqrts and one division (the q223 discipline). At extreme scale
-    * the integer terms outgrow int64 — swap to DECIMAL(38,0), the
-    * documented q154 drop-in.
+    * wide aggregate; the FINAL moment products (n·Σxy, Σx·Σy, …) are
+    * formed in doubles with identical op shapes in both engines —
+    * pseudo-sf1 measured n·Σx² past int64 (a loud ANSI overflow, not a
+    * silent wrap), so the exact-integer product is not scale-safe; the
+    * double form is deterministic (each op correctly rounded over
+    * exactly-converted BIGINT inputs) and its cancellation error is
+    * ~1e-16 relative, far under the 6-decimal rounding.
     *
     * Scale shape: one user-grain aggregate over the scan, ONE global
     * wide fold of 15 sums, then pure arithmetic on a 1-row frame
@@ -219,14 +221,15 @@ object FeaturePrep {
           sum(col(a) * col(b)).as(s"sxy_${a}_$b")
         }
     val wide = feats.agg(count(lit(1)).as("n"), sums: _*)
+    def dbl(c: String): Column = col(c).cast("double")
     wide.select(col("n"), explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("fa"), lit(b).as("fb"),
-          (col("n") * col(s"sxy_${a}_$b") -
-            col(s"sx_$a") * col(s"sx_$b")).as("num"),
-          (col("n") * col(s"sxx_$a") -
-            col(s"sx_$a") * col(s"sx_$a")).as("dena"),
-          (col("n") * col(s"sxx_$b") -
-            col(s"sx_$b") * col(s"sx_$b")).as("denb"))
+          (dbl("n") * dbl(s"sxy_${a}_$b") -
+            dbl(s"sx_$a") * dbl(s"sx_$b")).as("num"),
+          (dbl("n") * dbl(s"sxx_$a") -
+            dbl(s"sx_$a") * dbl(s"sx_$a")).as("dena"),
+          (dbl("n") * dbl(s"sxx_$b") -
+            dbl(s"sx_$b") * dbl(s"sx_$b")).as("denb"))
       }: _*)).as("p"))
       .select(col("p.fa").as("feature_a"), col("p.fb").as("feature_b"),
         col("n").as("n_users"),
@@ -253,11 +256,15 @@ object FeaturePrep {
         pairs.map { case (a, b) =>
           s"CAST(sum($a * $b) AS BIGINT) AS sxy_${a}_$b"
         }).mkString(",\n       ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
     val arms = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS feature_a, '$b' AS feature_b, n AS n_users,
-         |  round(CAST(n * sxy_${a}_$b - sx_$a * sx_$b AS DOUBLE) /
-         |        (sqrt(CAST(n * sxx_$a - sx_$a * sx_$a AS DOUBLE)) *
-         |         sqrt(CAST(n * sxx_$b - sx_$b * sx_$b AS DOUBLE))), 6)
+         |  round((${d("n")} * ${d(s"sxy_${a}_$b")}
+         |         - ${d(s"sx_$a")} * ${d(s"sx_$b")}) /
+         |        (sqrt(${d("n")} * ${d(s"sxx_$a")}
+         |              - ${d(s"sx_$a")} * ${d(s"sx_$a")}) *
+         |         sqrt(${d("n")} * ${d(s"sxx_$b")}
+         |              - ${d(s"sx_$b")} * ${d(s"sx_$b")})), 6)
          |    AS pearson_r
          |FROM wide""".stripMargin
     }.mkString("\nUNION ALL\n")

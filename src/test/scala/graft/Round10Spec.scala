@@ -343,9 +343,11 @@ class Round10Spec extends SparkTestBase {
       val sxx = feats.map(f => f(a) * f(a)).sum
       val syy = feats.map(f => f(b) * f(b)).sum
       val sxy = feats.map(f => f(a) * f(b)).sum
-      val r = (n * sxy - sx * sy).toDouble /
-        (math.sqrt((n * sxx - sx * sx).toDouble) *
-          math.sqrt((n * syy - sy * sy).toDouble))
+      // the engine forms the moment products in doubles (int64-safe at
+      // any scale); mirror the exact op shapes
+      val r = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
       val r6 = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
       assert(out((a, b)) == ((n, r6)), s"pair ($a,$b) diverged")
