@@ -111,9 +111,14 @@ object Explain {
     "q221_vocab_coverage", // three TakeOrdered arms over cached counts
     "q222_metric_stability", // ONE wide conditional aggregate: 32
                              // replicates from hash bits, no fan-out
-    "q224_mmr_retrieval") // greedy rounds over cached pool²-profile
+    "q224_mmr_retrieval", // greedy rounds over cached pool²-profile
                           // sims; brute pool gen is the documented
                           // q36-class arm
+    "q225_weighted_median", // doc-grain cumulative-weight windows per
+                            // source; min-struct qualifying pick
+    "q226_incremental_kmv", // day-spine joins over the |days|×k sketch
+                            // element profile; history never re-read
+    "q227_feature_corr") // user fold + ONE wide 15-sum aggregate
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -159,10 +159,80 @@ object SketchAlgebra {
       .orderBy("day")
   }
 
+  /** q228 — KMV JACCARD between source vocabularies: set similarity
+    * from the bottom-k sketches ALONE — the deterministic companion to
+    * q153's HLL inclusion-exclusion (which estimates the intersection
+    * SIZE with a tolerance contract): the k smallest distinct hashes
+    * of A ∪ B are a uniform sample of the union, so the fraction of
+    * them present in BOTH per-source sketches estimates J(A,B) — and
+    * because sketch contents are deterministic, estimate AND exact arm
+    * are both oracle-exact. Fixture: each source's word-BIGRAM
+    * vocabulary (the q221 unit — the user-segment sets are fully
+    * overlapping on this generator, so vocabulary is where real
+    * set variation lives). The estimator's classic use: pairwise
+    * corpus-similarity matrices over thousands of stored sketches
+    * without ever touching raw text.
+    *
+    * Scale shape: per-source sketches are one fold; all pair work runs
+    * on the |sources|² × k element profile (KBs). The exact arm
+    * (distinct-pair join) is the test-scale contract, the thing the
+    * sketches exist to replace. */
+  def q228KmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BottomKAggregator, Hashing}
+    val kmv = udaf(new BottomKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hashed = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> concat(ws[i-1], ' ', ws[i]))")).as("unit"))
+      .select(col("source"),
+        Hashing.md5Hash60(concat(lit("kmvj:"), col("unit"))).as("h"))
+    val elems = hashed.groupBy("source").agg(kmv(col("h")).as("sk"))
+      .select(col("source"), explode(col("sk")).as("h"))
+    val typePairs = elems.select(col("source").as("ta")).distinct()
+      .join(elems.select(col("source").as("tb")).distinct(),
+        col("ta") < col("tb"))
+    val pairElems = typePairs.join(broadcast(elems),
+        col("source") === col("ta") || col("source") === col("tb"))
+      .groupBy("ta", "tb", "h")
+      .agg(max((col("source") === col("ta")).cast("int")).as("in_a"),
+        max((col("source") === col("tb")).cast("int")).as("in_b"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("ta", "tb").orderBy("h")
+    val est = pairElems.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= KmvK)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_union_sk"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+          .as("n_both"))
+    // exact arm (test-scale contract): distinct hash pair join
+    val tu = hashed.distinct()
+    val inter = tu.select(col("source").as("ta"), col("h"))
+      .join(tu.select(col("source").as("tb"), col("h")), Seq("h"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_inter"))
+    val sizes = tu.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    est.join(inter, Seq("ta", "tb"))
+      .join(sizes.select(col("source").as("ta"), col("n").as("na")),
+        Seq("ta"))
+      .join(sizes.select(col("source").as("tb"), col("n").as("nb")),
+        Seq("tb"))
+      .select(col("ta").as("source_a"), col("tb").as("source_b"),
+        col("n_union_sk"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_union_sk"), 6)
+          .as("jaccard_est"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6).as("jaccard_exact"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_hll_intersect" -> (q153HllIntersect _),
     "q217_kmv_distinct" -> (q217KmvDistinct _),
-    "q226_incremental_kmv" -> (q226IncrementalKmv _))
+    "q226_incremental_kmv" -> (q226IncrementalKmv _),
+    "q228_kmv_jaccard" -> (q228KmvJaccard _))
 
   /** Exact-overlap arm in SQL; the sketch estimate's tolerance verdict
     * is the engine-side contract (the q52/q148 pattern). */
@@ -210,6 +280,64 @@ object SketchAlgebra {
         |         AS kmv_est
         |FROM sk JOIN ex ON sk.scope = ex.scope
         |ORDER BY sk.scope""".stripMargin,
+    "q228_kmv_jaccard" ->
+      s"""WITH h AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5('kmvj:' || (ws[i] || ' ' || ws[i + 1])),
+        |                         1, 15))::BIGINT AS h
+        |  FROM (SELECT source, string_split(trim(text), ' ') AS ws,
+        |               unnest(generate_series(1,
+        |                 len(string_split(trim(text), ' ')) - 1)) AS i
+        |        FROM documents)
+        |  WHERE len(ws) >= 2),
+        |sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |           row_number() OVER (PARTITION BY source ORDER BY h)
+        |             AS rn
+        |    FROM h)
+        |  WHERE rn <= $KmvK),
+        |tp AS (
+        |  SELECT a.source AS ta, b.source AS tb
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b
+        |    ON a.source < b.source),
+        |pe AS (
+        |  SELECT t.ta, t.tb, s.h,
+        |         max(CASE WHEN s.source = t.ta THEN 1 ELSE 0 END)
+        |           AS in_a,
+        |         max(CASE WHEN s.source = t.tb THEN 1 ELSE 0 END)
+        |           AS in_b
+        |  FROM tp t JOIN sk s
+        |    ON s.source = t.ta OR s.source = t.tb
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT ta, tb, count(*) AS n_union_sk,
+        |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1
+        |                       ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM (SELECT ta, tb, h, in_a, in_b,
+        |               row_number() OVER (PARTITION BY ta, tb ORDER BY h)
+        |                 AS rn
+        |        FROM pe)
+        |  WHERE rn <= $KmvK GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT a.source AS ta, b.source AS tb,
+        |         count(*) AS n_inter
+        |  FROM h a JOIN h b
+        |    ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*) AS n FROM h GROUP BY 1)
+        |SELECT e.ta AS source_a, e.tb AS source_b,
+        |       CAST(e.n_union_sk AS BIGINT) AS n_union_sk, e.n_both,
+        |       round(CAST(e.n_both AS DOUBLE) / e.n_union_sk, 6)
+        |         AS jaccard_est,
+        |       round(CAST(i.n_inter AS DOUBLE)
+        |             / (sa.n + sb.n - i.n_inter), 6) AS jaccard_exact
+        |FROM est e
+        |JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
+        |JOIN sz sa ON sa.source = e.ta
+        |JOIN sz sb ON sb.source = e.tb
+        |ORDER BY source_a, source_b""".stripMargin,
     "q226_incremental_kmv" ->
       s"""WITH ev AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day,

@@ -92,7 +92,10 @@ object PlanContract {
     "q201_chi_square" -> "types × weekdays zero-fill distincts",
     // day-spine ≤-joins over the |days|×k sketch-element profile
     "q226_incremental_kmv" ->
-      "calendar day spine × sketch-element profile (days × k rows)")
+      "calendar day spine × sketch-element profile (days × k rows)",
+    // type-pair spine OR-join over the |types|×k sketch elements
+    "q228_kmv_jaccard" ->
+      "per-type sketch element table (|types| × k rows)")
 
   /** True when `p` provably emits at most ~[[SmallBuild]] rows, by
     * structural descent through row-preserving operators. */

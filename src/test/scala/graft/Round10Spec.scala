@@ -317,6 +317,42 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
+  test("q228 KMV Jaccard equals a sequential sketch replay and tracks " +
+      "the exact Jaccard within sketch error") {
+    import graft.operators.SketchAlgebra
+    val out = SketchAlgebra.q228KmvJaccard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val k = SketchAlgebra.KmvK
+    val vocab = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap { r =>
+        val ws = r.getString(1).trim.split(" ", -1)
+        if (ws.length < 2) Seq.empty
+        else ws.sliding(2).map(p =>
+          r.getString(0) ->
+            Hashing.md5Hash60Value(s"kmvj:${p.mkString(" ")}")).toSeq
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sk = vocab.view.mapValues(_.toSeq.sorted.take(k).toSet).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var maxErr = 0.0
+    out.keys.foreach { case (a, b) =>
+      val unionSk = (sk(a) ++ sk(b)).toSeq.sorted.take(k)
+      val both = unionSk.count(h => sk(a)(h) && sk(b)(h)).toLong
+      val est = both.toDouble / unionSk.size
+      val inter = (vocab(a) & vocab(b)).size
+      val exact = inter.toDouble / (vocab(a).size + vocab(b).size - inter)
+      assert(out((a, b)) == ((unionSk.size.toLong, both, r6(est),
+        r6(exact))), s"pair ($a,$b) diverged")
+      maxErr = math.max(maxErr, math.abs(est - exact))
+    }
+    // estimator quality: worst-case error stays within a few standard
+    // errors of 1/sqrt(k) on this fixture
+    assert(maxErr < 3.0 / math.sqrt(k.toDouble), s"maxErr=$maxErr")
+  }
+
   test("q227 feature correlations equal a sequential sufficient-" +
       "statistics recompute") {
     import graft.operators.FeaturePrep
