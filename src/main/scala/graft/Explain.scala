@@ -118,7 +118,9 @@ object Explain {
                             // source; min-struct qualifying pick
     "q226_incremental_kmv", // day-spine joins over the |days|×k sketch
                             // element profile; history never re-read
-    "q227_feature_corr") // user fold + ONE wide 15-sum aggregate
+    "q227_feature_corr", // user fold + ONE wide 15-sum aggregate
+    "q228_kmv_jaccard")  // pair work on the |sources|²×k sketch
+                         // element profile; exact arm = contract
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
