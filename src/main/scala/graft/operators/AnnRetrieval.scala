@@ -374,7 +374,70 @@ object AnnRetrieval {
       .orderBy("label_a", "label_b")
   }
 
+  /** q233 — NEAREST-CENTROID LABEL-NOISE AUDIT (the confident-learning
+    * shape, Northcutt et al. — see PAPERS.md): assign every embedding
+    * to its nearest label centroid by cosine and report the
+    * (given label × predicted label) confusion matrix with per-cell
+    * share — off-diagonal mass is the candidate-mislabel set every
+    * supervised-filter pipeline reviews before training on the labels
+    * (q101 scores cohesion to a point's OWN centroid; this asks the
+    * sharper question "is some OTHER label's centroid closer?").
+    *
+    * Determinism: reuses q223's cached integer centroid table (one
+    * micro-quantized (label × dim) profile). The assignment score
+    * drops the point's own norm — cosine argmax is invariant to it —
+    * so score = Σ vm·cq / ‖c‖ where the dot folds EXACT BIGINTs and
+    * only one sqrt + one division are doubles (identical op shapes
+    * cross-engine); argmax is a row_number window per vec_id with a
+    * label tie-break, never a float-sum comparison.
+    *
+    * Scale shape: the point×centroid join is n·k·d rows — linear in
+    * the corpus with a model-sized (k·d) broadcast side, the standard
+    * brute classify matmul; the window partitions by vec_id over k
+    * rows each; output folds to the k×k confusion profile. */
+  def q233LabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val cd = graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+            .as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+    val norms = cd.groupBy(col("label").as("c_label"))
+      .agg(sum(col("cq") * col("cq")).as("c2"))
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vm",
+        expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+    val scored = pts
+      .join(broadcast(cd.select(col("label").as("c_label"), col("pos"),
+        col("cq"))), Seq("pos"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum(col("vm") * col("cq")).as("dot"))
+      .join(broadcast(norms), Seq("c_label"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("c2").cast("double")))
+    val wPick = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("c_label"))
+    val assigned = scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("pred_label"))
+    val cells = assigned.groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n_vecs"))
+    cells
+      .withColumn("n_label", sum(col("n_vecs")).over(
+        Window.partitionBy("label")))
+      .select(col("label"), col("pred_label"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_label").cast("double"), 6)
+          .as("share"))
+      .orderBy("label", "pred_label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_label_noise" -> (q233LabelNoise _),
     "q223_centroid_separation" -> (q223CentroidSeparation _),
     "q170_context_assembly" -> (q170ContextAssembly _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
@@ -385,6 +448,48 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q233_label_noise" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cd AS (
+        |  SELECT label, pos, count(*) AS n, CAST(sum(vm) AS BIGINT) AS s
+        |  FROM ex GROUP BY 1, 2),
+        |cq AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS cqv
+        |  FROM cd),
+        |norms AS (
+        |  SELECT c_label, CAST(sum(cqv * cqv) AS BIGINT) AS c2
+        |  FROM cq GROUP BY 1),
+        |dots AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |         CAST(sum(e.vm * c.cqv) AS BIGINT) AS dot
+        |  FROM ex e JOIN cq c ON e.pos = c.pos
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.vec_id, d.label, d.c_label,
+        |         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.c2 AS DOUBLE)) AS score
+        |  FROM dots d JOIN norms n ON d.c_label = n.c_label),
+        |assigned AS (
+        |  SELECT vec_id, label, c_label AS pred_label
+        |  FROM (SELECT vec_id, label, c_label,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY score DESC, c_label) AS rn
+        |        FROM scored)
+        |  WHERE rn = 1),
+        |cells AS (
+        |  SELECT label, pred_label, count(*) AS n_vecs
+        |  FROM assigned GROUP BY 1, 2)
+        |SELECT label, pred_label, n_vecs,
+        |       round(CAST(n_vecs AS DOUBLE) /
+        |             CAST(sum(n_vecs) OVER (PARTITION BY label) AS DOUBLE), 6)
+        |         AS share
+        |FROM cells ORDER BY label, pred_label""".stripMargin,
     "q223_centroid_separation" ->
       """WITH ex AS (
         |  SELECT label, i AS pos,

@@ -141,10 +141,131 @@ object Drift {
       .write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
   }
 
+  /** KS critical-value coefficient at α = 0.05 (two-sample, large-n
+    * asymptotic c(α) = √(−ln(α/2)/2) ≈ 1.3581): pinned as the SAME
+    * 4-decimal literal in both engines (the Benford6 pinning
+    * discipline — deriving it via sqrt/ln at runtime would be two
+    * more 1-ulp ops for no benefit). */
+  private[graft] val KsCoeff05 = 1.3581
+
+  /** q234 — per-type two-sample KOLMOGOROV–SMIRNOV drift test between
+    * the two time halves: the DISTRIBUTION-SHAPE companion to q151's
+    * PSI — PSI scores binned mass shift and can miss a pure location
+    * shift that stays within buckets; KS is the max vertical gap
+    * between the two empirical CDFs and is the classic two-sample
+    * shape test. Split and decile grid are exactly q151's (shared
+    * cached flag pass, same data-derived midpoint cutoff, same
+    * REFERENCE-half edges rounded once) so the two monitors read the
+    * same snapshot; each event type gets its own KS row with the
+    * α = 0.05 critical value d_crit = c(α)·√((n+m)/(n·m)) and a
+    * drifted/stable verdict on the ROUNDED statistic.
+    *
+    * Exactness: bucket counts fold exact; the CDF gaps are divisions
+    * of exact integers (per-type cumulative counts over a ≤11-row
+    * window PARTITIONED BY TYPE — never a global window); n·m forms
+    * in doubles (the q227 overflow lesson). On the stationary
+    * synthetic stream every type reads stable — the steady state; the
+    * spec drives the drifted branch with a shifted distribution.
+    *
+    * Scale shape: one conditional-count fold of the scan to the
+    * |types|·buckets profile; everything after runs on that profile. */
+  def q234KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        col("value"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val flagged = graft.sources.DfCache.df(spark, s"psi_flagged|$dir")(
+      ev.crossJoin(broadcast(cut))
+        .select(col("event_type"), col("value"),
+          (col("us") < col("cut")).as("is_ref")))
+    val edges = flagged.filter(col("is_ref"))
+      .agg(expr(s"transform(percentile(value, array(${DecileProbes.mkString(", ")}))," +
+        " e -> round(e, 6))").as("edges"))
+    val buckets = flagged.crossJoin(broadcast(edges))
+      .select(col("event_type"), col("is_ref"),
+        size(expr("filter(edges, e -> value >= e)")).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bucket")
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    buckets
+      .withColumn("cr", sum(col("nr")).over(wCum))
+      .withColumn("cc", sum(col("nc")).over(wCum))
+      .withColumn("tr", sum(col("nr")).over(wTot))
+      .withColumn("tc", sum(col("nc")).over(wTot))
+      .select(col("event_type"), col("tr"), col("tc"),
+        abs(col("cr").cast("double") / col("tr").cast("double") -
+          col("cc").cast("double") / col("tc").cast("double")).as("gap"))
+      .groupBy(col("event_type"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
+        round(max(col("gap")), 6).as("ks_stat"))
+      .withColumn("d_crit", round(
+        lit(KsCoeff05) * sqrt(
+          (col("n_ref") + col("n_cur")).cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double"))), 6))
+      .withColumn("verdict",
+        when(col("ks_stat") > col("d_crit"), lit("drifted"))
+          .otherwise(lit("stable")))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_ks_drift" -> (q234KsDrift _),
     "q151_psi_drift" -> (q151PsiDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q234_ks_drift" ->
+      s"""WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |flagged AS (
+        |  SELECT event_type, value, us < (SELECT cut FROM cut) AS is_ref
+        |  FROM ev),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(value, [${DecileProbes.mkString(", ")}]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM flagged WHERE is_ref),
+        |buckets AS (
+        |  SELECT event_type,
+        |         len(list_filter((SELECT edges FROM edges),
+        |                         e -> value >= e)) AS bucket,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nr,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS nc
+        |  FROM flagged GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |         CAST(sum(nr) OVER (PARTITION BY event_type ORDER BY bucket)
+        |              AS BIGINT) AS cr,
+        |         CAST(sum(nc) OVER (PARTITION BY event_type ORDER BY bucket)
+        |              AS BIGINT) AS cc,
+        |         CAST(sum(nr) OVER (PARTITION BY event_type) AS BIGINT) AS tr,
+        |         CAST(sum(nc) OVER (PARTITION BY event_type) AS BIGINT) AS tc
+        |  FROM buckets),
+        |per_type AS (
+        |  SELECT event_type,
+        |         CAST(max(tr) AS BIGINT) AS n_ref,
+        |         CAST(max(tc) AS BIGINT) AS n_cur,
+        |         round(max(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+        |                       - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6)
+        |           AS ks_stat
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur, ks_stat,
+        |       round($KsCoeff05 * sqrt(
+        |         CAST(n_ref + n_cur AS DOUBLE)
+        |         / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)
+        |         AS d_crit,
+        |       CASE WHEN ks_stat > round($KsCoeff05 * sqrt(
+        |              CAST(n_ref + n_cur AS DOUBLE)
+        |              / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))), 6)
+        |            THEN 'drifted' ELSE 'stable' END AS verdict
+        |FROM per_type ORDER BY event_type""".stripMargin,
     "q151_psi_drift" ->
       s"""WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value

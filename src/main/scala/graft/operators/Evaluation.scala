@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,7 +231,73 @@ object Evaluation {
       .orderBy("event_type")
   }
 
+  /** q229 — COHEN'S KAPPA inter-rater agreement between two
+    * independent heuristic quality raters over the document corpus —
+    * the audit every labeling/filter pipeline runs before trusting
+    * two cheap classifiers as interchangeable gates ("do they agree
+    * beyond what their marginal keep-rates force?"). Rater A keeps a
+    * doc when its length (n_chars) is at or above the global median;
+    * rater B keeps it when its type-token ratio (distinct words /
+    * words — lexical diversity) is at or above the global median TTR.
+    * Both thresholds are DATA-DERIVED (the r07 no-hardcoded-constant
+    * lesson) 1-row exact type-7 percentiles, broadcast.
+    *
+    * Exactness: each doc's TTR is ONE correctly-rounded division of
+    * exact integers (identical cross-engine), the medians interpolate
+    * identically (Spark `percentile` == DuckDB `quantile_cont`, the
+    * q116 pairing), so the keep flags are deterministic; the 2×2
+    * contingency cells fold as exact BIGINTs per language; p_observed
+    * / p_expected / kappa are then formed in DOUBLES with identical
+    * op shapes (the q227 overflow lesson — pe's marginal products
+    * reach n², past int64 at corpus scale). Degenerate languages
+    * (pe = 1: every doc in one cell) report NULL kappa in both
+    * engines.
+    *
+    * Scale shape: one doc-grain flag pass (narrow — array_distinct is
+    * per-row), two broadcast scalar medians, then a |langs|-row
+    * contingency fold. The exact medians are the test-scale arm;
+    * approx_percentile is the documented 100 TB drop-in (q176). */
+  def q229RaterKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      .filter(col("n_words") >= 1)
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_words").cast("double"))
+    val meds = docs.agg(
+      expr("percentile(n_chars, 0.5d)").as("med_chars"),
+      expr("percentile(ttr, 0.5d)").as("med_ttr"))
+    val cells = docs.crossJoin(broadcast(meds))
+      .select(col("lang"),
+        (col("n_chars").cast("double") >= col("med_chars")).cast("long").as("ra"),
+        (col("ttr") >= col("med_ttr")).cast("long").as("rb"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+    def d(c: Column): Column = c.cast("double")
+    cells
+      .withColumn("po", (d(col("n11")) + d(col("n00"))) / d(col("n_docs")))
+      .withColumn("pe",
+        ((d(col("n11")) + d(col("n10"))) * (d(col("n11")) + d(col("n01"))) +
+          (d(col("n01")) + d(col("n00"))) * (d(col("n10")) + d(col("n00")))) /
+          (d(col("n_docs")) * d(col("n_docs"))))
+      .select(col("lang"), col("n_docs"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        round(col("po"), 6).as("p_observed"),
+        round(col("pe"), 6).as("p_expected"),
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .as("kappa"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_rater_kappa" -> (q229RaterKappa _),
     "q222_metric_stability" -> (q222MetricStability _),
     "q205_ranking_auc" -> (q205RankingAuc _),
     "q208_digit_audit" -> (q208DigitAudit _),
@@ -239,6 +305,53 @@ object Evaluation {
     "q213_reliability_curve" -> (q213ReliabilityCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q229_rater_kappa" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         len(list_filter(string_split(trim(text), ' '),
+        |                         w -> length(w) > 0)) AS n_words,
+        |         len(list_distinct(list_filter(string_split(trim(text), ' '),
+        |                                       w -> length(w) > 0)))
+        |           AS n_distinct
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT lang, n_chars,
+        |         CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+        |  FROM docs WHERE n_words >= 1),
+        |meds AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med_chars,
+        |         quantile_cont(ttr, 0.5) AS med_ttr
+        |  FROM flagged),
+        |cells AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(ra * rb) AS BIGINT) AS n11,
+        |         CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+        |         CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+        |         CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |  FROM (SELECT lang,
+        |          CASE WHEN CAST(n_chars AS DOUBLE)
+        |                 >= (SELECT med_chars FROM meds) THEN 1
+        |               ELSE 0 END AS ra,
+        |          CASE WHEN ttr >= (SELECT med_ttr FROM meds) THEN 1
+        |               ELSE 0 END AS rb
+        |        FROM flagged)
+        |  GROUP BY 1),
+        |rates AS (
+        |  SELECT lang, n_docs, n11, n10, n01, n00,
+        |         (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE))
+        |           / CAST(n_docs AS DOUBLE) AS po,
+        |         ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+        |            * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+        |          + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+        |            * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+        |           / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe
+        |  FROM cells)
+        |SELECT lang, n_docs, n11, n10, n01, n00,
+        |       round(po, 6) AS p_observed,
+        |       round(pe, 6) AS p_expected,
+        |       CASE WHEN pe < 1.0
+        |            THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM rates ORDER BY lang""".stripMargin,
     "q222_metric_stability" ->
       s"""WITH base AS (
         |  SELECT event_type,

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/** [EXT] information-theoretic corpus/stream audits:
+  *
+  *  - q231 — pairwise JENSEN–SHANNON DIVERGENCE between source unigram
+  *    distributions over a fixed hashed feature space: the symmetric,
+  *    bounded (≤ 1 bit) "how different is what these sources SAY"
+  *    measure used to design data mixes (q99 weights sources by size;
+  *    this measures redundancy between them — two sources with near-0
+  *    JSD are interchangeable, one can be down-weighted). KL alone is
+  *    asymmetric and unbounded on disjoint support; JSD is the
+  *    mixture-smoothed fix (Lin 1991, PAPERS.md).
+  *  - q232 — MARKOV TRANSITION ENTROPY of the event stream: per
+  *    antecedent event type, the conditional entropy H(next | prev) of
+  *    the q84 transition matrix, plus the overall entropy rate — the
+  *    sequence-predictability audit ("how much signal is there in
+  *    event ORDER for a sequence model to learn?"). A near-uniform row
+  *    (h ≈ log2 |types|) carries no order signal; a near-0 row is a
+  *    deterministic funnel step.
+  *
+  * Determinism discipline (the q169/q198 micro-quantization pattern):
+  * every per-bucket / per-transition entropy term is a product of
+  * correctly-rounded divisions of exact integers and one log2 of such
+  * a ratio (log2 of exact ratios is cross-engine-safe — the q123
+  * precedent; pow() is not), micro-quantized to BIGINT micro-bits
+  * BEFORE the fold so the sum is order-free; totals divide once.
+  *
+  * Scale shape (q231): one tokenize+hash pass collapsed to the
+  * (source, bucket) table — the distribution per source is a FIXED
+  * 1024-row vector (the q147 hashed-feature discipline), so the
+  * pairwise stage is |sources|²·1024 rows of pure arithmetic at any
+  * corpus size. Add-one smoothing over the fixed bucket space keeps
+  * both distributions strictly positive (the q151 precedent).
+  * Scale shape (q232): one lead-window pass per user timeline (the
+  * q84 kernel), collapsed to the |types|² transition table; all
+  * entropy arithmetic runs on that profile. */
+object InfoTheory {
+
+  /** Hashed unigram feature-space size for q231 (matches the q147
+    * bucketing discipline; fixed => distribution tables broadcast). */
+  private[graft] val JsdBuckets = 1024
+
+  /** q231 — pairwise JSD (in bits) between source unigram
+    * distributions over [[JsdBuckets]] hashed buckets. */
+  def q231SourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+          .as("w"))
+      .withColumn("b", pmod(Hashing.md5Hash60(col("w")), lit(JsdBuckets)))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+    // dense (source, bucket) spine: every source gets all buckets so
+    // the add-one smoothed distributions are total
+    val spine = counts.select("source").distinct()
+      .crossJoin(spark.range(JsdBuckets).toDF("b"))
+    val dense = spine.join(counts, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy("source").agg(sum(col("c")).as("n"))
+    val dist = dense.join(totals, Seq("source"))
+      .select(col("source"), col("b"), col("n"),
+        ((col("c") + lit(1L)).cast("double") /
+          (col("n") + lit(JsdBuckets.toLong)).cast("double")).as("p"))
+    val a = dist.select(col("source").as("source_a"), col("b"),
+      col("n").as("n_a"), col("p").as("pa"))
+    val bSide = dist.select(col("source").as("source_b"), col("b"),
+      col("n").as("n_b"), col("p").as("pb"))
+    a.join(bSide, Seq("b")).filter(col("source_a") < col("source_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("term_micro", expr(
+        """cast(round((0.5 * pa * log2(pa / m)
+          |           + 0.5 * pb * log2(pb / m)) * 1e6, 0) as bigint)"""
+          .stripMargin))
+      .groupBy("source_a", "source_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (sum(col("term_micro")).cast("double") / 1e6).as("jsd"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("jsd"), 6).as("jsd_bits"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q232 — conditional entropy H(next | prev) per antecedent event
+    * type over the q84 transition matrix, plus the overall entropy
+    * rate as a `__ALL__` row. */
+  def q232TransitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_ij"))
+    def d(c: Column): Column = c.cast("double")
+    val rows = trans
+      .withColumn("n_i", sum(col("n_ij")).over(
+        Window.partitionBy("event_type")))
+      .withColumn("term_micro", expr(
+        """cast(round(-(cast(n_ij as double) / cast(n_i as double))
+          |            * log2(cast(n_ij as double) / cast(n_i as double))
+          |            * 1e6, 0) as bigint)""".stripMargin))
+    val perPrev = rows.groupBy(col("event_type").as("prev_type"))
+      .agg(max(col("n_i")).as("n_trans"),
+        count(lit(1)).as("n_next_types"),
+        round(sum(col("term_micro")).cast("double") / 1e6, 6).as("h_bits"))
+    // overall entropy rate H = Σ_ij -(n_ij/N)·log2(n_ij/n_i): the SAME
+    // per-transition log ratio, weighted by the global frequency —
+    // quantized independently so the fold stays order-free
+    val total = trans.agg(sum(col("n_ij")).as("n_all"))
+    val overall = rows.crossJoin(broadcast(total))
+      .withColumn("g_micro", expr(
+        """cast(round(-(cast(n_ij as double) / cast(n_all as double))
+          |            * log2(cast(n_ij as double) / cast(n_i as double))
+          |            * 1e6, 0) as bigint)""".stripMargin))
+      .agg(max(col("n_all")).as("n_trans"),
+        count(lit(1)).as("n_next_types"),
+        round(sum(col("g_micro")).cast("double") / 1e6, 6).as("h_bits"))
+      .select(lit("__ALL__").as("prev_type"), col("n_trans"),
+        col("n_next_types"), col("h_bits"))
+    perPrev.unionAll(overall).orderBy("prev_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_source_jsd" -> (q231SourceJsd _),
+    "q232_transition_entropy" -> (q232TransitionEntropy _))
+
+  val oracles: Map[String, String] = Map(
+    "q231_source_jsd" ->
+      s"""WITH counts AS (
+        |  SELECT source,
+        |         ('0x' || substr(md5(w), 1, 15))::BIGINT % $JsdBuckets AS b,
+        |         count(*) AS c
+        |  FROM (SELECT source,
+        |               unnest(list_filter(string_split(trim(text), ' '),
+        |                                  x -> length(x) > 0)) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT s.source, g.b
+        |  FROM (SELECT DISTINCT source FROM counts) s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, ${JsdBuckets - 1}))
+        |                AS b) g),
+        |dense AS (
+        |  SELECT sp.source, sp.b, COALESCE(c.c, 0) AS c
+        |  FROM spine sp LEFT JOIN counts c
+        |    ON sp.source = c.source AND sp.b = c.b),
+        |totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM dense GROUP BY 1),
+        |dist AS (
+        |  SELECT d.source, d.b, t.n,
+        |         CAST(d.c + 1 AS DOUBLE) / CAST(t.n + $JsdBuckets AS DOUBLE)
+        |           AS p
+        |  FROM dense d JOIN totals t ON d.source = t.source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b2.source AS source_b,
+        |         a.n AS n_a, b2.n AS n_b,
+        |         CAST(round((0.5 * a.p * log2(a.p / ((a.p + b2.p) / 2.0))
+        |                     + 0.5 * b2.p * log2(b2.p / ((a.p + b2.p) / 2.0)))
+        |                    * 1e6, 0) AS BIGINT) AS term_micro
+        |  FROM dist a JOIN dist b2
+        |    ON a.b = b2.b AND a.source < b2.source)
+        |SELECT source_a, source_b,
+        |       CAST(max(n_a) AS BIGINT) AS n_a,
+        |       CAST(max(n_b) AS BIGINT) AS n_b,
+        |       round(CAST(sum(term_micro) AS DOUBLE) / 1e6, 6) AS jsd_bits
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q232_transition_entropy" ->
+      """WITH trans AS (
+        |  SELECT event_type, next_type, count(*) AS n_ij
+        |  FROM (SELECT event_type,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS next_type
+        |        FROM events)
+        |  WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rows_t AS (
+        |  SELECT event_type, next_type, n_ij,
+        |         CAST(sum(n_ij) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n_i
+        |  FROM trans),
+        |quant AS (
+        |  SELECT event_type, n_ij, n_i,
+        |         CAST(round(-(CAST(n_ij AS DOUBLE) / CAST(n_i AS DOUBLE))
+        |                     * log2(CAST(n_ij AS DOUBLE)
+        |                            / CAST(n_i AS DOUBLE)) * 1e6, 0)
+        |              AS BIGINT) AS term_micro
+        |  FROM rows_t),
+        |per_prev AS (
+        |  SELECT event_type AS prev_type,
+        |         CAST(max(n_i) AS BIGINT) AS n_trans,
+        |         count(*) AS n_next_types,
+        |         round(CAST(sum(term_micro) AS DOUBLE) / 1e6, 6) AS h_bits
+        |  FROM quant GROUP BY 1),
+        |total AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_all FROM trans),
+        |overall AS (
+        |  SELECT '__ALL__' AS prev_type,
+        |         CAST((SELECT n_all FROM total) AS BIGINT) AS n_trans,
+        |         count(*) AS n_next_types,
+        |         round(CAST(sum(
+        |           CAST(round(-(CAST(n_ij AS DOUBLE)
+        |                        / CAST((SELECT n_all FROM total) AS DOUBLE))
+        |                       * log2(CAST(n_ij AS DOUBLE)
+        |                              / CAST(n_i AS DOUBLE)) * 1e6, 0)
+        |                AS BIGINT)) AS DOUBLE) / 1e6, 6) AS h_bits
+        |  FROM rows_t)
+        |SELECT * FROM per_prev
+        |UNION ALL SELECT * FROM overall
+        |ORDER BY prev_type""".stripMargin)
+}

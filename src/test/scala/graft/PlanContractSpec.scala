@@ -95,7 +95,13 @@ object PlanContract {
       "calendar day spine × sketch-element profile (days × k rows)",
     // type-pair spine OR-join over the |types|×k sketch elements
     "q228_kmv_jaccard" ->
-      "per-type sketch element table (|types| × k rows)")
+      "per-type sketch element table (|types| × k rows)",
+    // dense smoothed-distribution spine: build = distinct sources
+    // (enum-sized — the output is a |sources|² pairwise report, only
+    // meaningful for enum-scale source sets) × the FIXED 1024-bucket
+    // hashed feature grid
+    "q231_source_jsd" ->
+      "source spine × fixed 1024-bucket grid (|sources| × 1024 rows)")
 
   /** True when `p` provably emits at most ~[[SmallBuild]] rows, by
     * structural descent through row-preserving operators. */
