@@ -119,8 +119,20 @@ object Explain {
     "q226_incremental_kmv", // day-spine joins over the |days|×k sketch
                             // element profile; history never re-read
     "q227_feature_corr", // user fold + ONE wide 15-sum aggregate
-    "q228_kmv_jaccard")  // pair work on the |sources|²×k sketch
+    "q228_kmv_jaccard",  // pair work on the |sources|²×k sketch
                          // element profile; exact arm = contract
+    "q229_rater_kappa",  // doc-grain flag pass, broadcast medians,
+                         // |langs|-row contingency fold
+    "q230_vocab_richness", // (source, word) histogram fold; estimates
+                           // on the |sources|-row profile
+    "q231_source_jsd",   // fixed |sources|×1024 distribution tables;
+                         // granted spine BNLJ, pair stage bounded
+    "q232_transition_entropy", // q84 lead-window kernel → |types|²
+                               // profile; quantized entropy fold
+    "q233_label_noise",  // n×k×d classify join, model-sized broadcast
+                         // build; per-vec argmax window over k rows
+    "q234_ks_drift")     // conditional-count fold → |types|×buckets
+                         // profile; ≤11-row CDF windows per type
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

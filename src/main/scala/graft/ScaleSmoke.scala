@@ -210,7 +210,9 @@ object ScaleSmoke {
         "q220_epoch_shuffle", "q221_vocab_coverage",
         "q222_metric_stability", "q223_centroid_separation",
         "q224_mmr_retrieval", "q225_weighted_median",
-        "q226_incremental_kmv", "q227_feature_corr", "q228_kmv_jaccard")
+        "q226_incremental_kmv", "q227_feature_corr", "q228_kmv_jaccard",
+        "q229_rater_kappa", "q230_vocab_richness", "q231_source_jsd",
+        "q232_transition_entropy", "q233_label_noise", "q234_ks_drift")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
