@@ -210,13 +210,96 @@ object Audit {
         expr("bit_xor(h)").as("fingerprint"))
       .orderBy("d")
 
+  /** q239's candidate dependencies: (relation, lhs, rhs). A mix of
+    * true FDs (nation name determines region; o_orderkey is a key —
+    * key DETECTION is the degenerate FD case) and plausible-but-false
+    * ones — the profiler must separate them by measurement, not by
+    * assumption. */
+  private[graft] val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("nation", "n_name", "n_regionkey"),
+    ("part", "p_name", "p_brand"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("events", "event_type", "user_id"))
+
+  /** q239 — FUNCTIONAL-DEPENDENCY audit (schema-profiling): for each
+    * candidate A → B in [[FdCandidates]], measure how far the data is
+    * from satisfying it with the standard g3 error — the MINIMUM
+    * fraction of rows to delete so the FD holds exactly
+    * (g3 = 1 − Σ_groups max_b count(A=a, B=b) / n). The discovery
+    * primitive behind normalization advice, key detection, and
+    * "is this column derivable?" curation questions; q181 checks
+    * DECLARED foreign keys, this MEASURES undeclared dependencies.
+    *
+    * Exactness: per-candidate the fold is (lhs, rhs) counts → per-lhs
+    * max + total (exact BIGINTs end-to-end); g3 is ONE division.
+    *
+    * Scale shape: one two-level combinable fold per candidate over
+    * its column pair (content-keyed — no fixed hot key); the report
+    * is |candidates| rows. A production run sweeps column pairs of
+    * one table the same way — each pair an independent fold. */
+  def q239FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val frames: Map[String, DataFrame] = Map(
+      "nation" -> Tables.nation(spark, dir),
+      "part" -> Tables.part(spark, dir),
+      "customer" -> Tables.customer(spark, dir),
+      "orders" -> Tables.orders(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "events" -> Tables.events(spark, dir))
+    FdCandidates.map { case (rel, lhs, rhs) =>
+      val pairCnt = frames(rel)
+        .select(col(lhs).cast("string").as("a"),
+          col(rhs).cast("string").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      pairCnt.groupBy("a")
+        .agg(sum(col("c")).as("grp_rows"), max(col("c")).as("keep_rows"),
+          count(lit(1)).as("n_rhs"))
+        .agg(sum(col("grp_rows")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1L, 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(col("grp_rows") - col("keep_rows")).as("rows_to_fix"))
+        .select(lit(rel).as("rel"), lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_rows"), col("n_groups"), col("violating_groups"),
+          col("rows_to_fix"),
+          round(col("rows_to_fix").cast("double") /
+            col("n_rows").cast("double"), 6).as("g3_error"),
+          (col("rows_to_fix") === 0L).as("holds"))
+    }.reduce(_ unionAll _).orderBy("rel", "lhs", "rhs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_fd_audit" -> (q239FdAudit _),
     "q171_replica_audit" -> (q171ReplicaAudit _),
     "q172_cdc_merge" -> (q172CdcMerge _),
     "q181_integrity_audit" -> (q181IntegrityAudit _),
     "q199_partition_manifest" -> (q199PartitionManifest _))
 
+  private def fdAuditSql: String = {
+    val arms = FdCandidates.map { case (rel, lhs, rhs) =>
+      s"""SELECT '$rel' AS rel, '$lhs' AS lhs, '$rhs' AS rhs,
+         |       CAST(sum(grp_rows) AS BIGINT) AS n_rows,
+         |       count(*) AS n_groups,
+         |       CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+         |         AS violating_groups,
+         |       CAST(sum(grp_rows - keep_rows) AS BIGINT) AS rows_to_fix,
+         |       round(CAST(sum(grp_rows - keep_rows) AS DOUBLE)
+         |             / CAST(sum(grp_rows) AS DOUBLE), 6) AS g3_error,
+         |       CAST(sum(grp_rows - keep_rows) AS BIGINT) = 0 AS holds
+         |FROM (SELECT a, CAST(sum(c) AS BIGINT) AS grp_rows,
+         |             CAST(max(c) AS BIGINT) AS keep_rows,
+         |             count(*) AS n_rhs
+         |      FROM (SELECT CAST($lhs AS VARCHAR) AS a,
+         |                   CAST($rhs AS VARCHAR) AS b, count(*) AS c
+         |            FROM $rel GROUP BY 1, 2)
+         |      GROUP BY a)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"SELECT * FROM ($arms)\nORDER BY rel, lhs, rhs"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q239_fd_audit" -> fdAuditSql,
     "q199_partition_manifest" ->
       """WITH rows_ AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,

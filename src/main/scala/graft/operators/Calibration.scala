@@ -186,12 +186,117 @@ object Calibration {
       .orderBy("seg")
   }
 
+  /** Bin count for the q237 isotonic fit (score deciles). */
+  private[graft] val IsoBins = 10
+
+  /** q237 — ISOTONIC (PAV) CALIBRATION of the spend-score deciles:
+    * fit the best MONOTONE-nondecreasing positive-rate curve over the
+    * q205/q213 score bins (ascending score ntile) via the closed-form
+    * minimax characterization of pool-adjacent-violators,
+    *   iso(k) = max_{i≤k} min_{j≥k} (P_j − P_{i−1}) / (N_j − N_{i−1})
+    * — the standard distribution-free post-hoc calibrator (Zadrozny &
+    * Elkan; see PAPERS.md): q213 SHOWS where the raw curve inverts,
+    * this REPAIRS it into the calibrated map a deployed gate actually
+    * uses. The minimax form replaces the sequential pool-merge loop
+    * with pure joins, so the plan is static (no iteration).
+    *
+    * Exactness: bin cells and prefix sums are exact BIGINTs (prefix
+    * windows over the [[IsoBins]]-row profile); every pooled rate is
+    * ONE division of exact integers; min/max over identical doubles
+    * are selections. The i≤k / j≥k expansions are ≤ bins³ rows of a
+    * bins-row table — BnljAllow-granted, structurally bounded by the
+    * bin count, never by users.
+    *
+    * Scale shape: one user-grain fold + one ntile over the user
+    * profile (the q213 window); ALL isotonic arithmetic runs on the
+    * 10-row bin table. */
+  def q237IsotonicCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val users = Evaluation.scoredUsers(spark, dir)
+    val wAsc = Window.orderBy(col("cents"), col("user_id"))
+    val bins = users.withColumn("bin", ntile(IsoBins).over(wAsc))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"))
+    val wPre = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cp", sum(col("n_pos")).over(wPre))
+      .withColumn("cn", sum(col("n_users")).over(wPre))
+      .select(col("bin"), col("n_users"), col("n_pos"), col("cp"),
+        col("cn"))
+    val starts = pre.select(col("bin").as("i"),
+      (col("cp") - col("n_pos")).as("cp_lo"),
+      (col("cn") - col("n_users")).as("cn_lo"))
+    val ends = pre.select(col("bin").as("j"), col("cp").as("cp_hi"),
+      col("cn").as("cn_hi"))
+    val pooled = starts.join(ends, col("i") <= col("j"))
+      .withColumn("rate", (col("cp_hi") - col("cp_lo")).cast("double") /
+        (col("cn_hi") - col("cn_lo")).cast("double"))
+    val ks = pre.select(col("bin").as("k"))
+    val inner = ks.join(pooled, col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy("k", "i").agg(min(col("rate")).as("min_rate"))
+      .groupBy("k").agg(max(col("min_rate")).as("iso_rate"))
+    bins.join(inner, col("bin") === col("k"))
+      .select(col("bin"), col("n_users"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_users"), 6)
+          .as("raw_rate"),
+        round(col("iso_rate"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_isotonic_calibrate" -> (q237IsotonicCalibrate _),
     "q168_quantile_normalize" -> (q168QuantileNormalize _),
     "q169_int8_calibrate" -> (q169Int8Calibrate _),
     "q218_conformal_threshold" -> (q218ConformalThreshold _))
 
   val oracles: Map[String, String] = Map(
+    "q237_isotonic_calibrate" ->
+      s"""WITH per_user AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) AS BIGINT) AS pcnt
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(CAST(pcnt AS DOUBLE), 0.5) AS med
+        |        FROM per_user),
+        |users AS (
+        |  SELECT user_id, cents,
+        |         CASE WHEN pcnt > (SELECT med FROM med) THEN 1
+        |              ELSE 0 END AS label
+        |  FROM per_user),
+        |bins AS (
+        |  SELECT bin, count(*) AS n_users,
+        |         CAST(sum(label) AS BIGINT) AS n_pos
+        |  FROM (SELECT CAST(ntile($IsoBins) OVER (ORDER BY cents, user_id)
+        |                    AS INTEGER) AS bin, label
+        |        FROM users)
+        |  GROUP BY 1),
+        |pre AS (
+        |  SELECT bin, n_users, n_pos,
+        |         CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+        |         CAST(sum(n_users) OVER (ORDER BY bin) AS BIGINT) AS cn
+        |  FROM bins),
+        |pooled AS (
+        |  SELECT s.i, e.j,
+        |         CAST(e.cp_hi - s.cp_lo AS DOUBLE)
+        |           / CAST(e.cn_hi - s.cn_lo AS DOUBLE) AS rate
+        |  FROM (SELECT bin AS i, cp - n_pos AS cp_lo,
+        |               cn - n_users AS cn_lo FROM pre) s
+        |  JOIN (SELECT bin AS j, cp AS cp_hi, cn AS cn_hi FROM pre) e
+        |    ON s.i <= e.j),
+        |iso AS (
+        |  SELECT k, max(min_rate) AS iso_rate
+        |  FROM (SELECT p.bin AS k, po.i, min(po.rate) AS min_rate
+        |        FROM pre p JOIN pooled po
+        |          ON po.i <= p.bin AND po.j >= p.bin
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.bin, b.n_users, b.n_pos,
+        |       round(CAST(b.n_pos AS DOUBLE) / b.n_users, 6) AS raw_rate,
+        |       round(i.iso_rate, 6) AS iso_rate
+        |FROM bins b JOIN iso i ON b.bin = i.k
+        |ORDER BY b.bin""".stripMargin,
     "q169_int8_calibrate" ->
       s"""WITH coords AS (
          |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),

@@ -128,7 +128,7 @@ object Evaluation {
 
   /** The per-user (score, label) frame shared by q205 (AUC) and q213
     * (reliability curve): spend cents vs above-median purchase count. */
-  private def scoredUsers(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scoredUsers(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),

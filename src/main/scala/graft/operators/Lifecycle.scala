@@ -242,7 +242,70 @@ object Lifecycle {
       .orderBy("cohort_w", "age_w")
   }
 
+  /** q235 censoring horizon: a user whose LAST activity falls within
+    * this many days of the observation end may still be active — their
+    * lifetime is right-censored, not a churn event. A policy parameter
+    * (like [[MaxLifetimeDays]]); the observation end itself is
+    * data-derived. */
+  private[graft] val CensorHorizonDays = 7L
+
+  /** q235 — KAPLAN–MEIER survival with RIGHT-CENSORING: the estimator
+    * q179 cannot be — q179's raw lifetime curve silently treats every
+    * user's last-seen day as a death, which BIASES survival downward
+    * because users still active at the observation edge haven't
+    * churned, we just stopped watching. KM handles that exactly:
+    * per lifetime day t, n_t at risk, d_t churn events, c_t censored,
+    * Ŝ(t) = Π_{s≤t} (1 − d_s/n_s) over event days.
+    *
+    * Determinism: the survival PRODUCT is the one place a naive
+    * cross-engine float fold diverges (multiplication order). The
+    * factors (1 − d/n) are single divisions of exact integers rounded
+    * once to 6dp; the cumulative product is then an ORDERED
+    * left-to-right fold of those identical doubles — collect_list
+    * over the cumulative window + a higher-order `aggregate` lambda in
+    * Spark, `list(... ORDER BY t)` + `list_reduce` in DuckDB — so both
+    * engines multiply the same numbers in the same order.
+    *
+    * Scale shape: one user-grain min/max fold of the scan, then a
+    * duration histogram (≤ observed-span rows); the cumulative
+    * at-risk/product windows run over that day spine only (the q179
+    * grant class — bounded by the CALENDAR, never by users). */
+  def q235KmSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("first_d"),
+        to_date(max(col("ts"))).as("last_d"))
+    val obsEnd = perUser.agg(max(col("last_d")).as("obs_end"))
+    val durations = perUser.crossJoin(broadcast(obsEnd))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("obs_end"), col("last_d")) >= CensorHorizonDays)
+          .as("is_event"))
+    val hist = durations.groupBy("t")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("is_event"), 1L).otherwise(0L)).as("c"))
+    val total = hist.agg(sum(col("d") + col("c")).as("n_total"))
+    val wPre = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPre),
+          lit(0L)))
+      .withColumn("factor",
+        round(lit(1.0) - col("d").cast("double") /
+          col("n_risk").cast("double"), 6))
+      .withColumn("km_s", round(
+        aggregate(collect_list(col("factor")).over(wCum),
+          lit(1.0), (acc, x) => acc * x), 6))
+      .select(col("t").as("lifetime_days"), col("n_risk"), col("d")
+        .as("d_churn"), col("c").as("c_censored"), col("factor"),
+        col("km_s"))
+      .orderBy("lifetime_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_km_survival" -> (q235KmSurvival _),
     "q179_survival_curve" -> (q179SurvivalCurve _),
     "q180_interarrival" -> (q180InterArrival _),
     "q212_lateness_profile" -> (q212LatenessProfile _),
@@ -251,6 +314,47 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q235_km_survival" ->
+      s"""WITH per_user AS (
+        |  SELECT user_id,
+        |         CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS first_d,
+        |         CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS last_d
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT max(last_d) AS obs_end FROM per_user),
+        |dur AS (
+        |  SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+        |         date_diff('day', last_d, (SELECT obs_end FROM obs))
+        |           >= $CensorHorizonDays AS is_event
+        |  FROM per_user),
+        |hist AS (
+        |  SELECT t,
+        |         CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d,
+        |         CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS c
+        |  FROM dur GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM hist),
+        |risk AS (
+        |  SELECT t, d, c,
+        |         (SELECT n_total FROM tot)
+        |           - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS BIGINT), 0) AS n_risk
+        |  FROM hist),
+        |fac AS (
+        |  SELECT t, n_risk, d, c,
+        |         round(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |           AS factor
+        |  FROM risk),
+        |km AS (
+        |  SELECT t, n_risk, d, c, factor,
+        |         round(list_reduce(list(factor) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |           (a, b) -> a * b), 6) AS km_s
+        |  FROM fac)
+        |SELECT t AS lifetime_days, n_risk, d AS d_churn, c AS c_censored,
+        |       factor, km_s
+        |FROM km ORDER BY lifetime_days""".stripMargin,
     "q188_conversion_lag" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us

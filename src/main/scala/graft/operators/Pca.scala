@@ -111,10 +111,96 @@ object Pca {
         "rayleigh_monotone_ok", "lambda_in_variance_ok")
   }
 
+  /** A dimension is flagged dead when its variance is under this
+    * fraction of the MEDIAN per-dimension variance (data-derived
+    * threshold — the r07 no-hardcoded-cutoff rule; the fraction itself
+    * is the declared policy parameter). */
+  private[graft] val DeadVarPct = 100L // 1/100th of the median variance
+
+  /** q238 — EMBEDDING-DIMENSION HEALTH audit: per coordinate of the
+    * embedding space, n / mean / variance / std / min / max /
+    * zero-fraction, plus a dead-dimension flag (variance under
+    * 1/[[DeadVarPct]] of the median dimension variance) — the
+    * embedding-table QA every retrieval/cluster pipeline runs before
+    * trusting cosine geometry: collapsed or near-constant dimensions
+    * carry no signal but still cost index space, and a dimension whose
+    * variance dwarfs the rest dominates every distance.
+    *
+    * Exactness (the q223/q227 composite): coordinates micro-quantize
+    * to BIGINT once, Σv and Σv² fold exact, the variance moments
+    * n·Σv² − (Σv)² form in DOUBLES (the q227 int64-overflow lesson;
+    * the exact Σv² fold itself is documented DECIMAL(38,0) at 100 TB —
+    * the q154 drop-in), min/max/zero-count are exact; the dead
+    * threshold compares against a broadcast median over the
+    * dim-row profile.
+    *
+    * Scale shape: ONE posexplode + (pos) hash aggregate — combinable
+    * fold of the scan; everything after runs on the dim-row profile. */
+  def q238DimHealth(spark: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vm",
+        expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"),
+        sum(col("vm") * col("vm")).as("ss"),
+        min(col("vm")).as("vmin"), max(col("vm")).as("vmax"),
+        sum(when(col("vm") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("variance",
+        (col("n").cast("double") * col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")) / 1e12)
+    val medVar = prof.agg(expr("percentile(variance, 0.5d)").as("mv"))
+    prof.crossJoin(broadcast(medVar))
+      .select(col("pos"), col("n"),
+        round(col("s").cast("double") / col("n") / 1e6, 6).as("mean"),
+        round(col("variance"), 6).as("variance"),
+        round(sqrt(col("variance")), 6).as("std"),
+        round(col("vmin").cast("double") / 1e6, 6).as("v_min"),
+        round(col("vmax").cast("double") / 1e6, 6).as("v_max"),
+        round(col("n_zero").cast("double") / col("n"), 6).as("zero_frac"),
+        (col("variance") * lit(DeadVarPct.toDouble) < col("mv")).as("dead"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_dim_health" -> (q238DimHealth _),
     "q162_top_component" -> (q162TopComponent _))
 
   val oracles: Map[String, String] = Map(
+    "q238_dim_health" ->
+      s"""WITH ex AS (
+        |  SELECT i - 1 AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |prof AS (
+        |  SELECT pos, count(*) AS n,
+        |         CAST(sum(vm) AS BIGINT) AS s,
+        |         CAST(sum(vm * vm) AS BIGINT) AS ss,
+        |         CAST(min(vm) AS BIGINT) AS vmin,
+        |         CAST(max(vm) AS BIGINT) AS vmax,
+        |         CAST(count(*) FILTER (WHERE vm = 0) AS BIGINT) AS n_zero
+        |  FROM ex GROUP BY 1),
+        |pv AS (
+        |  SELECT *,
+        |         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12
+        |           AS variance
+        |  FROM prof),
+        |mv AS (SELECT quantile_cont(variance, 0.5) AS mv FROM pv)
+        |SELECT CAST(pos AS INTEGER) AS pos, n,
+        |       round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+        |       round(variance, 6) AS variance,
+        |       round(sqrt(variance), 6) AS std,
+        |       round(CAST(vmin AS DOUBLE) / 1e6, 6) AS v_min,
+        |       round(CAST(vmax AS DOUBLE) / 1e6, 6) AS v_max,
+        |       round(CAST(n_zero AS DOUBLE) / n, 6) AS zero_frac,
+        |       variance * ${DeadVarPct}.0 < (SELECT mv FROM mv) AS dead
+        |FROM pv ORDER BY pos""".stripMargin,
     "q162_top_component" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
          |       CAST(max(len(embedding)) AS INTEGER) AS dim,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -221,7 +221,68 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** Normal critical value at α = 0.05 two-sided for q236, pinned as a
+    * literal (the Benford6/KsCoeff05 discipline). */
+  private[graft] val MkZCrit = 1.96
+
+  /** q236 — MANN–KENDALL trend test per event type: the
+    * SIGNIFICANCE companion to q178 (OLS fits a slope) and q194
+    * (Theil–Sen robustifies it) — neither says whether the trend is
+    * distinguishable from noise. S = Σ_{i<j} sign(x_j − x_i) over the
+    * daily series, Var(S) with the tie correction
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18, and the
+    * continuity-corrected Z = (S ∓ 1)/√Var(S) read against ±1.96.
+    * Distribution-free: no normality assumption on daily counts.
+    *
+    * Exactness: S and both variance polynomials fold as exact
+    * BIGINTs (counts and day indexes are integers; sign() of an exact
+    * difference is exact); Var(S) is ONE division by 18 and Z one
+    * division by one sqrt — identical op shapes cross-engine.
+    *
+    * Scale shape: the pair stage is the q194 self-join of the daily
+    * PROFILE (≤ days²/2 rows per type — calendar-bounded); the tie
+    * fold runs on the same profile. Nothing touches raw events twice. */
+  def q236MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("d"), col("n"))
+    val sFold = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("b.n") - col("a.n")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("event_type", "n")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_poly"))
+    sFold.join(ties, Seq("event_type"))
+      .withColumn("var_s",
+        (untiedVarPoly(col("n_days")) - col("tie_poly")).cast("double")
+          / 18.0)
+      .withColumn("z",
+        when(col("s_stat") > 0L,
+          (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0L,
+            (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), round(col("var_s"), 4).as("var_s"),
+        round(col("z"), 6).as("z"),
+        when(col("z") > MkZCrit, lit("increasing"))
+          .when(col("z") < -MkZCrit, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy("event_type")
+  }
+
+  /** n(n−1)(2n+5) — the untied Var(S) polynomial, exact integer. */
+  private def untiedVarPoly(n: Column): Column =
+    n * (n - 1L) * (lit(2L) * n + 5L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_mann_kendall" -> (q236MannKendall _),
     "q194_theil_sen" -> (q194TheilSen _),
     "q175_gap_fill" -> (q175GapFill _),
     "q176_mad_outliers" -> (q176MadOutliers _),
@@ -230,6 +291,50 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q236_mann_kendall" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS d,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |s_fold AS (
+        |  SELECT a.event_type, count(*) AS n_pairs,
+        |         CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                       WHEN b.n < a.n THEN -1 ELSE 0 END)
+        |              AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND a.d < b.d
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_poly
+        |  FROM (SELECT event_type, n, count(*) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |stat AS (
+        |  SELECT s.event_type, t.n_days, s.n_pairs, s.s_stat,
+        |         CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+        |              - t.tie_poly AS DOUBLE) / 18.0 AS var_s
+        |  FROM s_fold s JOIN ties t ON s.event_type = t.event_type),
+        |z AS (
+        |  SELECT event_type, n_days, n_pairs, s_stat, var_s,
+        |         CASE WHEN s_stat > 0
+        |                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+        |              WHEN s_stat < 0
+        |                THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+        |              ELSE 0.0 END AS z
+        |  FROM stat)
+        |SELECT event_type, n_days, n_pairs, s_stat,
+        |       round(var_s, 4) AS var_s, round(z, 6) AS z,
+        |       CASE WHEN z > $MkZCrit THEN 'increasing'
+        |            WHEN z < -$MkZCrit THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM z ORDER BY event_type""".stripMargin,
     "q194_theil_sen" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd

@@ -101,7 +101,12 @@ object PlanContract {
     // meaningful for enum-scale source sets) × the FIXED 1024-bucket
     // hashed feature grid
     "q231_source_jsd" ->
-      "source spine × fixed 1024-bucket grid (|sources| × 1024 rows)")
+      "source spine × fixed 1024-bucket grid (|sources| × 1024 rows)",
+    // PAV minimax expansions over the 10-row bin profile: i≤j pooled
+    // segments (≤ bins²/2) and the i≤k≤j cover join (≤ bins³) — all
+    // structurally bounded by the BIN COUNT, never by users
+    "q237_isotonic_calibrate" ->
+      "10-row score-bin profile expansions (≤ bins³ rows)")
 
   /** True when `p` provably emits at most ~[[SmallBuild]] rows, by
     * structural descent through row-preserving operators. */
@@ -177,7 +182,11 @@ object PlanContract {
     "q150_temperature_mix" -> "language-grain rate table",
     "q184_rfm_segments" -> "customer-dimension RFM profile",
     "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
-    "q193_rank_delta" -> "part-dimension per-half rank profiles")
+    "q193_rank_delta" -> "part-dimension per-half rank profiles",
+    "q235_km_survival" ->
+      "lifetime-day spine (≤ observed-span rows): at-risk + KM product",
+    "q237_isotonic_calibrate" ->
+      "user-grain spend profile ntile + 10-row bin prefix sums")
 
   /** All plan-contract violations for one query's physical plan,
     * INCLUDING subquery inner plans (VERDICT r09 #4): scalar/IN/EXISTS
