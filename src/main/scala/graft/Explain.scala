@@ -131,8 +131,18 @@ object Explain {
                                // profile; quantized entropy fold
     "q233_label_noise",  // n×k×d classify join, model-sized broadcast
                          // build; per-vec argmax window over k rows
-    "q234_ks_drift")     // conditional-count fold → |types|×buckets
+    "q234_ks_drift",     // conditional-count fold → |types|×buckets
                          // profile; ≤11-row CDF windows per type
+    "q235_km_survival",  // user min/max fold → duration histogram;
+                         // granted day-spine at-risk/product windows
+    "q236_mann_kendall", // daily-profile pair self-join (calendar²)
+                         // + exact tie fold
+    "q237_isotonic_calibrate", // user ntile → 10-row bin profile;
+                               // granted bins³ minimax expansions
+    "q238_dim_health",   // one posexplode (pos) fold → dim-row profile
+    "q239_fd_audit",     // six independent two-level folds unioned
+    "q240_zipf_slope")   // WindowGroupLimit top-K per source →
+                         // K-row quantized-OLS fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
