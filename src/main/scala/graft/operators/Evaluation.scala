@@ -296,7 +296,91 @@ object Evaluation {
       .orderBy("lang")
   }
 
+  /** q242 forecast bins (calibration-half score deciles). */
+  private[graft] val BrierBins = 10
+
+  /** q242 — BRIER SCORE with MURPHY DECOMPOSITION (reliability /
+    * resolution / uncertainty): build a binned probability forecast on
+    * a hash-parity CALIBRATION half (decile edges + per-bin positive
+    * rate, the q218 split discipline), score it on the held-out EVAL
+    * half, and decompose the Brier score into
+    *   REL (calibration error) − RES (discrimination) + UNC (base
+    *   rate variance), Brier = REL − RES + UNC
+    * — the proper-scoring-rule companion to q205 (AUC ranks, q213
+    * plots, q237 repairs; this PRICES the forecast): a score can rank
+    * well (high RES) and still be miscalibrated (high REL), and only
+    * a proper score exposes both.
+    *
+    * Exactness: forecasts and observed rates are single divisions of
+    * exact integers; the Brier total is computed on the BIN PROFILE by
+    * the exact expansion Σ_k (n_k·f_k² − 2·f_k·pos_k + pos_k) — never
+    * a per-user float fold — and each bin's REL/RES/Brier term is
+    * micro-quantized (×1e9, squared rates are ~1e-2-scale) before the
+    * ≤[[BrierBins]]-row sum (the q169 order-free discipline).
+    * The Murphy identity then holds to quantization precision — the
+    * spec's law.
+    *
+    * Scale shape: one user fold, two broadcast scalar tables (edges,
+    * forecasts), one bin-profile fold; report = bins + repeated
+    * totals (the q201/q208 shape). */
+  def q242BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val users = scoredUsers(spark, dir)
+      .withColumn("is_cal",
+        pmod(Hashing.md5Hash60(concat(lit("brier:"),
+          col("user_id").cast("string"))), lit(2)) === 0)
+    val cal = users.filter(col("is_cal"))
+    val probes = (1 until BrierBins).map(_.toDouble / BrierBins)
+    val edges = cal.agg(expr(
+      s"transform(percentile(cents, array(${probes.mkString(", ")}))," +
+        " e -> round(e, 6))").as("edges"))
+    val binOf = size(expr("filter(edges, e -> cents >= e)")).as("bin")
+    val forecasts = cal.crossJoin(broadcast(edges))
+      .select(binOf, col("label"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_cal"), sum(col("label")).as("pos_cal"))
+      .withColumn("f",
+        col("pos_cal").cast("double") / col("n_cal").cast("double"))
+    val evalBins = users.filter(!col("is_cal"))
+      .crossJoin(broadcast(edges))
+      .select(binOf, col("label"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_ev"), sum(col("label")).as("pos_ev"))
+    val joined = evalBins.join(broadcast(forecasts), Seq("bin"))
+    val totals = joined.agg(sum(col("n_ev")).as("n_total"),
+      sum(col("pos_ev")).as("pos_total"))
+    val terms = joined.crossJoin(broadcast(totals))
+      .withColumn("ybar",
+        col("pos_total").cast("double") / col("n_total").cast("double"))
+      .withColumn("yk",
+        col("pos_ev").cast("double") / col("n_ev").cast("double"))
+      .withColumn("rel_micro", expr(
+        "cast(round(n_ev * (f - yk) * (f - yk) * 1e9, 0) as bigint)"))
+      .withColumn("res_micro", expr(
+        "cast(round(n_ev * (yk - ybar) * (yk - ybar) * 1e9, 0) as bigint)"))
+      .withColumn("brier_micro", expr(
+        "cast(round((n_ev * f * f - 2 * f * pos_ev + pos_ev) * 1e9, 0)" +
+          " as bigint)"))
+    val summary = terms.agg(
+      max(col("n_total")).as("n_total"),
+      (sum(col("rel_micro")).cast("double") / 1e9).as("rel_sum"),
+      (sum(col("res_micro")).cast("double") / 1e9).as("res_sum"),
+      (sum(col("brier_micro")).cast("double") / 1e9).as("brier_sum"),
+      max(col("ybar")).as("ybar"))
+    terms.crossJoin(broadcast(summary.select(
+        round(col("rel_sum") / col("n_total"), 6).as("reliability"),
+        round(col("res_sum") / col("n_total"), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"),
+        round(col("brier_sum") / col("n_total"), 6).as("brier"))))
+      .select(col("bin"), col("n_cal"), round(col("f"), 6).as("forecast"),
+        col("n_ev"), round(col("yk"), 6).as("obs_rate"),
+        col("reliability"), col("resolution"), col("uncertainty"),
+        col("brier"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_brier_decomposition" -> (q242BrierDecomposition _),
     "q229_rater_kappa" -> (q229RaterKappa _),
     "q222_metric_stability" -> (q222MetricStability _),
     "q205_ranking_auc" -> (q205RankingAuc _),
@@ -305,6 +389,83 @@ object Evaluation {
     "q213_reliability_curve" -> (q213ReliabilityCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q242_brier_decomposition" -> {
+      val probes = (1 until BrierBins).map(_.toDouble / BrierBins)
+      s"""WITH per_user AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |                       ELSE 0 END) AS BIGINT) AS pcnt
+        |  FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(CAST(pcnt AS DOUBLE), 0.5) AS med
+        |        FROM per_user),
+        |users AS (
+        |  SELECT user_id, cents,
+        |         CASE WHEN pcnt > (SELECT med FROM med) THEN 1
+        |              ELSE 0 END AS label,
+        |         ('0x' || substr(md5('brier:' || CAST(user_id AS VARCHAR)),
+        |                         1, 15))::BIGINT % 2 = 0 AS is_cal
+        |  FROM per_user),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(CAST(cents AS DOUBLE),
+        |                         [${probes.mkString(", ")}]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM users WHERE is_cal),
+        |forecasts AS (
+        |  SELECT bin, count(*) AS n_cal,
+        |         CAST(sum(label) AS BIGINT) AS pos_cal,
+        |         CAST(sum(label) AS DOUBLE) / count(*) AS f
+        |  FROM (SELECT len(list_filter((SELECT edges FROM edges),
+        |                               e -> cents >= e)) AS bin, label
+        |        FROM users WHERE is_cal)
+        |  GROUP BY 1),
+        |ev AS (
+        |  SELECT bin, count(*) AS n_ev,
+        |         CAST(sum(label) AS BIGINT) AS pos_ev
+        |  FROM (SELECT len(list_filter((SELECT edges FROM edges),
+        |                               e -> cents >= e)) AS bin, label
+        |        FROM users WHERE NOT is_cal)
+        |  GROUP BY 1),
+        |joined AS (
+        |  SELECT e.bin, e.n_ev, e.pos_ev, f.n_cal, f.pos_cal, f.f
+        |  FROM ev e JOIN forecasts f ON e.bin = f.bin),
+        |tot AS (
+        |  SELECT CAST(sum(n_ev) AS BIGINT) AS n_total,
+        |         CAST(sum(pos_ev) AS BIGINT) AS pos_total
+        |  FROM joined),
+        |terms AS (
+        |  SELECT j.*,
+        |         CAST(t.pos_total AS DOUBLE) / t.n_total AS ybar,
+        |         CAST(j.pos_ev AS DOUBLE) / j.n_ev AS yk,
+        |         t.n_total
+        |  FROM joined j CROSS JOIN tot t),
+        |quant AS (
+        |  SELECT *,
+        |    CAST(round(n_ev * (f - yk) * (f - yk) * 1e9, 0) AS BIGINT)
+        |      AS rel_micro,
+        |    CAST(round(n_ev * (yk - ybar) * (yk - ybar) * 1e9, 0) AS BIGINT)
+        |      AS res_micro,
+        |    CAST(round((n_ev * f * f - 2 * f * pos_ev + pos_ev) * 1e9, 0)
+        |         AS BIGINT) AS brier_micro
+        |  FROM terms),
+        |summ AS (
+        |  SELECT round(CAST(sum(rel_micro) AS DOUBLE) / 1e9
+        |               / max(n_total), 6) AS reliability,
+        |         round(CAST(sum(res_micro) AS DOUBLE) / 1e9
+        |               / max(n_total), 6) AS resolution,
+        |         round(max(ybar) * (1.0 - max(ybar)), 6) AS uncertainty,
+        |         round(CAST(sum(brier_micro) AS DOUBLE) / 1e9
+        |               / max(n_total), 6) AS brier
+        |  FROM quant)
+        |SELECT CAST(q.bin AS INTEGER) AS bin, q.n_cal,
+        |       round(q.f, 6) AS forecast,
+        |       q.n_ev, round(q.yk, 6) AS obs_rate,
+        |       s.reliability, s.resolution, s.uncertainty, s.brier
+        |FROM quant q CROSS JOIN summ s
+        |ORDER BY q.bin""".stripMargin
+    },
     "q229_rater_kappa" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, n_chars,

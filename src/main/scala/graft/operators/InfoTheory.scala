@@ -125,11 +125,88 @@ object InfoTheory {
     perPrev.unionAll(overall).orderBy("prev_type")
   }
 
+  /** Report size for q241 (most-anomalous users). */
+  private[graft] val AnomalyTopK = 20
+
+  /** q241 — BEHAVIORAL ANOMALY SCORING by transition surprisal: score
+    * every user by the mean −log2 P(next | prev) of their OWN event
+    * transitions under the GLOBAL q84/q232 transition model, and
+    * report the [[AnomalyTopK]] most surprising users — the
+    * bot/abuse/broken-client screen a production event pipeline runs
+    * daily ("whose behavior does the population model least
+    * explain?"). q232 says how predictable the stream is overall;
+    * this finds WHO deviates.
+    *
+    * Exactness: the per-transition surprisal is quantized ONCE on the
+    * |types|² model profile (micro-bits, the q169/q123 discipline) and
+    * joined back BROADCAST, so each user's total is an exact BIGINT
+    * sum of model constants — order-free — and the mean is one
+    * division; ranking breaks ties on user_id.
+    *
+    * Scale shape: one lead-window pass per user timeline, one
+    * broadcast model join, one user-grain fold, TakeOrdered top-K
+    * (map-side partial top-K — no global sort). */
+  def q241SurprisalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("next_type"))
+    val model = pairs.groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_ij"))
+      .withColumn("n_i", sum(col("n_ij")).over(
+        Window.partitionBy("event_type")))
+      .select(col("event_type"), col("next_type"), expr(
+        """cast(round(-log2(cast(n_ij as double) / cast(n_i as double))
+          |            * 1e6, 0) as bigint)""".stripMargin).as("s_micro"))
+    pairs.join(broadcast(model), Seq("event_type", "next_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"), sum(col("s_micro")).as("s_sum"))
+      .withColumn("bits",
+        col("s_sum").cast("double") / col("n_trans").cast("double") / 1e6)
+      .orderBy(col("bits").desc, col("user_id"))
+      .limit(AnomalyTopK)
+      .select(col("user_id"), col("n_trans"),
+        round(col("bits"), 6).as("surprisal_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_surprisal_anomaly" -> (q241SurprisalAnomaly _),
     "q231_source_jsd" -> (q231SourceJsd _),
     "q232_transition_entropy" -> (q232TransitionEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q241_surprisal_anomaly" ->
+      s"""WITH pairs AS (
+        |  SELECT user_id, event_type, next_type
+        |  FROM (SELECT user_id, event_type,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS next_type
+        |        FROM events)
+        |  WHERE next_type IS NOT NULL),
+        |model AS (
+        |  SELECT event_type, next_type,
+        |         CAST(round(-log2(CAST(n_ij AS DOUBLE)
+        |                          / CAST(n_i AS DOUBLE)) * 1e6, 0)
+        |              AS BIGINT) AS s_micro
+        |  FROM (SELECT event_type, next_type, count(*) AS n_ij,
+        |               CAST(sum(count(*)) OVER (PARTITION BY event_type)
+        |                    AS BIGINT) AS n_i
+        |        FROM pairs GROUP BY 1, 2)),
+        |scored AS (
+        |  SELECT p.user_id, count(*) AS n_trans,
+        |         CAST(sum(m.s_micro) AS BIGINT) AS s_sum
+        |  FROM pairs p JOIN model m
+        |    ON p.event_type = m.event_type AND p.next_type = m.next_type
+        |  GROUP BY 1)
+        |SELECT user_id, n_trans,
+        |       round(CAST(s_sum AS DOUBLE) / CAST(n_trans AS DOUBLE)
+        |             / 1e6, 6) AS surprisal_bits
+        |FROM scored
+        |ORDER BY CAST(s_sum AS DOUBLE) / CAST(n_trans AS DOUBLE) / 1e6
+        |           DESC, user_id
+        |LIMIT $AnomalyTopK""".stripMargin,
     "q231_source_jsd" ->
       s"""WITH counts AS (
         |  SELECT source,
