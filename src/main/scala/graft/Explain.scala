@@ -141,8 +141,14 @@ object Explain {
                                // granted bins³ minimax expansions
     "q238_dim_health",   // one posexplode (pos) fold → dim-row profile
     "q239_fd_audit",     // six independent two-level folds unioned
-    "q240_zipf_slope")   // WindowGroupLimit top-K per source →
+    "q240_zipf_slope",   // WindowGroupLimit top-K per source →
                          // K-row quantized-OLS fold
+    "q241_surprisal_anomaly", // broadcast |types|² model join →
+                              // user fold → TakeOrdered 20
+    "q242_brier_decomposition", // parity split, broadcast edges +
+                                // forecasts, bin-profile folds
+    "q243_kcenter_coreset")     // k broadcast-join state updates +
+                                // TakeOrdered(1) argmax per round
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -214,7 +214,9 @@ object ScaleSmoke {
         "q229_rater_kappa", "q230_vocab_richness", "q231_source_jsd",
         "q232_transition_entropy", "q233_label_noise", "q234_ks_drift",
         "q235_km_survival", "q236_mann_kendall", "q237_isotonic_calibrate",
-        "q238_dim_health", "q239_fd_audit", "q240_zipf_slope")
+        "q238_dim_health", "q239_fd_audit", "q240_zipf_slope",
+        "q241_surprisal_anomaly", "q242_brier_decomposition",
+        "q243_kcenter_coreset")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
