@@ -159,12 +159,101 @@ object Governance {
       .orderBy(col("class_size"), col("nat"), col("seg"), col("bkt"))
   }
 
+  /** q245 clip ladder (percentiles of the user-contribution
+    * distribution, in basis points for exact literals). */
+  private[graft] val ClipLadderBp: Seq[Int] = Seq(5000, 9000, 9500, 9900)
+
+  /** q245 — DP CONTRIBUTION-BOUNDING (clipping) calibration: before a
+    * differentially-private release of total spend, every user's
+    * contribution must be CLIPPED to a bound C — C IS the query's
+    * sensitivity, so the noise scale is proportional to it. Too low a
+    * clip biases the total (mass lost); too high wastes the privacy
+    * budget on noise. This audit walks a data-derived ladder of clip
+    * levels (the p50/p90/p95/p99 of the user-contribution
+    * distribution, rounded to whole cents) and reports, per level:
+    * users clipped and the retained-mass fraction — the
+    * bias-vs-sensitivity curve the DP engineer reads to pick C.
+    * (The release itself adds calibrated noise — inherently random
+    * and NOT an oracle-comparable operator; the calibration audit is
+    * the deterministic part, and the part that needs the data.)
+    *
+    * Exactness: contributions and clip bounds are exact BIGINT cents
+    * (the percentile is rounded to integer cents BEFORE clipping, so
+    * Σ min(x, C) folds exactly); every fraction is one division.
+    *
+    * Scale shape: one user fold of the scan; the ladder is a 4-row
+    * broadcast; per-level stats are one conditional fold over the
+    * USER PROFILE × 4 ladder rows. */
+  def q245ClipCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val userTotals = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val probes = ClipLadderBp.map(_ / 10000.0)
+    val ladder = userTotals
+      .agg(expr(s"percentile(cents, array(${probes.mkString(", ")}))")
+        .as("ps"))
+      .select(posexplode(expr(
+        "transform(ps, p -> cast(round(p, 0) as bigint))"))
+        .as(Seq("ix", "clip_cents")))
+      .select(concat(lit("p"), element_at(
+          expr(s"array(${ClipLadderBp.map(_ / 100).mkString(", ")})"),
+          col("ix") + 1).cast("string")).as("clip_label"),
+        col("clip_cents"))
+    userTotals.crossJoin(broadcast(ladder))
+      .groupBy("clip_label", "clip_cents")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cents") > col("clip_cents"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum(col("cents")).as("raw_cents"),
+        sum(least(col("cents"), col("clip_cents"))).as("clipped_cents"))
+      .select(col("clip_label"), col("clip_cents"), col("n_users"),
+        col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n_users"), 6)
+          .as("clipped_user_frac"),
+        round(col("clipped_cents").cast("double") /
+          col("raw_cents").cast("double"), 6).as("retained_mass"))
+      .orderBy("clip_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_clip_calibration" -> (q245ClipCalibration _),
     "q159_erasure_cascade" -> (q159ErasureCascade _),
     "q160_mlm_mask" -> (q160MlmMask _),
     "q216_k_anonymity" -> (q216KAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    "q245_clip_calibration" -> {
+      val probes = ClipLadderBp.map(_ / 10000.0)
+      val labels = ClipLadderBp.map(bp => s"'p${bp / 100}'")
+      s"""WITH ut AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |ladder AS (
+        |  SELECT [${labels.mkString(", ")}][ix] AS clip_label,
+        |         CAST(round(ps[ix], 0) AS BIGINT) AS clip_cents
+        |  FROM (SELECT quantile_cont(CAST(cents AS DOUBLE),
+        |                             [${probes.mkString(", ")}]) AS ps
+        |        FROM ut),
+        |       (SELECT unnest(generate_series(1, ${ClipLadderBp.size}))
+        |          AS ix)),
+        |stats AS (
+        |  SELECT l.clip_label, l.clip_cents, count(*) AS n_users,
+        |         CAST(count(*) FILTER (WHERE u.cents > l.clip_cents)
+        |              AS BIGINT) AS n_clipped,
+        |         CAST(sum(u.cents) AS BIGINT) AS raw_cents,
+        |         CAST(sum(least(u.cents, l.clip_cents)) AS BIGINT)
+        |           AS clipped_cents
+        |  FROM ut u CROSS JOIN ladder l
+        |  GROUP BY 1, 2)
+        |SELECT clip_label, clip_cents, n_users, n_clipped,
+        |       round(CAST(n_clipped AS DOUBLE) / n_users, 6)
+        |         AS clipped_user_frac,
+        |       round(CAST(clipped_cents AS DOUBLE)
+        |             / CAST(raw_cents AS DOUBLE), 6) AS retained_mass
+        |FROM stats ORDER BY clip_cents""".stripMargin
+    },
     "q216_k_anonymity" ->
       s"""WITH classes AS (
          |  SELECT c_nationkey AS nat, c_mktsegment AS seg,

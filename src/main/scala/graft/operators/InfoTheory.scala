@@ -146,21 +146,37 @@ object InfoTheory {
     * Scale shape: one lead-window pass per user timeline, one
     * broadcast model join, one user-grain fold, TakeOrdered top-K
     * (map-side partial top-K — no global sort). */
+  /** The per-user transition stream (ordered lead pairs), cached —
+    * shared by q241 and q244. */
+  private def userPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"surprisal_pairs|$dir") {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("next_type"))
+    }
+
+  /** The quantized surprisal model (|types|² profile), cached —
+    * trained on the FULL stream (the stationary snapshot a production
+    * scorer trains once and applies per batch). */
+  private[graft] def surprisalModel(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"surprisal_model|$dir")(
+      userPairs(spark, dir).groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n_ij"))
+        .withColumn("n_i", sum(col("n_ij")).over(
+          Window.partitionBy("event_type")))
+        .select(col("event_type"), col("next_type"), expr(
+          """cast(round(-log2(cast(n_ij as double) / cast(n_i as double))
+            |            * 1e6, 0) as bigint)""".stripMargin).as("s_micro")))
+
   def q241SurprisalAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .select(col("user_id"), col("event_type"), col("next_type"))
-    val model = pairs.groupBy("event_type", "next_type")
-      .agg(count(lit(1)).as("n_ij"))
-      .withColumn("n_i", sum(col("n_ij")).over(
-        Window.partitionBy("event_type")))
-      .select(col("event_type"), col("next_type"), expr(
-        """cast(round(-log2(cast(n_ij as double) / cast(n_i as double))
-          |            * 1e6, 0) as bigint)""".stripMargin).as("s_micro"))
-    pairs.join(broadcast(model), Seq("event_type", "next_type"))
+    userPairs(spark, dir)
+      .join(broadcast(surprisalModel(spark, dir)),
+        Seq("event_type", "next_type"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_trans"), sum(col("s_micro")).as("s_sum"))
       .withColumn("bits",
@@ -171,12 +187,109 @@ object InfoTheory {
         round(col("bits"), 6).as("surprisal_bits"))
   }
 
+  /** q244 — INCREMENTAL SURPRISAL MAINTENANCE across a batch boundary
+    * (the q166 nightly-refresh discipline applied to the q241 scorer):
+    * split the stream at the data-derived midpoint, fold each half's
+    * per-user surprisal independently, carry only (last type, first
+    * type, exact sum, count) per user across the boundary, and stitch
+    * with the ONE boundary transition per user — the state a
+    * production scorer persists between batches is O(users), never
+    * O(events), and no event is ever re-read.
+    *
+    * The model is the FULL-stream snapshot ([[surprisalModel]] — what
+    * a deployed scorer trains once and applies per batch), so the
+    * ORACLE is the plain full recompute over all users: the driver's
+    * hash compare literally proves incremental == full (the
+    * q166/q135 equivalence class). `StreamingSurprisalSpec` drives
+    * the same state recurrence through `mapGroupsWithState`. */
+  def q244IncrementalSurprisal(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val flagged = ev.crossJoin(broadcast(cut))
+    val model = surprisalModel(spark, dir)
+    // fold ONE batch: per user, within-batch transition sum/count plus
+    // the boundary anchors (first/last event type, picked by the
+    // unique (us, event_id) key — tie-free min/max structs)
+    def foldBatch(batch: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = batch
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .join(broadcast(model), Seq("event_type", "next_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_t"), sum(col("s_micro")).as("s_t"))
+      val anchors = batch.groupBy("user_id")
+        .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_type"),
+          max(struct(col("us"), col("event_id"), col("event_type")))
+            .getField("event_type").as("last_type"))
+      anchors.join(pairs, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_type"), col("last_type"),
+          coalesce(col("n_t"), lit(0L)).as("n_t"),
+          coalesce(col("s_t"), lit(0L)).as("s_t"))
+    }
+    val b1 = foldBatch(flagged.filter(col("us") < col("cut"))
+      .select("user_id", "us", "event_id", "event_type"))
+      .select(col("user_id"), col("last_type").as("l1"),
+        col("n_t").as("n1"), col("s_t").as("s1"))
+    val b2 = foldBatch(flagged.filter(col("us") >= col("cut"))
+      .select("user_id", "us", "event_id", "event_type"))
+      .select(col("user_id"), col("first_type").as("f2"),
+        col("n_t").as("n2"), col("s_t").as("s2"))
+    val bridge = model.select(col("event_type").as("l1"),
+      col("next_type").as("f2"), col("s_micro").as("s_b"))
+    b1.join(b2, Seq("user_id"), "full_outer")
+      .join(broadcast(bridge), Seq("l1", "f2"), "left")
+      .select(col("user_id"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)) +
+          when(col("l1").isNotNull && col("f2").isNotNull, 1L)
+            .otherwise(0L)).as("n_trans"),
+        (coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L)) +
+          coalesce(col("s_b"), lit(0L))).as("s_sum"))
+      .filter(col("n_trans") >= 1L)
+      .select(col("user_id"), col("n_trans"),
+        round(col("s_sum").cast("double") /
+          col("n_trans").cast("double") / 1e6, 6).as("surprisal_bits"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q241_surprisal_anomaly" -> (q241SurprisalAnomaly _),
+    "q244_incremental_surprisal" -> (q244IncrementalSurprisal _),
     "q231_source_jsd" -> (q231SourceJsd _),
     "q232_transition_entropy" -> (q232TransitionEntropy _))
 
   val oracles: Map[String, String] = Map(
+    // the q166 equivalence class: the oracle is the plain FULL
+    // recompute — hash equality proves incremental == full
+    "q244_incremental_surprisal" ->
+      """WITH pairs AS (
+        |  SELECT user_id, event_type, next_type
+        |  FROM (SELECT user_id, event_type,
+        |               lead(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS next_type
+        |        FROM events)
+        |  WHERE next_type IS NOT NULL),
+        |model AS (
+        |  SELECT event_type, next_type,
+        |         CAST(round(-log2(CAST(n_ij AS DOUBLE)
+        |                          / CAST(n_i AS DOUBLE)) * 1e6, 0)
+        |              AS BIGINT) AS s_micro
+        |  FROM (SELECT event_type, next_type, count(*) AS n_ij,
+        |               CAST(sum(count(*)) OVER (PARTITION BY event_type)
+        |                    AS BIGINT) AS n_i
+        |        FROM pairs GROUP BY 1, 2))
+        |SELECT p.user_id, count(*) AS n_trans,
+        |       round(CAST(CAST(sum(m.s_micro) AS BIGINT) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) / 1e6, 6)
+        |         AS surprisal_bits
+        |FROM pairs p JOIN model m
+        |  ON p.event_type = m.event_type AND p.next_type = m.next_type
+        |GROUP BY 1
+        |ORDER BY p.user_id""".stripMargin,
     "q241_surprisal_anomaly" ->
       s"""WITH pairs AS (
         |  SELECT user_id, event_type, next_type

@@ -136,6 +136,49 @@ object Streams {
       }
   }
 
+  /** Per-user running surprisal state for [[runningSurprisal]]: the
+    * last seen event type (the boundary anchor), the exact transition
+    * count, and the exact micro-bit sum — O(1) per user, the SAME
+    * carried tuple q244's batch-boundary stitch persists. */
+  case class SurpState(lastUs: Long, lastId: Long, lastType: String,
+      n: Long, sSum: Long)
+
+  /** Streaming twin of q241/q244 (`mapGroupsWithState`): running
+    * per-user transition-surprisal scoring under a FROZEN broadcast
+    * model (the trained |types|² snapshot — micro-bit constants, so
+    * state arithmetic is exact integers and parity with the batch
+    * recompute is EXACT, not approximate). Each micro-batch sorts its
+    * per-user rows by (us, event_id) — the grouped iterator carries no
+    * order guarantee — and folds them through the carried state; the
+    * emitted (user, n, sum) row after the last batch equals the batch
+    * q244 fold bit-for-bit (`StreamingSurprisalSpec`). State is one
+    * [[SurpState]] per user — bounded by users, never stream length. */
+  def runningSurprisal(events: DataFrame,
+      model: Map[(String, String), Long])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SurpState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[SurpState]) =>
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            st =
+              if (st == null) SurpState(r._2, r._3, r._4, 0L, 0L)
+              else SurpState(r._2, r._3, r._4, st.n + 1L,
+                st.sSum + model((st.lastType, r._4)))
+          }
+          state.update(st)
+          (uid, st.n, st.sSum)
+      }
+  }
+
   /** Accumulated per-user session state for [[timeoutSessions]]: O(1)
     * counters per key, never the event list. */
   case class SessionAcc(n: Long, total: Double, first: Long, last: Long)

@@ -106,7 +106,12 @@ object PlanContract {
     // segments (≤ bins²/2) and the i≤k≤j cover join (≤ bins³) — all
     // structurally bounded by the BIN COUNT, never by users
     "q237_isotonic_calibrate" ->
-      "10-row score-bin profile expansions (≤ bins³ rows)")
+      "10-row score-bin profile expansions (≤ bins³ rows)",
+    // clip ladder: posexplode of the 4-probe percentile array off a
+    // 1-row aggregate — bounded by the LADDER length, Generate just
+    // hides it from the static walk
+    "q245_clip_calibration" ->
+      "4-row clip ladder (1-row percentile aggregate exploded)")
 
   /** True when `p` provably emits at most ~[[SmallBuild]] rows, by
     * structural descent through row-preserving operators. */

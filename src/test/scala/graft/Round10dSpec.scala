@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{Coreset, Evaluation, InfoTheory}
+import graft.operators.{Coreset, Evaluation, Governance, InfoTheory}
 import graft.sources.Tables
 
 /** Independent-formulation semantics pins for the round-10 fourth
@@ -110,6 +110,57 @@ class Round10dSpec extends SparkTestBase {
     }
     assert(math.abs(brier - (rel - res + unc)) < 5e-6,
       "Murphy identity: Brier = REL - RES + UNC")
+  }
+
+  test("q244 incremental surprisal equals the full per-user recompute " +
+      "(the oracle proves incremental == full; this pins the Scala path)") {
+    val out = InfoTheory.q244IncrementalSurprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val userSeqs = evs.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2, r._3)).map(_._4)
+    }
+    val allPairs = userSeqs.values.flatMap(o => o.zip(o.drop(1))).toSeq
+    val nij = allPairs.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val ni = nij.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val sMicro = nij.map { case ((a, b), c) =>
+      (a, b) -> qMicro(-log2(c.toDouble / ni(a).toDouble)) }
+    val expected = userSeqs.collect {
+      case (u, o) if o.length >= 2 =>
+        val trans = o.zip(o.drop(1))
+        u -> (trans.length.toLong,
+          r6(trans.map(sMicro).sum.toDouble / trans.length / 1e6))
+    }
+    assert(out == expected.toMap)
+  }
+
+  test("q245 clip calibration equals a sequential recompute and " +
+      "retained mass is nondecreasing in the clip level") {
+    val out = Governance.q245ClipCalibration(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val totals = evs.groupBy(_._1).map { case (_, rs) =>
+      rs.map(r => math.round(r._2 * 100)).sum }.toSeq
+    val expected = Governance.ClipLadderBp.map { bp =>
+      val c = BigDecimal(pct(totals.map(_.toDouble), bp / 10000.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val clippedSum = totals.map(x => math.min(x, c)).sum
+      (s"p${bp / 100}", c, totals.length.toLong,
+        totals.count(_ > c).toLong,
+        r6(totals.count(_ > c).toDouble / totals.length),
+        r6(clippedSum.toDouble / totals.sum.toDouble))
+    }.sortBy(_._2)
+    assert(out.toSeq == expected)
+    val masses = out.map(_._6)
+    assert(masses.zip(masses.drop(1)).forall { case (a, b) => b >= a },
+      "retained mass must be nondecreasing in the clip level")
   }
 
   test("q243 k-center equals a sequential farthest-point replay; pick " +
