@@ -147,8 +147,11 @@ object Explain {
                               // user fold → TakeOrdered 20
     "q242_brier_decomposition", // parity split, broadcast edges +
                                 // forecasts, bin-profile folds
-    "q243_kcenter_coreset")     // k broadcast-join state updates +
+    "q243_kcenter_coreset",     // k broadcast-join state updates +
                                 // TakeOrdered(1) argmax per round
+    "q244_incremental_surprisal", // per-half user folds + O(users)
+                                  // boundary stitch, broadcast model
+    "q245_clip_calibration")      // user fold × 4-row broadcast ladder
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -216,7 +216,8 @@ object ScaleSmoke {
         "q235_km_survival", "q236_mann_kendall", "q237_isotonic_calibrate",
         "q238_dim_health", "q239_fd_audit", "q240_zipf_slope",
         "q241_surprisal_anomaly", "q242_brier_decomposition",
-        "q243_kcenter_coreset")
+        "q243_kcenter_coreset", "q244_incremental_surprisal",
+        "q245_clip_calibration")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
