@@ -74,10 +74,103 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q248 — PLACEBO DIFFERENCE-IN-DIFFERENCES: the panel causal
+    * estimator (two groups × two periods),
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    * run as an A/A placebo — "treatment" is a hash parity (no real
+    * intervention exists in the synthetic stream), so the estimate
+    * SHOULD read ≈ 0 and the operator doubles as the parallel-trends
+    * sanity check an experimenter runs before trusting any real DiD
+    * (q165 compares two groups at one time; q167 adjusts variance
+    * with a covariate; DiD is the shape that nets out GROUP-constant
+    * and TIME-constant confounders at once). Periods split at the
+    * data-derived midpoint (q151); the panel unit is user × period
+    * spend.
+    *
+    * Exactness: cell sums fold exact cents; each cell mean is one
+    * division; the DiD combination is four such doubles in one fixed
+    * expression — identical op shapes cross-engine.
+    *
+    * Scale shape: one (user, period) fold of the scan, then a 4-row
+    * (group × period) cell table; the report is those 4 rows with the
+    * repeated estimate (the q201/q208 totals shape). */
+  def q248DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val panel = ev.crossJoin(broadcast(cut))
+      .select(col("user_id"),
+        when(col("us") < col("cut"), lit("pre")).otherwise(lit("post"))
+          .as("period"),
+        col("cents"))
+      .groupBy("user_id", "period")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("grp",
+        when(pmod(Hashing.md5Hash60(concat(lit("did:"),
+          col("user_id").cast("string"))), lit(2)) === 0,
+          lit("treat")).otherwise(lit("control")))
+    val cells = panel.groupBy("grp", "period")
+      .agg(count(lit(1)).as("n_units"), sum(col("cents")).as("cents"))
+      .withColumn("mean_cents",
+        col("cents").cast("double") / col("n_units").cast("double"))
+    val wide = cells.groupBy()
+      .pivot(concat(col("grp"), lit("_"), col("period")),
+        Seq("treat_pre", "treat_post", "control_pre", "control_post"))
+      .agg(first(col("mean_cents")))
+      .select(((col("treat_post") - col("treat_pre")) -
+        (col("control_post") - col("control_pre"))).as("did_cents"))
+    cells.crossJoin(broadcast(wide))
+      .select(col("grp"), col("period"), col("n_units"),
+        round(col("mean_cents") / 100.0, 4).as("mean_spend"),
+        round(col("did_cents") / 100.0, 4).as("did_spend"))
+      .orderBy("grp", "period")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_diff_in_diff" -> (q248DiffInDiff _),
     "q165_ab_welch" -> (q165AbWelch _))
 
   val oracles: Map[String, String] = Map(
+    "q248_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |panel AS (
+        |  SELECT user_id,
+        |         CASE WHEN us < (SELECT cut FROM cut) THEN 'pre'
+        |              ELSE 'post' END AS period,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2),
+        |tagged AS (
+        |  SELECT *,
+        |         CASE WHEN ('0x' || substr(md5('did:'
+        |                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |                = 0
+        |              THEN 'treat' ELSE 'control' END AS grp
+        |  FROM panel),
+        |cells AS (
+        |  SELECT grp, period, count(*) AS n_units,
+        |         CAST(sum(cents) AS BIGINT) AS cents,
+        |         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / count(*)
+        |           AS mean_cents
+        |  FROM tagged GROUP BY 1, 2),
+        |did AS (
+        |  SELECT ((SELECT mean_cents FROM cells
+        |           WHERE grp = 'treat' AND period = 'post')
+        |          - (SELECT mean_cents FROM cells
+        |             WHERE grp = 'treat' AND period = 'pre'))
+        |         - ((SELECT mean_cents FROM cells
+        |             WHERE grp = 'control' AND period = 'post')
+        |            - (SELECT mean_cents FROM cells
+        |               WHERE grp = 'control' AND period = 'pre'))
+        |           AS did_cents)
+        |SELECT grp, period, n_units,
+        |       round(mean_cents / 100.0, 4) AS mean_spend,
+        |       round((SELECT did_cents FROM did) / 100.0, 4) AS did_spend
+        |FROM cells ORDER BY grp, period""".stripMargin,
     "q165_ab_welch" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -232,7 +232,71 @@ object Linkage {
     retrievedPairs(base, alt)
   }
 
+  /** q247 journey depth (event types per user) and clone threshold
+    * (max edit distance between full journeys to flag a clone). */
+  private[graft] val CloneJourneyDepth = 8
+  private[graft] val ClonePrefixDepth = 3
+  private[graft] val CloneMaxEdit = 2
+
+  /** q247 — BEHAVIORAL CLONE-RATE audit (fraud-ring / scripted-client
+    * screen): how often do two DIFFERENT users replay nearly the same
+    * event journey? Each user folds to one [[CloneJourneyDepth]]-step
+    * journey string (the q191 kernel); candidates block on the
+    * [[ClonePrefixDepth]]-step prefix, and within each block the audit
+    * probes HASH-ADJACENT pairs ONLY — members sorted by a salted
+    * 60-bit hash, each compared to its successor — so candidate mass
+    * is n−1 per block, LINEAR in users (the q200 lesson: behavioral
+    * keys have FIXED cardinality, so all-pairs-within-block would be
+    * quadratic in users by construction; the hash chain is the
+    * estimation-sample discipline applied to pair generation —
+    * detection of a k-clone cluster is probabilistic per probe but the
+    * RATE estimate is what the monitor tracks). A probe is a clone
+    * when levenshtein(full_a, full_b) ≤ [[CloneMaxEdit]] — integer
+    * edit distance, identical in both engines.
+    *
+    * Scale shape: one journey fold (q191's bounded collect per user),
+    * one hash-rank window per prefix block, one self-join on adjacent
+    * ranks, a |blocks|-row report. */
+  def q247CloneRate(spark: SparkSession, dir: String): DataFrame = {
+    val journeys = Tables.events(spark, dir)
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).as("rec"))
+      .groupBy("user_id")
+      .agg(collect_list(col("rec")).as("recs"))
+      .select(col("user_id"), array_join(
+        expr(s"transform(slice(array_sort(recs), 1, $CloneJourneyDepth), " +
+          "r -> r.event_type)"), ">").as("journey"),
+        array_join(
+          expr(s"transform(slice(array_sort(recs), 1, $ClonePrefixDepth), " +
+            "r -> r.event_type)"), ">").as("prefix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prefix").orderBy("hk", "user_id")
+    val ranked = journeys
+      .withColumn("hk", Hashing.md5Hash60(
+        concat(lit("clone:"), col("user_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+    val probes = ranked.select(col("prefix"), col("rk"),
+        col("user_id").as("ua"), col("journey").as("ja"))
+      .join(ranked.select(col("prefix"), (col("rk") - 1).as("rk"),
+        col("user_id").as("ub"), col("journey").as("jb")),
+        Seq("prefix", "rk"))
+      .withColumn("dist", levenshtein(col("ja"), col("jb")))
+    probes.groupBy("prefix")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("dist") <= CloneMaxEdit, 1L).otherwise(0L))
+          .as("n_clones"),
+        min(col("dist")).as("min_dist"))
+      .join(journeys.groupBy("prefix").agg(count(lit(1)).as("n_users")),
+        Seq("prefix"))
+      .select(col("prefix"), col("n_users"), col("n_probes"),
+        col("n_clones"), col("min_dist"),
+        round(col("n_clones").cast("double") / col("n_probes"), 6)
+          .as("clone_rate"))
+      .orderBy("prefix")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_clone_rate" -> (q247CloneRate _),
     "q200_linkage_weights" -> (q200LinkageWeights _),
     "q203_linkage_retrieval" -> (q203LinkageRetrieval _))
 
@@ -299,6 +363,43 @@ object Linkage {
       |ORDER BY is_match, w_bucket""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q247_clone_rate" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         event_id, event_type
+        |  FROM events),
+        |journeys AS (
+        |  SELECT user_id,
+        |         array_to_string(list(event_type ORDER BY us, event_id)
+        |                         [1:$CloneJourneyDepth], '>') AS journey,
+        |         array_to_string(list(event_type ORDER BY us, event_id)
+        |                         [1:$ClonePrefixDepth], '>') AS prefix
+        |  FROM ev GROUP BY 1),
+        |ranked AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY prefix
+        |           ORDER BY ('0x' || substr(md5('clone:'
+        |             || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             user_id) AS rk
+        |  FROM journeys),
+        |probes AS (
+        |  SELECT a.prefix,
+        |         levenshtein(a.journey, b.journey) AS dist
+        |  FROM ranked a JOIN ranked b
+        |    ON a.prefix = b.prefix AND b.rk = a.rk - 1),
+        |agg AS (
+        |  SELECT prefix, count(*) AS n_probes,
+        |         CAST(count(*) FILTER (WHERE dist <= $CloneMaxEdit)
+        |              AS BIGINT) AS n_clones,
+        |         CAST(min(dist) AS INTEGER) AS min_dist
+        |  FROM probes GROUP BY 1),
+        |sizes AS (SELECT prefix, count(*) AS n_users
+        |          FROM journeys GROUP BY 1)
+        |SELECT a.prefix, s.n_users, a.n_probes, a.n_clones, a.min_dist,
+        |       round(CAST(a.n_clones AS DOUBLE) / a.n_probes, 6)
+        |         AS clone_rate
+        |FROM agg a JOIN sizes s ON a.prefix = s.prefix
+        |ORDER BY a.prefix""".stripMargin,
     "q200_linkage_weights" ->
       s"""$estPrefixSql,
         |${histogramSql("est")}""".stripMargin,

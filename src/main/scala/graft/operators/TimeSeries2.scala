@@ -281,7 +281,67 @@ object TimeSeries2 {
   private def untiedVarPoly(n: Column): Column =
     n * (n - 1L) * (lit(2L) * n + 5L)
 
+  /** q246 — LINEAR-INTERPOLATION gap fill on the hourly grid: q175
+    * carries the LAST value forward (a step function — right for
+    * state-like series); this fills each missing hour on the straight
+    * line between its nearest observed neighbors — the imputation a
+    * forecaster or charting layer wants for flow-like series, and the
+    * one q90/q175's last-value machinery cannot express because it
+    * needs the NEXT observation too.
+    *
+    * Exactness: interp = prev + (next − prev)·(t − t_prev)/(t_next −
+    * t_prev), every term an exact integer, ONE division + rounding to
+    * 4dp; boundary gaps (no prev or no next) stay NULL in both
+    * engines.
+    *
+    * Scale shape: the q175 spine discipline — the dense grid is
+    * #types × #hours regardless of event count, and both
+    * neighbor-windows run per type over that calendar-bounded spine. */
+  def q246LinearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hus"))
+    val bounds = ev.agg(min(col("hus")).as("h0"), max(col("hus")).as("hmax"))
+    val hourly = ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"), ((col("hus") - col("h0")) / HourUs)
+        .cast("long").as("hidx"))
+      .groupBy("event_type", "hidx").agg(count(lit(1)).as("n_obs"))
+    val types = ev.select("event_type").distinct()
+    val spine = bounds
+      .select(col("h0"), explode(sequence(lit(0L),
+        ((col("hmax") - col("h0")) / HourUs).cast("long"))).as("hidx"))
+      .crossJoin(broadcast(types))
+    val wPrev = Window.partitionBy("event_type").orderBy("hidx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("event_type").orderBy("hidx")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val grid = spine.join(hourly, Seq("event_type", "hidx"), "left")
+      .withColumn("obs_h",
+        when(col("n_obs").isNotNull, col("hidx")))
+      .withColumn("prev_h", last(col("obs_h"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("prev_n", last(col("n_obs"), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("next_h", first(col("obs_h"), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("next_n", first(col("n_obs"), ignoreNulls = true)
+        .over(wNext))
+    grid.select(col("event_type"),
+        timestamp_micros(col("h0") + col("hidx") * HourUs).as("ts_hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        col("n_obs").isNull.as("is_gap"),
+        when(col("n_obs").isNotNull, col("n_obs").cast("double"))
+          .otherwise(
+            round(col("prev_n").cast("double") +
+              (col("next_n") - col("prev_n")).cast("double") *
+                (col("hidx") - col("prev_h")).cast("double") /
+                (col("next_h") - col("prev_h")).cast("double"), 4))
+          .as("interp"))
+      .orderBy("event_type", "ts_hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_linear_interpolate" -> (q246LinearInterpolate _),
     "q236_mann_kendall" -> (q236MannKendall _),
     "q194_theil_sen" -> (q194TheilSen _),
     "q175_gap_fill" -> (q175GapFill _),
@@ -291,6 +351,58 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q246_linear_interpolate" ->
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |           AS hus
+        |  FROM events),
+        |bounds AS (SELECT min(hus) AS h0, max(hus) AS hmax FROM ev),
+        |hourly AS (
+        |  SELECT event_type,
+        |         (hus - (SELECT h0 FROM bounds)) // $HourUs AS hidx,
+        |         count(*) AS n_obs
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT t.event_type, g.hidx
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0,
+        |    ((SELECT hmax FROM bounds) - (SELECT h0 FROM bounds))
+        |      // $HourUs)) AS hidx) g),
+        |grid AS (
+        |  SELECT s.event_type, s.hidx, h.n_obs,
+        |         CASE WHEN h.n_obs IS NOT NULL THEN s.hidx END AS obs_h
+        |  FROM spine s LEFT JOIN hourly h
+        |    ON s.event_type = h.event_type AND s.hidx = h.hidx),
+        |nb AS (
+        |  SELECT *,
+        |    last_value(obs_h IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hidx ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS prev_h,
+        |    last_value(CASE WHEN n_obs IS NOT NULL THEN n_obs END
+        |      IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hidx ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS prev_n,
+        |    first_value(obs_h IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hidx ROWS BETWEEN 1 FOLLOWING
+        |      AND UNBOUNDED FOLLOWING) AS next_h,
+        |    first_value(CASE WHEN n_obs IS NOT NULL THEN n_obs END
+        |      IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hidx ROWS BETWEEN 1 FOLLOWING
+        |      AND UNBOUNDED FOLLOWING) AS next_n
+        |  FROM grid)
+        |SELECT event_type,
+        |       make_timestamp((SELECT h0 FROM bounds) + hidx * $HourUs)
+        |         AS ts_hour,
+        |       COALESCE(n_obs, 0) AS n,
+        |       n_obs IS NULL AS is_gap,
+        |       CASE WHEN n_obs IS NOT NULL THEN CAST(n_obs AS DOUBLE)
+        |            ELSE round(CAST(prev_n AS DOUBLE)
+        |                   + CAST(next_n - prev_n AS DOUBLE)
+        |                     * CAST(hidx - prev_h AS DOUBLE)
+        |                     / CAST(next_h - prev_h AS DOUBLE), 4)
+        |       END AS interp
+        |FROM nb ORDER BY event_type, ts_hour""".stripMargin,
     "q236_mann_kendall" ->
       s"""WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd

@@ -89,6 +89,7 @@ object PlanContract {
     "q153_hll_intersect" -> "per-type sketch table, enum-keyed",
     // dense-grid spines: build = distinct over an enum-sized key
     "q175_gap_fill" -> "hourly spine × distinct event types",
+    "q246_linear_interpolate" -> "hourly spine × distinct event types",
     "q201_chi_square" -> "types × weekdays zero-fill distincts",
     // day-spine ≤-joins over the |days|×k sketch-element profile
     "q226_incremental_kmv" ->
