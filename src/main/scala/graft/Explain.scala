@@ -151,7 +151,12 @@ object Explain {
                                 // TakeOrdered(1) argmax per round
     "q244_incremental_surprisal", // per-half user folds + O(users)
                                   // boundary stitch, broadcast model
-    "q245_clip_calibration")      // user fold × 4-row broadcast ladder
+    "q245_clip_calibration",      // user fold × 4-row broadcast ladder
+    "q246_linear_interpolate",    // calendar spine; per-type neighbor
+                                  // windows over spine rows only
+    "q247_clone_rate",            // journey fold → hash-rank chain →
+                                  // adjacent-pair probes (linear)
+    "q248_diff_in_diff")          // user-period fold → 4-row cells
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -217,7 +217,8 @@ object ScaleSmoke {
         "q238_dim_health", "q239_fd_audit", "q240_zipf_slope",
         "q241_surprisal_anomaly", "q242_brier_decomposition",
         "q243_kcenter_coreset", "q244_incremental_surprisal",
-        "q245_clip_calibration")
+        "q245_clip_calibration", "q246_linear_interpolate",
+        "q247_clone_rate", "q248_diff_in_diff")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
