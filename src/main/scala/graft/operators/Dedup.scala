@@ -70,11 +70,18 @@ object Dedup {
   /** Shingles -> 16 minhash minima -> 4 banded md5 signatures; factored
     * so full-corpus (q32) and per-ingest-day (q102) builds share the
     * exact pipeline. */
-  private def bandsFromShingles(sh: DataFrame): DataFrame = {
+  /** 16-component minhash signature table (doc_id, mh0..mh15) — the
+    * pre-banding artifact, shared by the band builder and q249's
+    * component-match estimator. */
+  private def sigs16(sh: DataFrame): DataFrame = {
     val hashed = sh.withColumn("x", Hashing.md5Hash60(col("shingle")))
     val minCols = (0 to 15).map(j =>
       min(Hashing.minHashPerm(lit(j), col("x"))).as(s"mh$j"))
-    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def bandsFromShingles(sh: DataFrame): DataFrame = {
+    val sigs = sigs16(sh)
     val bandStructs = (0 to 3).map { b =>
       val sig = md5(concat_ws("_",
         (0 to 3).map(i => col(s"mh${b * 4 + i}").cast("string")): _*))
@@ -420,7 +427,86 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** q249's threshold sweep (percent). */
+  private[graft] val CurveThresholdsPct = Seq(50, 60, 70, 80, 90)
+
+  /** q249 — DEDUP-THRESHOLD OPERATING CURVE: before committing a
+    * near-dup campaign to a similarity cutoff τ, measure — on the LSH
+    * candidate set — how the cheap MinHash component-match estimate
+    * (k matching minima / 16) trades off against the EXACT shingle
+    * Jaccard at each candidate τ: flagged counts, true positives, and
+    * precision/recall of "estimate ≥ τ" with exact-Jaccard-≥-τ as
+    * truth. q32 RANKS candidates and q34 applies one pinned cutoff;
+    * this is the calibration view that justifies (or moves) that
+    * cutoff. Truth is declared ON THE CANDIDATE SET — LSH misses
+    * outside it are the q37-class recall contracts' concern.
+    *
+    * Exactness: every threshold predicate is INTEGER arithmetic
+    * (16-component match k vs τ: 100·k ≥ τ·16; exact Jaccard
+    * n/(u) ≥ τ/100 ⟺ 100·n ≥ τ·u), so no double ever gates a count;
+    * precision/recall are single divisions.
+    *
+    * Scale shape: candidates from the band join (the q32 shape);
+    * component matches from one sigs⋈sigs join ON THE PAIR LIST;
+    * exact Jaccard from a pair-restricted shingle join; the sweep is
+    * a 5× explode of the PAIR table folded to 5 rows. */
+  def q249ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sigs = sigs16(sh)
+    val bands = minhashBands(spark, dir)
+    val cands = bands.select(col("doc_id").as("id1"), col("band"),
+        col("band_sig"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"),
+        col("band_sig")), Seq("band", "band_sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val matchK = (0 to 15).map(j =>
+      when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cands
+      .join(sigs.alias("a"), col("id1") === col("a.doc_id"))
+      .join(sigs.alias("b"), col("id2") === col("b.doc_id"))
+      .select(col("id1"), col("id2"), matchK.cast("long").as("k16"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_inter"))
+    val pairs = est
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(broadcast(sizes.select(col("doc_id").as("id1"),
+        col("sz").as("sz1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col("doc_id").as("id2"),
+        col("sz").as("sz2"))), Seq("id2"))
+      .select(col("k16"), coalesce(col("n_inter"), lit(0L)).as("ni"),
+        (col("sz1") + col("sz2") - coalesce(col("n_inter"), lit(0L)))
+          .as("un"))
+    pairs
+      .select(col("k16"), col("ni"), col("un"),
+        explode(array(CurveThresholdsPct.map(lit): _*)).as("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("k16") * 100 >= col("tau") * 16, 1L).otherwise(0L))
+          .as("n_est_pos"),
+        sum(when(col("ni") * 100 >= col("tau") * col("un"), 1L)
+          .otherwise(0L)).as("n_exact_pos"),
+        sum(when(col("k16") * 100 >= col("tau") * 16 &&
+          col("ni") * 100 >= col("tau") * col("un"), 1L).otherwise(0L))
+          .as("tp"))
+      .select(col("tau").as("threshold_pct"), col("n_candidates"),
+        col("n_est_pos"), col("n_exact_pos"), col("tp"),
+        when(col("n_est_pos") > 0L,
+          round(col("tp").cast("double") / col("n_est_pos"), 6))
+          .as("precision"),
+        when(col("n_exact_pos") > 0L,
+          round(col("tp").cast("double") / col("n_exact_pos"), 6))
+          .as("recall"))
+      .orderBy("threshold_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_threshold_curve" -> (q249ThresholdCurve _),
     "q31_dedup_exact" -> (q31DedupExact _),
     "q158_containment_dedup" -> (q158ContainmentDedup _),
     "q202_containment_pipeline" -> (q202ContainmentPipeline _),
@@ -443,6 +529,76 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q249_threshold_curve" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+         |  FROM shingles),
+         |perms AS (
+         |  SELECT doc_id, x, unnest(generate_series(0, 15)) AS j
+         |  FROM hashed),
+         |minhashes AS (
+         |  SELECT doc_id, j,
+         |         min((((2654435761 * (j + 1)) % 1000000007) * (x % 1000000007)
+         |              + ((123456789 * (j + 1) + 987654321) % 1000000007))
+         |             % 1000000007) AS mh
+         |  FROM perms GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j)) AS band_sig
+         |  FROM minhashes GROUP BY doc_id, j // 4),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig
+         |   AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(count(*) FILTER (WHERE ma.mh = mb.mh) AS BIGINT)
+         |           AS k16
+         |  FROM cands c
+         |  JOIN minhashes ma ON ma.doc_id = c.id1
+         |  JOIN minhashes mb ON mb.doc_id = c.id2 AND mb.j = ma.j
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS n_inter
+         |  FROM cands c
+         |  JOIN shingles s1 ON s1.doc_id = c.id1
+         |  JOIN shingles s2 ON s2.doc_id = c.id2
+         |                   AND s2.shingle = s1.shingle
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT e.k16,
+         |         COALESCE(i.n_inter, 0) AS ni,
+         |         za.sz + zb.sz - COALESCE(i.n_inter, 0) AS un
+         |  FROM est e
+         |  LEFT JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+         |  JOIN sizes za ON za.doc_id = e.id1
+         |  JOIN sizes zb ON zb.doc_id = e.id2),
+         |sweep AS (
+         |  SELECT p.*, t.tau
+         |  FROM pairs p CROSS JOIN
+         |    (SELECT unnest([${CurveThresholdsPct.mkString(", ")}]) AS tau) t),
+         |agg AS (
+         |  SELECT tau, count(*) AS n_candidates,
+         |         CAST(count(*) FILTER (WHERE k16 * 100 >= tau * 16)
+         |              AS BIGINT) AS n_est_pos,
+         |         CAST(count(*) FILTER (WHERE ni * 100 >= tau * un)
+         |              AS BIGINT) AS n_exact_pos,
+         |         CAST(count(*) FILTER (WHERE k16 * 100 >= tau * 16
+         |                AND ni * 100 >= tau * un) AS BIGINT) AS tp
+         |  FROM sweep GROUP BY 1)
+         |SELECT CAST(tau AS INTEGER) AS threshold_pct, n_candidates,
+         |       n_est_pos, n_exact_pos, tp,
+         |       CASE WHEN n_est_pos > 0
+         |            THEN round(CAST(tp AS DOUBLE) / n_est_pos, 6) END
+         |         AS precision,
+         |       CASE WHEN n_exact_pos > 0
+         |            THEN round(CAST(tp AS DOUBLE) / n_exact_pos, 6) END
+         |         AS recall
+         |FROM agg ORDER BY threshold_pct""".stripMargin,
     "q202_containment_pipeline" ->
       s"""WITH $shinglesCte,
          |docs AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -127,11 +127,122 @@ object Experiment {
       .orderBy("grp", "period")
   }
 
+  /** q251 — BROWN–FORSYTHE spread-change test: per event type, did
+    * the VARIABILITY of event value change between the two time
+    * halves? (q151/q234 test the distribution, q165 the mean — none
+    * isolates scale.) BF = Welch's t on the absolute deviations from
+    * each half's MEDIAN — the robust variance-equality test (mean-
+    * centered Levene is wrecked by the same outliers q176 hunts).
+    *
+    * Exactness: cents are exact; each half's median of BIGINTs is k
+    * or k.5 — so |cents − med| is an exact multiple of 0.5 and
+    * z = 2·|cents − med| folds as an EXACT BIGINT (no quantization
+    * loss at all); the Welch expression is the q165 fixed tree over
+    * six exact integers. Verdict at |t| > 1.96 on the rounded t.
+    *
+    * Scale shape: one conditional fold of the scan per type; the two
+    * medians are a (types × 2)-row broadcast profile. The exact
+    * median is the test-scale arm (approx_percentile the 100 TB
+    * drop-in, q176). */
+  def q251BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val flagged = ev.crossJoin(broadcast(cut))
+      .select(col("event_type"), (col("us") < col("cut")).as("is_ref"),
+        col("cents"))
+    val meds = flagged.groupBy("event_type", "is_ref")
+      .agg(expr("percentile(cents, 0.5d)").as("med"))
+    val z = flagged.join(broadcast(meds), Seq("event_type", "is_ref"))
+      .select(col("event_type"), col("is_ref"),
+        expr("cast(round(abs(cents - med) * 2, 0) as bigint)").as("z2"))
+    val stats = z.groupBy("event_type")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_ref"), col("z2")).otherwise(0L)).as("sa"),
+        sum(when(col("is_ref"), col("z2") * col("z2")).otherwise(0L))
+          .as("qa"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_ref"), col("z2")).otherwise(0L)).as("sb"),
+        sum(when(!col("is_ref"), col("z2") * col("z2")).otherwise(0L))
+          .as("qb"))
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val va = (col("qa").cast("double") - col("sa").cast("double") * ma) /
+      (col("na") - 1)
+    val vb = (col("qb").cast("double") - col("sb").cast("double") * mb) /
+      (col("nb") - 1)
+    val t = (ma - mb) / sqrt(va / col("na") + vb / col("nb"))
+    stats.select(col("event_type"), col("na").as("n_ref"),
+        col("nb").as("n_cur"),
+        round(ma / 200, 4).as("mean_absdev_ref"),
+        round(mb / 200, 4).as("mean_absdev_cur"),
+        round(t, 6).as("t_bf"),
+        when(abs(t) > 1.96, lit("spread_changed"))
+          .otherwise(lit("spread_stable")).as("verdict"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_brown_forsythe" -> (q251BrownForsythe _),
     "q248_diff_in_diff" -> (q248DiffInDiff _),
     "q165_ab_welch" -> (q165AbWelch _))
 
   val oracles: Map[String, String] = Map(
+    "q251_brown_forsythe" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |flagged AS (
+        |  SELECT event_type, us < (SELECT cut FROM cut) AS is_ref, cents
+        |  FROM ev),
+        |meds AS (
+        |  SELECT event_type, is_ref,
+        |         quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med
+        |  FROM flagged GROUP BY 1, 2),
+        |z AS (
+        |  SELECT f.event_type, f.is_ref,
+        |         CAST(round(abs(f.cents - m.med) * 2, 0) AS BIGINT) AS z2
+        |  FROM flagged f JOIN meds m
+        |    ON f.event_type = m.event_type AND f.is_ref = m.is_ref),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         CAST(sum(CASE WHEN is_ref THEN z2 ELSE 0 END) AS BIGINT)
+        |           AS sa,
+        |         CAST(sum(CASE WHEN is_ref THEN z2 * z2 ELSE 0 END)
+        |              AS BIGINT) AS qa,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN z2 ELSE 0 END)
+        |              AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN NOT is_ref THEN z2 * z2 ELSE 0 END)
+        |              AS BIGINT) AS qb
+        |  FROM z GROUP BY 1),
+        |calc AS (
+        |  SELECT *,
+        |         CAST(sa AS DOUBLE) / na AS ma,
+        |         CAST(sb AS DOUBLE) / nb AS mb
+        |  FROM stats),
+        |tt AS (
+        |  SELECT *,
+        |         (ma - mb) / sqrt(
+        |           ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * ma)
+        |              / (na - 1)) / na
+        |           + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * mb)
+        |                / (nb - 1)) / nb) AS t
+        |  FROM calc)
+        |SELECT event_type, na AS n_ref, nb AS n_cur,
+        |       round(ma / 200, 4) AS mean_absdev_ref,
+        |       round(mb / 200, 4) AS mean_absdev_cur,
+        |       round(t, 6) AS t_bf,
+        |       CASE WHEN abs(t) > 1.96 THEN 'spread_changed'
+        |            ELSE 'spread_stable' END AS verdict
+        |FROM tt ORDER BY event_type""".stripMargin,
     "q248_diff_in_diff" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -340,7 +340,44 @@ object TimeSeries2 {
       .orderBy("event_type", "ts_hour")
   }
 
+  /** q250 — OVERDISPERSION audit (index of dispersion): per event
+    * type, D = s²/mean of the DAILY count series — the "is this
+    * arrival process Poisson-like or bursty?" check that sizes
+    * anomaly thresholds and rate limiters (a Poisson stream has
+    * D ≈ 1; D ≫ 1 means burst clustering that a mean-based alert
+    * will chronically page on). The q236 test asks about TREND; this
+    * asks about NOISE SHAPE on the same profile.
+    *
+    * Exactness: k, Σn, Σn² fold exact on the daily profile; sample
+    * variance and D form in mirrored double shapes (the q227/q165
+    * discipline). Verdict thresholds (D < 2 poisson_like, < 5
+    * moderate, else bursty) compare the rounded value.
+    *
+    * Scale shape: runs entirely on the cached daily profile. */
+  def q250Overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("n"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+      .filter(col("k") >= 2L)
+      .withColumn("mean", col("s").cast("double") / col("k"))
+      .withColumn("variance",
+        (col("q").cast("double") - col("s").cast("double") * col("mean")) /
+          (col("k") - 1))
+      .withColumn("d", round(col("variance") / col("mean"), 6))
+      .select(col("event_type"), col("k").as("n_days"),
+        round(col("mean"), 6).as("mean_daily"),
+        round(col("variance"), 6).as("var_daily"),
+        col("d").as("dispersion"),
+        when(col("d") < 2.0, lit("poisson_like"))
+          .when(col("d") < 5.0, lit("moderate"))
+          .otherwise(lit("bursty")).as("verdict"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_overdispersion" -> (q250Overdispersion _),
     "q246_linear_interpolate" -> (q246LinearInterpolate _),
     "q236_mann_kendall" -> (q236MannKendall _),
     "q194_theil_sen" -> (q194TheilSen _),
@@ -351,6 +388,32 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q250_overdispersion" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, dd, count(*) AS n FROM ev GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS k,
+        |         CAST(sum(n) AS BIGINT) AS s,
+        |         CAST(sum(n * n) AS BIGINT) AS q
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, k,
+        |         CAST(s AS DOUBLE) / k AS mean,
+        |         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |            * (CAST(s AS DOUBLE) / k)) / (k - 1) AS variance
+        |  FROM m WHERE k >= 2),
+        |d AS (SELECT *, round(variance / mean, 6) AS disp FROM f)
+        |SELECT event_type, k AS n_days,
+        |       round(mean, 6) AS mean_daily,
+        |       round(variance, 6) AS var_daily,
+        |       disp AS dispersion,
+        |       CASE WHEN disp < 2.0 THEN 'poisson_like'
+        |            WHEN disp < 5.0 THEN 'moderate'
+        |            ELSE 'bursty' END AS verdict
+        |FROM d ORDER BY event_type""".stripMargin,
     "q246_linear_interpolate" ->
       s"""WITH ev AS (
         |  SELECT event_type,
