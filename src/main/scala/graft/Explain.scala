@@ -156,7 +156,12 @@ object Explain {
                                   // windows over spine rows only
     "q247_clone_rate",            // journey fold → hash-rank chain →
                                   // adjacent-pair probes (linear)
-    "q248_diff_in_diff")          // user-period fold → 4-row cells
+    "q248_diff_in_diff",          // user-period fold → 4-row cells
+    "q249_threshold_curve",       // band candidates + sigs join + pair-
+                                  // restricted shingle join; 5× explode
+    "q250_overdispersion",        // daily-profile sufficient stats
+    "q251_brown_forsythe")        // conditional fold + (types×2) median
+                                  // broadcast; exact half-cent z
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
