@@ -379,7 +379,62 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** q254 — MEDIAN STABILITY via deterministic subsample replicates:
+    * q222 bounds the resampling spread of the MEAN; this does the
+    * same for the MEDIAN — the robust location statistic the q176/
+    * q190/q225 family reports — whose sampling variability has no
+    * closed sufficient-statistics form at all, so replication is the
+    * HONEST way to band it. Replicate b = the half of events whose
+    * salted-hash bit b is set (the q222 bit-membership discipline,
+    * zero row fan-out); each replicate's exact median is one
+    * null-skipping conditional percentile, so the whole report is
+    * [[StabilityReps]]·|types| medians from ONE wide aggregate pass.
+    *
+    * Exactness: each median interpolates identically cross-engine
+    * (Spark `percentile` == DuckDB `quantile_cont` over the same
+    * subsample, the q116 pairing); min/max/range are selections of
+    * such doubles; the within-1% count compares them.
+    *
+    * Scale shape: one wide conditional aggregate over one scan; the
+    * melt runs on the |types|×reps profile. The exact percentile is
+    * the test-scale arm; approx_percentile is the documented 100 TB
+    * drop-in. */
+  def q254MedianStability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        Hashing.md5Hash60(concat(lit("mboot:"), col("event_id")))
+          .as("h"))
+    val repAggs = (0 until StabilityReps).map { b =>
+      expr(s"percentile(case when (shiftright(h, $b) & 1) = 1 " +
+        s"then cents end, 0.5d)").as(s"m$b")
+    }
+    val wide = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"),
+        (expr("percentile(cents, 0.5d)").as("med_full") +: repAggs): _*)
+    wide.select(col("event_type"), col("n_full"), col("med_full"),
+        explode(array((0 until StabilityReps).map(b => col(s"m$b")): _*))
+          .as("m"))
+      .groupBy(col("event_type"), col("n_full"), col("med_full"))
+      .agg(count(lit(1)).as("n_reps"),
+        min(col("m")).as("rep_min"), max(col("m")).as("rep_max"),
+        sum(when(abs(col("m") - col("med_full")) <=
+          abs(col("med_full")) * 0.01, 1L).otherwise(0L))
+          .as("within_1pct"))
+      .select(col("event_type"), col("n_full"),
+        round(col("med_full") / 100.0, 4).as("median_full"),
+        col("n_reps"),
+        round(col("rep_min") / 100.0, 4).as("rep_min"),
+        round(col("rep_max") / 100.0, 4).as("rep_max"),
+        round((col("rep_max") - col("rep_min")) / 100.0, 4)
+          .as("rep_range"),
+        col("within_1pct"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_median_stability" -> (q254MedianStability _),
     "q242_brier_decomposition" -> (q242BrierDecomposition _),
     "q229_rater_kappa" -> (q229RaterKappa _),
     "q222_metric_stability" -> (q222MetricStability _),
@@ -389,6 +444,41 @@ object Evaluation {
     "q213_reliability_curve" -> (q213ReliabilityCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q254_median_stability" ->
+      s"""WITH base AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         ('0x' || substr(md5('mboot:' || CAST(event_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h
+        |  FROM events),
+        |full_m AS (
+        |  SELECT event_type, count(*) AS n_full,
+        |         quantile_cont(CAST(cents AS DOUBLE), 0.5) AS med_full
+        |  FROM base GROUP BY 1),
+        |reps AS (SELECT unnest(generate_series(0, ${StabilityReps - 1}))
+        |           AS rep),
+        |rep_m AS (
+        |  SELECT b.event_type, r.rep,
+        |         quantile_cont(CAST(b.cents AS DOUBLE), 0.5) AS m
+        |  FROM base b CROSS JOIN reps r
+        |  WHERE ((b.h >> r.rep) & 1) = 1
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT m.event_type, f.n_full, f.med_full,
+        |         count(*) AS n_reps,
+        |         min(m.m) AS rep_min, max(m.m) AS rep_max,
+        |         CAST(count(*) FILTER (WHERE abs(m.m - f.med_full)
+        |                <= abs(f.med_full) * 0.01) AS BIGINT)
+        |           AS within_1pct
+        |  FROM rep_m m JOIN full_m f ON m.event_type = f.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n_full,
+        |       round(med_full / 100.0, 4) AS median_full,
+        |       n_reps, round(rep_min / 100.0, 4) AS rep_min,
+        |       round(rep_max / 100.0, 4) AS rep_max,
+        |       round((rep_max - rep_min) / 100.0, 4) AS rep_range,
+        |       within_1pct
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q242_brier_decomposition" -> {
       val probes = (1 until BrierBins).map(_.toDouble / BrierBins)
       s"""WITH per_user AS (

@@ -184,12 +184,85 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q253 — POISSON RATE-CHANGE test (conditional binomial form): per
+    * event type, did the event RATE change between the two time
+    * halves? Under H0 (constant rate), the first-half count given the
+    * total is Binomial(n, p0) with p0 = T1/(T1+T2) the exposure
+    * share, so z = (c1 − n·p0)/√(n·p0·(1−p0)) — the COUNT-side
+    * member of the test family (q165 mean, q251 spread, q234 shape,
+    * q236 trend: none tests arrival intensity). The conditional form
+    * needs no rate estimate and no log.
+    *
+    * Exactness: counts and exposure micros are exact integers; p0 is
+    * ONE division; z one fixed expression tree. Verdict |z| > 1.96 on
+    * the rounded z.
+    *
+    * Scale shape: one conditional-count fold of the scan; the
+    * exposure scalars ride the same broadcast cut row. */
+  def q253RateChange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .withColumn("cut", expr("(t0 + t1) div 2"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .groupBy("event_type")
+      .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("c2"),
+        max(col("cut") - col("t0")).as("exp1"),
+        max(col("t1") - col("cut") + 1L).as("exp2"))
+    val p0 = col("exp1").cast("double") /
+      (col("exp1") + col("exp2")).cast("double")
+    val n = col("c1") + col("c2")
+    val z = (col("c1").cast("double") - n.cast("double") * p0) /
+      sqrt(n.cast("double") * p0 * (lit(1.0) - p0))
+    counts.select(col("event_type"), col("c1"), col("c2"),
+        round(n.cast("double") * p0, 2).as("expected_c1"),
+        round(z, 6).as("z"),
+        when(abs(z) > 1.96, lit("rate_changed"))
+          .otherwise(lit("rate_stable")).as("verdict"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_rate_change" -> (q253RateChange _),
     "q251_brown_forsythe" -> (q251BrownForsythe _),
     "q248_diff_in_diff" -> (q248DiffInDiff _),
     "q165_ab_welch" -> (q165AbWelch _))
 
   val oracles: Map[String, String] = Map(
+    "q253_rate_change" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |bounds AS (
+        |  SELECT min(us) AS t0, max(us) AS t1,
+        |         (min(us) + max(us)) // 2 AS cut
+        |  FROM ev),
+        |counts AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN us < (SELECT cut FROM bounds)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN us >= (SELECT cut FROM bounds)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |         (SELECT cut - t0 FROM bounds) AS exp1,
+        |         (SELECT t1 - cut + 1 FROM bounds) AS exp2
+        |  FROM ev GROUP BY 1),
+        |calc AS (
+        |  SELECT *,
+        |         CAST(exp1 AS DOUBLE) / CAST(exp1 + exp2 AS DOUBLE) AS p0,
+        |         c1 + c2 AS n
+        |  FROM counts),
+        |zz AS (
+        |  SELECT *,
+        |         (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * p0)
+        |           / sqrt(CAST(n AS DOUBLE) * p0 * (1.0 - p0)) AS z
+        |  FROM calc)
+        |SELECT event_type, c1, c2,
+        |       round(CAST(n AS DOUBLE) * p0, 2) AS expected_c1,
+        |       round(z, 6) AS z,
+        |       CASE WHEN abs(z) > 1.96 THEN 'rate_changed'
+        |            ELSE 'rate_stable' END AS verdict
+        |FROM zz ORDER BY event_type""".stripMargin,
     "q251_brown_forsythe" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

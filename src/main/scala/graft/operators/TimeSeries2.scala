@@ -376,7 +376,51 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** q252 — CUSUM mean-shift monitor (one-sided, upper): per event
+    * type over the daily series, the classic sequential detector
+    *   S_t = max(0, S_{t−1} + (x_t − μ0 − k))
+    * realized by its CLOSED FORM S_t = P_t − min(0, min_{j≤t} P_j)
+    * with P the prefix sum of (x − μ0 − k) — a running-min window
+    * instead of a recursion, so the plan is one window pass. CUSUM
+    * accumulates SMALL persistent shifts that q155's single-split scan
+    * statistic and q187's day-over-day alerts both miss; the baseline
+    * μ0 is the FIRST-HALF mean (the tuning snapshot), allowance
+    * k = μ0/4 and threshold h = 2·μ0 are declared policy parameters
+    * in exact micro-units.
+    *
+    * Exactness: μ0 is rounded ONCE to an exact micro-unit integer;
+    * every term, prefix sum, running min, and S_t is then EXACT
+    * BIGINT arithmetic end-to-end — the alarm predicate never touches
+    * a double.
+    *
+    * Scale shape: everything runs on the cached daily profile;
+    * windows partition per type over ≤ #days rows. */
+  def q252Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
+    val mid = daily.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val mu = daily.crossJoin(broadcast(mid))
+      .filter(col("day") <= col("mid"))
+      .groupBy("event_type")
+      .agg(expr("cast(round(sum(n) * 1e6 / count(1), 0) as bigint)")
+        .as("mu_micro"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("k_micro", expr("mu_micro div 4"))
+      .withColumn("h_micro", col("mu_micro") * 2L)
+      .withColumn("term",
+        col("n") * 1000000L - col("mu_micro") - col("k_micro"))
+      .withColumn("p", sum(col("term")).over(wCum))
+      .withColumn("runmin", least(lit(0L), min(col("p")).over(wCum)))
+      .withColumn("s_micro", col("p") - col("runmin"))
+    scored.select(col("event_type"), col("day"), col("n"),
+        col("s_micro"), (col("s_micro") > col("h_micro")).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_cusum" -> (q252Cusum _),
     "q250_overdispersion" -> (q250Overdispersion _),
     "q246_linear_interpolate" -> (q246LinearInterpolate _),
     "q236_mann_kendall" -> (q236MannKendall _),
@@ -388,6 +432,42 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q252_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM daily),
+        |mu AS (
+        |  SELECT event_type,
+        |         CAST(round(sum(n) * 1e6 / count(*), 0) AS BIGINT)
+        |           AS mu_micro
+        |  FROM daily WHERE day <= (SELECT mid FROM mid)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT d.event_type, d.day, d.n, m.mu_micro,
+        |         m.mu_micro // 4 AS k_micro,
+        |         m.mu_micro * 2 AS h_micro,
+        |         CAST(sum(d.n * 1000000 - m.mu_micro - m.mu_micro // 4)
+        |              OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM daily d JOIN mu m ON d.event_type = m.event_type),
+        |runm AS (
+        |  SELECT *,
+        |         least(0, CAST(min(p) OVER (PARTITION BY event_type
+        |           ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT))
+        |           AS runmin
+        |  FROM scored)
+        |SELECT event_type, CAST(day AS INTEGER) AS day, n,
+        |       CAST(p - runmin AS BIGINT) AS s_micro,
+        |       p - runmin > h_micro AS alarm
+        |FROM runm ORDER BY event_type, day""".stripMargin,
     "q250_overdispersion" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
