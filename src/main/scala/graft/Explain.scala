@@ -160,8 +160,13 @@ object Explain {
     "q249_threshold_curve",       // band candidates + sigs join + pair-
                                   // restricted shingle join; 5× explode
     "q250_overdispersion",        // daily-profile sufficient stats
-    "q251_brown_forsythe")        // conditional fold + (types×2) median
+    "q251_brown_forsythe",        // conditional fold + (types×2) median
                                   // broadcast; exact half-cent z
+    "q252_cusum",                 // daily-profile prefix + running-min
+                                  // windows; exact integer alarm
+    "q253_rate_change",           // one conditional fold + scalar cut
+    "q254_median_stability")      // ONE wide conditional-percentile
+                                  // aggregate; 32 reps, no fan-out
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -219,7 +219,8 @@ object ScaleSmoke {
         "q243_kcenter_coreset", "q244_incremental_surprisal",
         "q245_clip_calibration", "q246_linear_interpolate",
         "q247_clone_rate", "q248_diff_in_diff", "q249_threshold_curve",
-        "q250_overdispersion", "q251_brown_forsythe")
+        "q250_overdispersion", "q251_brown_forsythe", "q252_cusum",
+        "q253_rate_change", "q254_median_stability")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
