@@ -269,7 +269,72 @@ object Audit {
     }.reduce(_ unionAll _).orderBy("rel", "lhs", "rhs")
   }
 
+  /** q257's audited equi-joins: (left rel, left key, right rel,
+    * right key). */
+  private[graft] val CardJoins: Seq[(String, String, String, String)] =
+    Seq(
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("events", "user_id", "customer", "c_custkey"))
+
+  /** q257 — CARDINALITY-ESTIMATOR CALIBRATION (the CBO audit): for
+    * each audited equi-join, compare the textbook System-R estimate
+    * |A|·|B| / max(ndv_A, ndv_B) (uniform-key assumption) against the
+    * TRUE join cardinality, reporting the q-error
+    * max(est/actual, actual/est) — the standard metric for "can the
+    * optimizer trust its stats on THIS data?". A q-error near 1 means
+    * uniform-assumption join reordering is safe; a large one names
+    * the join whose key skew (q206's subject) will wreck plan
+    * choices. The actual count never materializes the join: it folds
+    * Σ_k cntA(k)·cntB(k) over the two per-key COUNT PROFILES.
+    *
+    * Exactness: counts/ndv/actual are exact BIGINTs (the profile
+    * product sum stays far under 2^53 at profile granularity); the
+    * estimate forms in doubles (|A|·|B| exceeds int64 at scale — the
+    * q227 lesson); q-error is one max of two divisions.
+    *
+    * Scale shape: per join, two content-keyed count-profile folds and
+    * one profile⋈profile equi-join — never the data join itself;
+    * report = |joins| rows. */
+  def q257CardCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val frames: Map[String, DataFrame] = Map(
+      "customer" -> Tables.customer(spark, dir),
+      "orders" -> Tables.orders(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "part" -> Tables.part(spark, dir),
+      "supplier" -> Tables.supplier(spark, dir),
+      "events" -> Tables.events(spark, dir))
+    CardJoins.map { case (ra, ka, rb, kb) =>
+      val profA = frames(ra).groupBy(col(ka).cast("long").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val profB = frames(rb).groupBy(col(kb).cast("long").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val statsA = profA.agg(sum(col("ca")).as("na"),
+        count(lit(1)).as("ndva"))
+      val statsB = profB.agg(sum(col("cb")).as("nb"),
+        count(lit(1)).as("ndvb"))
+      val actual = profA.join(profB, Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual"))
+      statsA.crossJoin(statsB).crossJoin(actual)
+        .withColumn("est",
+          col("na").cast("double") * col("nb").cast("double") /
+            greatest(col("ndva"), col("ndvb")).cast("double"))
+        .select(lit(s"$ra⋈$rb").as("join_pair"),
+          lit(ka).as("key"), col("na"), col("nb"),
+          col("ndva"), col("ndvb"),
+          round(col("est"), 2).as("est_rows"),
+          col("actual"),
+          when(col("actual") > 0L, round(greatest(
+            col("est") / col("actual").cast("double"),
+            col("actual").cast("double") / col("est")), 4))
+            .as("q_error"))
+    }.reduce(_ unionAll _).orderBy("join_pair", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_card_calibration" -> (q257CardCalibration _),
     "q239_fd_audit" -> (q239FdAudit _),
     "q171_replica_audit" -> (q171ReplicaAudit _),
     "q172_cdc_merge" -> (q172CdcMerge _),
@@ -298,7 +363,45 @@ object Audit {
     s"SELECT * FROM ($arms)\nORDER BY rel, lhs, rhs"
   }
 
+  private def cardCalibrationSql: String = {
+    val arms = CardJoins.map { case (ra, ka, rb, kb) =>
+      s"""SELECT '$ra⋈$rb' AS join_pair, '$ka' AS key,
+         |       na, nb, ndva, ndvb,
+         |       round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         |             / CAST(greatest(ndva, ndvb) AS DOUBLE), 2)
+         |         AS est_rows,
+         |       actual,
+         |       CASE WHEN actual > 0 THEN round(greatest(
+         |         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         |          / CAST(greatest(ndva, ndvb) AS DOUBLE))
+         |           / CAST(actual AS DOUBLE),
+         |         CAST(actual AS DOUBLE)
+         |           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         |              / CAST(greatest(ndva, ndvb) AS DOUBLE))), 4) END
+         |         AS q_error
+         |FROM (
+         |  SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM pa_$ra$ka) AS na,
+         |         (SELECT count(*) FROM pa_$ra$ka) AS ndva,
+         |         (SELECT CAST(sum(cb) AS BIGINT) FROM pb_$rb$kb) AS nb,
+         |         (SELECT count(*) FROM pb_$rb$kb) AS ndvb,
+         |         (SELECT CAST(COALESCE(sum(a.ca * b.cb), 0) AS BIGINT)
+         |          FROM pa_$ra$ka a JOIN pb_$rb$kb b ON a.k = b.k)
+         |           AS actual)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = CardJoins.flatMap { case (ra, ka, rb, kb) =>
+      Seq(
+        s"""pa_$ra$ka AS (
+           |  SELECT CAST($ka AS BIGINT) AS k, count(*) AS ca
+           |  FROM $ra GROUP BY 1)""".stripMargin,
+        s"""pb_$rb$kb AS (
+           |  SELECT CAST($kb AS BIGINT) AS k, count(*) AS cb
+           |  FROM $rb GROUP BY 1)""".stripMargin)
+    }.distinct.mkString(",\n")
+    s"WITH $ctes\nSELECT * FROM ($arms)\nORDER BY join_pair, key"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q257_card_calibration" -> cardCalibrationSql,
     "q239_fd_audit" -> fdAuditSql,
     "q199_partition_manifest" ->
       """WITH rows_ AS (

@@ -487,7 +487,58 @@ object TextOps {
       .orderBy("top_n")
   }
 
+  /** q256 — MULTICLASS CLASSIFICATION REPORT for the q38 language-ID
+    * predictor: per-class precision / recall / F1 against the gold
+    * `lang` labels, plus accuracy and macro-F1 — the standard
+    * evaluation surface the binary q205 AUC cannot provide, run on
+    * the one labeled classifier the corpus ships with (any
+    * model-vs-gold pair slots into the same fold). A class's row
+    * exposes WHERE the predictor fails (q38's is_correct only says
+    * how often).
+    *
+    * Exactness: tp/fp/fn fold as exact BIGINTs from the |classes|²
+    * confusion profile; precision/recall are single divisions; F1 is
+    * one fixed expression over them (2pr/(p+r), NULL when p+r = 0 in
+    * both engines); macro-F1 micro-quantizes per-class F1 before the
+    * |classes|-row mean (the q169 order-free fold).
+    *
+    * Scale shape: the predictor pass is q38's narrow scan; everything
+    * after runs on the |classes|² confusion profile. */
+  def q256ClassReport(spark: SparkSession, dir: String): DataFrame = {
+    val preds = q38LangId(spark, dir).select("lang", "pred_lang")
+    val confusion = preds.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val gold = confusion.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("n_gold"),
+        sum(when(col("lang") === col("pred_lang"), col("n"))
+          .otherwise(0L)).as("tp"))
+    val predTot = confusion.groupBy(col("pred_lang").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val perClass = gold.join(predTot, Seq("cls"), "left")
+      .select(col("cls"), col("n_gold"), col("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("p", when(col("n_pred") > 0L,
+        col("tp").cast("double") / col("n_pred")))
+      .withColumn("r", col("tp").cast("double") / col("n_gold"))
+      .withColumn("f1", when(col("p").isNotNull && col("p") + col("r") > 0.0,
+        lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+    val totals = perClass.agg(
+      (sum(col("tp")).cast("double") / sum(col("n_gold")))
+        .as("accuracy"),
+      (sum(expr("cast(round(coalesce(f1, 0.0d) * 1e6, 0) as bigint)"))
+        .cast("double") / count(lit(1)) / 1e6).as("macro_f1"))
+    perClass.crossJoin(broadcast(totals))
+      .select(col("cls"), col("n_gold"), col("n_pred"), col("tp"),
+        round(col("p"), 6).as("precision"),
+        round(col("r"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("macro_f1"), 6).as("macro_f1"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_class_report" -> (q256ClassReport _),
     "q137_bpe_train" -> (q137BpeTrain _),
     "q123_pmi_cooccurrence" -> (q123PmiCooccurrence _),
     "q121_adaptive_quality" -> (q121AdaptiveQuality _),
@@ -504,6 +555,61 @@ object TextOps {
     "q221_vocab_coverage" -> (q221VocabCoverage _))
 
   val oracles: Map[String, String] = Map(
+    "q256_class_report" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INT) AS score_de,
+        |    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT) AS score_en,
+        |    CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INT) AS score_es,
+        |    CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INT) AS score_fr,
+        |    CAST((length(p) - length(replace(p, ' spark ', ''))) / 7 AS INT) AS score_zh
+        |  FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)),
+        |preds AS (
+        |  SELECT lang,
+        |       CASE
+        |         WHEN score_de >= score_en AND score_de >= score_es
+        |              AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |         WHEN score_en >= score_es AND score_en >= score_fr
+        |              AND score_en >= score_zh THEN 'en'
+        |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |         WHEN score_fr >= score_zh THEN 'fr'
+        |         ELSE 'zh'
+        |       END AS pred_lang
+        |  FROM scored),
+        |confusion AS (
+        |  SELECT lang, pred_lang, count(*) AS n FROM preds GROUP BY 1, 2),
+        |gold AS (
+        |  SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_gold,
+        |         CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+        |              AS BIGINT) AS tp
+        |  FROM confusion GROUP BY 1),
+        |ptot AS (
+        |  SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+        |  FROM confusion GROUP BY 1),
+        |pc AS (
+        |  SELECT g.cls, g.n_gold, g.tp,
+        |         COALESCE(p.n_pred, 0) AS n_pred,
+        |         CASE WHEN COALESCE(p.n_pred, 0) > 0
+        |              THEN CAST(g.tp AS DOUBLE) / p.n_pred END AS p,
+        |         CAST(g.tp AS DOUBLE) / g.n_gold AS r
+        |  FROM gold g LEFT JOIN ptot p ON g.cls = p.cls),
+        |pcf AS (
+        |  SELECT *, CASE WHEN p IS NOT NULL AND p + r > 0.0
+        |                 THEN 2.0 * p * r / (p + r) END AS f1
+        |  FROM pc),
+        |tot AS (
+        |  SELECT CAST(CAST(sum(tp) AS BIGINT) AS DOUBLE)
+        |           / CAST(sum(n_gold) AS BIGINT) AS accuracy,
+        |         CAST(CAST(sum(CAST(round(COALESCE(f1, 0.0) * 1e6, 0)
+        |                        AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / count(*) / 1e6 AS macro_f1
+        |  FROM pcf)
+        |SELECT cls, n_gold, n_pred, tp,
+        |       round(p, 6) AS precision, round(r, 6) AS recall,
+        |       round(f1, 6) AS f1,
+        |       round((SELECT accuracy FROM tot), 6) AS accuracy,
+        |       round((SELECT macro_f1 FROM tot), 6) AS macro_f1
+        |FROM pcf ORDER BY cls""".stripMargin,
     "q221_vocab_coverage" -> {
       val covArms = CoverageNs.map { n =>
         s"""  SELECT $n AS top_n, count(*) AS vocab_used,
