@@ -165,8 +165,12 @@ object Explain {
     "q252_cusum",                 // daily-profile prefix + running-min
                                   // windows; exact integer alarm
     "q253_rate_change",           // one conditional fold + scalar cut
-    "q254_median_stability")      // ONE wide conditional-percentile
+    "q254_median_stability",      // ONE wide conditional-percentile
                                   // aggregate; 32 reps, no fan-out
+    "q256_class_report",          // q38 scan → |classes|² confusion
+                                  // profile; all metrics on profile
+    "q257_card_calibration")      // per-key count profiles joined —
+                                  // never the data join itself
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
