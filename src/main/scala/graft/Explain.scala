@@ -167,6 +167,8 @@ object Explain {
     "q253_rate_change",           // one conditional fold + scalar cut
     "q254_median_stability",      // ONE wide conditional-percentile
                                   // aggregate; 32 reps, no fan-out
+    "q255_retrieval_mrr",         // broadcast 1% query batch × corpus
+                                  // integer dots; per-label profile
     "q256_class_report",          // q38 scan → |classes|² confusion
                                   // profile; all metrics on profile
     "q257_card_calibration")      // per-key count profiles joined —

@@ -436,7 +436,70 @@ object AnnRetrieval {
       .orderBy("label", "pred_label")
   }
 
+  /** q255 — LABEL-AWARE RETRIEVAL MRR: for the established 1% query
+    * batch, the reciprocal rank of the FIRST same-label neighbor under
+    * exact cosine ranking, folded per label (mean reciprocal rank,
+    * hits@1, hits@10) — the ranking-quality eval the recall contracts
+    * (q37/q113/q114) don't express: recall@k asks "is the true
+    * neighbor in the pool?", MRR asks "how high does the RIGHT CLASS
+    * rank?", the metric that prices an embedding table for
+    * retrieval-augmented labeling. Brute ranking is the documented
+    * q36-class arm (swap in the ANN paths at corpus scale).
+    *
+    * Determinism: integer micro-vector dots (the q223/q233
+    * discipline), the query's own norm dropped (rank-invariant),
+    * ranking ties broken on cid; each query's reciprocal rank is
+    * micro-quantized ONCE (round(1e6/r)) so the per-label fold is an
+    * exact integer sum. Queries whose label has no other member score
+    * 0 (documented: a miss, not an exclusion).
+    *
+    * Scale shape: query-batch × corpus scoring with per-query
+    * WindowGroupLimit-style min-rank folds; output is the |labels|
+    * profile. */
+  def q255RetrievalMrr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, v -> " +
+          "cast(round(cast(v as double) * 1000000, 0) as bigint))")
+        .as("iv"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("iv").as("qv"))
+    val corpus = emb.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("iv").as("cv"), col("n2").as("cn2"))
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("cn2").cast("double")))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid"))
+    val firstHit = scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("clabel") === col("qlabel"))
+      .groupBy("qid", "qlabel")
+      .agg(min(col("rn")).as("first_rank"))
+    queries.select("qid", "qlabel")
+      .join(firstHit, Seq("qid", "qlabel"), "left")
+      .withColumn("rr_micro", coalesce(
+        expr("cast(round(1e6 / first_rank, 0) as bigint)"), lit(0L)))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("rr_micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("mrr"),
+        sum(when(col("first_rank") === 1, 1L).otherwise(0L))
+          .as("hits_at_1"),
+        sum(when(col("first_rank") <= 10, 1L).otherwise(0L))
+          .as("hits_at_10"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_retrieval_mrr" -> (q255RetrievalMrr _),
     "q233_label_noise" -> (q233LabelNoise _),
     "q223_centroid_separation" -> (q223CentroidSeparation _),
     "q170_context_assembly" -> (q170ContextAssembly _),
@@ -448,6 +511,53 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q255_retrieval_mrr" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |n2 AS (SELECT vec_id, CAST(sum(vm * vm) AS BIGINT) AS nn
+        |       FROM ex GROUP BY 1),
+        |labels AS (SELECT DISTINCT vec_id, label FROM ex),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
+        |  FROM labels q JOIN labels c
+        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |  JOIN ex qe ON qe.vec_id = q.vec_id
+        |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d.qid, d.cid,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY CAST(d.dot AS DOUBLE)
+        |             / sqrt(CAST(n.nn AS DOUBLE)) DESC, d.cid) AS rn
+        |  FROM dots d JOIN n2 n ON n.vec_id = d.cid),
+        |first_hit AS (
+        |  SELECT r.qid, min(r.rn) AS first_rank
+        |  FROM ranked r
+        |  JOIN labels ql ON ql.vec_id = r.qid
+        |  JOIN labels cl ON cl.vec_id = r.cid
+        |  WHERE cl.label = ql.label
+        |  GROUP BY 1),
+        |per_q AS (
+        |  SELECT ql.label,
+        |         COALESCE(CAST(round(1e6 / f.first_rank, 0) AS BIGINT), 0)
+        |           AS rr_micro,
+        |         f.first_rank
+        |  FROM labels ql LEFT JOIN first_hit f ON f.qid = ql.vec_id
+        |  WHERE ql.vec_id % 100 = 0)
+        |SELECT label, count(*) AS n_queries,
+        |       round(CAST(CAST(sum(rr_micro) AS BIGINT) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS mrr,
+        |       CAST(count(*) FILTER (WHERE first_rank = 1) AS BIGINT)
+        |         AS hits_at_1,
+        |       CAST(count(*) FILTER (WHERE first_rank <= 10) AS BIGINT)
+        |         AS hits_at_10
+        |FROM per_q GROUP BY 1 ORDER BY label""".stripMargin,
     "q233_label_noise" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,

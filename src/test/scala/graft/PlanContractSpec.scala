@@ -76,6 +76,7 @@ object PlanContract {
     // fixed-rate query batch: vec_id % 100 = 0 (1% of the table)
     "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
     "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
+    "q255_retrieval_mrr" -> "1% query batch (vec_id % 100)",
     // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
     // candidate relation (InMemoryRelation subtrees are outside the
     // walk), so no grant is needed — documented in Mmr.scala instead

@@ -52,6 +52,42 @@ class Round10hSpec extends SparkTestBase {
     assert(out.size == classes.length)
   }
 
+  test("q255 retrieval MRR equals a sequential exact-cosine ranking " +
+      "replay; hits@1 <= hits@10 <= n_queries") {
+    val out = graft.operators.AnnRetrieval.q255RetrievalMrr(spark, sf)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => BigDecimal(v.toDouble * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val norms = vecs.map(v => v._1 ->
+      math.sqrt(v._3.map(x => x * x).sum.toDouble)).toMap
+    val queries = vecs.filter(_._1 % 100 == 0)
+    val perQuery = queries.map { case (qid, qlabel, qv) =>
+      val ranked = vecs.filter(_._1 != qid).map { case (cid, clabel, cv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        (cid, clabel, dot.toDouble / norms(cid))
+      }.sortBy(c => (-c._3, c._1))
+      val first = ranked.zipWithIndex
+        .collectFirst { case ((_, cl, _), ix) if cl == qlabel => ix + 1 }
+      (qlabel, first)
+    }
+    perQuery.groupBy(_._1).foreach { case (label, qs) =>
+      val rrSum = qs.map(_._2.map(r =>
+        BigDecimal(1e6 / r).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong).getOrElse(0L)).sum
+      val mrr = r6(rrSum.toDouble / qs.length / 1e6)
+      val h1 = qs.count(_._2.contains(1)).toLong
+      val h10 = qs.count(_._2.exists(_ <= 10)).toLong
+      assert(out(label) == ((qs.length.toLong, mrr, h1, h10)),
+        s"label $label diverged")
+      assert(h1 <= h10 && h10 <= qs.length)
+    }
+  }
+
   test("q257 cardinality calibration equals a sequential profile " +
       "recompute, and key-FK joins have q-error 1") {
     val out = Audit.q257CardCalibration(spark, sf).collect()
