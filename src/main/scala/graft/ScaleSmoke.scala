@@ -107,7 +107,11 @@ object ScaleSmoke {
         "q183_item_neighbors", "q184_rfm_segments", "q185_pareto_deciles",
         "q192_skyline", "q193_rank_delta",
         "q211_revenue_gini", "q213_reliability_curve", "q216_k_anonymity",
-        "q218_conformal_threshold")
+        "q218_conformal_threshold",
+        // round-10 additions whose key profiles are DIMENSION-sized:
+        // FD candidates over customer/part, ndv/count profiles over
+        // customer/part keys
+        "q239_fd_audit", "q257_card_calibration")
         .filter(n => only.isEmpty || only(n))
       dimQueries.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
