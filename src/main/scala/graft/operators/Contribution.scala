@@ -130,12 +130,116 @@ object Contribution {
       .orderBy("nation")
   }
 
+  /** q260 RBO depth and persistence. */
+  private[graft] val RboDepth = 50
+  private[graft] val RboPPct = 90
+
+  /** RBO geometric weights (1−p)·p^(d−1) pinned ONCE to micro-units
+    * (the Benford6/WeekWeights6 discipline — pow() at runtime is
+    * engine-divergent; both engines read the SAME integer literals). */
+  private[graft] val RboW6: Seq[Long] = (1 to RboDepth).map { d =>
+    math.rint((1.0 - RboPPct / 100.0) *
+      math.pow(RboPPct / 100.0, d - 1) * 1e6).toLong
+  }
+
+  /** q260 — RANK-BIASED OVERLAP between the spend ranking and the
+    * activity ranking of users: one top-weighted similarity score for
+    * "do the two top-N lists agree?" (Webber et al.'s RBO), truncated
+    * at depth [[RboDepth]] with persistence p = 0.9 — the LIST-level
+    * companion to q193's per-item rank deltas, and the governance
+    * check run before swapping a ranking signal (if RBO ≈ 1 the swap
+    * is a no-op for the top lists; low RBO means the heads genuinely
+    * differ). Reports per depth d: the overlap count and the
+    * cumulative RBO through d (the final row is the score).
+    *
+    * Exactness: both rankings are integer row_numbers with user_id
+    * tie-breaks over the user-grain profile (granted global windows,
+    * the q213 class); overlap_d is an exact count; each depth's term
+    * w6(d)·overlap/d is quantized to an exact integer before the
+    * cumulative sum (window over the 50-row depth spine).
+    *
+    * Scale shape: two user folds + two top-[[RboDepth]] rank tables
+    * (WindowGroupLimit map-side top-k); everything after runs on the
+    * ≤ 2·depth row profile × the 50-row spine. */
+  def q260RankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
+        count(lit(1)).as("n_events"))
+    val wA = Window.orderBy(col("cents").desc, col("user_id"))
+    val wB = Window.orderBy(col("n_events").desc, col("user_id"))
+    val ra = users.withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= RboDepth).select("user_id", "ra")
+    val rb = users.withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= RboDepth).select("user_id", "rb")
+    val both = ra.join(rb, Seq("user_id"))
+      .select(greatest(col("ra"), col("rb")).as("enter_d"))
+    val w6Arr = s"array(${RboW6.mkString("L, ")}L)"
+    val spine = spark.range(1, RboDepth + 1).toDF("d")
+    val terms = spine.join(both, col("enter_d") <= col("d"), "left")
+      .groupBy("d")
+      .agg(sum(when(col("enter_d").isNotNull, 1L).otherwise(0L))
+        .as("overlap"))
+      .withColumn("term_micro", expr(
+        s"cast(round(element_at($w6Arr, cast(d as int)) * overlap" +
+          " / cast(d as double), 0) as bigint)"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .withColumn("rbo_cum",
+        round(sum(col("term_micro")).over(wCum).cast("double") / 1e6, 6))
+      .select(col("d").cast("int").as("depth"), col("overlap"),
+        col("rbo_cum"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_rank_overlap" -> (q260RankOverlap _),
     "q184_rfm_segments" -> (q184RfmSegments _),
     "q185_pareto_deciles" -> (q185ParetoDeciles _),
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q260_rank_overlap" -> {
+      val w6List = s"[${RboW6.mkString(", ")}]"
+      s"""WITH ut AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |ra AS (
+        |  SELECT user_id, ra FROM (
+        |    SELECT user_id,
+        |           row_number() OVER (ORDER BY cents DESC, user_id) AS ra
+        |    FROM ut) WHERE ra <= $RboDepth),
+        |rb AS (
+        |  SELECT user_id, rb FROM (
+        |    SELECT user_id,
+        |           row_number() OVER (ORDER BY n_events DESC, user_id)
+        |             AS rb
+        |    FROM ut) WHERE rb <= $RboDepth),
+        |inter_l AS (
+        |  SELECT greatest(ra.ra, rb.rb) AS enter_d
+        |  FROM ra JOIN rb ON ra.user_id = rb.user_id),
+        |spine AS (SELECT unnest(generate_series(1, $RboDepth)) AS d),
+        |terms AS (
+        |  SELECT s.d,
+        |         CAST(count(b.enter_d) AS BIGINT) AS overlap
+        |  FROM spine s LEFT JOIN inter_l b ON b.enter_d <= s.d
+        |  GROUP BY 1),
+        |quant AS (
+        |  SELECT d, overlap,
+        |         CAST(round(CAST($w6List[d] * overlap AS DOUBLE)
+        |                    / CAST(d AS DOUBLE), 0) AS BIGINT)
+        |           AS term_micro
+        |  FROM terms)
+        |SELECT CAST(d AS INTEGER) AS depth, overlap,
+        |       round(CAST(sum(term_micro) OVER (ORDER BY d
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6, 6)
+        |         AS rbo_cum
+        |FROM quant ORDER BY depth""".stripMargin
+    },
     "q211_revenue_gini" ->
       """WITH spend AS (
         |  SELECT o_custkey AS custkey,

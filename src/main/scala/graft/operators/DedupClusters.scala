@@ -298,7 +298,42 @@ object DedupClusters {
       .orderBy("src_a", "src_b")
   }
 
+  /** q258 — NEAR-DUP CLUSTER-SIZE DISTRIBUTION: the histogram of q73
+    * cluster sizes with singletons folded in — the dedup-campaign
+    * planning view q73's per-doc labels don't show: a heavy cluster
+    * tail means canonical-pick contention and big per-family output
+    * deltas; near-total singletons mean the campaign is mostly pass-
+    * through. Reports per size: cluster count, docs covered, corpus
+    * share, everything exact except the one share division.
+    *
+    * Scale shape: one fold of the CACHED q73 label table to the
+    * ≤ max-cluster-size histogram; singleton count is corpus total
+    * minus clustered total (two scalars). */
+  def q258ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = q73DedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    val clusteredDocs = clustered.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_clustered"))
+    val singletons = totals.crossJoin(clusteredDocs)
+      .select(lit(1L).as("size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    clustered.select(col("size").cast("long").as("size"),
+        col("n_clusters"), col("n_docs"))
+      .unionAll(singletons)
+      .crossJoin(broadcast(totals))
+      .select(col("size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("doc_share"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_cluster_sizes" -> (q258ClusterSizes _),
     "q73_dedup_clusters" -> (q73DedupClusters _),
     "q115_cluster_canonical" -> (q115ClusterCanonical _),
     "q126_cross_source_dup" -> (q126CrossSourceDup _))
@@ -308,6 +343,48 @@ object DedupClusters {
 
 
   val oracles: Map[String, String] = Map(
+    "q258_cluster_sizes" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |csizes AS (
+         |  SELECT cluster_id, count(*) AS size FROM labels GROUP BY 1),
+         |hist AS (
+         |  SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters,
+         |         CAST(size * count(*) AS BIGINT) AS n_docs
+         |  FROM csizes GROUP BY size),
+         |tot AS (SELECT count(*) AS n_total FROM documents),
+         |cd AS (SELECT COALESCE(CAST(sum(n_docs) AS BIGINT), 0)
+         |         AS n_clustered FROM hist),
+         |full_h AS (
+         |  SELECT size, n_clusters, n_docs FROM hist
+         |  UNION ALL
+         |  SELECT 1,
+         |         (SELECT n_total FROM tot) - (SELECT n_clustered FROM cd),
+         |         (SELECT n_total FROM tot) - (SELECT n_clustered FROM cd))
+         |SELECT size, n_clusters, n_docs,
+         |       round(CAST(n_docs AS DOUBLE)
+         |             / (SELECT n_total FROM tot), 6) AS doc_share
+         |FROM full_h ORDER BY size""".stripMargin,
     "q73_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),

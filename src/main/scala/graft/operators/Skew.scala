@@ -87,11 +87,89 @@ object Skew {
           .as("suggested_salt"))
   }
 
+  /** q259's order-statistic ladder (top-k tail sizes). */
+  private[graft] val HillKs = Seq(50, 100, 200)
+
+  /** q259 — HILL TAIL-INDEX ladder over user spend: the
+    * heavy-tail-heaviness estimate α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1))
+    * at three tail depths — the quantitative companion to q185's
+    * Pareto deciles and the input q245's clip-bound choice really
+    * depends on (α ≤ 2 means infinite variance: clipping is not
+    * optional). Stability of α̂ across the k-ladder is the standard
+    * "is the tail really power-law?" read.
+    *
+    * Exactness: the ladder runs on the top-(k+1) ORDER STATISTICS
+    * (ties broken on user_id, TakeOrdered — map-side partial top-k);
+    * each ln ratio is quantized ONCE to micro-units so the tail sum
+    * folds as an exact BIGINT, and α̂ is one division k·1e6/Σ.
+    *
+    * Scale shape: one user fold, one top-(k_max+1) TakeOrdered,
+    * ladder arithmetic on ≤ k_max rows. */
+  def q259HillTail(spark: SparkSession, dir: String): DataFrame = {
+    val kMax = HillKs.max
+    val top = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      .orderBy(col("cents").desc, col("user_id"))
+      .limit(kMax + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("user_id"))
+    val ranked = top.withColumn("r", row_number().over(w))
+    val arms = HillKs.map { k =>
+      val xk1 = ranked.filter(col("r") === k + 1)
+        .select(col("cents").as("x_k1"))
+      ranked.filter(col("r") <= k)
+        .crossJoin(broadcast(xk1))
+        .select(expr(
+          "cast(round(ln(cast(cents as double) / cast(x_k1 as double))" +
+            " * 1e6, 0) as bigint)").as("t_micro"),
+          col("x_k1"))
+        .groupBy("x_k1")
+        .agg(sum(col("t_micro")).as("s_micro"))
+        .select(lit(k).as("k"), col("x_k1"),
+          when(col("s_micro") > 0L,
+            round(lit(k.toDouble) * 1e6 / col("s_micro").cast("double"), 4))
+            .as("hill_alpha"))
+    }
+    arms.reduce(_ unionAll _).orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_hill_tail" -> (q259HillTail _),
     "q75_salted_agg" -> (q75SaltedAgg _),
     "q206_skew_profile" -> (q206SkewProfile _))
 
+  private def hillSql: String = {
+    val kMax = HillKs.max
+    val arms = HillKs.map { k =>
+      s"""SELECT $k AS k, x.x_k1,
+         |       CASE WHEN s.s_micro > 0
+         |            THEN round($k.0 * 1e6 / CAST(s.s_micro AS DOUBLE), 4)
+         |       END AS hill_alpha
+         |FROM (SELECT cents AS x_k1 FROM ranked WHERE r = $k + 1) x
+         |CROSS JOIN
+         |     (SELECT CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)
+         |          / CAST((SELECT cents FROM ranked WHERE r = $k + 1)
+         |                 AS DOUBLE)) * 1e6, 0) AS BIGINT)) AS BIGINT)
+         |        AS s_micro
+         |      FROM ranked WHERE r <= $k) s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ut AS (
+       |  SELECT user_id,
+       |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+       |              AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |ranked AS (
+       |  SELECT cents,
+       |         row_number() OVER (ORDER BY cents DESC, user_id) AS r
+       |  FROM ut
+       |  ORDER BY cents DESC, user_id LIMIT ${kMax + 1})
+       |SELECT * FROM ($arms)
+       |ORDER BY k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q259_hill_tail" -> hillSql,
     "q75_salted_agg" ->
       """SELECT l_returnflag AS returnflag,
         |       round(sum(l_extendedprice), 2) AS total_price,

@@ -182,12 +182,93 @@ object TimeSeries {
       .orderBy("event_type", "lag")
   }
 
+  /** q261 EWMA window (lookback days) and half-life-2-day weights
+    * w6(j) = round(2^(−j/2)·1e6) — pinned ONCE (the WeekWeights6
+    * discipline; runtime pow() is engine-divergent). 20 taps ≈ 3
+    * decades of decay, below the micro quantum past the window. */
+  private[graft] val EwmaTaps = 20
+  private[graft] val EwmaW6: Seq[Long] = (0 until EwmaTaps).map { j =>
+    math.rint(math.pow(0.5, j / 2.0) * 1e6).toLong
+  }
+
+  /** q261 — EXACT EWMA smoother of the daily series: per (type, day),
+    * the exponentially-weighted mean of the trailing [[EwmaTaps]]
+    * days with pinned half-life-2 weights — the smoother a monitor
+    * plots under q187's alerts (rolling mean lags shifts; rolling
+    * median (q190) ignores magnitude; EWMA is the standard
+    * recency-weighted compromise). Truncating the infinite recursion
+    * at 20 taps IS the declared semantics (the tail weight is below
+    * the pinned quantum), which is what makes the operator exact.
+    *
+    * Exactness: each day contributes n·w6(j) to the next 20 days via
+    * a sequence-explode (the q182 pattern — map-side, ≤ taps× the
+    * DAILY PROFILE, never events); numerator and the normalizing
+    * Σw6(observed) fold as exact BIGINTs; one division, rounded once.
+    *
+    * Scale shape: everything runs on the cached daily profile ×
+    * [[EwmaTaps]]. */
+  def q261Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("d0"), col("n"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    val w6Arr = s"array(${EwmaW6.mkString("L, ")}L)"
+    val contrib = daily
+      .select(col("event_type"), col("d0"), col("day"), col("n"),
+        explode(sequence(lit(0), lit(EwmaTaps - 1))).as("j"))
+      .select(col("event_type"), col("d0"),
+        (col("day") + col("j")).as("tday"),
+        (col("n") * expr(s"element_at($w6Arr, j + 1)")).as("wn"),
+        expr(s"element_at($w6Arr, j + 1)").as("w"))
+    contrib.crossJoin(broadcast(maxDay))
+      .filter(col("tday") <= col("max_day"))
+      .groupBy("event_type", "d0", "tday")
+      .agg(sum(col("wn")).as("num"), sum(col("w")).as("den"))
+      .select(col("event_type"),
+        expr("date_add(d0, cast(tday as int))").as("day"),
+        round(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_ewma" -> (q261Ewma _),
     "q154_decayed_engagement" -> (q154DecayedEngagement _),
     "q155_changepoint" -> (q155ChangePoint _),
     "q156_acf" -> (q156Acf _))
 
   val oracles: Map[String, String] = Map(
+    "q261_ewma" -> {
+      val w6List = s"[${EwmaW6.mkString(", ")}]"
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |md AS (SELECT max(day) AS max_day FROM daily),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + t.j AS tday,
+        |         d.n * $w6List[t.j + 1] AS wn,
+        |         $w6List[t.j + 1] AS w
+        |  FROM daily d CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${EwmaTaps - 1})) AS j) t),
+        |agg AS (
+        |  SELECT event_type, tday,
+        |         CAST(sum(wn) AS BIGINT) AS num,
+        |         CAST(sum(w) AS BIGINT) AS den
+        |  FROM contrib
+        |  WHERE tday <= (SELECT max_day FROM md)
+        |  GROUP BY 1, 2)
+        |SELECT event_type,
+        |       (SELECT d0 FROM d0) + CAST(tday AS INTEGER) AS day,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ewma
+        |FROM agg ORDER BY event_type, day""".stripMargin
+    },
     "q154_decayed_engagement" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value

@@ -121,6 +121,8 @@ object PlanContract {
     case a: BaseAggregateExec =>
       a.groupingExpressions.isEmpty || tinyBuild(a.child)
     case g: GlobalLimitExec    => g.limit <= SmallBuild
+    case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+      t.limit <= SmallBuild
     case c: CollectLimitExec   => c.limit <= SmallBuild
     case l: LocalLimitExec     => l.limit <= SmallBuild || tinyBuild(l.child)
     case l: LocalTableScanExec => l.rows.size <= SmallBuild
@@ -128,6 +130,10 @@ object PlanContract {
     case p: ProjectExec        => tinyBuild(p.child)
     case f: FilterExec         => tinyBuild(f.child)
     case s: SortExec           => tinyBuild(s.child)
+    // windows are row-preserving: rank/agg columns over a tiny input
+    // stay tiny (the q259 x_(k+1) scalar shape)
+    case w: org.apache.spark.sql.execution.window.WindowExec =>
+      tinyBuild(w.child)
     // a broadcast join of two tiny sides is at most their product —
     // the nested-scalar crossJoin chain (q147's shape)
     case j: BroadcastNestedLoopJoinExec =>
@@ -193,7 +199,11 @@ object PlanContract {
     "q235_km_survival" ->
       "lifetime-day spine (≤ observed-span rows): at-risk + KM product",
     "q237_isotonic_calibrate" ->
-      "user-grain spend profile ntile + 10-row bin prefix sums")
+      "user-grain spend profile ntile + 10-row bin prefix sums",
+    "q259_hill_tail" ->
+      "top-(k_max+1) TakeOrdered head (≤ 201 rows): order-statistic ranks",
+    "q260_rank_overlap" ->
+      "user-grain profile rankings + 50-row depth-spine cumulative sum")
 
   /** All plan-contract violations for one query's physical plan,
     * INCLUDING subquery inner plans (VERDICT r09 #4): scalar/IN/EXISTS
