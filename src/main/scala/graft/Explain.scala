@@ -171,8 +171,13 @@ object Explain {
                                   // integer dots; per-label profile
     "q256_class_report",          // q38 scan → |classes|² confusion
                                   // profile; all metrics on profile
-    "q257_card_calibration")      // per-key count profiles joined —
+    "q257_card_calibration",      // per-key count profiles joined —
                                   // never the data join itself
+    "q258_cluster_sizes",         // cached q73 labels → size histogram
+    "q259_hill_tail",             // TakeOrdered head + ladder arms
+    "q260_rank_overlap",          // two rank heads × 50-row spine
+    "q261_ewma")                  // daily-profile sequence-explode
+                                  // contributions; exact weights
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

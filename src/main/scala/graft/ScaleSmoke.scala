@@ -225,7 +225,9 @@ object ScaleSmoke {
         "q247_clone_rate", "q248_diff_in_diff", "q249_threshold_curve",
         "q250_overdispersion", "q251_brown_forsythe", "q252_cusum",
         "q253_rate_change", "q254_median_stability",
-        "q255_retrieval_mrr", "q256_class_report", "q257_card_calibration")
+        "q255_retrieval_mrr", "q256_class_report", "q257_card_calibration",
+        "q258_cluster_sizes", "q259_hill_tail", "q260_rank_overlap",
+        "q261_ewma")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
