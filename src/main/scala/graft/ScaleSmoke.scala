@@ -227,7 +227,9 @@ object ScaleSmoke {
         "q253_rate_change", "q254_median_stability",
         "q255_retrieval_mrr", "q256_class_report", "q257_card_calibration",
         "q258_cluster_sizes", "q259_hill_tail", "q260_rank_overlap",
-        "q261_ewma")
+        "q261_ewma", "q262_pr_auc", "q263_retrieval_ndcg",
+        "q264_cliffs_delta", "q265_mcnemar_picks",
+        "q266_lpa_communities", "q267_kendall_tau")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -498,7 +498,170 @@ object AnnRetrieval {
       .orderBy("label")
   }
 
+  /** q263 NDCG depth. */
+  private[graft] val NdcgK = 10
+
+  /** Pinned micro-unit DCG discounts 1/log2(r+1), r = 1..[[NdcgK]]
+    * (the Benford6/RboW6 discipline — libm log2 is 1-ulp, not
+    * correctly rounded, so both engines read the SAME integer
+    * literals generated once here). */
+  private[graft] val NdcgDisc6: Seq[Long] = (1 to NdcgK).map { r =>
+    math.rint(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong
+  }
+
+  /** Ideal-DCG micro prefix sums, index m = 0..[[NdcgK]] relevant
+    * neighbors available (entry 0 is 0: a query whose label has no
+    * other member can score nothing). */
+  private[graft] val NdcgIdeal6: Seq[Long] =
+    NdcgDisc6.scanLeft(0L)(_ + _)
+
+  /** q263 — exact NDCG@[[NdcgK]] per label over the q255 scaffold:
+    * binary relevance (same-label neighbor), exact cosine ranking of
+    * the 1% query batch against the corpus, DCG with the pinned
+    * [[NdcgDisc6]] discounts, ideal DCG truncated at the label's
+    * actually-available neighbor count — the POSITION-WEIGHTED
+    * retrieval quality MRR cannot express: MRR only sees the FIRST
+    * same-label hit, NDCG scores the whole top-[[NdcgK]] page (a
+    * context-assembly window, q170, consumes all of it, so ranking
+    * quality BELOW rank 1 prices real retrieval-augmented pipelines).
+    *
+    * Determinism: integer micro-vector dots, query-norm dropped
+    * (rank-invariant), ranking ties on cid; DCG/IDCG are exact
+    * integer sums of pinned literals, NDCG is ONE division per query
+    * micro-quantized before the per-label fold. Queries with zero
+    * same-label neighbors available score 0 (the q255 miss
+    * convention).
+    *
+    * Scale shape: identical to q255 (query-batch × corpus, per-qid
+    * rank windows) — swap in the ANN candidate paths at corpus
+    * scale; everything after the top-[[NdcgK]] filter runs on
+    * ≤ batch·K rows. */
+  def q263RetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, v -> " +
+          "cast(round(cast(v as double) * 1000000, 0) as bigint))")
+        .as("iv"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("iv").as("qv"))
+    val corpus = emb.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("iv").as("cv"), col("n2").as("cn2"))
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("cn2").cast("double")))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid"))
+    val discArr = s"array(${NdcgDisc6.mkString("L, ")}L)"
+    val dcg = scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= NdcgK)
+      .groupBy("qid", "qlabel")
+      .agg(sum(when(col("clabel") === col("qlabel"),
+        expr(s"element_at($discArr, rn)")).otherwise(0L))
+        .as("dcg_micro"))
+    val labelSizes = emb.groupBy(col("label").as("qlabel"))
+      .agg(count(lit(1)).as("n_label"))
+    val idealArr = s"array(${NdcgIdeal6.mkString("L, ")}L)"
+    dcg.join(broadcast(labelSizes), Seq("qlabel"))
+      .withColumn("m", least(lit(NdcgK), col("n_label") - 1).cast("int"))
+      .withColumn("idcg_micro", expr(s"element_at($idealArr, m + 1)"))
+      .withColumn("ndcg_micro", when(col("idcg_micro") > 0, expr(
+        "cast(round(cast(dcg_micro as double) * 1e6 /" +
+          " cast(idcg_micro as double), 0) as bigint)")).otherwise(0L))
+      .groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("ndcg_micro")).cast("double") / count(lit(1)) / 1e6,
+          6).as("ndcg10"),
+        sum(when(col("dcg_micro") > 0, 1L).otherwise(0L))
+          .as("n_with_hits"))
+      .orderBy("label")
+  }
+
+  /** q265 — McNEMAR PAIRED TEST between two centroid classifiers on
+    * the SAME vectors: the cosine assignment (q233's) vs the
+    * unnormalized-dot assignment — the ablation one runs before
+    * dropping the norm step from a serving path ("does skipping the
+    * norm change accuracy, or only shuffle which items are wrong?").
+    * McNemar is THE test for paired classifiers: accuracies alone
+    * cannot distinguish 'B flips 100 of A's errors to correct and
+    * 100 of its corrects to error' (no accuracy change, b = c = 100)
+    * from 'B strictly dominates' — only the disagreement cells b/c
+    * carry the signal.
+    *
+    * Exactness: both picks are windows over the same exact scored
+    * table (cosine ties on c_label; the dot pick ranks the exact
+    * BIGINT dot itself); all four cells are exact counts, accuracies
+    * are single divisions, and the continuity-corrected statistic
+    * (|b−c|−1)²/(b+c) is one division of exact integers (NULL when
+    * b + c = 0 — no disagreements, no test). Centroid table shared
+    * with q233 via DfCache. */
+  def q265McnemarPicks(spark: SparkSession, dir: String): DataFrame = {
+    val cd = graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+            .as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+    val norms = cd.groupBy(col("label").as("c_label"))
+      .agg(sum(col("cq") * col("cq")).as("c2"))
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vm",
+        expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+    val scored = pts
+      .join(broadcast(cd.select(col("label").as("c_label"), col("pos"),
+        col("cq"))), Seq("pos"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(sum(col("vm") * col("cq")).as("dot"))
+      .join(broadcast(norms), Seq("c_label"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("c2").cast("double")))
+    val wCos = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("c_label"))
+    val wDot = Window.partitionBy("vec_id")
+      .orderBy(col("dot").desc, col("c_label"))
+    val picks = scored
+      .withColumn("rn_cos", row_number().over(wCos))
+      .withColumn("rn_dot", row_number().over(wDot))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("rn_cos") === 1, col("c_label"))).as("pred_cos"),
+        max(when(col("rn_dot") === 1, col("c_label"))).as("pred_dot"))
+      .select(
+        (col("pred_cos") === col("label")).cast("long").as("ca"),
+        (col("pred_dot") === col("label")).cast("long").as("cb"))
+    picks.agg(count(lit(1)).as("n_vecs"),
+        sum(col("ca") * col("cb")).as("n_both"),
+        sum(col("ca") * (lit(1L) - col("cb"))).as("n_cos_only"),
+        sum((lit(1L) - col("ca")) * col("cb")).as("n_dot_only"),
+        sum((lit(1L) - col("ca")) * (lit(1L) - col("cb"))).as("n_neither"))
+      .select(col("n_vecs"), col("n_both"), col("n_cos_only"),
+        col("n_dot_only"), col("n_neither"),
+        round((col("n_both") + col("n_cos_only")).cast("double") /
+          col("n_vecs"), 6).as("acc_cosine"),
+        round((col("n_both") + col("n_dot_only")).cast("double") /
+          col("n_vecs"), 6).as("acc_dot"),
+        when(col("n_cos_only") + col("n_dot_only") > 0, round(
+          ((abs(col("n_cos_only") - col("n_dot_only")) - 1) *
+            (abs(col("n_cos_only") - col("n_dot_only")) - 1))
+            .cast("double") /
+            (col("n_cos_only") + col("n_dot_only")).cast("double"), 6))
+          .as("mcnemar_chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_retrieval_ndcg" -> (q263RetrievalNdcg _),
+    "q265_mcnemar_picks" -> (q265McnemarPicks _),
     "q255_retrieval_mrr" -> (q255RetrievalMrr _),
     "q233_label_noise" -> (q233LabelNoise _),
     "q223_centroid_separation" -> (q223CentroidSeparation _),
@@ -511,6 +674,122 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q263_retrieval_ndcg" -> {
+      val discList = s"[${NdcgDisc6.mkString(", ")}]"
+      val idealList = s"[${NdcgIdeal6.mkString(", ")}]"
+      s"""WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |n2 AS (SELECT vec_id, CAST(sum(vm * vm) AS BIGINT) AS nn
+        |       FROM ex GROUP BY 1),
+        |labels AS (SELECT DISTINCT vec_id, label FROM ex),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
+        |  FROM labels q JOIN labels c
+        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |  JOIN ex qe ON qe.vec_id = q.vec_id
+        |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d.qid, d.cid,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY CAST(d.dot AS DOUBLE)
+        |             / sqrt(CAST(n.nn AS DOUBLE)) DESC, d.cid) AS rn
+        |  FROM dots d JOIN n2 n ON n.vec_id = d.cid),
+        |dcg AS (
+        |  SELECT t.qid, ql.label,
+        |         CAST(sum(CASE WHEN cl.label = ql.label
+        |           THEN $discList[t.rn] ELSE 0 END) AS BIGINT)
+        |           AS dcg_micro
+        |  FROM ranked t
+        |  JOIN labels ql ON ql.vec_id = t.qid
+        |  JOIN labels cl ON cl.vec_id = t.cid
+        |  WHERE t.rn <= $NdcgK
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+        |          FROM labels GROUP BY 1),
+        |perq AS (
+        |  SELECT d.label, d.dcg_micro,
+        |         $idealList[CAST(least($NdcgK, s.n_label - 1) + 1
+        |           AS INTEGER)] AS idcg_micro
+        |  FROM dcg d JOIN sizes s ON s.label = d.label),
+        |scoredq AS (
+        |  SELECT label, dcg_micro,
+        |         CASE WHEN idcg_micro > 0
+        |              THEN CAST(round(CAST(dcg_micro AS DOUBLE) * 1e6 /
+        |                CAST(idcg_micro AS DOUBLE), 0) AS BIGINT)
+        |              ELSE 0 END AS ndcg_micro
+        |  FROM perq)
+        |SELECT label, count(*) AS n_queries,
+        |       round(CAST(CAST(sum(ndcg_micro) AS BIGINT) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS ndcg10,
+        |       CAST(count(*) FILTER (WHERE dcg_micro > 0) AS BIGINT)
+        |         AS n_with_hits
+        |FROM scoredq GROUP BY 1 ORDER BY label""".stripMargin
+    },
+    "q265_mcnemar_picks" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |cd AS (
+        |  SELECT label, pos, count(*) AS n, CAST(sum(vm) AS BIGINT) AS s
+        |  FROM ex GROUP BY 1, 2),
+        |cq AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(round(CAST(s AS DOUBLE) / n, 0) AS BIGINT) AS cqv
+        |  FROM cd),
+        |norms AS (
+        |  SELECT c_label, CAST(sum(cqv * cqv) AS BIGINT) AS c2
+        |  FROM cq GROUP BY 1),
+        |dots AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |         CAST(sum(e.vm * c.cqv) AS BIGINT) AS dot
+        |  FROM ex e JOIN cq c ON e.pos = c.pos
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT d.vec_id, d.label, d.c_label, d.dot,
+        |         CAST(d.dot AS DOUBLE) / sqrt(CAST(n.c2 AS DOUBLE)) AS score
+        |  FROM dots d JOIN norms n ON d.c_label = n.c_label),
+        |picks AS (
+        |  SELECT vec_id, label,
+        |         max(CASE WHEN rn_cos = 1 THEN c_label END) AS pred_cos,
+        |         max(CASE WHEN rn_dot = 1 THEN c_label END) AS pred_dot
+        |  FROM (SELECT vec_id, label, c_label,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY score DESC, c_label) AS rn_cos,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY dot DESC, c_label) AS rn_dot
+        |        FROM scored)
+        |  GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(ca * cb) AS BIGINT) AS n_both,
+        |         CAST(sum(ca * (1 - cb)) AS BIGINT) AS n_cos_only,
+        |         CAST(sum((1 - ca) * cb) AS BIGINT) AS n_dot_only,
+        |         CAST(sum((1 - ca) * (1 - cb)) AS BIGINT) AS n_neither
+        |  FROM (SELECT CASE WHEN pred_cos = label THEN 1 ELSE 0 END AS ca,
+        |               CASE WHEN pred_dot = label THEN 1 ELSE 0 END AS cb
+        |        FROM picks))
+        |SELECT n_vecs, n_both, n_cos_only, n_dot_only, n_neither,
+        |       round(CAST(n_both + n_cos_only AS DOUBLE) / n_vecs, 6)
+        |         AS acc_cosine,
+        |       round(CAST(n_both + n_dot_only AS DOUBLE) / n_vecs, 6)
+        |         AS acc_dot,
+        |       CASE WHEN n_cos_only + n_dot_only > 0 THEN
+        |         round(CAST((abs(n_cos_only - n_dot_only) - 1) *
+        |                    (abs(n_cos_only - n_dot_only) - 1) AS DOUBLE) /
+        |               CAST(n_cos_only + n_dot_only AS DOUBLE), 6)
+        |       END AS mcnemar_chi2
+        |FROM cells""".stripMargin,
     "q255_retrieval_mrr" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,

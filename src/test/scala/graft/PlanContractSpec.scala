@@ -77,6 +77,9 @@ object PlanContract {
     "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
     "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
     "q255_retrieval_mrr" -> "1% query batch (vec_id % 100)",
+    "q263_retrieval_ndcg" -> "1% query batch (vec_id % 100)",
+    // all-pairs over a dimension-bounded profile: ≤ |nations| rows
+    "q267_kendall_tau" -> "nation-grain profile (≤ nations rows)",
     // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
     // candidate relation (InMemoryRelation subtrees are outside the
     // walk), so no grant is needed — documented in Mmr.scala instead
@@ -179,6 +182,7 @@ object PlanContract {
     * and fails the sweep. */
   val GlobalWindowAllow: Map[String, String] = Map(
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
+    "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
     "q213_reliability_curve" -> "user-grain spend profile ntile",
     "q185_pareto_deciles" -> "part-dimension revenue profile",
     "q192_skyline" -> "part-dimension price/size profile",
