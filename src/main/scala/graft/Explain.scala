@@ -176,8 +176,17 @@ object Explain {
     "q258_cluster_sizes",         // cached q73 labels → size histogram
     "q259_hill_tail",             // TakeOrdered head + ladder arms
     "q260_rank_overlap",          // two rank heads × 50-row spine
-    "q261_ewma")                  // daily-profile sequence-explode
+    "q261_ewma",                  // daily-profile sequence-explode
                                   // contributions; exact weights
+    "q262_pr_auc",                // distinct-score profile cumulative
+    "q263_retrieval_ndcg",        // broadcast query batch × corpus +
+                                  // per-qid top-10 rank windows
+    "q264_cliffs_delta",          // user-grain value-profile cumulative
+                                  // fold — pairs never enumerated
+    "q265_mcnemar_picks",         // classify join + two per-vec picks
+    "q266_lpa_communities",       // per-round label join against the
+                                  // hash-partitioned static edge list
+    "q267_kendall_tau")           // nation-profile all-pairs BNLJ
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

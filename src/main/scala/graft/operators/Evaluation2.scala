@@ -49,12 +49,18 @@ object Evaluation2 {
         sum(lit(1L) - col("label")).as("neg"))
     val wCum = Window.orderBy(col("cents").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals ride the SAME sorted pass as the cumulative (full-frame
+    // windows) — no second scan, no recomputed broadcast subtree
+    val wFull = Window.orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = byScore
-      .withColumn("cum_tp", sum(col("pos")).over(wCum))
-      .withColumn("cum_all", sum(col("pos") + col("neg")).over(wCum))
-    val totals = cum.agg(sum(col("pos")).as("n_pos"),
-      sum(col("neg")).as("n_neg"), count(lit(1)).as("n_thresholds"))
-    cum.crossJoin(broadcast(totals))
+      .select(col("pos"), col("neg"),
+        sum(col("pos")).over(wCum).as("cum_tp"),
+        sum(col("pos") + col("neg")).over(wCum).as("cum_all"),
+        sum(col("pos")).over(wFull).as("n_pos"),
+        sum(col("neg")).over(wFull).as("n_neg"),
+        count(lit(1)).over(wFull).as("n_thresholds"))
+    cum
       .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
         when(col("n_pos") > 0, expr(
           "cast(round(cast(pos * cum_tp as double) * 1e6 /" +
