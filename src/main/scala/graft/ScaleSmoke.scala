@@ -229,7 +229,9 @@ object ScaleSmoke {
         "q258_cluster_sizes", "q259_hill_tail", "q260_rank_overlap",
         "q261_ewma", "q262_pr_auc", "q263_retrieval_ndcg",
         "q264_cliffs_delta", "q265_mcnemar_picks",
-        "q266_lpa_communities", "q267_kendall_tau")
+        "q266_lpa_communities", "q267_kendall_tau",
+        "q268_periodogram", "q269_assortativity",
+        "q270_rake_keyphrases", "q271_forecast_backtest")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -69,11 +69,95 @@ object Graph3 {
       .limit(LpaTopK)
   }
 
+  /** q269 — DEGREE ASSORTATIVITY (Newman's r) of the undirected
+    * shipment graph: the Pearson correlation of endpoint degrees over
+    * edges — the one-number wiring-topology audit behind every graph
+    * operator's cost model: assortative graphs (hubs wire to hubs)
+    * concentrate triangle/wedge work (q140) and shuffle skew (q75's
+    * subject) in a dense core, disassortative ones (hub-to-leaf, the
+    * typical bipartite market shape) spread it. Run before sizing
+    * q138/q266 partitioning at a new scale.
+    *
+    * Exactness: degrees and all three sufficient statistics (Σjk, Σj,
+    * Σj²) fold as exact BIGINTs over the 2|E| orientation rows (both
+    * orientations — the standard undirected convention, which makes
+    * Σj = Σk by symmetry and r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²));
+    * the final products are formed in doubles from the exact scalars
+    * (the q227 moment-product rule — M·Σjk overflows int64 at scale)
+    * with the parenthesization mirrored verbatim. NULL when the
+    * degree distribution is constant (zero variance — no correlation
+    * defined). */
+  def q269Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = graft.sources.DfCache.df(spark, s"lpa_und|$dir")(
+      Graph.shipmentEdges(spark, dir)
+        .select(col("src").as("node"), col("dst").as("nbr"))
+        .union(Graph.shipmentEdges(spark, dir)
+          .select(col("dst").as("node"), col("src").as("nbr")))
+        .repartition(col("node")))
+    val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+    val stats = und
+      .join(deg, Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("deg").as("kdeg")),
+        Seq("nbr"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("deg")).as("s_j"),
+        sum(col("deg") * col("deg")).as("s_j2"),
+        sum(col("deg") * col("kdeg")).as("s_jk"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"))
+    stats.crossJoin(broadcast(nodeStats))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        col("max_degree"), col("s_jk"), col("s_j"), col("s_j2"),
+        when(col("m").cast("double") * col("s_j2").cast("double") -
+          col("s_j").cast("double") * col("s_j").cast("double") =!= 0.0,
+          round((col("m").cast("double") * col("s_jk").cast("double") -
+            col("s_j").cast("double") * col("s_j").cast("double")) /
+            (col("m").cast("double") * col("s_j2").cast("double") -
+              col("s_j").cast("double") * col("s_j").cast("double")), 6))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q266_lpa_communities" -> (q266LpaCommunities _))
+    "q266_lpa_communities" -> (q266LpaCommunities _),
+    "q269_assortativity" -> (q269Assortativity _))
 
   val oracles: Map[String, String] = Map(
-    "q266_lpa_communities" -> lpaSql)
+    "q266_lpa_communities" -> lpaSql,
+    "q269_assortativity" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |         'p' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM lineitem),
+        |und AS MATERIALIZED (
+        |  SELECT src AS node, dst AS nbr FROM edges
+        |  UNION ALL SELECT dst, src FROM edges),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM und GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(dj.deg) AS BIGINT) AS s_j,
+        |         CAST(sum(dj.deg * dj.deg) AS BIGINT) AS s_j2,
+        |         CAST(sum(dj.deg * dk.deg) AS BIGINT) AS s_jk
+        |  FROM und u
+        |  JOIN deg dj ON dj.node = u.node
+        |  JOIN deg dk ON dk.node = u.nbr),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(max(deg) AS BIGINT) AS max_degree FROM deg)
+        |SELECT ns.n_nodes, stats.m // 2 AS n_edges, ns.max_degree,
+        |       stats.s_jk, stats.s_j, stats.s_j2,
+        |       CASE WHEN CAST(stats.m AS DOUBLE) * CAST(stats.s_j2 AS DOUBLE)
+        |                 - CAST(stats.s_j AS DOUBLE) * CAST(stats.s_j AS DOUBLE)
+        |                 <> 0.0
+        |            THEN round((CAST(stats.m AS DOUBLE)
+        |                   * CAST(stats.s_jk AS DOUBLE)
+        |                   - CAST(stats.s_j AS DOUBLE)
+        |                     * CAST(stats.s_j AS DOUBLE))
+        |                 / (CAST(stats.m AS DOUBLE)
+        |                    * CAST(stats.s_j2 AS DOUBLE)
+        |                    - CAST(stats.s_j AS DOUBLE)
+        |                      * CAST(stats.s_j AS DOUBLE)), 6)
+        |       END AS assortativity
+        |FROM stats CROSS JOIN ns""".stripMargin)
 
   /** The synchronous recurrence mechanically unrolled (the q138/q142
     * idiom); MATERIALIZED because each round is referenced by the

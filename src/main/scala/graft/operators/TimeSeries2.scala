@@ -419,7 +419,115 @@ object TimeSeries2 {
       .orderBy("event_type", "day")
   }
 
+  /** q268 audited seasonal periods (days). */
+  private[graft] val SeasonPeriods = Seq(7, 30)
+
+  /** Pinned micro-unit cos/sin tables per period, cos(2πr/P)·1e6 for
+    * r = 0..P−1 (the Benford6/NdcgDisc6 discipline — libm trig is
+    * 1-ulp, not correctly rounded, so both engines read the SAME
+    * integer literals). */
+  private[graft] def cos6(p: Int): Seq[Long] = (0 until p).map { r =>
+    math.rint(math.cos(2 * math.Pi * r / p) * 1e6).toLong }
+  private[graft] def sin6(p: Int): Seq[Long] = (0 until p).map { r =>
+    math.rint(math.sin(2 * math.Pi * r / p) * 1e6).toLong }
+
+  /** q268 — SPECTRAL SEASONALITY STRENGTH (single-frequency
+    * periodogram) at the weekly and monthly periods, per event type:
+    * the relative amplitude 2·|Σ(n_d − n̄)·e^(−2πi·d/P)| / (n·n̄) of
+    * the daily-count series at each audited cycle — the HOW-MUCH
+    * companion to q177's dow means (which show WHERE the weekly cycle
+    * peaks but give no single comparable strength number, and cannot
+    * see a monthly cycle at all). The number a capacity planner
+    * thresholds before fitting any seasonal model.
+    *
+    * Exactness: cos/sin weights are pinned micro-unit literals keyed
+    * by day mod P; A/B/C/S fold as exact BIGINTs over the daily
+    * profile, mean-centering folds algebraically into exact integers
+    * X = A·n − T·C (no fractional mean ever materializes), and the
+    * amplitude is formed from the FINAL scalars in doubles with the
+    * parenthesization mirrored verbatim (the q227 moment-product
+    * rule; phase is deliberately not reported — atan2 is not in the
+    * blessed function set). Phase-invariance makes the arbitrary
+    * d0 epoch origin irrelevant. */
+  def q268Periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
+    val withP = daily.withColumn("p",
+      explode(array(SeasonPeriods.map(lit(_)): _*)))
+    def trig(name: String, tab: Int => Seq[Long]): Column =
+      SeasonPeriods.tail.foldLeft(
+        when(col("p") === SeasonPeriods.head, expr(
+          s"element_at(array(${tab(SeasonPeriods.head).mkString("L, ")}L)," +
+            s" (day % ${SeasonPeriods.head}) + 1)"))) { (acc, per) =>
+        acc.when(col("p") === per, expr(
+          s"element_at(array(${tab(per).mkString("L, ")}L)," +
+            s" (day % $per) + 1)"))
+      }.as(name)
+    val folded = withP
+      .select(col("event_type"), col("p"), col("n"),
+        trig("cv", cos6), trig("sv", sin6))
+      .groupBy("event_type", "p")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_events"),
+        sum(col("cv")).as("c_sum"), sum(col("sv")).as("s_sum"),
+        sum(col("n") * col("cv")).as("a_sum"),
+        sum(col("n") * col("sv")).as("b_sum"))
+      .withColumn("x",
+        col("a_sum") * col("n_days") - col("total_events") * col("c_sum"))
+      .withColumn("y",
+        col("b_sum") * col("n_days") - col("total_events") * col("s_sum"))
+    folded
+      .select(col("event_type"), col("p").as("period"), col("n_days"),
+        col("total_events"),
+        round(lit(2.0) * sqrt(
+          col("x").cast("double") * col("x").cast("double") +
+            col("y").cast("double") * col("y").cast("double")) /
+          (lit(1e6) * col("n_days").cast("double") *
+            col("total_events").cast("double")), 6).as("rel_amplitude"))
+      .orderBy("event_type", "period")
+  }
+
+  /** q271 — NAIVE-BASELINE FORECAST BACKTEST: walk-forward one-step
+    * MAE of the two baselines every forecaster must beat — naive-1
+    * (tomorrow = today) and seasonal-naive-7 (tomorrow = same weekday
+    * last week) — per event type on the daily profile, evaluated on
+    * the common set of days where BOTH lags exist (a fair shared eval
+    * window, declared). The model-selection harness one runs BEFORE
+    * fitting anything: if seasonal-naive wins by a wide margin the
+    * series is cycle-dominated (see q268/q177); if naive-1 wins it is
+    * level-dominated and a seasonal model would overfit.
+    *
+    * Exactness: both lags are equi-joins of the daily profile to
+    * itself on (type, day−k) — gap days simply produce no eval row,
+    * identically in both engines; absolute errors fold as exact
+    * BIGINTs; each MAE is one division; the winner verdict compares
+    * the EXACT integer error sums, never the rounded MAEs. */
+  def q271ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
+    val l1 = daily.select(col("event_type"), (col("day") + 1).as("day"),
+      col("n").as("l1"))
+    val l7 = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("n").as("l7"))
+    daily.join(l1, Seq("event_type", "day"))
+      .join(l7, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval_days"),
+        sum(abs(col("n") - col("l1"))).as("ae1"),
+        sum(abs(col("n") - col("l7"))).as("ae7"))
+      .select(col("event_type"), col("n_eval_days"),
+        round(col("ae1").cast("double") / col("n_eval_days"), 4)
+          .as("mae_naive1"),
+        round(col("ae7").cast("double") / col("n_eval_days"), 4)
+          .as("mae_snaive7"),
+        when(col("ae7") < col("ae1"), "seasonal_naive")
+          .when(col("ae1") < col("ae7"), "naive").otherwise("tie")
+          .as("winner"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_periodogram" -> (q268Periodogram _),
+    "q271_forecast_backtest" -> (q271ForecastBacktest _),
     "q252_cusum" -> (q252Cusum _),
     "q250_overdispersion" -> (q250Overdispersion _),
     "q246_linear_interpolate" -> (q246LinearInterpolate _),
@@ -432,6 +540,87 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q268_periodogram" -> {
+      def lst(xs: Seq[Long]) = s"[${xs.mkString(", ")}]"
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |withp AS (
+        |  SELECT event_type, day, n,
+        |         unnest(${lst(SeasonPeriods.map(_.toLong))}) AS p
+        |  FROM daily),
+        |terms AS (
+        |  SELECT event_type, p, n,
+        |         CASE WHEN p = 7
+        |              THEN ${lst(cos6(7))}[CAST((day % 7) + 1 AS INTEGER)]
+        |              ELSE ${lst(cos6(30))}[CAST((day % 30) + 1 AS INTEGER)]
+        |         END AS cv,
+        |         CASE WHEN p = 7
+        |              THEN ${lst(sin6(7))}[CAST((day % 7) + 1 AS INTEGER)]
+        |              ELSE ${lst(sin6(30))}[CAST((day % 30) + 1 AS INTEGER)]
+        |         END AS sv
+        |  FROM withp),
+        |folded AS (
+        |  SELECT event_type, p,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(n) AS BIGINT) AS total_events,
+        |         CAST(sum(cv) AS BIGINT) AS c_sum,
+        |         CAST(sum(sv) AS BIGINT) AS s_sum,
+        |         CAST(sum(n * cv) AS BIGINT) AS a_sum,
+        |         CAST(sum(n * sv) AS BIGINT) AS b_sum
+        |  FROM terms GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type, p, n_days, total_events,
+        |         a_sum * n_days - total_events * c_sum AS x,
+        |         b_sum * n_days - total_events * s_sum AS y
+        |  FROM folded)
+        |SELECT event_type, CAST(p AS INTEGER) AS period, n_days,
+        |       total_events,
+        |       round(2.0 * sqrt(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |               + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+        |             / (1e6 * CAST(n_days AS DOUBLE)
+        |                * CAST(total_events AS DOUBLE)), 6)
+        |         AS rel_amplitude
+        |FROM xy ORDER BY event_type, period""".stripMargin
+    },
+    "q271_forecast_backtest" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |ev_l AS (
+        |  SELECT d.event_type, d.n, a.n AS l1, b.n AS l7
+        |  FROM daily d
+        |  JOIN daily a ON a.event_type = d.event_type
+        |               AND a.day = d.day - 1
+        |  JOIN daily b ON b.event_type = d.event_type
+        |               AND b.day = d.day - 7),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS BIGINT) AS n_eval_days,
+        |         CAST(sum(abs(n - l1)) AS BIGINT) AS ae1,
+        |         CAST(sum(abs(n - l7)) AS BIGINT) AS ae7
+        |  FROM ev_l GROUP BY 1)
+        |SELECT event_type, n_eval_days,
+        |       round(CAST(ae1 AS DOUBLE) / n_eval_days, 4) AS mae_naive1,
+        |       round(CAST(ae7 AS DOUBLE) / n_eval_days, 4) AS mae_snaive7,
+        |       CASE WHEN ae7 < ae1 THEN 'seasonal_naive'
+        |            WHEN ae1 < ae7 THEN 'naive'
+        |            ELSE 'tie' END AS winner
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q252_cusum" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
