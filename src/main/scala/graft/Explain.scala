@@ -186,7 +186,12 @@ object Explain {
     "q265_mcnemar_picks",         // classify join + two per-vec picks
     "q266_lpa_communities",       // per-round label join against the
                                   // hash-partitioned static edge list
-    "q267_kendall_tau")           // nation-profile all-pairs BNLJ
+    "q267_kendall_tau",           // nation-profile all-pairs BNLJ
+    "q268_periodogram",           // daily-profile pinned-trig folds
+    "q269_assortativity",         // edge-list degree joins → 1-row stats
+    "q270_rake_keyphrases",       // per-doc island window + vocab joins
+                                  // + global top-20 TakeOrdered
+    "q271_forecast_backtest")     // daily-profile self-joins on day−k
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
