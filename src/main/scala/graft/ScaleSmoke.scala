@@ -231,7 +231,9 @@ object ScaleSmoke {
         "q264_cliffs_delta", "q265_mcnemar_picks",
         "q266_lpa_communities", "q267_kendall_tau",
         "q268_periodogram", "q269_assortativity",
-        "q270_rake_keyphrases", "q271_forecast_backtest")
+        "q270_rake_keyphrases", "q271_forecast_backtest",
+        "q272_session_thresholds", "q273_source_overlap",
+        "q274_simpson_audit", "q275_burst_episodes")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,13 +193,122 @@ object Contribution {
       .orderBy("depth")
   }
 
+  /** q274 — SIMPSON'S-PARADOX (aggregation-reversal) AUDIT: per
+    * nation, the OLS slope of customer spend on customer order count,
+    * against the POOLED slope over all customers — flagging nations
+    * where the within-group trend REVERSES the pooled trend, the
+    * classic aggregation trap that makes a pooled dashboard number
+    * argue the opposite of every segment it aggregates. The check a
+    * metrics owner runs before shipping any pooled trend (q178) as a
+    * narrative.
+    *
+    * Exactness: per-customer (cents, n_orders) folds exactly; slope
+    * moments (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs per nation (x is
+    * DOLLAR-quantized per order, a declared unit — cents would push
+    * the exact Σx² fold past int64 at the graded scales), the
+    * POOLED moments are the SUM of the nation moments (decomposable —
+    * no second scan, the q03 re-aggregation discipline), and slopes /
+    * sign comparisons form the final products in doubles (the q227
+    * rule) with parenthesization mirrored verbatim. A zero-variance
+    * group reports NULL slope and never flags. */
+  def q274SimpsonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(expr("cast(round(o_totalprice, 0) as bigint)"))
+        .as("x"), count(lit(1)).as("y"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("custkey"),
+          col("c_nationkey").as("nation")), Seq("custkey"))
+    val byNation = perCust.groupBy("nation")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+    val pooled = byNation.agg(sum(col("n")).as("pn"),
+      sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+      sum(col("sxy")).as("psxy"), sum(col("sx2")).as("psx2"))
+    def num(n: Column, sxy: Column, sx: Column, sy: Column): Column =
+      n.cast("double") * sxy.cast("double") -
+        sx.cast("double") * sy.cast("double")
+    def den(n: Column, sx2: Column, sx: Column): Column =
+      n.cast("double") * sx2.cast("double") -
+        sx.cast("double") * sx.cast("double")
+    byNation.crossJoin(broadcast(pooled))
+      .select(col("nation"), col("n").as("n_customers"),
+        when(den(col("n"), col("sx2"), col("sx")) =!= 0.0,
+          round(num(col("n"), col("sxy"), col("sx"), col("sy")) /
+            den(col("n"), col("sx2"), col("sx")), 8)).as("slope"),
+        when(den(col("pn"), col("psx2"), col("psx")) =!= 0.0,
+          round(num(col("pn"), col("psxy"), col("psx"), col("psy")) /
+            den(col("pn"), col("psx2"), col("psx")), 8))
+          .as("pooled_slope"),
+        (signum(num(col("n"), col("sxy"), col("sx"), col("sy"))) *
+          signum(num(col("pn"), col("psxy"), col("psx"), col("psy")))
+          < 0.0).as("sign_reversed"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_simpson_audit" -> (q274SimpsonAudit _),
     "q260_rank_overlap" -> (q260RankOverlap _),
     "q184_rfm_segments" -> (q184RfmSegments _),
     "q185_pareto_deciles" -> (q185ParetoDeciles _),
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q274_simpson_audit" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT))
+        |              AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |tagged AS (
+        |  SELECT c.c_nationkey AS nation, p.x, p.y
+        |  FROM per_cust p JOIN customer c ON c.c_custkey = p.custkey),
+        |by_nation AS (
+        |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM tagged GROUP BY 1),
+        |pooled AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS pn,
+        |         CAST(sum(sx) AS BIGINT) AS psx,
+        |         CAST(sum(sy) AS BIGINT) AS psy,
+        |         CAST(sum(sxy) AS BIGINT) AS psxy,
+        |         CAST(sum(sx2) AS BIGINT) AS psx2
+        |  FROM by_nation)
+        |SELECT b.nation, b.n AS n_customers,
+        |       CASE WHEN CAST(b.n AS DOUBLE) * CAST(b.sx2 AS DOUBLE)
+        |                 - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)
+        |                 <> 0.0
+        |            THEN round((CAST(b.n AS DOUBLE)
+        |                    * CAST(b.sxy AS DOUBLE)
+        |                    - CAST(b.sx AS DOUBLE) * CAST(b.sy AS DOUBLE))
+        |                  / (CAST(b.n AS DOUBLE) * CAST(b.sx2 AS DOUBLE)
+        |                     - CAST(b.sx AS DOUBLE)
+        |                       * CAST(b.sx AS DOUBLE)), 8)
+        |       END AS slope,
+        |       CASE WHEN CAST(p.pn AS DOUBLE) * CAST(p.psx2 AS DOUBLE)
+        |                 - CAST(p.psx AS DOUBLE) * CAST(p.psx AS DOUBLE)
+        |                 <> 0.0
+        |            THEN round((CAST(p.pn AS DOUBLE)
+        |                    * CAST(p.psxy AS DOUBLE)
+        |                    - CAST(p.psx AS DOUBLE)
+        |                      * CAST(p.psy AS DOUBLE))
+        |                  / (CAST(p.pn AS DOUBLE)
+        |                     * CAST(p.psx2 AS DOUBLE)
+        |                     - CAST(p.psx AS DOUBLE)
+        |                       * CAST(p.psx AS DOUBLE)), 8)
+        |       END AS pooled_slope,
+        |       sign(CAST(b.n AS DOUBLE) * CAST(b.sxy AS DOUBLE)
+        |            - CAST(b.sx AS DOUBLE) * CAST(b.sy AS DOUBLE))
+        |       * sign(CAST(p.pn AS DOUBLE) * CAST(p.psxy AS DOUBLE)
+        |              - CAST(p.psx AS DOUBLE) * CAST(p.psy AS DOUBLE))
+        |       < 0.0 AS sign_reversed
+        |FROM by_nation b CROSS JOIN pooled p
+        |ORDER BY nation""".stripMargin,
     "q260_rank_overlap" -> {
       val w6List = s"[${RboW6.mkString(", ")}]"
       s"""WITH ut AS (

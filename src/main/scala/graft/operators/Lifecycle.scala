@@ -69,6 +69,53 @@ object Lifecycle {
       .orderBy("day")
   }
 
+  /** q272 audited inactivity thresholds (seconds). */
+  private[graft] val SessionThresholds = Seq(600L, 1800L, 3600L)
+
+  /** q272 — SESSIONIZATION-THRESHOLD OPERATING CURVE: how many
+    * sessions, events-per-session, and gap-break rate the corpus
+    * yields at each candidate inactivity threshold — the TUNING view
+    * behind q81's single fixed threshold (and q46's session windows):
+    * pick the threshold where the curve's knee sits, instead of
+    * cargo-culting 30 minutes. The q249 threshold-curve idea applied
+    * to sessionization.
+    *
+    * One lag-window pass over each user's full event stream (the
+    * honest q81/q180 cost), then ONE conditional fold evaluates ALL
+    * thresholds simultaneously: a user's session count at threshold T
+    * is 1 + (gaps > T), so n_sessions(T) = n_users + Σ(gaps > T) —
+    * first-event rows (NULL gap) count the users in the same pass.
+    * All counts exact; each rate is one division. */
+  def q272SessionThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("delta_us", col("us") - lag(col("us"), 1).over(w))
+    val breakCols = SessionThresholds.map { t =>
+      sum(when(col("delta_us") > t * 1000000L, 1L).otherwise(0L))
+        .as(s"b$t")
+    }
+    val agg = gaps.agg(count(lit(1)).as("n_events"),
+      (sum(when(col("delta_us").isNull, 1L).otherwise(0L)).as("n_users")
+        +: breakCols): _*)
+    val rows = SessionThresholds.map { t =>
+      struct(lit(t).as("threshold_s"), col(s"b$t").as("n_breaks"))
+    }
+    agg
+      .select(col("n_events"), col("n_users"),
+        explode(array(rows: _*)).as("t"))
+      .select(col("t.threshold_s").as("threshold_s"),
+        (col("n_users") + col("t.n_breaks")).as("n_sessions"),
+        round(col("n_events").cast("double") /
+          (col("n_users") + col("t.n_breaks")).cast("double"), 4)
+          .as("events_per_session"),
+        round(col("t.n_breaks").cast("double") /
+          (col("n_events") - col("n_users")).cast("double"), 6)
+          .as("gap_break_rate"))
+      .orderBy("threshold_s")
+  }
+
   /** q180 — inter-arrival cadence per event type: the gap between a
     * user's consecutive events of the SAME type (lag over the
     * (user, type) stream), summarized as count / mean / median / p90
@@ -307,6 +354,7 @@ object Lifecycle {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q235_km_survival" -> (q235KmSurvival _),
     "q179_survival_curve" -> (q179SurvivalCurve _),
+    "q272_session_thresholds" -> (q272SessionThresholds _),
     "q180_interarrival" -> (q180InterArrival _),
     "q212_lateness_profile" -> (q212LatenessProfile _),
     "q182_active_users" -> (q182ActiveUsers _),
@@ -451,6 +499,42 @@ object Lifecycle {
         |       CAST(max_us // 1000000 AS BIGINT) AS max_late_s,
         |       CAST(ceil(p99_us / 1e6) AS BIGINT) AS wm_suggest_s
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q272_session_thresholds" -> {
+      val breakSelects = SessionThresholds.map { t =>
+        s"CAST(sum(CASE WHEN delta_us > ${t * 1000000L} THEN 1 ELSE 0" +
+          s" END) AS BIGINT) AS b$t"
+      }.mkString(",\n        |         ")
+      val valueRows = SessionThresholds.map(t => s"($t)").mkString(", ")
+      val breakCase = SessionThresholds.map(t =>
+        s"WHEN ${t} THEN b$t").mkString(" ")
+      s"""WITH seq AS (
+        |  SELECT user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP))
+        |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |               PARTITION BY user_id
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |           AS delta_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CASE WHEN delta_us IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_users,
+        |         $breakSelects
+        |  FROM seq),
+        |rows_t AS (
+        |  SELECT t.threshold_s, a.n_events, a.n_users,
+        |         CASE t.threshold_s $breakCase END AS n_breaks
+        |  FROM agg a, (VALUES $valueRows) t(threshold_s))
+        |SELECT CAST(threshold_s AS BIGINT) AS threshold_s,
+        |       n_users + n_breaks AS n_sessions,
+        |       round(CAST(n_events AS DOUBLE)
+        |             / CAST(n_users + n_breaks AS DOUBLE), 4)
+        |         AS events_per_session,
+        |       round(CAST(n_breaks AS DOUBLE)
+        |             / CAST(n_events - n_users AS DOUBLE), 6)
+        |         AS gap_break_rate
+        |FROM rows_t ORDER BY threshold_s""".stripMargin
+    },
     "q180_interarrival" ->
       """WITH seq AS (
         |  SELECT event_type,

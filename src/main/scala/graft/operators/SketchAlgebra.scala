@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -228,7 +229,66 @@ object SketchAlgebra {
       .orderBy("source_a", "source_b")
   }
 
+  /** q273 — EXACT cross-source vocabulary overlap matrix: for every
+    * source pair, the exact bigram-vocabulary intersection, union and
+    * Jaccard — the exact companion (and test-scale ground truth) to
+    * q228's KMV ESTIMATE of the same quantity, over the IDENTICAL
+    * unit definition (space-split word bigrams). Run both to price
+    * the sketch: at corpus scale only q228 is affordable; here the
+    * exact fold shows what the k=256 bottom-k trades away.
+    *
+    * Mechanism: one distinct (source, bigram) pass, then each bigram
+    * folds to a source-membership BITMASK (sources indexed by sorted
+    * order — an enum-sized profile); the mask HISTOGRAM (≤ 2^|sources|
+    * rows) is all any pairwise overlap needs — the vocabulary itself
+    * is never touched again, so the pair loop runs on a handful of
+    * rows regardless of corpus size. All counts exact; Jaccard is one
+    * division. */
+  def q273SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val units = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> concat(ws[i-1], ' ', ws[i]))")).as("unit"))
+      .distinct()
+    val srcIdx = units.select("source").distinct()
+      .withColumn("idx", row_number().over(
+        Window.orderBy("source")))
+    val maskHist = units
+      .join(broadcast(srcIdx), Seq("source"))
+      .groupBy("unit")
+      .agg(sum(expr(
+        "cast(shiftleft(cast(1 as bigint), idx - 1) as bigint)"))
+        .as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairs = srcIdx.select(col("source").as("source_a"),
+        col("idx").as("ia"))
+      .join(broadcast(srcIdx.select(col("source").as("source_b"),
+        col("idx").as("ib"))), col("source_a") < col("source_b"))
+    pairs.join(broadcast(maskHist),
+        expr("(shiftright(mask, ia - 1) & 1) = 1 or " +
+          "(shiftright(mask, ib - 1) & 1) = 1"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        sum(when(expr("(shiftright(mask, ia - 1) & 1) = 1"), col("cnt"))
+          .otherwise(0L)).as("n_a"),
+        sum(when(expr("(shiftright(mask, ib - 1) & 1) = 1"), col("cnt"))
+          .otherwise(0L)).as("n_b"),
+        sum(when(expr("(shiftright(mask, ia - 1) & 1) = 1 and " +
+          "(shiftright(mask, ib - 1) & 1) = 1"), col("cnt"))
+          .otherwise(0L)).as("n_inter"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_source_overlap" -> (q273SourceOverlap _),
     "q153_hll_intersect" -> (q153HllIntersect _),
     "q217_kmv_distinct" -> (q217KmvDistinct _),
     "q226_incremental_kmv" -> (q226IncrementalKmv _),
@@ -237,6 +297,49 @@ object SketchAlgebra {
   /** Exact-overlap arm in SQL; the sketch estimate's tolerance verdict
     * is the engine-side contract (the q52/q148 pattern). */
   val oracles: Map[String, String] = Map(
+    "q273_source_overlap" ->
+      """WITH units AS (
+        |  SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS unit
+        |  FROM (SELECT source, string_split(trim(text), ' ') AS ws,
+        |               unnest(generate_series(1,
+        |                 len(string_split(trim(text), ' ')) - 1)) AS i
+        |        FROM documents)
+        |  WHERE len(ws) >= 2),
+        |src AS (
+        |  SELECT source,
+        |         CAST(row_number() OVER (ORDER BY source) AS INTEGER)
+        |           AS idx
+        |  FROM (SELECT DISTINCT source FROM units)),
+        |masks AS (
+        |  SELECT u.unit,
+        |         CAST(sum(1::BIGINT << (s.idx - 1)) AS BIGINT) AS mask
+        |  FROM units u JOIN src s ON s.source = u.source
+        |  GROUP BY 1),
+        |hist AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM masks GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS source_a, a.idx AS ia,
+        |         b.source AS source_b, b.idx AS ib
+        |  FROM src a JOIN src b ON a.source < b.source),
+        |folded AS (
+        |  SELECT p.source_a, p.source_b,
+        |         CAST(sum(CASE WHEN ((h.mask >> (p.ia - 1)) & 1) = 1
+        |                       THEN h.cnt ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN ((h.mask >> (p.ib - 1)) & 1) = 1
+        |                       THEN h.cnt ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN ((h.mask >> (p.ia - 1)) & 1) = 1
+        |                        AND ((h.mask >> (p.ib - 1)) & 1) = 1
+        |                       THEN h.cnt ELSE 0 END) AS BIGINT)
+        |           AS n_inter
+        |  FROM pairs p JOIN hist h
+        |    ON ((h.mask >> (p.ia - 1)) & 1) = 1
+        |    OR ((h.mask >> (p.ib - 1)) & 1) = 1
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_a, n_b, n_inter,
+        |       n_a + n_b - n_inter AS n_union,
+        |       round(CAST(n_inter AS DOUBLE)
+        |             / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM folded ORDER BY source_a, source_b""".stripMargin,
     "q153_hll_intersect" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -525,7 +525,53 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** q275 burst threshold: a day is bursting when its count exceeds
+    * median + [[BurstSigma]]·√median — the Poisson-surprise form (for
+    * a Poisson-like arrival process √median is the noise scale, so
+    * the threshold adapts to volume where a fixed multiplier either
+    * never fires on high-volume series or always fires on low). */
+  private[graft] val BurstSigma = 2.0
+
+  /** q275 — BURST-EPISODE SEGMENTATION: maximal runs of consecutive
+    * bursting days per event type (gaps-and-islands on the day index),
+    * each reported with start/end/length/peak/volume — the EPISODE
+    * view the pointwise monitors can't give: q187's DoD alerts and
+    * q176's MAD outliers flag single days, q155 finds one level
+    * shift; an incident reviewer wants "the burst lasted 3 days,
+    * peaked at X" as one row. The daily median baseline is robust to
+    * the bursts being measured (a mean baseline would be dragged up
+    * by them).
+    *
+    * Exactness: counts are exact; the median is the engine-identical
+    * exact percentile over the ≤-#days profile (q180's precedent);
+    * the burst predicate median + [[BurstSigma]]·√median uses only
+    * blessed operations (√ of the shared median double) and is
+    * written identically in both engines; islands are pure integer
+    * position arithmetic. Window runs over the burst-day profile
+    * PARTITIONED BY TYPE (calendar-bounded). */
+  def q275BurstEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("n"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5d)").as("med"))
+    val burst = daily.join(broadcast(med), Seq("event_type"))
+      .filter(col("n").cast("double") >
+        col("med") + lit(BurstSigma) * sqrt(col("med")))
+    val wIsl = Window.partitionBy("event_type").orderBy("day")
+    burst
+      .withColumn("grp", col("day") - row_number().over(wIsl))
+      .groupBy("event_type", "grp")
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("n_days"), max(col("n")).as("peak_daily"),
+        sum(col("n")).as("burst_volume"))
+      .select(col("event_type"), col("start_day"), col("end_day"),
+        col("n_days"), col("peak_daily"), col("burst_volume"))
+      .orderBy("event_type", "start_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_burst_episodes" -> (q275BurstEpisodes _),
     "q268_periodogram" -> (q268Periodogram _),
     "q271_forecast_backtest" -> (q271ForecastBacktest _),
     "q252_cusum" -> (q252Cusum _),
@@ -540,6 +586,38 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q275_burst_episodes" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type,
+        |         quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |burst AS (
+        |  SELECT d.event_type, d.day, d.n
+        |  FROM daily d JOIN med m ON m.event_type = d.event_type
+        |  WHERE CAST(d.n AS DOUBLE) > m.med + $BurstSigma * sqrt(m.med)),
+        |isl AS (
+        |  SELECT event_type, day, n,
+        |         day - row_number() OVER (PARTITION BY event_type
+        |           ORDER BY day) AS grp
+        |  FROM burst)
+        |SELECT event_type,
+        |       CAST(min(day) AS BIGINT) AS start_day,
+        |       CAST(max(day) AS BIGINT) AS end_day,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max(n) AS BIGINT) AS peak_daily,
+        |       CAST(sum(n) AS BIGINT) AS burst_volume
+        |FROM isl GROUP BY event_type, grp
+        |ORDER BY event_type, start_day""".stripMargin,
     "q268_periodogram" -> {
       def lst(xs: Seq[Long]) = s"[${xs.mkString(", ")}]"
       s"""WITH ev AS (

@@ -80,6 +80,8 @@ object PlanContract {
     "q263_retrieval_ndcg" -> "1% query batch (vec_id % 100)",
     // all-pairs over a dimension-bounded profile: ≤ |nations| rows
     "q267_kendall_tau" -> "nation-grain profile (≤ nations rows)",
+    // source-pair spine × 2^|sources|-row membership-mask histogram
+    "q273_source_overlap" -> "source pairs × mask histogram (enum-sized)",
     // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
     // candidate relation (InMemoryRelation subtrees are outside the
     // walk), so no grant is needed — documented in Mmr.scala instead
@@ -183,6 +185,7 @@ object PlanContract {
   val GlobalWindowAllow: Map[String, String] = Map(
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
     "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
+    "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
     "q213_reliability_curve" -> "user-grain spend profile ntile",
     "q185_pareto_deciles" -> "part-dimension revenue profile",
     "q192_skyline" -> "part-dimension price/size profile",
