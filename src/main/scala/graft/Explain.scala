@@ -191,7 +191,13 @@ object Explain {
     "q269_assortativity",         // edge-list degree joins → 1-row stats
     "q270_rake_keyphrases",       // per-doc island window + vocab joins
                                   // + global top-20 TakeOrdered
-    "q271_forecast_backtest")     // daily-profile self-joins on day−k
+    "q271_forecast_backtest",     // daily-profile self-joins on day−k
+    "q272_session_thresholds",    // one lag window, all thresholds in
+                                  // one conditional fold
+    "q273_source_overlap",        // membership-mask histogram; pair
+                                  // loop never touches the vocabulary
+    "q274_simpson_audit",         // nation moments + pooled re-agg
+    "q275_burst_episodes")        // burst-day islands per type
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

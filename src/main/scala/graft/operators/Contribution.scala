@@ -202,10 +202,12 @@ object Contribution {
     * metrics owner runs before shipping any pooled trend (q178) as a
     * narrative.
     *
-    * Exactness: per-customer (cents, n_orders) folds exactly; slope
-    * moments (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs per nation (x is
-    * DOLLAR-quantized per order, a declared unit — cents would push
-    * the exact Σx² fold past int64 at the graded scales), the
+    * Exactness: per-customer (dollars, n_orders) folds exactly (x is
+    * DOLLAR-quantized per order, a declared unit); the quadratic
+    * moments Σxy/Σx² fold in 38-digit decimals (HUGEINT in the
+    * oracle) — int64 overflows the Σx² fold at 10× facts, measured
+    * loudly by the ANSI-mode scale harness — while n/Σx/Σy stay
+    * BIGINT; the
     * POOLED moments are the SUM of the nation moments (decomposable —
     * no second scan, the q03 re-aggregation discipline), and slopes /
     * sign comparisons form the final products in doubles (the q227
@@ -221,8 +223,9 @@ object Contribution {
           col("c_nationkey").as("nation")), Seq("custkey"))
     val byNation = perCust.groupBy("nation")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sx2"))
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
     val pooled = byNation.agg(sum(col("n")).as("pn"),
       sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
       sum(col("sxy")).as("psxy"), sum(col("sx2")).as("psx2"))
@@ -269,15 +272,15 @@ object Contribution {
         |  SELECT nation, CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(x) AS BIGINT) AS sx,
         |         CAST(sum(y) AS BIGINT) AS sy,
-        |         CAST(sum(x * y) AS BIGINT) AS sxy,
-        |         CAST(sum(x * x) AS BIGINT) AS sx2
+        |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2
         |  FROM tagged GROUP BY 1),
         |pooled AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS pn,
         |         CAST(sum(sx) AS BIGINT) AS psx,
         |         CAST(sum(sy) AS BIGINT) AS psy,
-        |         CAST(sum(sxy) AS BIGINT) AS psxy,
-        |         CAST(sum(sx2) AS BIGINT) AS psx2
+        |         CAST(sum(sxy) AS HUGEINT) AS psxy,
+        |         CAST(sum(sx2) AS HUGEINT) AS psx2
         |  FROM by_nation)
         |SELECT b.nation, b.n AS n_customers,
         |       CASE WHEN CAST(b.n AS DOUBLE) * CAST(b.sx2 AS DOUBLE)
