@@ -233,7 +233,9 @@ object ScaleSmoke {
         "q268_periodogram", "q269_assortativity",
         "q270_rake_keyphrases", "q271_forecast_backtest",
         "q272_session_thresholds", "q273_source_overlap",
-        "q274_simpson_audit", "q275_burst_episodes")
+        "q274_simpson_audit", "q275_burst_episodes",
+        "q276_weighted_overlap", "q277_dedup_savings",
+        "q278_quantile_drift", "q279_otsu_threshold")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -332,7 +332,46 @@ object DedupClusters {
       .orderBy("size")
   }
 
+  /** q277 — DEDUP SAVINGS LEDGER: the one-row business case for the
+    * dedup campaign — documents and TOKENS removed if every q73
+    * near-dup cluster keeps one canonical (min doc_id, declared), as
+    * absolute counts and shares. Token savings is the number that
+    * matters for a training run (compute cost is token-linear, and
+    * duplicated tokens also bias the model toward the duplicated
+    * text); doc savings alone understates clusters of long documents.
+    * q258 shows the cluster-size SHAPE; this prices the campaign.
+    *
+    * All counts exact; token counts are space-split word counts (the
+    * q273/q228 unit family); ratios are single divisions. Cluster
+    * labels come from the shared q73 build (DfCache — no second
+    * clustering pass). */
+  def q277DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q73DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val canon = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("canon"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("toks"))
+    val tagged = docs
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(canon, Seq("cluster_id"), "left_outer")
+      .withColumn("is_dup",
+        col("cluster_id").isNotNull && col("doc_id") =!= col("canon"))
+    tagged.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("is_dup"), col("toks")).otherwise(0L))
+          .as("n_dup_tokens"))
+      .select(col("n_docs"), col("n_dup_docs"), col("n_tokens"),
+        col("n_dup_tokens"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("doc_savings"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("token_savings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_dedup_savings" -> (q277DedupSavings _),
     "q258_cluster_sizes" -> (q258ClusterSizes _),
     "q73_dedup_clusters" -> (q73DedupClusters _),
     "q115_cluster_canonical" -> (q115ClusterCanonical _),
@@ -343,6 +382,57 @@ object DedupClusters {
 
 
   val oracles: Map[String, String] = Map(
+    "q277_dedup_savings" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |canon AS (SELECT cluster_id, min(doc_id) AS canon
+         |          FROM labels GROUP BY 1),
+         |docs_t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+         |           AS toks
+         |  FROM documents),
+         |tagged AS (
+         |  SELECT d.doc_id, d.toks,
+         |         l.cluster_id IS NOT NULL AND d.doc_id <> c.canon
+         |           AS is_dup
+         |  FROM docs_t d
+         |  LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |  LEFT JOIN canon c ON c.cluster_id = l.cluster_id),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup_docs,
+         |         CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN is_dup THEN toks ELSE 0 END)
+         |              AS BIGINT) AS n_dup_tokens
+         |  FROM tagged)
+         |SELECT n_docs, n_dup_docs, n_tokens, n_dup_tokens,
+         |       round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6)
+         |         AS doc_savings,
+         |       round(CAST(n_dup_tokens AS DOUBLE) / n_tokens, 6)
+         |         AS token_savings
+         |FROM agg""".stripMargin,
     "q258_cluster_sizes" ->
       s"""WITH RECURSIVE $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),

@@ -214,9 +214,79 @@ object Drift {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_ks_drift" -> (q234KsDrift _),
-    "q151_psi_drift" -> (q151PsiDrift _))
+    "q151_psi_drift" -> (q151PsiDrift _),
+    "q278_quantile_drift" -> (q278QuantileDrift _))
+
+  /** q278 — QUANTILE-SHIFT (QQ) drift profile: per event type, the
+    * decile-by-decile value shift between the q151/q234 SHARED time
+    * halves — the WHERE-and-HOW-MUCH companion to the verdict-style
+    * monitors: PSI (q151) reports binned mass movement, KS (q234) the
+    * single worst CDF gap; this reports, in value units, which part
+    * of the distribution moved (a tail-only shift and a uniform shift
+    * can produce the SAME KS statistic and demand different
+    * responses). Same data-derived midpoint cut, so all three
+    * monitors read one experiment.
+    *
+    * Exactness: exact interpolated percentiles per (type, half) over
+    * the shared scan (engine-identical, the q56/q151 precedent);
+    * shifts are single subtractions/divisions of the shared doubles,
+    * rounded once, mirrored verbatim. */
+  def q278QuantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        col("value"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val flagged = ev.crossJoin(broadcast(cut))
+      .select(col("event_type"), col("value"),
+        (col("us") < col("cut")).as("is_ref"))
+    val qs = flagged.groupBy("event_type", "is_ref")
+      .agg(expr(s"percentile(value, array(${DecileProbes.mkString(", ")}))")
+        .as("q"))
+    qs.select(col("event_type"), col("is_ref"),
+        posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy("event_type", "i")
+      .agg(max(when(col("is_ref"), col("qv"))).as("refv"),
+        max(when(!col("is_ref"), col("qv"))).as("curv"))
+      .select(col("event_type"), ((col("i") + 1) * 10).as("probe_pct"),
+        round(col("refv"), 6).as("ref_value"),
+        round(col("curv"), 6).as("cur_value"),
+        round(col("curv") - col("refv"), 6).as("shift"),
+        when(col("refv") =!= 0.0,
+          round((col("curv") - col("refv")) / col("refv"), 6))
+          .as("shift_pct"))
+      .orderBy("event_type", "probe_pct")
+  }
 
   val oracles: Map[String, String] = Map(
+    "q278_quantile_drift" ->
+      s"""WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |flagged AS (
+        |  SELECT event_type, value, us < (SELECT cut FROM cut) AS is_ref
+        |  FROM ev),
+        |qs AS (
+        |  SELECT event_type, is_ref,
+        |         quantile_cont(value, [${DecileProbes.mkString(", ")}])
+        |           AS q
+        |  FROM flagged GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT event_type, is_ref, i, q[i] AS qv
+        |  FROM (SELECT event_type, is_ref, q,
+        |               unnest(generate_series(1, len(q))) AS i
+        |        FROM qs)),
+        |cells AS (
+        |  SELECT event_type, i,
+        |         max(CASE WHEN is_ref THEN qv END) AS refv,
+        |         max(CASE WHEN NOT is_ref THEN qv END) AS curv
+        |  FROM probes GROUP BY 1, 2)
+        |SELECT event_type, CAST(i * 10 AS INTEGER) AS probe_pct,
+        |       round(refv, 6) AS ref_value, round(curv, 6) AS cur_value,
+        |       round(curv - refv, 6) AS shift,
+        |       CASE WHEN refv <> 0.0
+        |            THEN round((curv - refv) / refv, 6) END AS shift_pct
+        |FROM cells ORDER BY event_type, probe_pct""".stripMargin,
     "q234_ks_drift" ->
       s"""WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value

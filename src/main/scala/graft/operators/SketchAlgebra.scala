@@ -287,7 +287,51 @@ object SketchAlgebra {
       .orderBy("source_a", "source_b")
   }
 
+  /** q276 — WEIGHTED source-overlap matrix (weighted Jaccard
+    * Σmin/Σmax over bigram FREQUENCIES): the frequency-aware
+    * companion to q273's set overlap — two sources can share most of
+    * their vocabulary (high set Jaccard) while using it at wildly
+    * different rates; weighted Jaccard is what a mixture designer
+    * (q99/q150) actually needs, because duplication inflates Σmin
+    * where it inflates training exposure.
+    *
+    * Identity that makes it scale: Σmax = totalA + totalB − Σmin
+    * (absent units contribute max = the present count, min = 0), so
+    * ONLY the shared-unit equi-join on content key is ever computed —
+    * never a union fan-out. Pair spine is the enum-sized source list;
+    * all counts exact; one division. */
+  def q276WeightedOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> concat(ws[i-1], ' ', ws[i]))")).as("unit"))
+      .groupBy("source", "unit").agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy("source").agg(sum(col("c")).as("total"))
+    val minSums = cnts.select(col("source").as("sa"), col("unit"),
+        col("c").as("ca"))
+      .join(cnts.select(col("source").as("sb"), col("unit"),
+        col("c").as("cb")), Seq("unit"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(sum(least(col("ca"), col("cb"))).as("sum_min"))
+    val spine = tot.select(col("source").as("sa"), col("total").as("total_a"))
+      .join(broadcast(tot.select(col("source").as("sb"),
+        col("total").as("total_b"))), col("sa") < col("sb"))
+    spine.join(minSums, Seq("sa", "sb"), "left_outer")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("total_a"), col("total_b"),
+        coalesce(col("sum_min"), lit(0L)).as("sum_min"),
+        round(coalesce(col("sum_min"), lit(0L)).cast("double") /
+          (col("total_a") + col("total_b") -
+            coalesce(col("sum_min"), lit(0L))).cast("double"), 6)
+          .as("weighted_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_weighted_overlap" -> (q276WeightedOverlap _),
     "q273_source_overlap" -> (q273SourceOverlap _),
     "q153_hll_intersect" -> (q153HllIntersect _),
     "q217_kmv_distinct" -> (q217KmvDistinct _),
@@ -297,6 +341,38 @@ object SketchAlgebra {
   /** Exact-overlap arm in SQL; the sketch estimate's tolerance verdict
     * is the engine-side contract (the q52/q148 pattern). */
   val oracles: Map[String, String] = Map(
+    "q276_weighted_overlap" ->
+      """WITH cnts AS (
+        |  SELECT source, ws[i] || ' ' || ws[i + 1] AS unit,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, string_split(trim(text), ' ') AS ws,
+        |               unnest(generate_series(1,
+        |                 len(string_split(trim(text), ' ')) - 1)) AS i
+        |        FROM documents)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS total
+        |        FROM cnts GROUP BY 1),
+        |min_sums AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS sum_min
+        |  FROM cnts a JOIN cnts b
+        |    ON a.unit = b.unit AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT a.source AS sa, a.total AS total_a,
+        |         b.source AS sb, b.total AS total_b
+        |  FROM tot a JOIN tot b ON a.source < b.source)
+        |SELECT s.sa AS source_a, s.sb AS source_b,
+        |       s.total_a, s.total_b,
+        |       COALESCE(m.sum_min, 0) AS sum_min,
+        |       round(CAST(COALESCE(m.sum_min, 0) AS DOUBLE)
+        |             / CAST(s.total_a + s.total_b
+        |                    - COALESCE(m.sum_min, 0) AS DOUBLE), 6)
+        |         AS weighted_jaccard
+        |FROM spine s LEFT JOIN min_sums m
+        |  ON m.sa = s.sa AND m.sb = s.sb
+        |ORDER BY source_a, source_b""".stripMargin,
     "q273_source_overlap" ->
       """WITH units AS (
         |  SELECT DISTINCT source, ws[i] || ' ' || ws[i + 1] AS unit

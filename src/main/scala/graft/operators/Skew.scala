@@ -134,7 +134,60 @@ object Skew {
     arms.reduce(_ unionAll _).orderBy("k")
   }
 
+  /** q279 — OTSU SPLIT of the user-spend distribution: the single
+    * threshold maximizing between-class variance (Otsu 1979 —
+    * PAPERS.md, the classic histogram-binarization criterion) over
+    * per-user spend — the DATA-DERIVED answer to "where does 'heavy
+    * spender' start?" that q184's RFM quantiles and q122's fixed
+    * length buckets both assume rather than derive. Reports the
+    * threshold and both classes' size/mean, ready to feed a
+    * segment-keyed query (q184-style) or a curation cut (q121-style).
+    *
+    * Exactness: candidates are the DISTINCT spend values; cumulative
+    * class counts/sums ride ONE sorted window pass (the q262
+    * single-pass discipline, full-frame totals included); the
+    * objective σ²_B ∝ (s0·n1 − s1·n0)²/(n0·n1) forms its inner term
+    * as an exact BIGINT and squares in doubles (the q227 rule); the
+    * winner is a TakeOrdered head on (objective DESC, value ASC) —
+    * deterministic, no second global sort. */
+  def q279OtsuThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val byVal = spend.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val wFull = org.apache.spark.sql.expressions.Window.orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+    val cum = byVal.select(col("cents"),
+      sum(col("cnt")).over(wCum).as("n0"),
+      sum(col("cnt") * col("cents")).over(wCum).as("s0"),
+      sum(col("cnt")).over(wFull).as("n_all"),
+      sum(col("cnt") * col("cents")).over(wFull).as("s_all"))
+    cum.filter(col("n0") < col("n_all"))
+      .withColumn("n1", col("n_all") - col("n0"))
+      .withColumn("s1", col("s_all") - col("s0"))
+      .withColumn("d", col("s0") * col("n1") - col("s1") * col("n0"))
+      .withColumn("objective",
+        col("d").cast("double") * col("d").cast("double") /
+          (col("n0") * col("n1")).cast("double"))
+      .orderBy(col("objective").desc, col("cents"))
+      .limit(1)
+      .select(round(col("cents").cast("double") / 100.0, 2)
+          .as("threshold"),
+        col("n0").as("n_below"), col("n1").as("n_above"),
+        round(col("s0").cast("double") / col("n0") / 100.0, 2)
+          .as("mean_below"),
+        round(col("s1").cast("double") / col("n1") / 100.0, 2)
+          .as("mean_above"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_otsu_threshold" -> (q279OtsuThreshold _),
     "q259_hill_tail" -> (q259HillTail _),
     "q75_salted_agg" -> (q75SaltedAgg _),
     "q206_skew_profile" -> (q206SkewProfile _))
@@ -169,6 +222,40 @@ object Skew {
   }
 
   val oracles: Map[String, String] = Map(
+    "q279_otsu_threshold" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |by_val AS (
+        |  SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM spend GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |         CAST(sum(cnt) OVER (ORDER BY cents
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n0,
+        |         CAST(sum(cnt * cents) OVER (ORDER BY cents
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s0,
+        |         CAST(sum(cnt) OVER () AS BIGINT) AS n_all,
+        |         CAST(sum(cnt * cents) OVER () AS BIGINT) AS s_all
+        |  FROM by_val),
+        |cand AS (
+        |  SELECT cents, n0, s0, n_all - n0 AS n1, s_all - s0 AS s1
+        |  FROM cum WHERE n0 < n_all),
+        |scored AS (
+        |  SELECT cents, n0, s0, n1, s1, s0 * n1 - s1 * n0 AS d
+        |  FROM cand),
+        |best AS (
+        |  SELECT * FROM scored
+        |  ORDER BY CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        |           / CAST(n0 * n1 AS DOUBLE) DESC, cents
+        |  LIMIT 1)
+        |SELECT round(CAST(cents AS DOUBLE) / 100.0, 2) AS threshold,
+        |       n0 AS n_below, n1 AS n_above,
+        |       round(CAST(s0 AS DOUBLE) / n0 / 100.0, 2) AS mean_below,
+        |       round(CAST(s1 AS DOUBLE) / n1 / 100.0, 2) AS mean_above
+        |FROM best""".stripMargin,
     "q259_hill_tail" -> hillSql,
     "q75_salted_agg" ->
       """SELECT l_returnflag AS returnflag,

@@ -82,6 +82,8 @@ object PlanContract {
     "q267_kendall_tau" -> "nation-grain profile (≤ nations rows)",
     // source-pair spine × 2^|sources|-row membership-mask histogram
     "q273_source_overlap" -> "source pairs × mask histogram (enum-sized)",
+    // source-pair spine: |sources|-row total table each side
+    "q276_weighted_overlap" -> "source-total pair spine (enum-sized)",
     // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
     // candidate relation (InMemoryRelation subtrees are outside the
     // walk), so no grant is needed — documented in Mmr.scala instead
@@ -186,6 +188,8 @@ object PlanContract {
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
     "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
     "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
+    "q279_otsu_threshold" ->
+      "distinct-spend profile cumulative + full-frame totals",
     "q213_reliability_curve" -> "user-grain spend profile ntile",
     "q185_pareto_deciles" -> "part-dimension revenue profile",
     "q192_skyline" -> "part-dimension price/size profile",
