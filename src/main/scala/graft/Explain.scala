@@ -197,7 +197,21 @@ object Explain {
     "q273_source_overlap",        // membership-mask histogram; pair
                                   // loop never touches the vocabulary
     "q274_simpson_audit",         // nation moments + pooled re-agg
-    "q275_burst_episodes")        // burst-day islands per type
+    "q275_burst_episodes",        // burst-day islands per type
+    "q276_weighted_overlap",      // shared-unit equi-join only —
+                                  // Σmax via the totals identity
+    "q277_dedup_savings",         // cached q73 labels + token fold
+    "q278_quantile_drift",        // per-(type, half) percentile fold
+    "q279_otsu_threshold",        // distinct-spend cumulative pass +
+                                  // TakeOrdered argmax head
+    "q280_ab_power",              // one conditional-agg scan, z pinned
+    "q281_price_volume_mix",      // per-half BIGINT folds + broadcast cut
+    "q282_association_rules",     // q214 triples + broadcast base rates
+    "q283_effective_sample_size", // one groupBy fold over documents
+    "q284_jackknife_influence",   // source profile + enum-sized SE fold
+    "q285_clustering_coefficient",// q140 oriented wedge join + explode
+    "q286_partition_advisor",     // ONE melted scan, two-level fold
+    "q287_peeking_audit")         // (type, day) profile windows
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

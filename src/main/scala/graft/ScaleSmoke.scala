@@ -235,7 +235,11 @@ object ScaleSmoke {
         "q272_session_thresholds", "q273_source_overlap",
         "q274_simpson_audit", "q275_burst_episodes",
         "q276_weighted_overlap", "q277_dedup_savings",
-        "q278_quantile_drift", "q279_otsu_threshold")
+        "q278_quantile_drift", "q279_otsu_threshold",
+        "q280_ab_power", "q281_price_volume_mix",
+        "q282_association_rules", "q283_effective_sample_size",
+        "q284_jackknife_influence", "q285_clustering_coefficient",
+        "q286_partition_advisor", "q287_peeking_audit")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -256,7 +256,55 @@ object Affinity {
       .orderBy("t1", "t2")
   }
 
+  /** q282 rules reported. */
+  private[graft] val TopRules = 20
+
+  /** q282 — ASSOCIATION RULES from the frequent triples: every
+    * {a,b} → c orientation of each q214 triple, scored with exact
+    * confidence (support₃/support₂) and lift (confidence /
+    * base-rate(c)) — the third mining level: q173 scores PAIR lift,
+    * q214 finds the triples, this ranks the ACTIONABLE implications
+    * ("basket already holds a and b — how much does that multiply
+    * c's odds?"). Top [[TopRules]] by lift.
+    *
+    * Exactness: supports are exact integers from the shared a-priori
+    * pipeline; confidence and lift are fixed double expressions over
+    * them, mirrored verbatim; the ranking key is (lift, confidence,
+    * antecedents, consequent) with lift formed identically in both
+    * engines. The triple table is the q214 output itself — no extra
+    * basket pass. */
+  def q282AssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    val tri = q214FrequentTriples(spark, dir)
+    val nBaskets = basketItems(spark, dir)
+      .select(countDistinct(col("okey")).as("n_baskets"))
+    val itemSup = basketItems(spark, dir)
+      .groupBy("part").agg(count(lit(1)).as("item_n"))
+    // one inline over a 3-struct array, NOT union of three selects —
+    // a union would triplicate the whole triple-mining subtree in the
+    // physical plan (3× the a-priori pipeline); inline keeps one copy
+    def o(a1: String, a2: String, cs: String, sup: String) =
+      struct(col(a1).as("ant1"), col(a2).as("ant2"), col(cs).as("cons"),
+        col("support").as("support"), col(sup).as("sup_ant"))
+    val rules = tri.select(inline(array(
+      o("pa", "pb", "pc", "sup_ab"),
+      o("pa", "pc", "pb", "sup_ac"),
+      o("pb", "pc", "pa", "sup_bc"))))
+    val conf = col("support").cast("double") / col("sup_ant")
+    val lift = conf * col("n_baskets").cast("double") / col("item_n")
+    rules
+      .join(broadcast(itemSup.select(col("part").as("cons"),
+        col("item_n"))), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ant1"), col("ant2"), col("cons"), col("support"),
+        col("sup_ant"), col("item_n"),
+        round(conf, 6).as("confidence"), round(lift, 6).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc, col("ant1"),
+        col("ant2"), col("cons"))
+      .limit(TopRules)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_association_rules" -> (q282AssociationRules _),
     "q173_basket_lift" -> (q173BasketLift _),
     "q214_frequent_triples" -> (q214FrequentTriples _),
     "q174_attribution" -> (q174Attribution _),
@@ -264,6 +312,49 @@ object Affinity {
     "q186_type_affinity" -> (q186TypeAffinity _))
 
   val oracles: Map[String, String] = Map(
+    "q282_association_rules" ->
+      s"""${pairsCte(TriMinSup)},
+        |tri AS (
+        |  SELECT a.part AS pa, b.part AS pb, c.part AS pc,
+        |         count(*) AS support
+        |  FROM items a
+        |  JOIN items b ON b.okey = a.okey AND b.part > a.part
+        |  JOIN items c ON c.okey = a.okey AND c.part > b.part
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= $TriMinSup),
+        |tri_s AS (
+        |  SELECT pa, pb, pc, support,
+        |         ab.pair_n AS sup_ab, ac.pair_n AS sup_ac,
+        |         bc.pair_n AS sup_bc
+        |  FROM tri
+        |  JOIN pairs ab ON ab.p1 = pa AND ab.p2 = pb
+        |  JOIN pairs ac ON ac.p1 = pa AND ac.p2 = pc
+        |  JOIN pairs bc ON bc.p1 = pb AND bc.p2 = pc),
+        |item_sup AS (SELECT part, CAST(count(*) AS BIGINT) AS item_n
+        |             FROM items GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets
+        |       FROM items),
+        |rules AS (
+        |  SELECT pa AS ant1, pb AS ant2, pc AS cons, support,
+        |         sup_ab AS sup_ant FROM tri_s
+        |  UNION ALL
+        |  SELECT pa, pc, pb, support, sup_ac FROM tri_s
+        |  UNION ALL
+        |  SELECT pb, pc, pa, support, sup_bc FROM tri_s),
+        |scored AS (
+        |  SELECT r.ant1, r.ant2, r.cons,
+        |         CAST(r.support AS BIGINT) AS support,
+        |         CAST(r.sup_ant AS BIGINT) AS sup_ant, i.item_n,
+        |         round(CAST(r.support AS DOUBLE) / r.sup_ant, 6)
+        |           AS confidence,
+        |         round(CAST(r.support AS DOUBLE) / r.sup_ant
+        |               * CAST((SELECT n_baskets FROM nb) AS DOUBLE)
+        |               / i.item_n, 6) AS lift
+        |  FROM rules r JOIN item_sup i ON i.part = r.cons)
+        |SELECT ant1, ant2, cons, support, sup_ant, item_n,
+        |       confidence, lift
+        |FROM scored
+        |ORDER BY lift DESC, confidence DESC, ant1, ant2, cons
+        |LIMIT $TopRules""".stripMargin,
     "q214_frequent_triples" ->
       s"""${pairsCte(TriMinSup)},
         |tri AS (

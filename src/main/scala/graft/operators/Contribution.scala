@@ -250,7 +250,61 @@ object Contribution {
       .orderBy("nation")
   }
 
+  /** q281 — PRICE-VOLUME-MIX BRIDGE: per part type, the revenue delta
+    * between the two halves of the shipment span decomposed into
+    * volume effect (p₀·Δq), price effect (q₀·Δp) and the cross term
+    * (Δp·Δq) — the classic variance-bridge a finance review builds
+    * ("did revenue move because we shipped MORE, or at HIGHER
+    * prices?"), which the plain trend queries (q178, q08) cannot
+    * answer. The three effects sum to Δrevenue exactly by the
+    * decomposition identity.
+    *
+    * Exactness: the split is the shared data-derived midpoint
+    * discipline (q151/q278); per-half quantity and revenue cents fold
+    * as exact BIGINTs; average prices are single divisions and every
+    * effect is one fixed double expression over the four exact
+    * integers, mirrored verbatim. Types shipping in only one half
+    * report NULL effects (no p₀ or p₁ — declared, not zero-filled). */
+  def q281PriceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(unix_micros(col("l_shipdate")).as("us"), col("l_partkey"),
+        expr("cast(round(l_quantity, 0) as bigint)").as("qty"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+    val cut = li.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val halves = li.crossJoin(broadcast(cut))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_type")),
+        Seq("l_partkey"))
+      .groupBy("p_type")
+      .agg(
+        sum(when(col("us") < col("cut"), col("qty")).otherwise(0L))
+          .as("q0"),
+        sum(when(col("us") < col("cut"), col("cents")).otherwise(0L))
+          .as("r0"),
+        sum(when(col("us") >= col("cut"), col("qty")).otherwise(0L))
+          .as("q1"),
+        sum(when(col("us") >= col("cut"), col("cents")).otherwise(0L))
+          .as("r1"))
+    val p0 = col("r0").cast("double") / col("q0")
+    val p1 = col("r1").cast("double") / col("q1")
+    val dq = (col("q1") - col("q0")).cast("double")
+    val ok = col("q0") > 0 && col("q1") > 0
+    halves
+      .select(col("p_type"),
+        round(col("r0").cast("double") / 100, 2).as("rev_first"),
+        round(col("r1").cast("double") / 100, 2).as("rev_second"),
+        round((col("r1") - col("r0")).cast("double") / 100, 2)
+          .as("rev_delta"),
+        when(ok, round(p0 * dq / 100, 2)).as("volume_effect"),
+        when(ok, round(col("q0").cast("double") * (p1 - p0) / 100, 2))
+          .as("price_effect"),
+        when(ok, round((p1 - p0) * dq / 100, 2)).as("cross_effect"))
+      .orderBy("p_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_price_volume_mix" -> (q281PriceVolumeMix _),
     "q274_simpson_audit" -> (q274SimpsonAudit _),
     "q260_rank_overlap" -> (q260RankOverlap _),
     "q184_rfm_segments" -> (q184RfmSegments _),
@@ -258,6 +312,45 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q281_price_volume_mix" ->
+      """WITH li AS (
+        |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS us,
+        |         l_partkey,
+        |         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM li),
+        |halves AS (
+        |  SELECT p.p_type,
+        |         CAST(sum(CASE WHEN l.us < (SELECT cut FROM cut)
+        |                       THEN l.qty ELSE 0 END) AS BIGINT) AS q0,
+        |         CAST(sum(CASE WHEN l.us < (SELECT cut FROM cut)
+        |                       THEN l.cents ELSE 0 END) AS BIGINT) AS r0,
+        |         CAST(sum(CASE WHEN l.us >= (SELECT cut FROM cut)
+        |                       THEN l.qty ELSE 0 END) AS BIGINT) AS q1,
+        |         CAST(sum(CASE WHEN l.us >= (SELECT cut FROM cut)
+        |                       THEN l.cents ELSE 0 END) AS BIGINT) AS r1
+        |  FROM li l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1)
+        |SELECT p_type,
+        |       round(CAST(r0 AS DOUBLE) / 100, 2) AS rev_first,
+        |       round(CAST(r1 AS DOUBLE) / 100, 2) AS rev_second,
+        |       round(CAST(r1 - r0 AS DOUBLE) / 100, 2) AS rev_delta,
+        |       CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         round(CAST(r0 AS DOUBLE) / q0
+        |               * CAST(q1 - q0 AS DOUBLE) / 100, 2)
+        |       END AS volume_effect,
+        |       CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         round(CAST(q0 AS DOUBLE)
+        |               * (CAST(r1 AS DOUBLE) / q1
+        |                  - CAST(r0 AS DOUBLE) / q0) / 100, 2)
+        |       END AS price_effect,
+        |       CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |         round((CAST(r1 AS DOUBLE) / q1
+        |                - CAST(r0 AS DOUBLE) / q0)
+        |               * CAST(q1 - q0 AS DOUBLE) / 100, 2)
+        |       END AS cross_effect
+        |FROM halves ORDER BY p_type""".stripMargin,
     "q274_simpson_audit" ->
       """WITH per_cust AS (
         |  SELECT o_custkey AS custkey,

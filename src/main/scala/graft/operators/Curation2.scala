@@ -311,7 +311,85 @@ object Curation2 {
       .orderBy("source")
   }
 
+  /** q283 — EFFECTIVE SAMPLE SIZE of the length-weighted corpus: per
+    * source, Kish's ESS = (Σw)²/Σw² for the q112 sampling weights
+    * (w = n_chars) — "how many EQUAL documents is my weighted corpus
+    * actually worth?", the one-number audit run before any weighted
+    * sampling or importance-weighted mixing (q112/q147): a source
+    * whose ESS ratio is far below 1 is dominated by a few huge
+    * documents, and weighted draws from it will repeat them. The
+    * design-effect view of the same skew q259's tail index measures
+    * distributionally.
+    *
+    * Exactness: Σw and Σw² fold as exact BIGINTs (chars² bounded at
+    * every graded scale); ESS is one fixed double expression over
+    * them, mirrored verbatim. */
+  def q283EffectiveSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sw"),
+        sum(col("n_chars") * col("n_chars")).as("sw2"))
+      .select(col("source"), col("n_docs"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double"), 4).as("ess"),
+        round(col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double") / col("n_docs"), 6).as("ess_ratio"))
+      .orderBy("source")
+  }
+
+  /** q284 — GROUPED JACKKNIFE source influence: for each source, the
+    * corpus-wide mean document length recomputed with that source
+    * LEFT OUT, its influence (global − leave-one-out mean), and the
+    * delete-one-group jackknife standard error of the mean — the
+    * robustness audit a corpus owner runs before trusting any global
+    * quality number: a metric whose jackknife SE is dominated by one
+    * source is that source's opinion, not the corpus's. Complements
+    * q283 (within-source weight concentration) with cross-source
+    * estimator sensitivity.
+    *
+    * Exactness: all leave-one-out means are single divisions of exact
+    * BIGINT totals; each θ₋ₛ micro-quantizes to BIGINT once (the
+    * q169/q198 discipline — no raw double ever sums across rows), and
+    * the squared-deviation fold runs in decimal(38) (devs are
+    * micro×G-scaled, their squares overflow int64 — the q274 lesson);
+    * the SE is one fixed double expression over the exact folds. */
+  def q284JackknifeInfluence(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("s_chars"))
+    val tot = perSrc.agg(sum("n_docs").as("nn"), sum("s_chars").as("ss"),
+      count(lit(1)).as("g"))
+    val loo = (col("ss") - col("s_chars")).cast("double") /
+      (col("nn") - col("n_docs"))
+    val themu = perSrc.crossJoin(broadcast(tot))
+      .withColumn("theta_mu",
+        round(loo * lit(1000000d), 0).cast("long"))
+    val se = themu
+      .groupBy("g")
+      .agg(sum("theta_mu").as("smu"),
+        sum(col("theta_mu").cast("decimal(38,0)") * col("theta_mu"))
+          .as("qmu"))
+      .select(col("g"),
+        // Σ(θ−θ̄)² = Σθ² − (Σθ)²/G, all in exact micro² units
+        sqrt((col("qmu").cast("double") -
+          col("smu").cast("double") * (col("smu").cast("double") / col("g")))
+          * (col("g") - 1) / col("g")).as("se_mu"))
+    themu.join(broadcast(se), Seq("g"))
+      .select(col("source"), col("n_docs"),
+        round(col("s_chars").cast("double") / col("n_docs"), 4)
+          .as("mean_chars"),
+        round(loo, 4).as("loo_mean"),
+        round(col("ss").cast("double") / col("nn") - loo, 4)
+          .as("influence"),
+        round(col("se_mu") / 1000000d, 6).as("jackknife_se"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_jackknife_influence" -> (q284JackknifeInfluence _),
+    "q283_effective_sample_size" -> (q283EffectiveSampleSize _),
     "q225_weighted_median" -> (q225WeightedMedian _),
     "q146_domain_cap" -> (q146DomainCap _),
     "q147_dsir_select" -> (q147DsirSelect _),
@@ -320,6 +398,52 @@ object Curation2 {
     "q215_data_card" -> (q215DataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q284_jackknife_influence" ->
+      """WITH per_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS s_chars
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+        |         CAST(sum(s_chars) AS BIGINT) AS ss,
+        |         CAST(count(*) AS BIGINT) AS g
+        |  FROM per_src),
+        |themu AS (
+        |  SELECT p.*, t.nn, t.ss, t.g,
+        |         CAST(round(CAST(t.ss - p.s_chars AS DOUBLE)
+        |                    / (t.nn - p.n_docs) * 1000000, 0) AS BIGINT)
+        |           AS theta_mu
+        |  FROM per_src p, tot t),
+        |se AS (
+        |  SELECT g, CAST(sum(theta_mu) AS BIGINT) AS smu,
+        |         sum(theta_mu * theta_mu) AS qmu
+        |  FROM themu GROUP BY 1)
+        |SELECT m.source, m.n_docs,
+        |       round(CAST(m.s_chars AS DOUBLE) / m.n_docs, 4) AS mean_chars,
+        |       round(CAST(m.ss - m.s_chars AS DOUBLE)
+        |             / (m.nn - m.n_docs), 4) AS loo_mean,
+        |       round(CAST(m.ss AS DOUBLE) / m.nn
+        |             - CAST(m.ss - m.s_chars AS DOUBLE)
+        |               / (m.nn - m.n_docs), 4) AS influence,
+        |       round(sqrt((CAST(s.qmu AS DOUBLE)
+        |                   - CAST(s.smu AS DOUBLE)
+        |                     * (CAST(s.smu AS DOUBLE) / s.g))
+        |                  * (s.g - 1) / s.g) / 1000000, 6)
+        |         AS jackknife_se
+        |FROM themu m JOIN se s USING (g)
+        |ORDER BY m.source""".stripMargin,
+    "q283_effective_sample_size" ->
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sw,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sw2
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1)
+        |SELECT source, n_docs,
+        |       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |             / CAST(sw2 AS DOUBLE), 4) AS ess,
+        |       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |             / CAST(sw2 AS DOUBLE) / n_docs, 6) AS ess_ratio
+        |FROM stats ORDER BY source""".stripMargin,
     "q225_weighted_median" ->
       """WITH base AS (
         |  SELECT doc_id, source,

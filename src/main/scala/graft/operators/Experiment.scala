@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -223,7 +223,139 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q280 pinned normal quantiles: z_{α/2} at α = 0.05 and z_β at
+    * 80% power, micro-rounded literals (the Benford6 discipline —
+    * Φ⁻¹ is not a blessed function, so both engines read the same
+    * constants). */
+  private[graft] val ZAlpha6 = 1.959964
+  private[graft] val ZBeta6 = 0.841621
+  /** The combined (z_{α/2} + z_β) factor, pinned as ONE literal so
+    * both engines parse the identical constant. */
+  private[graft] val ZSum6 = 2.801585
+
+  /** q280 — A/B POWER AUDIT (minimal detectable effect): for each
+    * event type, the smallest true mean difference the RUNNING q165
+    * experiment could detect at α = 0.05 with 80% power, given its
+    * actual arm sizes and variances — the DESIGN companion to q165's
+    * verdict: "not significant" is only meaningful next to "and the
+    * MDE was X" (an underpowered experiment's null read is noise, not
+    * evidence). MDE = (z_{α/2} + z_β)·√(s²_a/n_a + s²_b/n_b), the
+    * two-sample z form on the same exact sufficient statistics q165
+    * folds (n, Σx, Σx² per arm — nothing else touches the scan).
+    *
+    * Exactness: one fixed expression tree over the six exact BIGINTs
+    * with pinned z literals; √ and every IEEE op correctly rounded,
+    * mirrored verbatim (the q165 discipline). */
+  def q280AbPower(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qa"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(!col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qb"))
+    val ma = col("sa").cast("double") / col("na")
+    val mb = col("sb").cast("double") / col("nb")
+    val va = (col("qa").cast("double") - col("sa").cast("double") * ma) /
+      (col("na") - 1)
+    val vb = (col("qb").cast("double") - col("sb").cast("double") * mb) /
+      (col("nb") - 1)
+    val mde = lit(ZSum6) * sqrt(va / col("na") + vb / col("nb"))
+    stats.select(col("event_type"), col("na"), col("nb"),
+        round(ma / 100, 4).as("mean_a"),
+        round(mde / 100, 4).as("mde_abs"),
+        round(mde / ma, 6).as("mde_rel"))
+      .orderBy("event_type")
+  }
+
+  /** q287 — SEQUENTIAL-PEEKING AUDIT of the q165 experiment: replay
+    * the running A/B test day by day (cumulative Welch z per event
+    * type after each day) and record when a naive analyst peeking at
+    * every close with the fixed 1.96 threshold would FIRST have
+    * declared significance — against the experiment's actual final
+    * verdict. A type with an early naive stop but a null final read is
+    * the textbook repeated-testing false positive (the α the q280
+    * power audit assumes is only honest for ONE look); `days_over`
+    * counts how many interim looks crossed. The governance companion
+    * to q165/q280: verdict, power, and now peeking discipline.
+    *
+    * Exactness: daily increments fold to exact BIGINTs (n, Σx, Σx²
+    * per arm per day), cumulative sums are integer window folds over
+    * the (type, day) PROFILE (enum × calendar grain — never the fact
+    * table), and every z is the same fixed double expression both
+    * engines form from identical exact integers, so the 1.96
+    * comparisons are deterministic (the q165 discipline). A day is
+    * evaluable once both arms hold ≥ 2 events and the variance term
+    * is positive; final stats recompute from the grand totals (equal
+    * to the last cumulative row by construction). */
+  def q287PeekingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("dna"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("dsa"),
+        sum(when(col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("dqa"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("dnb"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("dsb"),
+        sum(when(!col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("dqb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val cum = daily.select(col("event_type"), col("day"),
+      row_number().over(w).as("idx"),
+      sum("dna").over(w).as("na"), sum("dsa").over(w).as("sa"),
+      sum("dqa").over(w).as("qa"),
+      sum("dnb").over(w).as("nb"), sum("dsb").over(w).as("sb"),
+      sum("dqb").over(w).as("qb"))
+    def z(na: Column, sa: Column, qa: Column,
+        nb: Column, sb: Column, qb: Column): Column = {
+      val ma = sa.cast("double") / na
+      val mb = sb.cast("double") / nb
+      val va = (qa.cast("double") - sa.cast("double") * ma) / (na - 1)
+      val vb = (qb.cast("double") - sb.cast("double") * mb) / (nb - 1)
+      val denom = va / na + vb / nb
+      when(na >= 2 && nb >= 2 && denom > 0, (ma - mb) / sqrt(denom))
+    }
+    val zd = cum.withColumn("z", z(col("na"), col("sa"), col("qa"),
+      col("nb"), col("sb"), col("qb")))
+      .withColumn("over", col("z").isNotNull && abs(col("z")) > 1.96)
+    val interim = zd.groupBy("event_type")
+      .agg(max("idx").as("n_days"),
+        min(when(col("over"), col("idx"))).as("first_stop_idx"),
+        sum(when(col("over"), 1L).otherwise(0L)).as("days_over"))
+    val fin = daily.groupBy("event_type")
+      .agg(sum("dna").as("na"), sum("dsa").as("sa"), sum("dqa").as("qa"),
+        sum("dnb").as("nb"), sum("dsb").as("sb"), sum("dqb").as("qb"))
+      .select(col("event_type"),
+        round(z(col("na"), col("sa"), col("qa"),
+          col("nb"), col("sb"), col("qb")), 6).as("final_z"))
+    interim.join(fin, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("first_stop_idx"),
+        col("days_over"), col("final_z"),
+        coalesce(abs(col("final_z")) > 1.96, lit(false))
+          .as("final_significant"),
+        (col("first_stop_idx").isNotNull &&
+          !coalesce(abs(col("final_z")) > 1.96, lit(false)))
+          .as("false_stop"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_peeking_audit" -> (q287PeekingAudit _),
+    "q280_ab_power" -> (q280AbPower _),
     "q253_rate_change" -> (q253RateChange _),
     "q251_brown_forsythe" -> (q251BrownForsythe _),
     "q248_diff_in_diff" -> (q248DiffInDiff _),
@@ -355,6 +487,134 @@ object Experiment {
         |       round(mean_cents / 100.0, 4) AS mean_spend,
         |       round((SELECT did_cents FROM did) / 100.0, 4) AS did_spend
         |FROM cells ORDER BY grp, period""".stripMargin,
+    "q287_peeking_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS dna,
+        |         CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT)
+        |           AS dsa,
+        |         CAST(sum(CASE WHEN in_a THEN cents * cents ELSE 0 END)
+        |           AS BIGINT) AS dqa,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS dnb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents END) AS BIGINT)
+        |           AS dsb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents * cents END)
+        |           AS BIGINT) AS dqb
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |         CAST(row_number() OVER w AS INTEGER) AS idx,
+        |         CAST(sum(dna) OVER w AS BIGINT) AS na,
+        |         CAST(sum(dsa) OVER w AS BIGINT) AS sa,
+        |         CAST(sum(dqa) OVER w AS BIGINT) AS qa,
+        |         CAST(sum(dnb) OVER w AS BIGINT) AS nb,
+        |         CAST(sum(dsb) OVER w AS BIGINT) AS sb,
+        |         CAST(sum(dqb) OVER w AS BIGINT) AS qb
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |zd AS (
+        |  SELECT *,
+        |         CASE WHEN na >= 2 AND nb >= 2 AND
+        |                   (CAST(qa AS DOUBLE)
+        |                    - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+        |                     / (na - 1) / na
+        |                   + (CAST(qb AS DOUBLE)
+        |                      - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+        |                       / (nb - 1) / nb > 0
+        |              THEN (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |                   / sqrt((CAST(qa AS DOUBLE)
+        |                           - CAST(sa AS DOUBLE)
+        |                             * (CAST(sa AS DOUBLE) / na))
+        |                            / (na - 1) / na
+        |                          + (CAST(qb AS DOUBLE)
+        |                             - CAST(sb AS DOUBLE)
+        |                               * (CAST(sb AS DOUBLE) / nb))
+        |                              / (nb - 1) / nb)
+        |         END AS z
+        |  FROM cum),
+        |interim AS (
+        |  SELECT event_type,
+        |         CAST(max(idx) AS INTEGER) AS n_days,
+        |         CAST(min(CASE WHEN z IS NOT NULL AND abs(z) > 1.96
+        |                       THEN idx END) AS INTEGER) AS first_stop_idx,
+        |         CAST(sum(CASE WHEN z IS NOT NULL AND abs(z) > 1.96
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS days_over
+        |  FROM zd GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type,
+        |         CAST(sum(dna) AS BIGINT) AS na,
+        |         CAST(sum(dsa) AS BIGINT) AS sa,
+        |         CAST(sum(dqa) AS BIGINT) AS qa,
+        |         CAST(sum(dnb) AS BIGINT) AS nb,
+        |         CAST(sum(dsb) AS BIGINT) AS sb,
+        |         CAST(sum(dqb) AS BIGINT) AS qb
+        |  FROM daily GROUP BY 1),
+        |finz AS (
+        |  SELECT event_type,
+        |         round(CASE WHEN na >= 2 AND nb >= 2 AND
+        |                   (CAST(qa AS DOUBLE)
+        |                    - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+        |                     / (na - 1) / na
+        |                   + (CAST(qb AS DOUBLE)
+        |                      - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+        |                       / (nb - 1) / nb > 0
+        |              THEN (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |                   / sqrt((CAST(qa AS DOUBLE)
+        |                           - CAST(sa AS DOUBLE)
+        |                             * (CAST(sa AS DOUBLE) / na))
+        |                            / (na - 1) / na
+        |                          + (CAST(qb AS DOUBLE)
+        |                             - CAST(sb AS DOUBLE)
+        |                               * (CAST(sb AS DOUBLE) / nb))
+        |                              / (nb - 1) / nb)
+        |         END, 6) AS final_z
+        |  FROM fin)
+        |SELECT i.event_type, i.n_days, i.first_stop_idx, i.days_over,
+        |       f.final_z,
+        |       COALESCE(abs(f.final_z) > 1.96, false) AS final_significant,
+        |       (i.first_stop_idx IS NOT NULL AND
+        |        NOT COALESCE(abs(f.final_z) > 1.96, false)) AS false_stop
+        |FROM interim i JOIN finz f USING (event_type)
+        |ORDER BY i.event_type""".stripMargin,
+    "q280_ab_power" ->
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN in_a THEN cents * cents ELSE 0 END) AS BIGINT) AS qa,
+        |         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN NOT in_a THEN cents ELSE 0 END) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN NOT in_a THEN cents * cents ELSE 0 END) AS BIGINT) AS qb
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, na, nb,
+        |       round((CAST(sa AS DOUBLE) / na) / 100, 4) AS mean_a,
+        |       round(($ZSum6
+        |              * sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                        * (CAST(sa AS DOUBLE) / na)) / (na - 1)) / na
+        |                     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |                        * (CAST(sb AS DOUBLE) / nb)) / (nb - 1)) / nb))
+        |             / 100, 4) AS mde_abs,
+        |       round(($ZSum6
+        |              * sqrt(((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)
+        |                        * (CAST(sa AS DOUBLE) / na)) / (na - 1)) / na
+        |                     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)
+        |                        * (CAST(sb AS DOUBLE) / nb)) / (nb - 1)) / nb))
+        |             / (CAST(sa AS DOUBLE) / na), 6) AS mde_rel
+        |FROM stats ORDER BY event_type""".stripMargin,
     "q165_ab_welch" ->
       """WITH ev AS (
         |  SELECT event_type,

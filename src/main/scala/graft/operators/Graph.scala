@@ -338,11 +338,63 @@ object Graph {
         lit(prevNodes == lastNodes).as("converged"))
   }
 
+  /** q285 top-k nodes reported. */
+  private[graft] val ClusterTopK = 20
+
+  /** q285 — LOCAL CLUSTERING COEFFICIENT: per node of the co-purchase
+    * graph, 2·t_v / (deg_v·(deg_v−1)) — how close the node's
+    * neighborhood is to a clique. q140 reports the GLOBAL transitivity
+    * of the same graph; this is the node-grain view that finds the
+    * tightly-knit pockets (ego-networks that are near-cliques), the
+    * standard local feature for community seeding and anomaly scoring.
+    * Top [[ClusterTopK]] by (coefficient, triangle count, degree, id).
+    *
+    * Shape: the SAME degree-ordered oriented wedge join as q140 (each
+    * triangle closes exactly once, fan-out bounded by arboricity);
+    * per-node counts come from exploding each closed triangle's three
+    * corners — 3 rows per triangle, never a second pair pass. The
+    * coefficient is one division of exact BIGINTs, ranked with full
+    * tie-breaks. */
+  def q285ClusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val degrees = edges.select(col("p1").as("node"))
+      .unionAll(edges.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(degrees.select(col("node").as("p1"), col("deg").as("d1")),
+        Seq("p1"))
+      .join(degrees.select(col("node").as("p2"), col("deg").as("d2")),
+        Seq("p2"))
+    val oriented = withDeg.select(
+      when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")),
+        struct(col("p1").as("src"), col("p2").as("dst")))
+        .otherwise(struct(col("p2").as("src"), col("p1").as("dst")))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val triNodes = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    degrees.filter(col("deg") >= 2)
+      .join(triNodes, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("local_cc"))
+      .orderBy(col("local_cc").desc, col("triangles").desc,
+        col("deg").desc, col("node"))
+      .limit(ClusterTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> (q138PageRank _),
     "q140_triangle_count" -> (q140TriangleCount _),
     "q141_adamic_adar" -> (q141AdamicAdar _),
-    "q142_kcore" -> (q142KCore _))
+    "q142_kcore" -> (q142KCore _),
+    "q285_clustering_coefficient" -> (q285ClusteringCoefficient _))
 
   /** The oracle generates one CTE per iteration — same recurrence,
     * mechanically unrolled. */
@@ -483,5 +535,33 @@ object Graph {
         |       round(sum(CAST(1 AS DOUBLE) / ln(d.deg)), 6) AS adamic_adar
         |FROM cand c JOIN centers d ON d.node = c.w
         |GROUP BY c.a, c.b
-        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin)
+        |ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin,
+    "q285_clustering_coefficient" ->
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT p1, p2 FROM pairs WHERE support >= $MinSupport),
+        |degrees AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT p1 AS node FROM edges
+        |    UNION ALL SELECT p2 FROM edges) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
+        |  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |tri_nodes AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg,
+        |       COALESCE(t.triangles, 0) AS triangles,
+        |       round(CAST(2 AS DOUBLE) * COALESCE(t.triangles, 0)
+        |             / (d.deg * (d.deg - 1)), 6) AS local_cc
+        |FROM degrees d LEFT JOIN tri_nodes t USING (node)
+        |WHERE d.deg >= 2
+        |ORDER BY local_cc DESC, triangles DESC, deg DESC, node
+        |LIMIT $ClusterTopK""".stripMargin)
 }

@@ -248,12 +248,90 @@ object StorageLayout {
       .withColumn("colocated_merge_join", lit(mergeJoin))
   }
 
+  /** q286 — PARTITION-PRUNING ADVISOR: for each candidate partition
+    * key of the fact table, the expected fraction of rows a uniformly
+    * drawn point predicate on that key would scan — Σ(n_p/N)², the
+    * self-collision probability of the key's partition histogram —
+    * plus the partition count and the largest partition's share (the
+    * skew bound that decides whether the layout is writable at all:
+    * a 0.4-max-share key leaves a straggler file no matter how good
+    * its mean pruning is). This is the DECISION input behind q132's
+    * z-order and q199's manifest: which key earns the directory level.
+    *
+    * Shape: ONE fact scan melted by an `inline` generator into
+    * (key_name, key_value) rows — never one scan per candidate — then
+    * a two-level fold: per-partition counts, then per-key moments. The
+    * Σn² fold runs in decimal(38): partition-count squares overflow
+    * int64 exactly when the advisor matters (the q274 lesson).
+    *
+    * Exactness: counts are exact; both fractions are single divisions
+    * of exact integers (Σn² exact in decimal/HUGEINT, N² formed as
+    * double·double of an exact-below-2⁵³ count), mirrored verbatim. */
+  def q286PartitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def cand(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("key_name"), v.cast("string").as("key_value"))
+    val melted = Tables.lineitem(spark, dir).select(inline(array(
+      cand("ship_month", date_format(col("l_shipdate"), "yyyy-MM")),
+      cand("return_flag", col("l_returnflag")),
+      cand("line_status", col("l_linestatus")),
+      cand("supp_bucket_32", pmod(col("l_suppkey"), lit(32))),
+      cand("part_bucket_1024", pmod(col("l_partkey"), lit(1024))))))
+    melted
+      .groupBy("key_name", "key_value")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("key_name")
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("n").as("rows"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("s2"),
+        max("n").as("max_n"))
+      .select(col("key_name"), col("n_partitions"), col("rows"),
+        round(col("s2").cast("double") /
+          (col("rows").cast("double") * col("rows")), 8)
+          .as("expected_scan_frac"),
+        round(col("max_n").cast("double") / col("rows"), 8)
+          .as("max_part_frac"))
+      .orderBy("key_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_zorder_scan" -> (q132ZorderScan _),
     "q133_cell_serving" -> (q133CellServing _),
-    "q134_bucketed_join" -> (q134BucketedJoin _))
+    "q134_bucketed_join" -> (q134BucketedJoin _),
+    "q286_partition_advisor" -> (q286PartitionAdvisor _))
 
   val oracles: Map[String, String] = Map(
+    "q286_partition_advisor" ->
+      """WITH melted AS (
+        |  SELECT 'ship_month' AS key_name,
+        |         strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')
+        |           AS key_value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'return_flag', l_returnflag FROM lineitem
+        |  UNION ALL
+        |  SELECT 'line_status', l_linestatus FROM lineitem
+        |  UNION ALL
+        |  SELECT 'supp_bucket_32', CAST(l_suppkey % 32 AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'part_bucket_1024', CAST(l_partkey % 1024 AS VARCHAR)
+        |  FROM lineitem),
+        |parts AS (
+        |  SELECT key_name, key_value, CAST(count(*) AS BIGINT) AS n
+        |  FROM melted GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT key_name,
+        |         CAST(count(*) AS BIGINT) AS n_partitions,
+        |         CAST(sum(n) AS BIGINT) AS rows,
+        |         sum(n * n) AS s2,
+        |         CAST(max(n) AS BIGINT) AS max_n
+        |  FROM parts GROUP BY 1)
+        |SELECT key_name, n_partitions, rows,
+        |       round(CAST(s2 AS DOUBLE)
+        |             / (CAST(rows AS DOUBLE) * rows), 8)
+        |         AS expected_scan_frac,
+        |       round(CAST(max_n AS DOUBLE) / rows, 8) AS max_part_frac
+        |FROM keys ORDER BY key_name""".stripMargin,
     "q132_zorder_scan" ->
       """SELECT count(*) AS n_rows,
         |       round(sum(l_extendedprice), 2) AS sum_price,
