@@ -211,7 +211,11 @@ object Explain {
     "q284_jackknife_influence",   // source profile + enum-sized SE fold
     "q285_clustering_coefficient",// q140 oriented wedge join + explode
     "q286_partition_advisor",     // ONE melted scan, two-level fold
-    "q287_peeking_audit")         // (type, day) profile windows
+    "q287_peeking_audit",         // (type, day) profile windows
+    "q288_readability",           // per-doc integer counts, one fold
+    "q289_oov_emergence",         // (source, word) histogram halves
+    "q290_selectivity_calibration", // percentile fold + broadcast probes
+    "q291_heaps_law")             // first-seen fold + doc-grain windows
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -239,7 +239,9 @@ object ScaleSmoke {
         "q280_ab_power", "q281_price_volume_mix",
         "q282_association_rules", "q283_effective_sample_size",
         "q284_jackknife_influence", "q285_clustering_coefficient",
-        "q286_partition_advisor", "q287_peeking_audit")
+        "q286_partition_advisor", "q287_peeking_audit",
+        "q288_readability", "q289_oov_emergence",
+        "q290_selectivity_calibration", "q291_heaps_law")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

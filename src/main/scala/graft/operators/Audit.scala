@@ -333,7 +333,64 @@ object Audit {
     }.reduce(_ unionAll _).orderBy("join_pair", "key")
   }
 
+  /** q290 — HISTOGRAM-SELECTIVITY CALIBRATION: build a 10-bucket
+    * equi-depth histogram on the fact price column (the structure a
+    * CBO keeps), then probe it at each bucket's MIDPOINT with a `x ≤ m`
+    * range predicate and compare the histogram's uniform-within-bucket
+    * estimate against the exact fraction — per probe, the calibration
+    * error of the assumption every range-selectivity estimate rests
+    * on. The range-predicate companion to q257's join-cardinality
+    * audit: q257 grades the independence assumption, this grades
+    * uniform-spread. A column whose errors spike mid-bucket is skewed
+    * INSIDE buckets and needs more buckets (or a different key) before
+    * its estimates can be trusted.
+    *
+    * Exactness: prices quantize to BIGINT cents per row; boundaries
+    * are exact (n−1)-interpolated percentiles over the cents (the
+    * q151/q278 discipline); the estimate and the actual fraction are
+    * fixed double expressions over exact integers, mirrored verbatim
+    * (midpoints halve exact-integer sums, so every comparison
+    * `cents ≤ m` is deterministic).
+    *
+    * Scale shape: one percentile fold builds the 11-boundary profile;
+    * the actual counts ride ONE scan crossed with the broadcast
+    * 10-row probe table (10× map-side fan-out, combinable conditional
+    * count — never 10 scans); everything downstream is 10 rows. */
+  def q290SelectivityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+        .as("c"))
+    val bounds = cents.agg(
+      expr("percentile(c, array(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, " +
+        "0.6, 0.7, 0.8, 0.9, 1.0))").as("bs"),
+      count(lit(1)).as("n"))
+    val probes = bounds.select(col("n"),
+      posexplode(expr("transform(sequence(1, 10), " +
+        "j -> struct(bs[j - 1] as lo, bs[j] as hi))")))
+      .select((col("pos") + 1).as("j"), col("n"),
+        col("col.lo").as("lo"), col("col.hi").as("hi"),
+        ((col("col.lo") + col("col.hi")) / 2).as("m"))
+    val est = when(col("hi") > col("lo"),
+      (col("j") - 1 + (col("m") - col("lo")) / (col("hi") - col("lo")))
+        / lit(10.0))
+      .otherwise((col("j").cast("double") - 0.5) / 10.0)
+    val actual = cents.crossJoin(broadcast(probes))
+      .groupBy("j", "n", "lo", "hi", "m")
+      .agg(sum(when(col("c").cast("double") <= col("m"), 1L)
+        .otherwise(0L)).as("n_le"))
+    actual
+      .select(col("j").as("bucket"),
+        round(col("lo") / 100, 2).as("lo_price"),
+        round(col("hi") / 100, 2).as("hi_price"),
+        round(est, 8).as("est_frac"),
+        round(col("n_le").cast("double") / col("n"), 8).as("actual_frac"),
+        round(abs(est - col("n_le").cast("double") / col("n")), 8)
+          .as("abs_err"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_selectivity_calibration" -> (q290SelectivityCalibration _),
     "q257_card_calibration" -> (q257CardCalibration _),
     "q239_fd_audit" -> (q239FdAudit _),
     "q171_replica_audit" -> (q171ReplicaAudit _),
@@ -401,6 +458,38 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    "q290_selectivity_calibration" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT quantile_cont(c, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+        |                           0.6, 0.7, 0.8, 0.9, 1.0]) AS bs,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM cents),
+        |probes AS (
+        |  SELECT j, b.n, b.bs[j] AS lo, b.bs[j + 1] AS hi,
+        |         (b.bs[j] + b.bs[j + 1]) / 2 AS m
+        |  FROM bounds b, (SELECT unnest(generate_series(1, 10)) AS j)),
+        |actual AS (
+        |  SELECT p.j, p.n, p.lo, p.hi, p.m,
+        |         CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) <= p.m
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+        |  FROM cents c CROSS JOIN probes p
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT CAST(j AS INTEGER) AS bucket,
+        |       round(lo / 100, 2) AS lo_price,
+        |       round(hi / 100, 2) AS hi_price,
+        |       round(CASE WHEN hi > lo
+        |                  THEN (j - 1 + (m - lo) / (hi - lo)) / 10.0
+        |                  ELSE (CAST(j AS DOUBLE) - 0.5) / 10.0 END, 8)
+        |         AS est_frac,
+        |       round(CAST(n_le AS DOUBLE) / n, 8) AS actual_frac,
+        |       round(abs(CASE WHEN hi > lo
+        |                      THEN (j - 1 + (m - lo) / (hi - lo)) / 10.0
+        |                      ELSE (CAST(j AS DOUBLE) - 0.5) / 10.0 END
+        |                 - CAST(n_le AS DOUBLE) / n), 8) AS abs_err
+        |FROM actual ORDER BY bucket""".stripMargin,
     "q257_card_calibration" -> cardCalibrationSql,
     "q239_fd_audit" -> fdAuditSql,
     "q199_partition_manifest" ->

@@ -84,6 +84,10 @@ object PlanContract {
     "q273_source_overlap" -> "source pairs × mask histogram (enum-sized)",
     // source-pair spine: |sources|-row total table each side
     "q276_weighted_overlap" -> "source-total pair spine (enum-sized)",
+    // posexplode of the 11-boundary percentile profile: exactly 10
+    // probe rows by construction (sequence(1, 10) over a grouping-less
+    // aggregate), invisible through the Generate node
+    "q290_selectivity_calibration" -> "10-row decile probe table",
     // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
     // candidate relation (InMemoryRelation subtrees are outside the
     // walk), so no grant is needed — documented in Mmr.scala instead
