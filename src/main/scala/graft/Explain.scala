@@ -215,7 +215,11 @@ object Explain {
     "q288_readability",           // per-doc integer counts, one fold
     "q289_oov_emergence",         // (source, word) histogram halves
     "q290_selectivity_calibration", // percentile fold + broadcast probes
-    "q291_heaps_law")             // first-seen fold + doc-grain windows
+    "q291_heaps_law",             // first-seen fold + doc-grain windows
+    "q292_brand_homophily",       // edge artifact + brand-grain folds
+    "q293_brown_backtest",        // two integer convolutions, 15 taps
+    "q294_seasonal_strength",     // zero-filled profile + MA window
+    "q295_winsorized_welch")      // percentile bounds + one clamp scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

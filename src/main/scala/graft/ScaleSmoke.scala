@@ -241,7 +241,9 @@ object ScaleSmoke {
         "q284_jackknife_influence", "q285_clustering_coefficient",
         "q286_partition_advisor", "q287_peeking_audit",
         "q288_readability", "q289_oov_emergence",
-        "q290_selectivity_calibration", "q291_heaps_law")
+        "q290_selectivity_calibration", "q291_heaps_law",
+        "q292_brand_homophily", "q293_brown_backtest",
+        "q294_seasonal_strength", "q295_winsorized_welch")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -353,7 +353,79 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q295 — WINSORIZED (robust) WELCH A/B READ: the q165 experiment
+    * re-scored with each metric's values clamped to its pooled
+    * [P5, P95] band before the t statistic — the standard robust
+    * re-read that tells whether a verdict is carried by the
+    * distribution's body or by a handful of tail events (a whale
+    * purchase flipping "significant" is a decision hazard, not a
+    * treatment effect). Reports the raw q165 t next to the winsorized
+    * t and flags verdict flips. Complements q116 (winsorize as a
+    * FEATURE transform) and q280 (power): trim bounds here are
+    * decision inputs, not cleaning.
+    *
+    * Exactness: cents are exact; the clamp bounds are the
+    * engine-identical exact interpolated percentiles (q151/q278
+    * discipline); every clamped value micro-quantizes to BIGINT
+    * before any cross-row fold (q169 discipline), with squares in
+    * decimal(38)/HUGEINT (q274 rule); both t statistics are the q165
+    * fixed double expression over exact sums, mirrored verbatim. */
+  def q295WinsorizedWelch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val bounds = ev.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.05)").as("lo"),
+        expr("percentile(cents, 0.95)").as("hi"))
+    val clamped = ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("qw",
+        round(least(greatest(col("cents").cast("double"), col("lo")),
+          col("hi")) * lit(1000000d), 0).cast("long"))
+    val stats = clamped.groupBy("event_type")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"),
+          col("cents") * col("cents")).otherwise(0L)).as("qa"),
+        sum(when(col("in_a"), col("qw")).otherwise(0L)).as("wa"),
+        sum(when(col("in_a"), col("qw").cast("decimal(38,0)") * col("qw"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("va"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(!col("in_a"),
+          col("cents") * col("cents")).otherwise(0L)).as("qb"),
+        sum(when(!col("in_a"), col("qw")).otherwise(0L)).as("wb"),
+        sum(when(!col("in_a"), col("qw").cast("decimal(38,0)") * col("qw"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("vb"))
+    def welch(na: Column, sa: Column, qa: Column,
+        nb: Column, sb: Column, qb: Column): Column = {
+      val ma = sa.cast("double") / na
+      val mb = sb.cast("double") / nb
+      val va = (qa.cast("double") - sa.cast("double") * ma) / (na - 1)
+      val vb = (qb.cast("double") - sb.cast("double") * mb) / (nb - 1)
+      (ma - mb) / sqrt(va / na + vb / nb)
+    }
+    val tRaw = welch(col("na"), col("sa"), col("qa"),
+      col("nb"), col("sb"), col("qb"))
+    val tW = welch(col("na"), col("wa"), col("va"),
+      col("nb"), col("wb"), col("vb"))
+    stats.select(col("event_type"), col("na"), col("nb"),
+        round(col("wa").cast("double") / col("na") / 100000000d, 4)
+          .as("mean_a_winsor"),
+        round(tRaw, 6).as("t_raw"),
+        round(tW, 6).as("t_winsor"),
+        when(abs(tRaw) > 1.96, "significant").otherwise("not_significant")
+          .as("verdict_raw"),
+        when(abs(tW) > 1.96, "significant").otherwise("not_significant")
+          .as("verdict_winsor"),
+        ((abs(tRaw) > 1.96) =!= (abs(tW) > 1.96)).as("flipped"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_winsorized_welch" -> (q295WinsorizedWelch _),
     "q287_peeking_audit" -> (q287PeekingAudit _),
     "q280_ab_power" -> (q280AbPower _),
     "q253_rate_change" -> (q253RateChange _),
@@ -487,6 +559,73 @@ object Experiment {
         |       round(mean_cents / 100.0, 4) AS mean_spend,
         |       round((SELECT did_cents FROM did) / 100.0, 4) AS did_spend
         |FROM cells ORDER BY grp, period""".stripMargin,
+    "q295_winsorized_welch" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |bounds AS (
+        |  SELECT event_type, quantile_cont(cents, 0.05) AS lo,
+        |         quantile_cont(cents, 0.95) AS hi
+        |  FROM ev GROUP BY 1),
+        |clamped AS (
+        |  SELECT e.*,
+        |         CAST(round(least(greatest(CAST(e.cents AS DOUBLE), b.lo),
+        |                          b.hi) * 1000000, 0) AS BIGINT) AS qw
+        |  FROM ev e JOIN bounds b USING (event_type)),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT)
+        |           AS sa,
+        |         CAST(sum(CASE WHEN in_a THEN cents * cents ELSE 0 END)
+        |           AS BIGINT) AS qa,
+        |         CAST(sum(CASE WHEN in_a THEN qw ELSE 0 END) AS BIGINT)
+        |           AS wa,
+        |         sum(CASE WHEN in_a THEN CAST(qw AS HUGEINT) * qw
+        |                  ELSE 0 END) AS va,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS nb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents END) AS BIGINT)
+        |           AS sb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents * cents END)
+        |           AS BIGINT) AS qb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE qw END) AS BIGINT)
+        |           AS wb,
+        |         sum(CASE WHEN in_a THEN 0
+        |                  ELSE CAST(qw AS HUGEINT) * qw END) AS vb
+        |  FROM clamped GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, na, nb, wa,
+        |         (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |         / sqrt((CAST(qa AS DOUBLE)
+        |                 - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+        |                  / (na - 1) / na
+        |                + (CAST(qb AS DOUBLE)
+        |                   - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+        |                    / (nb - 1) / nb) AS t_raw,
+        |         (CAST(wa AS DOUBLE) / na - CAST(wb AS DOUBLE) / nb)
+        |         / sqrt((CAST(va AS DOUBLE)
+        |                 - CAST(wa AS DOUBLE) * (CAST(wa AS DOUBLE) / na))
+        |                  / (na - 1) / na
+        |                + (CAST(vb AS DOUBLE)
+        |                   - CAST(wb AS DOUBLE) * (CAST(wb AS DOUBLE) / nb))
+        |                    / (nb - 1) / nb) AS t_winsor
+        |  FROM stats)
+        |SELECT event_type, na, nb,
+        |       round(CAST(wa AS DOUBLE) / na / 100000000, 4)
+        |         AS mean_a_winsor,
+        |       round(t_raw, 6) AS t_raw,
+        |       round(t_winsor, 6) AS t_winsor,
+        |       CASE WHEN abs(t_raw) > 1.96 THEN 'significant'
+        |            ELSE 'not_significant' END AS verdict_raw,
+        |       CASE WHEN abs(t_winsor) > 1.96 THEN 'significant'
+        |            ELSE 'not_significant' END AS verdict_winsor,
+        |       (abs(t_raw) > 1.96) <> (abs(t_winsor) > 1.96) AS flipped
+        |FROM t ORDER BY event_type""".stripMargin,
     "q287_peeking_audit" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

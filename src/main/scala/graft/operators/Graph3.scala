@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** [EXT] community detection (q266): synchronous label propagation
   * (LPA, Raghavan et al. 2007 — PAPERS.md) over the undirected
   * supplier–part shipment graph shared with q138/q143/q144 — the
@@ -117,11 +119,98 @@ object Graph3 {
           .as("assortativity"))
   }
 
+  /** q292 — CATEGORICAL (brand) HOMOPHILY of the co-purchase graph:
+    * Newman's attribute assortativity r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ)/(1 − Σᵢaᵢbᵢ)
+    * over the brand×brand edge-mixing matrix — "do same-brand parts
+    * co-purchase MORE than their popularity predicts?" q269 answers
+    * the DEGREE version of this question; this is the attribute
+    * version a merchandiser or a curriculum designer asks (homophilic
+    * categories ⇒ within-category negative sampling is too easy). The
+    * observed same-brand edge share is compared against the chance
+    * expectation Σ(endpoint-share)², and r rescales the excess to
+    * [−1, 1].
+    *
+    * Exactness: edge counts and per-brand ENDPOINT degrees fold as
+    * exact BIGINTs (Σd² in decimal(38) — the q274 rule); eᵢᵢ, the
+    * chance term and r are fixed double expressions over them,
+    * mirrored verbatim. NULL when chance = 1 (single brand — no
+    * homophily defined).
+    *
+    * Scale shape: the same [[Graph.copurchaseEdges]] artifact as
+    * q140/q285 (content-keyed, support-pruned), two broadcast brand
+    * lookups, then everything is a brand-grain (≤ |brands|) fold. */
+  def q292BrandHomophily(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val e = Graph.copurchaseEdges(spark, dir)
+      .join(broadcast(brands.select(col("p_partkey").as("p1"),
+        col("p_brand").as("b1"))), Seq("p1"))
+      .join(broadcast(brands.select(col("p_partkey").as("p2"),
+        col("p_brand").as("b2"))), Seq("p2"))
+    val m = e.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("b1") === col("b2"), 1L).otherwise(0L)).as("same"))
+    val degb = e.select(explode(array(col("b1"), col("b2"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_brands"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sumd2"))
+    val eii = col("same").cast("double") / col("n_edges")
+    val m2 = lit(2.0) * col("n_edges")
+    val chance = col("sumd2").cast("double") / (m2 * m2)
+    m.crossJoin(broadcast(degb))
+      .select(col("n_edges"), col("n_brands"),
+        col("same").as("same_brand_edges"),
+        round(eii, 6).as("same_frac"),
+        round(chance, 6).as("expected_frac"),
+        when(chance =!= 1.0,
+          round((eii - chance) / (lit(1.0) - chance), 6))
+          .as("homophily"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q266_lpa_communities" -> (q266LpaCommunities _),
-    "q269_assortativity" -> (q269Assortativity _))
+    "q269_assortativity" -> (q269Assortativity _),
+    "q292_brand_homophily" -> (q292BrandHomophily _))
 
   val oracles: Map[String, String] = Map(
+    "q292_brand_homophily" ->
+      s"""WITH pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT p1, p2 FROM pairs WHERE support >= ${Graph.MinSupport}),
+        |be AS (
+        |  SELECT pa.p_brand AS b1, pb.p_brand AS b2
+        |  FROM edges e
+        |  JOIN part pa ON pa.p_partkey = e.p1
+        |  JOIN part pb ON pb.p_partkey = e.p2),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS same
+        |  FROM be),
+        |degb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_brands,
+        |         sum(d * d) AS sumd2
+        |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT b1 AS b FROM be
+        |              UNION ALL SELECT b2 FROM be)
+        |        GROUP BY 1))
+        |SELECT m.n_edges, degb.n_brands, m.same AS same_brand_edges,
+        |       round(CAST(m.same AS DOUBLE) / m.n_edges, 6) AS same_frac,
+        |       round(CAST(degb.sumd2 AS DOUBLE)
+        |             / ((2.0 * m.n_edges) * (2.0 * m.n_edges)), 6)
+        |         AS expected_frac,
+        |       CASE WHEN CAST(degb.sumd2 AS DOUBLE)
+        |                 / ((2.0 * m.n_edges) * (2.0 * m.n_edges)) <> 1.0
+        |            THEN round((CAST(m.same AS DOUBLE) / m.n_edges
+        |                        - CAST(degb.sumd2 AS DOUBLE)
+        |                          / ((2.0 * m.n_edges) * (2.0 * m.n_edges)))
+        |                       / (1.0 - CAST(degb.sumd2 AS DOUBLE)
+        |                          / ((2.0 * m.n_edges) * (2.0 * m.n_edges))),
+        |                       6)
+        |       END AS homophily
+        |FROM m, degb""".stripMargin,
     "q266_lpa_communities" -> lpaSql,
     "q269_assortativity" ->
       """WITH edges AS (

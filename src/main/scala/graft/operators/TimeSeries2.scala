@@ -570,7 +570,177 @@ object TimeSeries2 {
       .orderBy("event_type", "start_day")
   }
 
+  /** q293 kernels: the q261 truncated geometric kernel (r = 2^(−1/2)
+    * micro-quantized) cut to 8 taps — the double kernel then spans 15
+    * days, so the backtest warms by day 14 of the 30-day corpus (the
+    * full 20-tap q261 kernel would never warm here; at a longer
+    * history, widen the cut) — and its self-convolution: double
+    * smoothing IS the same kernel applied twice, and in the warm
+    * region (full history under both kernels) the denominators are
+    * the constant ΣK and (ΣK)², so the whole recurrence collapses to
+    * two integer convolutions. */
+  private[graft] val BrownK: Seq[Long] = TimeSeries.EwmaW6.take(8)
+  private[graft] val BrownK2: Seq[Long] =
+    (0 until 2 * BrownK.length - 1).map { t =>
+      (math.max(0, t - BrownK.length + 1) to
+        math.min(t, BrownK.length - 1))
+        .map(a => BrownK(a) * BrownK(t - a)).sum
+    }
+  /** Pinned Brown trend coefficients for r = 2^(−1/2): the one-step
+    * forecast is (2 + c)·S1 − (1 + c)·S2 with c = r/(1−r) = 1/(√2−1)
+    * = √2 + 1, micro-rounded once so both engines parse identical
+    * literals (the Benford6 discipline). */
+  private[graft] val Brown2Plus = 4.414214
+  private[graft] val Brown1Plus = 3.414214
+
+  /** q293 — BROWN DOUBLE-SMOOTHING FORECAST BACKTEST: one-step-ahead
+    * linear-trend forecasts f_{t+1} = (2+c)·S1_t − (1+c)·S2_t (Brown
+    * 1959 — PAPERS.md) per event type, scored as MAE against the next
+    * day's actual count and against the q271 persistence baseline on
+    * the SAME eval days — the trend-following forecaster q271's naive
+    * baselines exist to beat (or embarrass). S1/S2 are the q261
+    * truncated-kernel smoothings; the warm region makes both exact
+    * integer convolutions (see [[BrownK2]]), so there is no float
+    * recurrence at all.
+    *
+    * Exactness: num1/num2 fold as exact BIGINTs (one contribution
+    * explode, 39 taps); each day's |error| micro-quantizes to BIGINT
+    * before the MAE fold (q169 discipline); the winner verdict
+    * cross-multiplies the exact integer error sums (never compares
+    * rounded doubles). Zero-event days inside a window contribute
+    * nothing — identical zero-fill semantics in both engines; an eval
+    * day exists iff any event fell in its trailing 39-day window
+    * (mirrored by construction). */
+  def q293BrownBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("n"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    val w1 = BrownK.sum
+    val w2 = BrownK2.sum
+    val taps2 = BrownK2.length
+    val k1Pad = BrownK.padTo(taps2, 0L)
+    val k1Arr = s"array(${k1Pad.mkString("L, ")}L)"
+    val k2Arr = s"array(${BrownK2.mkString("L, ")}L)"
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("n"),
+        explode(sequence(lit(0), lit(taps2 - 1))).as("j"))
+      .select(col("event_type"), (col("day") + col("j")).as("tday"),
+        (col("n") * expr(s"element_at($k1Arr, j + 1)")).as("wn1"),
+        (col("n") * expr(s"element_at($k2Arr, j + 1)")).as("wn2"))
+    val smooth = contrib.crossJoin(broadcast(maxDay))
+      .filter(col("tday") >= lit(taps2 - 1).cast("long") &&
+        col("tday") < col("max_day"))
+      .groupBy("event_type", "tday")
+      .agg(sum(col("wn1")).as("num1"), sum(col("wn2")).as("num2"))
+    val f = lit(Brown2Plus) * (col("num1").cast("double") / lit(w1)) -
+      lit(Brown1Plus) * (col("num2").cast("double") / lit(w2))
+    val nextDay = daily.select(col("event_type"),
+      (col("day") - 1).as("tday"), col("n").as("y1"))
+    val sameDay = daily.select(col("event_type"),
+      col("day").as("tday"), col("n").as("y0"))
+    val scored = smooth
+      .join(nextDay, Seq("event_type", "tday"), "left")
+      .join(sameDay, Seq("event_type", "tday"), "left")
+      .select(col("event_type"),
+        round(abs(f - coalesce(col("y1"), lit(0L)).cast("double")) *
+          lit(1000000d), 0).cast("long").as("err_mu"),
+        abs(coalesce(col("y0"), lit(0L)) - coalesce(col("y1"), lit(0L)))
+          .as("err_naive"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval_days"),
+        sum("err_mu").as("se_mu"), sum("err_naive").as("se_n"))
+      .select(col("event_type"), col("n_eval_days"),
+        round(col("se_mu").cast("double") / 1000000d / col("n_eval_days"),
+          4).as("mae_brown"),
+        round(col("se_n").cast("double") / col("n_eval_days"), 4)
+          .as("mae_naive1"),
+        when(col("se_mu") < col("se_n") * lit(1000000L), "brown")
+          .when(col("se_mu") > col("se_n") * lit(1000000L), "naive")
+          .otherwise("tie").as("winner"),
+        when(col("se_n") > 0,
+          round(lit(1.0) - col("se_mu").cast("double") /
+            (col("se_n").cast("double") * 1000000d), 6))
+          .as("skill"))
+      .orderBy("event_type")
+  }
+
+  /** q294 — SEASONAL / TREND STRENGTH (the Hyndman–Athanasopoulos FPP
+    * decomposition-strength measures, PAPERS.md): per event type,
+    * classical additive decomposition on the ZERO-FILLED daily series
+    * — trend = centered 7-day moving average, seasonal = mean
+    * detrended value per day-of-week position (day index mod 7, so
+    * no engine-specific weekday numbering) — then
+    * F_trend = max(0, 1 − Var(R)/Var(deseasonalized)) and
+    * F_seasonal = max(0, 1 − Var(R)/Var(detrended)). ONE pair of
+    * numbers that says whether q177's day-of-week profile and q178's
+    * trend are LOAD-BEARING structure or noise.
+    *
+    * Exactness: the zero-filled spine makes the 7-day window sum an
+    * exact integer everywhere the window is full; detrended·7 =
+    * 7y − Σ₇ stays integer (no division until the profile); the
+    * seasonal means are single divisions of exact integers; each
+    * day's detrended/deseasonalized/residual value micro-quantizes to
+    * BIGINT before the variance folds (q169 discipline), squares in
+    * decimal(38)/HUGEINT (q274 rule); the strengths are fixed double
+    * expressions over the moment folds. */
+  def q294SeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val daily = TimeSeries.dailySeries(spark, dir)
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("n"))
+    val maxd = daily.agg(max(col("day")).as("max_day"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(maxd))
+      .select(col("event_type"), col("max_day"),
+        explode(expr("sequence(0L, max_day)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("max_day"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val valid = spine
+      .withColumn("sum7", sum("y").over(w))
+      .filter(col("day") >= 3 && col("day") <= col("max_day") - 3)
+      .select(col("event_type"), col("day"), col("y"),
+        (col("y") * 7 - col("sum7")).as("det7"),
+        pmod(col("day"), lit(7L)).as("dow"))
+    val sdow = valid.groupBy("event_type", "dow")
+      .agg(sum("det7").as("sd"), count(lit(1)).as("sc"))
+      .select(col("event_type"), col("dow"),
+        (col("sd").cast("double") / (lit(7L) * col("sc"))).as("sdow"))
+    def mu(c: Column): Column =
+      round(c * lit(1000000d), 0).cast("long")
+    val q = valid.join(sdow, Seq("event_type", "dow"))
+      .select(col("event_type"),
+        mu(col("det7") / lit(7.0)).as("qdetr"),
+        mu(col("det7") / lit(7.0) - col("sdow")).as("qresid"),
+        mu(col("y") - col("sdow")).as("qdeseas"))
+    def moments(c: String) = Seq(
+      sum(col(c)).as(s"s_$c"),
+      sum(col(c).cast("decimal(38,0)") * col(c)).as(s"s2_$c"))
+    def varOf(c: String, n: Column): Column = {
+      val s = col(s"s_$c").cast("double")
+      (col(s"s2_$c").cast("double") - s * (s / n)) / n
+    }
+    val agg0 = q.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval_days"),
+        (moments("qdetr") ++ moments("qresid") ++
+          moments("qdeseas")): _*)
+    val n = col("n_eval_days")
+    val vR = varOf("qresid", n)
+    val vS = varOf("qdetr", n)
+    val vT = varOf("qdeseas", n)
+    agg0.select(col("event_type"), col("n_eval_days"),
+        when(vT > 0, round(greatest(lit(0.0), lit(1.0) - vR / vT), 6))
+          .as("trend_strength"),
+        when(vS > 0, round(greatest(lit(0.0), lit(1.0) - vR / vS), 6))
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_seasonal_strength" -> (q294SeasonalStrength _),
+    "q293_brown_backtest" -> (q293BrownBacktest _),
     "q275_burst_episodes" -> (q275BurstEpisodes _),
     "q268_periodogram" -> (q268Periodogram _),
     "q271_forecast_backtest" -> (q271ForecastBacktest _),
@@ -586,6 +756,142 @@ object TimeSeries2 {
     "q187_dod_alerts" -> (q187DodAlerts _))
 
   val oracles: Map[String, String] = Map(
+    "q294_seasonal_strength" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |md AS (SELECT max(day) AS max_day FROM daily),
+        |spine AS (
+        |  SELECT t.event_type, g.day,
+        |         CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0,
+        |                (SELECT max_day FROM md))) AS day) g
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |                   AND d.day = g.day),
+        |ma AS (
+        |  SELECT event_type, day, y,
+        |         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+        |           AS sum7
+        |  FROM spine),
+        |valid AS (
+        |  SELECT event_type, day, y, y * 7 - sum7 AS det7,
+        |         day % 7 AS dow
+        |  FROM ma
+        |  WHERE day >= 3 AND day <= (SELECT max_day FROM md) - 3),
+        |sdow AS (
+        |  SELECT event_type, dow,
+        |         CAST(sum(det7) AS DOUBLE) / (7 * count(*)) AS sdow
+        |  FROM valid GROUP BY 1, 2),
+        |q AS (
+        |  SELECT v.event_type,
+        |         CAST(round(v.det7 / 7.0 * 1000000, 0) AS BIGINT)
+        |           AS qdetr,
+        |         CAST(round((v.det7 / 7.0 - s.sdow) * 1000000, 0)
+        |           AS BIGINT) AS qresid,
+        |         CAST(round((v.y - s.sdow) * 1000000, 0) AS BIGINT)
+        |           AS qdeseas
+        |  FROM valid v JOIN sdow s
+        |    ON s.event_type = v.event_type AND s.dow = v.dow),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval_days,
+        |         CAST(sum(qdetr) AS BIGINT) AS s_detr,
+        |         sum(CAST(qdetr AS HUGEINT) * qdetr) AS s2_detr,
+        |         CAST(sum(qresid) AS BIGINT) AS s_resid,
+        |         sum(CAST(qresid AS HUGEINT) * qresid) AS s2_resid,
+        |         CAST(sum(qdeseas) AS BIGINT) AS s_deseas,
+        |         sum(CAST(qdeseas AS HUGEINT) * qdeseas) AS s2_deseas
+        |  FROM q GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n_eval_days,
+        |         (CAST(s2_resid AS DOUBLE) - CAST(s_resid AS DOUBLE)
+        |            * (CAST(s_resid AS DOUBLE) / n_eval_days))
+        |           / n_eval_days AS v_r,
+        |         (CAST(s2_detr AS DOUBLE) - CAST(s_detr AS DOUBLE)
+        |            * (CAST(s_detr AS DOUBLE) / n_eval_days))
+        |           / n_eval_days AS v_s,
+        |         (CAST(s2_deseas AS DOUBLE) - CAST(s_deseas AS DOUBLE)
+        |            * (CAST(s_deseas AS DOUBLE) / n_eval_days))
+        |           / n_eval_days AS v_t
+        |  FROM m)
+        |SELECT event_type, n_eval_days,
+        |       CASE WHEN v_t > 0 THEN
+        |         round(greatest(0.0, 1.0 - v_r / v_t), 6) END
+        |         AS trend_strength,
+        |       CASE WHEN v_s > 0 THEN
+        |         round(greatest(0.0, 1.0 - v_r / v_s), 6) END
+        |         AS seasonal_strength
+        |FROM v ORDER BY event_type""".stripMargin,
+    "q293_brown_backtest" -> {
+      val taps2 = BrownK2.length
+      val k1List = s"[${BrownK.padTo(taps2, 0L).mkString(", ")}]"
+      val k2List = s"[${BrownK2.mkString(", ")}]"
+      val w1 = BrownK.sum
+      val w2 = BrownK2.sum
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+        |  FROM events),
+        |d0 AS (SELECT min(dd) AS d0 FROM ev),
+        |daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+        |           AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |md AS (SELECT max(day) AS max_day FROM daily),
+        |contrib AS (
+        |  SELECT d.event_type, d.day + t.j AS tday,
+        |         d.n * $k1List[t.j + 1] AS wn1,
+        |         d.n * $k2List[t.j + 1] AS wn2
+        |  FROM daily d CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${taps2 - 1})) AS j) t),
+        |smooth AS (
+        |  SELECT event_type, tday,
+        |         CAST(sum(wn1) AS BIGINT) AS num1,
+        |         CAST(sum(wn2) AS BIGINT) AS num2
+        |  FROM contrib
+        |  WHERE tday >= ${taps2 - 1} AND tday < (SELECT max_day FROM md)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT s.event_type,
+        |         CAST(round(abs($Brown2Plus
+        |                        * (CAST(s.num1 AS DOUBLE) / $w1)
+        |                        - $Brown1Plus
+        |                          * (CAST(s.num2 AS DOUBLE) / $w2)
+        |                        - CAST(COALESCE(n1.n, 0) AS DOUBLE))
+        |                    * 1000000, 0) AS BIGINT) AS err_mu,
+        |         abs(COALESCE(n0.n, 0) - COALESCE(n1.n, 0)) AS err_naive
+        |  FROM smooth s
+        |  LEFT JOIN daily n1 ON n1.event_type = s.event_type
+        |                    AND n1.day = s.tday + 1
+        |  LEFT JOIN daily n0 ON n0.event_type = s.event_type
+        |                    AND n0.day = s.tday),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval_days,
+        |         CAST(sum(err_mu) AS BIGINT) AS se_mu,
+        |         CAST(sum(err_naive) AS BIGINT) AS se_n
+        |  FROM scored GROUP BY 1)
+        |SELECT event_type, n_eval_days,
+        |       round(CAST(se_mu AS DOUBLE) / 1000000 / n_eval_days, 4)
+        |         AS mae_brown,
+        |       round(CAST(se_n AS DOUBLE) / n_eval_days, 4) AS mae_naive1,
+        |       CASE WHEN se_mu < se_n * 1000000 THEN 'brown'
+        |            WHEN se_mu > se_n * 1000000 THEN 'naive'
+        |            ELSE 'tie' END AS winner,
+        |       CASE WHEN se_n > 0 THEN
+        |         round(1.0 - CAST(se_mu AS DOUBLE)
+        |               / (CAST(se_n AS DOUBLE) * 1000000), 6)
+        |       END AS skill
+        |FROM agg ORDER BY event_type""".stripMargin
+    },
     "q275_burst_episodes" ->
       s"""WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
