@@ -219,7 +219,11 @@ object Explain {
     "q292_brand_homophily",       // edge artifact + brand-grain folds
     "q293_brown_backtest",        // two integer convolutions, 15 taps
     "q294_seasonal_strength",     // zero-filled profile + MA window
-    "q295_winsorized_welch")      // percentile bounds + one clamp scan
+    "q295_winsorized_welch",      // percentile bounds + one clamp scan
+    "q296_lead_time_sla",         // co-keyed fact join → month profile
+    "q297_transitivity_audit",    // pair-table wedge join, 3-row melt
+    "q298_wasserstein_drift",     // (type, cent) profile windows
+    "q299_decomposition_anomalies") // shared q294 frame + sigma fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -243,7 +243,9 @@ object ScaleSmoke {
         "q288_readability", "q289_oov_emergence",
         "q290_selectivity_calibration", "q291_heaps_law",
         "q292_brand_homophily", "q293_brown_backtest",
-        "q294_seasonal_strength", "q295_winsorized_welch")
+        "q294_seasonal_strength", "q295_winsorized_welch",
+        "q296_lead_time_sla", "q297_transitivity_audit",
+        "q298_wasserstein_drift", "q299_decomposition_anomalies")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

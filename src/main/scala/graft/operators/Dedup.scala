@@ -505,6 +505,67 @@ object Dedup {
       .orderBy("threshold_pct")
   }
 
+  /** q297 thresholds audited (on the q34 pair table's round-6
+    * Jaccard, compared identically in both engines). */
+  private[graft] val TransitivityTaus = Seq(0.8, 0.9, 0.95)
+
+  /** q297 — TRANSITIVITY AUDIT of the near-dup graph: for each
+    * threshold τ, how often does (a~b ≥ τ AND b~c ≥ τ) fail to imply
+    * a~c ≥ τ over the q34 pair table — the closure-quality number
+    * that decides whether q73's connected-component clustering is a
+    * faithful model or is chaining unrelated documents through hubs.
+    * A τ whose wedges are ~all closed clusters cleanly; a low closure
+    * rate at the operating threshold means CC overmerges and the
+    * canonical pick (q115) inherits the damage.
+    *
+    * Exactness: wedge/closure counts are exact integers over the
+    * SHARED q34 pair artifact (DfCache — no second shingle pass);
+    * thresholds compare the same round-6 Jaccard in both engines; the
+    * rate is one division. Absent (a,c) pairs count as open (below
+    * 0.8 by q34's own selection — exactly the chaining case).
+    *
+    * Scale shape: one undirected self-join of the PAIR TABLE on the
+    * shared endpoint (Σ deg² wedge cost, bounded by near-dup cluster
+    * sizes — the same blow-up class as q73's closure, documented
+    * there), then a single left join back to pairs and one
+    * conditional fold; the per-τ report is a 3-struct inline melt. */
+  def q297TransitivityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q34DedupNgramJaccard(spark, dir)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    val und = pairs.select(col("id1").as("b"), col("id2").as("x"),
+        col("jaccard").as("j"))
+      .unionByName(pairs.select(col("id2").as("b"), col("id1").as("x"),
+        col("jaccard").as("j")))
+    val wedges = und.select(col("b"), col("x").as("a"), col("j").as("jab"))
+      .join(und.select(col("b"), col("x").as("c"), col("j").as("jbc")),
+        Seq("b"))
+      .filter(col("a") < col("c"))
+      .join(pairs.select(col("id1").as("a"), col("id2").as("c"),
+        col("jaccard").as("jac")), Seq("a", "c"), "left")
+      .select(least(col("jab"), col("jbc")).as("jmin"),
+        coalesce(col("jac"), lit(-1.0)).as("jac"))
+    val taus = TransitivityTaus.zipWithIndex
+    val folds = taus.flatMap { case (t, i) =>
+      Seq(sum(when(col("jmin") >= t, 1L).otherwise(0L)).as(s"w$i"),
+        sum(when(col("jmin") >= t && col("jac") >= t, 1L).otherwise(0L))
+          .as(s"c$i"))
+    }
+    val pairCounts = taus.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p$i") }
+    val w = wedges.agg(folds.head, folds.tail: _*)
+    val p = pairs.agg(pairCounts.head, pairCounts.tail: _*)
+    val rows = taus.map { case (t, i) =>
+      struct(lit(t).as("tau"), col(s"p$i").as("n_pairs"),
+        col(s"w$i").as("n_wedges"), col(s"c$i").as("n_closed"),
+        (col(s"w$i") - col(s"c$i")).as("n_violations"),
+        when(col(s"w$i") > 0,
+          round(col(s"c$i").cast("double") / col(s"w$i"), 6))
+          .as("closure_rate")) }
+    w.crossJoin(broadcast(p))
+      .select(inline(array(rows: _*)))
+      .orderBy("tau")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q249_threshold_curve" -> (q249ThresholdCurve _),
     "q31_dedup_exact" -> (q31DedupExact _),
@@ -512,6 +573,7 @@ object Dedup {
     "q202_containment_pipeline" -> (q202ContainmentPipeline _),
     "q32_dedup_minhash" -> (q32DedupMinhash _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
+    "q297_transitivity_audit" -> (q297TransitivityAudit _),
     "q34_dedup_ngram_jaccard" -> (q34DedupNgramJaccard _),
     "q106_jaccard_prefix" -> (q106DedupJaccardPrefix _),
     "q110_span_dedup" -> (q110SpanDedup _),
@@ -529,6 +591,48 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q297_transitivity_audit" -> {
+      val tauRows = TransitivityTaus.map { t =>
+        s"""SELECT $t AS tau,
+           |  (SELECT CAST(sum(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END)
+           |     AS BIGINT) FROM pairs) AS n_pairs,
+           |  (SELECT CAST(sum(CASE WHEN jmin >= $t THEN 1 ELSE 0 END)
+           |     AS BIGINT) FROM wedges) AS n_wedges,
+           |  (SELECT CAST(sum(CASE WHEN jmin >= $t AND jac >= $t
+           |     THEN 1 ELSE 0 END) AS BIGINT) FROM wedges) AS n_closed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id1, id2,
+         |         round(CAST(n_inter AS DOUBLE)
+         |               / (z1.sz + z2.sz - n_inter), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |und AS MATERIALIZED (
+         |  SELECT id1 AS b, id2 AS x, jaccard AS j FROM pairs
+         |  UNION ALL SELECT id2, id1, jaccard FROM pairs),
+         |wedges AS MATERIALIZED (
+         |  SELECT least(u1.j, u2.j) AS jmin,
+         |         COALESCE(p.jaccard, -1.0) AS jac
+         |  FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.x < u2.x
+         |  LEFT JOIN pairs p ON p.id1 = u1.x AND p.id2 = u2.x),
+         |report AS ($tauRows)
+         |SELECT tau, n_pairs, n_wedges, n_closed,
+         |       n_wedges - n_closed AS n_violations,
+         |       CASE WHEN n_wedges > 0 THEN
+         |         round(CAST(n_closed AS DOUBLE) / n_wedges, 6)
+         |       END AS closure_rate
+         |FROM report ORDER BY tau""".stripMargin
+    },
     "q249_threshold_curve" ->
       s"""WITH $shinglesCte,
          |hashed AS (

@@ -212,9 +212,61 @@ object Drift {
       .orderBy("event_type")
   }
 
+  /** q298 — WASSERSTEIN-1 (earth-mover) DRIFT: per event type between
+    * the q151/q234 SHARED halves, W₁ = ∫|F_ref(x) − F_cur(x)|dx over
+    * the cents grid — the third canonical drift statistic next to PSI
+    * (binned mass) and KS (worst gap): W₁ is the MAGNITUDE of the
+    * shift in value units (literally the minimum average dollar
+    * movement to turn one distribution into the other), so a
+    * tail-only and a body shift that tie on KS separate here, and
+    * unlike q278's ten probes it integrates over the whole support.
+    *
+    * Exactness: values quantize to cents per row; the CDF gap terms
+    * live on the distinct-cents PROFILE (cumulative integer windows),
+    * each trapezoid term |gap|·Δx micro-quantizes to BIGINT before
+    * the fold (q169 discipline); W₁ is one division at the end.
+    *
+    * Scale shape: one conditional fold to the (type, cent) histogram
+    * — profile cardinality is bounded by the cents DOMAIN, not the
+    * event count — then windows over that profile per type. */
+  def q298WassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("c"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val hist = ev.crossJoin(broadcast(cut))
+      .groupBy("event_type", "c")
+      .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("nc"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("c")
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val gap = abs(
+      sum(col("nr")).over(wC).cast("double") /
+        sum(col("nr")).over(wT).cast("double") -
+      sum(col("nc")).over(wC).cast("double") /
+        sum(col("nc")).over(wT).cast("double"))
+    hist
+      .select(col("event_type"),
+        sum(col("nr")).over(wT).as("n_ref"),
+        sum(col("nc")).over(wT).as("n_cur"),
+        round(gap * (coalesce(lead(col("c"), 1).over(wC), col("c")) -
+          col("c")).cast("double") * lit(1000000d), 0).cast("long")
+          .as("term_mu"))
+      .groupBy("event_type")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum("term_mu").as("s_mu"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("s_mu").cast("double") / 1000000d / 100, 6)
+          .as("w1_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_ks_drift" -> (q234KsDrift _),
     "q151_psi_drift" -> (q151PsiDrift _),
+    "q298_wasserstein_drift" -> (q298WassersteinDrift _),
     "q278_quantile_drift" -> (q278QuantileDrift _))
 
   /** q278 — QUANTILE-SHIFT (QQ) drift profile: per event type, the
@@ -258,6 +310,38 @@ object Drift {
   }
 
   val oracles: Map[String, String] = Map(
+    "q298_wasserstein_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |hist AS (
+        |  SELECT event_type, c,
+        |         CAST(sum(CASE WHEN us < (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |         CAST(sum(CASE WHEN us >= (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM ev GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT event_type,
+        |         CAST(sum(nr) OVER wt AS BIGINT) AS n_ref,
+        |         CAST(sum(nc) OVER wt AS BIGINT) AS n_cur,
+        |         CAST(round(abs(CAST(sum(nr) OVER wc AS DOUBLE)
+        |                        / CAST(sum(nr) OVER wt AS DOUBLE)
+        |                        - CAST(sum(nc) OVER wc AS DOUBLE)
+        |                          / CAST(sum(nc) OVER wt AS DOUBLE))
+        |                    * CAST(COALESCE(lead(c, 1) OVER wc, c) - c
+        |                           AS DOUBLE)
+        |                    * 1000000, 0) AS BIGINT) AS term_mu
+        |  FROM hist
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY c),
+        |         wt AS (PARTITION BY event_type))
+        |SELECT event_type,
+        |       max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |       round(CAST(sum(term_mu) AS DOUBLE) / 1000000 / 100, 6)
+        |         AS w1_value
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q278_quantile_drift" ->
       s"""WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value

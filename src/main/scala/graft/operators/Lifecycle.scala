@@ -351,7 +351,50 @@ object Lifecycle {
       .orderBy("lifetime_days")
   }
 
+  /** q296 — ORDER-TO-SHIP LEAD-TIME SLA TREND: per order month, the
+    * exact P50 / P90 / mean of the ship lag (days between order date
+    * and each line's ship date) — the operations SLA view none of the
+    * volume trends (q08, q178) carry: volume can grow while the P90
+    * lead time silently doubles. Month comes from the ORDER date (the
+    * commitment the SLA is against). Negative lags (ship date before
+    * order date — present in this synthetic corpus) are reported as
+    * observed: they are an integrity finding for q181's family, not
+    * something an SLA monitor should silently clamp.
+    *
+    * Exactness: lags are exact integer day differences; percentiles
+    * are the engine-identical exact interpolated form over the
+    * per-month lag profile (q151/q278 discipline); the mean is one
+    * division of exact BIGINTs.
+    *
+    * Scale shape: ONE fact⋈fact equi-join on the order key (both
+    * sides key-partitioned — the natural co-partitioning any
+    * warehouse keeps), collapsed immediately to (month, lag) counts;
+    * percentiles run over that profile, never the raw join. */
+  def q296LeadTimeSla(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        to_date(col("l_shipdate")).as("ship"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    li.join(ord, Seq("o_orderkey"))
+      .select(col("month"), datediff(col("ship"), col("odate"))
+        .cast("long").as("lag"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("lag").as("s_lag"),
+        expr("percentile(lag, 0.5)").as("p50"),
+        expr("percentile(lag, 0.9)").as("p90"))
+      .select(col("month"), col("n_lines"),
+        round(col("s_lag").cast("double") / col("n_lines"), 4)
+          .as("mean_lag_days"),
+        round(col("p50"), 4).as("p50_days"),
+        round(col("p90"), 4).as("p90_days"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_lead_time_sla" -> (q296LeadTimeSla _),
     "q235_km_survival" -> (q235KmSurvival _),
     "q179_survival_curve" -> (q179SurvivalCurve _),
     "q272_session_thresholds" -> (q272SessionThresholds _),
@@ -362,6 +405,21 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q296_lead_time_sla" ->
+      """WITH lags AS (
+        |  SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')
+        |           AS month,
+        |         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                        CAST(l.l_shipdate AS DATE)) AS BIGINT)
+        |           AS lag
+        |  FROM lineitem l JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(lag) AS DOUBLE) / count(*), 4)
+        |         AS mean_lag_days,
+        |       round(quantile_cont(lag, 0.5), 4) AS p50_days,
+        |       round(quantile_cont(lag, 0.9), 4) AS p90_days
+        |FROM lags GROUP BY 1 ORDER BY 1""".stripMargin,
     "q235_km_survival" ->
       s"""WITH per_user AS (
         |  SELECT user_id,

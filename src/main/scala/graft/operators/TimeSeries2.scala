@@ -684,37 +684,48 @@ object TimeSeries2 {
     * BIGINT before the variance folds (q169 discipline), squares in
     * decimal(38)/HUGEINT (q274 rule); the strengths are fixed double
     * expressions over the moment folds. */
+  /** q294/q299 shared per-day decomposition frame: (event_type, day,
+    * d0, y, qdetr, qresid, qdeseas) over the full-MA-window days —
+    * the classical-decomposition artifact both the strength report
+    * and the anomaly scan read (cached: one spine + window pass). */
+  private[operators] def decomposedDays(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"decomp_days|$dir") {
+      val daily = TimeSeries.dailySeries(spark, dir)
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("d0"), col("n"))
+      val maxd = daily.agg(max(col("day")).as("max_day"),
+        min(col("d0")).as("d0"))
+      val spine = daily.select("event_type").distinct()
+        .crossJoin(broadcast(maxd))
+        .select(col("event_type"), col("max_day"), col("d0"),
+          explode(expr("sequence(0L, max_day)")).as("day"))
+        .join(daily.drop("d0"), Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), col("max_day"), col("d0"),
+          coalesce(col("n"), lit(0L)).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val valid = spine
+        .withColumn("sum7", sum("y").over(w))
+        .filter(col("day") >= 3 && col("day") <= col("max_day") - 3)
+        .select(col("event_type"), col("day"), col("d0"), col("y"),
+          (col("y") * 7 - col("sum7")).as("det7"),
+          pmod(col("day"), lit(7L)).as("dow"))
+      val sdow = valid.groupBy("event_type", "dow")
+        .agg(sum("det7").as("sd"), count(lit(1)).as("sc"))
+        .select(col("event_type"), col("dow"),
+          (col("sd").cast("double") / (lit(7L) * col("sc"))).as("sdow"))
+      def mu(c: Column): Column =
+        round(c * lit(1000000d), 0).cast("long")
+      valid.join(sdow, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("d0"), col("y"),
+          mu(col("det7") / lit(7.0)).as("qdetr"),
+          mu(col("det7") / lit(7.0) - col("sdow")).as("qresid"),
+          mu(col("y") - col("sdow")).as("qdeseas"))
+    }
+
   def q294SeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
-    val daily = TimeSeries.dailySeries(spark, dir)
-      .select(col("event_type"), col("day").cast("long").as("day"),
-        col("n"))
-    val maxd = daily.agg(max(col("day")).as("max_day"))
-    val spine = daily.select("event_type").distinct()
-      .crossJoin(broadcast(maxd))
-      .select(col("event_type"), col("max_day"),
-        explode(expr("sequence(0L, max_day)")).as("day"))
-      .join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"), col("max_day"),
-        coalesce(col("n"), lit(0L)).as("y"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-3, 3)
-    val valid = spine
-      .withColumn("sum7", sum("y").over(w))
-      .filter(col("day") >= 3 && col("day") <= col("max_day") - 3)
-      .select(col("event_type"), col("day"), col("y"),
-        (col("y") * 7 - col("sum7")).as("det7"),
-        pmod(col("day"), lit(7L)).as("dow"))
-    val sdow = valid.groupBy("event_type", "dow")
-      .agg(sum("det7").as("sd"), count(lit(1)).as("sc"))
-      .select(col("event_type"), col("dow"),
-        (col("sd").cast("double") / (lit(7L) * col("sc"))).as("sdow"))
-    def mu(c: Column): Column =
-      round(c * lit(1000000d), 0).cast("long")
-    val q = valid.join(sdow, Seq("event_type", "dow"))
-      .select(col("event_type"),
-        mu(col("det7") / lit(7.0)).as("qdetr"),
-        mu(col("det7") / lit(7.0) - col("sdow")).as("qresid"),
-        mu(col("y") - col("sdow")).as("qdeseas"))
+    val q = decomposedDays(spark, dir)
     def moments(c: String) = Seq(
       sum(col(c)).as(s"s_$c"),
       sum(col(c).cast("decimal(38,0)") * col(c)).as(s"s2_$c"))
@@ -738,7 +749,45 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** q299 anomaly threshold in residual sigmas. */
+  private[graft] val AnomalySigma = 2.0
+
+  /** q299 — SEASONALLY-ADJUSTED ANOMALY SCAN: days whose classical-
+    * decomposition residual (the q294 artifact) exceeds
+    * [[AnomalySigma]]·σ_R for their event type — the anomaly monitor
+    * that q176's raw-value MAD cannot be: a Sunday dip or a steady
+    * ramp is STRUCTURE here, not an alert, because trend and
+    * day-of-week season are subtracted before scoring. Reports the
+    * flagged days with their observed count, residual and z.
+    *
+    * Exactness: residuals ride the shared micro-quantized q294 frame;
+    * σ_R is one fixed double expression over the exact moment fold;
+    * z is a single division and the flag compares identically formed
+    * doubles in both engines. */
+  def q299DecompositionAnomalies(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val q = decomposedDays(spark, dir)
+    val mom = q.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("qresid").as("sr"),
+        sum(col("qresid").cast("decimal(38,0)") * col("qresid"))
+          .as("sr2"))
+      .select(col("event_type"),
+        sqrt((col("sr2").cast("double") -
+          col("sr").cast("double") * (col("sr").cast("double") / col("nd")))
+          / col("nd")).as("sigma_mu"))
+    val z = col("qresid").cast("double") / col("sigma_mu")
+    q.join(broadcast(mom), Seq("event_type"))
+      .filter(col("sigma_mu") > 0 && abs(z) > AnomalySigma)
+      .select(col("event_type"),
+        expr("date_add(d0, cast(day as int))").as("day"),
+        col("y"),
+        round(col("qresid").cast("double") / 1000000d, 4).as("residual"),
+        round(z, 4).as("z"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_decomposition_anomalies" -> (q299DecompositionAnomalies _),
     "q294_seasonal_strength" -> (q294SeasonalStrength _),
     "q293_brown_backtest" -> (q293BrownBacktest _),
     "q275_burst_episodes" -> (q275BurstEpisodes _),
@@ -755,7 +804,74 @@ object TimeSeries2 {
     "q178_ols_trend" -> (q178OlsTrend _),
     "q187_dod_alerts" -> (q187DodAlerts _))
 
+  /** Shared oracle CTE chain for the q294/q299 decomposition frame:
+    * ends at `q(event_type, day, y, qdetr, qresid, qdeseas)`. */
+  private val decompCte: String =
+    """ev AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
+      |  FROM events),
+      |d0 AS (SELECT min(dd) AS d0 FROM ev),
+      |daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', (SELECT d0 FROM d0), dd) AS BIGINT)
+      |           AS day,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |md AS (SELECT max(day) AS max_day FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, g.day,
+      |         CAST(COALESCE(d.n, 0) AS BIGINT) AS y
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0,
+      |                (SELECT max_day FROM md))) AS day) g
+      |  LEFT JOIN daily d ON d.event_type = t.event_type
+      |                   AND d.day = g.day),
+      |ma AS (
+      |  SELECT event_type, day, y,
+      |         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+      |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+      |           AS sum7
+      |  FROM spine),
+      |valid AS (
+      |  SELECT event_type, day, y, y * 7 - sum7 AS det7,
+      |         day % 7 AS dow
+      |  FROM ma
+      |  WHERE day >= 3 AND day <= (SELECT max_day FROM md) - 3),
+      |sdow AS (
+      |  SELECT event_type, dow,
+      |         CAST(sum(det7) AS DOUBLE) / (7 * count(*)) AS sdow
+      |  FROM valid GROUP BY 1, 2),
+      |q AS (
+      |  SELECT v.event_type, v.day, v.y,
+      |         CAST(round(v.det7 / 7.0 * 1000000, 0) AS BIGINT)
+      |           AS qdetr,
+      |         CAST(round((v.det7 / 7.0 - s.sdow) * 1000000, 0)
+      |           AS BIGINT) AS qresid,
+      |         CAST(round((v.y - s.sdow) * 1000000, 0) AS BIGINT)
+      |           AS qdeseas
+      |  FROM valid v JOIN sdow s
+      |    ON s.event_type = v.event_type AND s.dow = v.dow)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q299_decomposition_anomalies" ->
+      s"""WITH $decompCte,
+        |mom AS (
+        |  SELECT event_type,
+        |         sqrt((CAST(sum(CAST(qresid AS HUGEINT) * qresid)
+        |                 AS DOUBLE)
+        |               - CAST(sum(qresid) AS DOUBLE)
+        |                 * (CAST(sum(qresid) AS DOUBLE) / count(*)))
+        |              / count(*)) AS sigma_mu
+        |  FROM q GROUP BY 1)
+        |SELECT q.event_type,
+        |       (SELECT d0 FROM d0) + CAST(q.day AS INTEGER) AS day,
+        |       q.y,
+        |       round(CAST(q.qresid AS DOUBLE) / 1000000, 4) AS residual,
+        |       round(CAST(q.qresid AS DOUBLE) / m.sigma_mu, 4) AS z
+        |FROM q JOIN mom m USING (event_type)
+        |WHERE m.sigma_mu > 0
+        |  AND abs(CAST(q.qresid AS DOUBLE) / m.sigma_mu) > $AnomalySigma
+        |ORDER BY q.event_type, day""".stripMargin,
     "q294_seasonal_strength" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd
