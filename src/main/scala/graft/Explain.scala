@@ -223,7 +223,11 @@ object Explain {
     "q296_lead_time_sla",         // co-keyed fact join → month profile
     "q297_transitivity_audit",    // pair-table wedge join, 3-row melt
     "q298_wasserstein_drift",     // (type, cent) profile windows
-    "q299_decomposition_anomalies") // shared q294 frame + sigma fold
+    "q299_decomposition_anomalies", // shared q294 frame + sigma fold
+    "q300_idf_shift",             // q73 labels + one (doc, word) fold
+    "q301_water_filling",         // source-profile windows, int level
+    "q302_churn_labels",          // user-grain halves + edge buckets
+    "q303_revenue_var")           // daily profile + percentile + fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -245,7 +245,9 @@ object ScaleSmoke {
         "q292_brand_homophily", "q293_brown_backtest",
         "q294_seasonal_strength", "q295_winsorized_welch",
         "q296_lead_time_sla", "q297_transitivity_audit",
-        "q298_wasserstein_drift", "q299_decomposition_anomalies")
+        "q298_wasserstein_drift", "q299_decomposition_anomalies",
+        "q300_idf_shift", "q301_water_filling",
+        "q302_churn_labels", "q303_revenue_var")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

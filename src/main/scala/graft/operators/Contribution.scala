@@ -303,7 +303,46 @@ object Contribution {
       .orderBy("p_type")
   }
 
+  /** q303 — DAILY-REVENUE VaR / CVaR: the 5th-percentile daily
+    * shipment revenue (value-at-risk — "19 days in 20 clear this
+    * floor") and the expected shortfall (CVaR — the MEAN of the days
+    * at or under the floor), the two standard tail-risk numbers a
+    * revenue review reads next to q275's burst view of the upside
+    * tail. CVaR is reported because VaR alone is famously blind to
+    * HOW BAD the bad days are.
+    *
+    * Exactness: daily revenues fold as exact BIGINT cents; VaR is
+    * the engine-identical exact interpolated percentile over the
+    * daily profile; the tail mean is one division of exact integers
+    * (tail membership compares each exact integer against the shared
+    * percentile double — deterministic). */
+  def q303RevenueVar(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"))
+    val vr = daily.agg(expr("percentile(rev, 0.05)").as("var5"),
+      count(lit(1)).as("n_days"), sum("rev").as("tot"))
+    daily.crossJoin(broadcast(vr))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("var5")).as("var5"),
+        max(col("tot")).as("tot"),
+        sum(when(col("rev").cast("double") <= col("var5"), 1L)
+          .otherwise(0L)).as("n_tail"),
+        sum(when(col("rev").cast("double") <= col("var5"), col("rev"))
+          .otherwise(0L)).as("tail_rev"))
+      .select(col("n_days"),
+        round(col("tot").cast("double") / col("n_days") / 100, 2)
+          .as("mean_daily"),
+        round(col("var5") / 100, 2).as("var5_daily"),
+        col("n_tail"),
+        round(col("tail_rev").cast("double") / col("n_tail") / 100, 2)
+          .as("cvar_daily"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_revenue_var" -> (q303RevenueVar _),
     "q281_price_volume_mix" -> (q281PriceVolumeMix _),
     "q274_simpson_audit" -> (q274SimpsonAudit _),
     "q260_rank_overlap" -> (q260RankOverlap _),
@@ -312,6 +351,30 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q303_revenue_var" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |vr AS (
+        |  SELECT quantile_cont(rev, 0.05) AS var5,
+        |         CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(rev) AS BIGINT) AS tot
+        |  FROM daily)
+        |SELECT v.n_days,
+        |       round(CAST(v.tot AS DOUBLE) / v.n_days / 100, 2)
+        |         AS mean_daily,
+        |       round(v.var5 / 100, 2) AS var5_daily,
+        |       CAST(sum(CASE WHEN CAST(d.rev AS DOUBLE) <= v.var5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+        |       round(CAST(sum(CASE WHEN CAST(d.rev AS DOUBLE) <= v.var5
+        |                          THEN d.rev ELSE 0 END) AS DOUBLE)
+        |             / sum(CASE WHEN CAST(d.rev AS DOUBLE) <= v.var5
+        |                        THEN 1 ELSE 0 END) / 100, 2)
+        |         AS cvar_daily
+        |FROM daily d, vr v
+        |GROUP BY v.n_days, v.var5, v.tot""".stripMargin,
     "q281_price_volume_mix" ->
       """WITH li AS (
         |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS us,

@@ -387,7 +387,61 @@ object Curation2 {
       .orderBy("source")
   }
 
+  /** q301 — WATER-FILLING TOKEN ALLOCATION: distribute a token budget
+    * B (pinned at half the corpus) across sources as uniformly as the
+    * supplies allow — alloc_i = min(supply_i, L) with the water level
+    * L chosen so Σ alloc = B. The max-min-fair allocator that
+    * completes the mixture family: q99 downsamples proportionally
+    * (keeps the skew), q150 tempers it (p^α), q146 caps documents;
+    * water-filling is the "every source equal until it runs dry"
+    * policy a balanced-mixture pretraining run starts from.
+    *
+    * Exactness: the level search is ENTIRELY integer — for each rank
+    * segment of the supply-sorted profile, L = (B − prefix)/(G − r)
+    * is valid iff s_r·(den) ≥ num ≥ s_{r−1}·(den), checked by exact
+    * cross-multiplication (no rational ever becomes a float until
+    * the reported allocation); allocations are one division each.
+    *
+    * Scale shape: one source-grain fold, then windows over the
+    * |sources|-row profile. */
+  def q301WaterFilling(spark: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+          .cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("supply"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("supply"), col("source"))
+    val ranked = supply
+      .withColumn("r", row_number().over(w))
+      .withColumn("g", count(lit(1)).over(W.partitionBy()))
+      .withColumn("total", sum(col("supply")).over(W.partitionBy()))
+      .withColumn("prefix",
+        coalesce(sum(col("supply")).over(w.rowsBetween(
+          W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_s",
+        coalesce(lag(col("supply"), 1).over(w), lit(0L)))
+      .withColumn("budget", expr("total div 2"))
+    // the level lives in segment r iff prev_s*(g-r+1) <= B-prefix <=
+    // supply*(g-r+1); when B >= total every source is fully served
+    val den = col("g") - col("r") + 1
+    val num = col("budget") - col("prefix")
+    val seg = ranked
+      .filter(col("budget") < col("total") &&
+        col("prev_s") * den <= num && num <= col("supply") * den)
+      .orderBy("r").limit(1)
+      .select((num.cast("double") / den).as("level"))
+    ranked.crossJoin(broadcast(seg))
+      .select(col("source"), col("supply"), col("budget"),
+        round(least(col("supply").cast("double"), col("level")), 4)
+          .as("alloc_tokens"),
+        (col("supply").cast("double") > col("level")).as("capped"),
+        round(col("level"), 4).as("water_level"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_water_filling" -> (q301WaterFilling _),
     "q284_jackknife_influence" -> (q284JackknifeInfluence _),
     "q283_effective_sample_size" -> (q283EffectiveSampleSize _),
     "q225_weighted_median" -> (q225WeightedMedian _),
@@ -398,6 +452,40 @@ object Curation2 {
     "q215_data_card" -> (q215DataCard _))
 
   val oracles: Map[String, String] = Map(
+    "q301_water_filling" ->
+      """WITH supply AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(trim(text), ' '),
+        |                                  w -> length(w) > 0))) AS BIGINT)
+        |           AS supply
+        |  FROM documents GROUP BY 1),
+        |ranked AS (
+        |  SELECT source, supply,
+        |         CAST(row_number() OVER w AS BIGINT) AS r,
+        |         CAST(count(*) OVER () AS BIGINT) AS g,
+        |         CAST(sum(supply) OVER () AS BIGINT) AS total,
+        |         CAST(COALESCE(sum(supply) OVER (ORDER BY supply, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS prefix,
+        |         CAST(COALESCE(lag(supply, 1) OVER w, 0) AS BIGINT)
+        |           AS prev_s
+        |  FROM supply
+        |  WINDOW w AS (ORDER BY supply, source)),
+        |seg AS (
+        |  SELECT CAST(total // 2 - prefix AS DOUBLE) / (g - r + 1)
+        |           AS level
+        |  FROM ranked
+        |  WHERE total // 2 < total
+        |    AND prev_s * (g - r + 1) <= total // 2 - prefix
+        |    AND total // 2 - prefix <= supply * (g - r + 1)
+        |  ORDER BY r LIMIT 1)
+        |SELECT r.source, r.supply, CAST(r.total // 2 AS BIGINT) AS budget,
+        |       round(least(CAST(r.supply AS DOUBLE), s.level), 4)
+        |         AS alloc_tokens,
+        |       CAST(r.supply AS DOUBLE) > s.level AS capped,
+        |       round(s.level, 4) AS water_level
+        |FROM ranked r, seg s
+        |ORDER BY r.source""".stripMargin,
     "q284_jackknife_influence" ->
       """WITH per_src AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -370,7 +370,64 @@ object DedupClusters {
           .as("token_savings"))
   }
 
+  /** q300 top-k terms reported. */
+  private[graft] val IdfShiftTopK = 20
+
+  /** q300 — DEDUP IDF SHIFT: the terms whose document frequency is
+    * most inflated by near-duplicates — per word, df over ALL
+    * documents vs df over the q73 canonical survivors, with the
+    * smoothed idf = ln((N+1)/(df+1)) before and after. The top-k by
+    * df drop are the template/boilerplate phrases whose "importance"
+    * every TF-IDF consumer (q86 ranking, q96 BM25, q147 DSIR) is
+    * mis-estimating until the corpus is deduplicated — the statistic
+    * that turns q277's one-row savings ledger into a term-level
+    * relevance-damage report.
+    *
+    * Exactness: both df folds are exact integers over the distinct
+    * (doc, word) incidence; idfs are ln of a single exact ratio
+    * (blessed — the q123 precedent); ranking breaks ties by word.
+    *
+    * Scale shape: reuses the cached q73 labels (no second closure);
+    * ONE distinct (doc, word) fold carries BOTH df counts via a
+    * conditional sum against the broadcast dup-doc set — never two
+    * corpus passes. */
+  def q300IdfShift(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q73DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val canon = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("canon"))
+    val dups = clusters.join(canon, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val dw = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+        .as("word"))
+      .distinct()
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .withColumn("kept", col("is_dup").isNull)
+    val totals = Tables.documents(spark, dir)
+      .join(broadcast(dups), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_dedup"))
+    def idf(n: Column, df: Column): Column =
+      log((n + 1).cast("double") / (df + 1))
+    dw.groupBy("word")
+      .agg(count(lit(1)).as("df_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("df_dedup"))
+      .crossJoin(broadcast(totals))
+      .select(col("word"), col("df_raw"), col("df_dedup"),
+        (col("df_raw") - col("df_dedup")).as("df_drop"),
+        round(idf(col("n_raw"), col("df_raw")), 6).as("idf_raw"),
+        round(idf(col("n_dedup"), col("df_dedup")), 6).as("idf_dedup"),
+        round(idf(col("n_dedup"), col("df_dedup")) -
+          idf(col("n_raw"), col("df_raw")), 6).as("idf_shift"))
+      .orderBy(col("df_drop").desc, col("word"))
+      .limit(IdfShiftTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_idf_shift" -> (q300IdfShift _),
     "q277_dedup_savings" -> (q277DedupSavings _),
     "q258_cluster_sizes" -> (q258ClusterSizes _),
     "q73_dedup_clusters" -> (q73DedupClusters _),
@@ -382,6 +439,63 @@ object DedupClusters {
 
 
   val oracles: Map[String, String] = Map(
+    "q300_idf_shift" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shingles a JOIN shingles b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sizes z1 ON z1.doc_id = id1
+         |  JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter)
+         |        >= 0.8),
+         |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |canon AS (SELECT cluster_id, min(doc_id) AS canon
+         |          FROM labels GROUP BY 1),
+         |dups AS (
+         |  SELECT l.doc_id FROM labels l JOIN canon c
+         |    ON c.cluster_id = l.cluster_id
+         |  WHERE l.doc_id <> c.canon),
+         |totals AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |         CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_dedup
+         |  FROM documents doc LEFT JOIN dups d ON d.doc_id = doc.doc_id),
+         |dw AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id,
+         |           unnest(list_filter(string_split(trim(text), ' '),
+         |                              w -> length(w) > 0)) AS word
+         |    FROM documents)),
+         |dfs AS (
+         |  SELECT w.word, CAST(count(*) AS BIGINT) AS df_raw,
+         |         CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS df_dedup
+         |  FROM dw w LEFT JOIN dups d ON d.doc_id = w.doc_id
+         |  GROUP BY 1)
+         |SELECT word, df_raw, df_dedup,
+         |       df_raw - df_dedup AS df_drop,
+         |       round(ln(CAST(t.n_raw + 1 AS DOUBLE) / (df_raw + 1)), 6)
+         |         AS idf_raw,
+         |       round(ln(CAST(t.n_dedup + 1 AS DOUBLE) / (df_dedup + 1)), 6)
+         |         AS idf_dedup,
+         |       round(ln(CAST(t.n_dedup + 1 AS DOUBLE) / (df_dedup + 1))
+         |             - ln(CAST(t.n_raw + 1 AS DOUBLE) / (df_raw + 1)), 6)
+         |         AS idf_shift
+         |FROM dfs, totals t
+         |ORDER BY df_drop DESC, word LIMIT $IdfShiftTopK""".stripMargin,
     "q277_dedup_savings" ->
       s"""WITH RECURSIVE $shinglesCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),

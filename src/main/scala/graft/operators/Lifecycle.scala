@@ -393,7 +393,48 @@ object Lifecycle {
       .orderBy("month")
   }
 
+  /** q302 — CHURN-LABEL CONSTRUCTION + engagement curve: label every
+    * first-half-active user churned/retained by second-half absence
+    * (the q151 shared midpoint — the standard activity-gap label a
+    * churn model trains on, with the leakage rule built in: the
+    * ENGAGEMENT feature is first-half-only), then report the churn
+    * rate per engagement bucket. Buckets are value-based — a user's
+    * bucket is how many of the first half's engagement-decile edges
+    * its event count reaches (the q234 edge discipline) — so no
+    * global ntile window ever runs over users.
+    *
+    * Exactness: counts exact; decile edges are engine-identical exact
+    * percentiles over the first-half user-count profile; bucket
+    * membership is a size-of-filter over the shared rounded edges;
+    * the rate is one division. */
+  def q302ChurnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val users = ev.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("n2"))
+      .filter(col("n1") > 0)
+    val edges = users.agg(
+      expr("transform(percentile(n1, array(0.1, 0.2, 0.3, 0.4, 0.5, " +
+        "0.6, 0.7, 0.8, 0.9)), e -> round(e, 6))").as("edges"))
+    users.crossJoin(broadcast(edges))
+      .select(size(expr("filter(edges, e -> n1 >= e)")).as("bucket"),
+        col("n1"), (col("n2") === 0).as("churned"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n1").as("h1_events"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .select(col("bucket"), col("n_users"), col("h1_events"),
+        col("n_churned"),
+        round(col("n_churned").cast("double") / col("n_users"), 6)
+          .as("churn_rate"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_churn_labels" -> (q302ChurnLabels _),
     "q296_lead_time_sla" -> (q296LeadTimeSla _),
     "q235_km_survival" -> (q235KmSurvival _),
     "q179_survival_curve" -> (q179SurvivalCurve _),
@@ -405,6 +446,39 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q302_churn_labels" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN us < (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN us >= (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ev GROUP BY 1
+        |  HAVING sum(CASE WHEN us < (SELECT cut FROM cut)
+        |             THEN 1 ELSE 0 END) > 0),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(n1, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                              0.6, 0.7, 0.8, 0.9]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM users),
+        |bucketed AS (
+        |  SELECT CAST(len(list_filter((SELECT edges FROM edges),
+        |                              e -> u.n1 >= e)) AS INTEGER)
+        |           AS bucket,
+        |         u.n1, u.n2 = 0 AS churned
+        |  FROM users u)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(n1) AS BIGINT) AS h1_events,
+        |       CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_churned,
+        |       round(CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS churn_rate
+        |FROM bucketed GROUP BY 1 ORDER BY 1""".stripMargin,
     "q296_lead_time_sla" ->
       """WITH lags AS (
         |  SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')

@@ -189,6 +189,7 @@ object PlanContract {
     * window is the classic scale-killer (all data through one task)
     * and fails the sweep. */
   val GlobalWindowAllow: Map[String, String] = Map(
+    "q301_water_filling" -> "source-grain supply profile (≤ |sources| rows)",
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
     "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
     "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
