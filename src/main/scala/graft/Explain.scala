@@ -227,7 +227,10 @@ object Explain {
     "q300_idf_shift",             // q73 labels + one (doc, word) fold
     "q301_water_filling",         // source-profile windows, int level
     "q302_churn_labels",          // user-grain halves + edge buckets
-    "q303_revenue_var")           // daily profile + percentile + fold
+    "q303_revenue_var",           // daily profile + percentile + fold
+    "q304_isotropy_audit",        // dim-grain profile + row fold
+    "q305_priority_drift",        // enum profile, exact-integer TV
+    "q306_cramers_v")             // densified contingency profiles
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -247,7 +247,9 @@ object ScaleSmoke {
         "q296_lead_time_sla", "q297_transitivity_audit",
         "q298_wasserstein_drift", "q299_decomposition_anomalies",
         "q300_idf_shift", "q301_water_filling",
-        "q302_churn_labels", "q303_revenue_var")
+        "q302_churn_labels", "q303_revenue_var",
+        "q304_isotropy_audit", "q305_priority_drift",
+        "q306_cramers_v")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

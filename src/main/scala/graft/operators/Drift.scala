@@ -263,10 +263,48 @@ object Drift {
       .orderBy("event_type")
   }
 
+  /** q305 — CATEGORICAL COMPOSITION DRIFT (order-priority mix): how
+    * the priority mix shifted between the order-date halves, per
+    * class and in total — the CATEGORICAL drift monitor next to the
+    * numeric family (q151 PSI / q234 KS / q298 W₁): per priority the
+    * before/after shares and delta, plus the total-variation distance
+    * ½Σ|p−q|, which is EXACT here because TV over an enum profile
+    * needs no float sum at all: Σ|n1ᵢ·N2 − n2ᵢ·N1| folds as BIGINTs
+    * and one division forms the statistic.
+    *
+    * Scale shape: one conditional fold to the |priorities|-row
+    * profile; everything downstream is enum-sized. */
+  def q305PriorityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(unix_micros(col("o_orderdate")).as("us"),
+        col("o_orderpriority").as("priority"))
+    val cut = ord.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val prof = ord.crossJoin(broadcast(cut))
+      .groupBy("priority")
+      .agg(sum(when(col("us") < col("cut"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("us") >= col("cut"), 1L).otherwise(0L)).as("n2"))
+    val tot = prof.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    val cross = prof.crossJoin(broadcast(tot))
+    val tv = cross.agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+      sum(abs(col("n1") * col("t2") - col("n2") * col("t1"))).as("tvn"))
+      .select((col("tvn").cast("double") /
+        (lit(2.0) * col("t1").cast("double") * col("t2").cast("double")))
+        .as("tv"))
+    cross.crossJoin(broadcast(tv))
+      .select(col("priority"), col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("t1"), 6).as("share_first"),
+        round(col("n2").cast("double") / col("t2"), 6).as("share_second"),
+        round(col("n2").cast("double") / col("t2") -
+          col("n1").cast("double") / col("t1"), 6).as("delta"),
+        round(col("tv"), 6).as("tv_distance"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_ks_drift" -> (q234KsDrift _),
     "q151_psi_drift" -> (q151PsiDrift _),
     "q298_wasserstein_drift" -> (q298WassersteinDrift _),
+    "q305_priority_drift" -> (q305PriorityDrift _),
     "q278_quantile_drift" -> (q278QuantileDrift _))
 
   /** q278 — QUANTILE-SHIFT (QQ) drift profile: per event type, the
@@ -310,6 +348,34 @@ object Drift {
   }
 
   val oracles: Map[String, String] = Map(
+    "q305_priority_drift" ->
+      """WITH ord AS (
+        |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |         o_orderpriority AS priority
+        |  FROM orders),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ord),
+        |prof AS (
+        |  SELECT priority,
+        |         CAST(sum(CASE WHEN us < (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN us >= (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ord GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+        |               CAST(sum(n2) AS BIGINT) AS t2 FROM prof),
+        |tv AS (
+        |  SELECT CAST(sum(abs(n1 * t.t2 - n2 * t.t1)) AS DOUBLE)
+        |         / (2.0 * CAST(t.t1 AS DOUBLE) * CAST(t.t2 AS DOUBLE))
+        |           AS tv
+        |  FROM prof, tot t GROUP BY t.t1, t.t2)
+        |SELECT p.priority, p.n1, p.n2,
+        |       round(CAST(p.n1 AS DOUBLE) / t.t1, 6) AS share_first,
+        |       round(CAST(p.n2 AS DOUBLE) / t.t2, 6) AS share_second,
+        |       round(CAST(p.n2 AS DOUBLE) / t.t2
+        |             - CAST(p.n1 AS DOUBLE) / t.t1, 6) AS delta,
+        |       round(v.tv, 6) AS tv_distance
+        |FROM prof p, tot t, tv v
+        |ORDER BY p.priority""".stripMargin,
     "q298_wasserstein_drift" ->
       """WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type,

@@ -239,7 +239,70 @@ object FeaturePrep {
       .orderBy("feature_a", "feature_b")
   }
 
+  /** q306 — CRAMÉR'S V ASSOCIATION MATRIX: the effect-size companion
+    * to q201's single chi² test, over the three categorical attribute
+    * pairs of the customer⋈orders base (nation×segment,
+    * nation×priority, segment×priority) — χ² alone grows with N, so
+    * at warehouse scale EVERYTHING is "significant"; V = √(χ²/(N·
+    * min(r−1, c−1))) ∈ [0,1] is the number that says whether the
+    * association is real structure (stratify on it) or noise
+    * (ignore it).
+    *
+    * Exactness: contingency cells fold exact; each cell's (o−e)²/e
+    * micro-quantizes before the χ² fold (the q201 discipline); V is
+    * one √ of a division of the exact fold.
+    *
+    * Scale shape: the fact⋈dim join collapses immediately to three
+    * enum-sized contingency profiles (≤ 25×5 cells); the densify
+    * cross join runs on attribute DISTINCTS, never rows. */
+  def q306CramersV(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.DfCache.df(spark, s"cramers_base|$dir")(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderpriority").as("priority"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey").cast("string").as("nation"),
+            col("c_mktsegment").as("segment")), Seq("o_custkey"))
+        .select("nation", "segment", "priority"))
+    def pairV(a: String, b: String): DataFrame = {
+      val cells = base.groupBy(col(a).as("ka"), col(b).as("kb"))
+        .agg(count(lit(1)).as("n_ij"))
+      val dense = cells.select("ka").distinct()
+        .crossJoin(broadcast(cells.select("kb").distinct()))
+        .join(cells, Seq("ka", "kb"), "left")
+        .select(col("ka"), col("kb"),
+          coalesce(col("n_ij"), lit(0L)).as("n_ij"))
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("ka")
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy("kb")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val terms = dense
+        .withColumn("n_i", sum(col("n_ij")).over(wA))
+        .withColumn("n_j", sum(col("n_ij")).over(wB))
+        .withColumn("n_all", sum(col("n_ij")).over(wAll))
+        .withColumn("e",
+          (col("n_i") * col("n_j")).cast("double") / col("n_all"))
+        .withColumn("term_micro", expr(
+          "cast(round((n_ij - e) * (n_ij - e) / e * 1e6, 0) as bigint)"))
+      terms.agg(
+        max(col("n_all")).as("n"),
+        count_distinct(col("ka")).as("r"),
+        count_distinct(col("kb")).as("c"),
+        (sum(col("term_micro")).cast("double") / 1e6).as("chi2"))
+        .select(lit(s"$a x $b").as("pair"), col("n"), col("r"), col("c"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }
+    pairV("nation", "segment")
+      .unionByName(pairV("nation", "priority"))
+      .unionByName(pairV("segment", "priority"))
+      .orderBy("pair")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_cramers_v" -> (q306CramersV _),
     "q227_feature_corr" -> (q227FeatureCorr _),
     "q196_temporal_split" -> (q196TemporalSplit _),
     "q197_target_encoding" -> (q197TargetEncoding _),
@@ -284,7 +347,51 @@ object FeaturePrep {
       |ORDER BY feature_a, feature_b""".stripMargin
   }
 
+  /** q306 oracle: one block per attribute pair, generated to stay
+    * mirrored with [[q306CramersV]]'s per-pair plan. */
+  private def cramersVSql: String = {
+    val pairs = Seq(("nation", "segment"), ("nation", "priority"),
+      ("segment", "priority"))
+    val blocks = pairs.map { case (a, b) =>
+      s"""SELECT '$a x $b' AS pair, n, r, c, (r - 1) * (c - 1) AS dof,
+         |  round(chi2, 4) AS chi2,
+         |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+         |    * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+         |FROM (
+         |  SELECT CAST(max(n_all) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT ka) AS BIGINT) AS r,
+         |         CAST(count(DISTINCT kb) AS BIGINT) AS c,
+         |         CAST(sum(CAST(round((n_ij - e) * (n_ij - e) / e * 1e6,
+         |           0) AS BIGINT)) AS DOUBLE) / 1e6 AS chi2
+         |  FROM (
+         |    SELECT *, CAST(n_i * n_j AS DOUBLE) / n_all AS e FROM (
+         |      SELECT *,
+         |             CAST(sum(n_ij) OVER (PARTITION BY ka) AS BIGINT)
+         |               AS n_i,
+         |             CAST(sum(n_ij) OVER (PARTITION BY kb) AS BIGINT)
+         |               AS n_j,
+         |             CAST(sum(n_ij) OVER () AS BIGINT) AS n_all
+         |      FROM (
+         |        SELECT ga.ka, gb.kb, CAST(COALESCE(cc.n_ij, 0) AS BIGINT)
+         |                 AS n_ij
+         |        FROM (SELECT DISTINCT $a AS ka FROM base) ga
+         |        CROSS JOIN (SELECT DISTINCT $b AS kb FROM base) gb
+         |        LEFT JOIN (SELECT $a AS ka, $b AS kb,
+         |                          CAST(count(*) AS BIGINT) AS n_ij
+         |                   FROM base GROUP BY 1, 2) cc
+         |          USING (ka, kb)))))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,
+       |         c.c_mktsegment AS segment,
+       |         o.o_orderpriority AS priority
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+       |$blocks
+       |ORDER BY pair""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q306_cramers_v" -> cramersVSql,
     "q227_feature_corr" -> featureCorrSql,
     "q196_temporal_split" ->
       s"""WITH ev AS (

@@ -211,12 +211,97 @@ object Similarity {
   // (deterministic — integer-mean centroids, fixed seeds/queries)
   private val LshRecallFloor = 0.8
 
+  /** q304 — EMBEDDING ISOTROPY AUDIT: one-row health report of the
+    * vector table every ANN/dedup operator consumes — n, dim, mean
+    * squared norm (unit vectors should read ~1), the mean-vector norm
+    * (a non-zero common direction is the classic anisotropy defect:
+    * cosine scores saturate and LSH/IVF cells skew), the anisotropy
+    * ratio ‖Σx‖²/(n·Σ‖x‖²) ∈ [0,1] (0 = perfectly centered, 1 = all
+    * mass on one ray), and the dominant dimension of the mean with
+    * its energy share. Run BEFORE trusting q35/q36/q52's geometry.
+    *
+    * Exactness: vectors micro-quantize once (the q243 convention);
+    * Σ‖x‖² and the per-dim sums fold as exact BIGINTs, their squares
+    * in decimal(38) (q274 rule); every reported number is one fixed
+    * double expression over those exact folds.
+    *
+    * Scale shape: one posexplode pass to the DIM-grain profile (64
+    * rows) + one row-grain fold — both combinable map-side. */
+  def q304IsotropyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, v -> " +
+        "cast(round(cast(v as double) * 1000000, 0) as bigint))")
+        .as("iv"))
+    val rows = iv.agg(count(lit(1)).as("n"),
+      max(size(col("iv"))).cast("long").as("dim"),
+      sum(expr("aggregate(iv, cast(0 as bigint), (a, x) -> a + x * x)"))
+        .as("sum_n2"))
+    val dims = iv.select(posexplode(col("iv")).as(Seq("d", "v")))
+      .groupBy("d").agg(sum("v").as("s_d"))
+    val dimAgg = dims.agg(
+      sum(col("s_d").cast("decimal(38,0)") * col("s_d")).as("mu2"))
+    val dom = dims.orderBy(abs(col("s_d")).desc, col("d")).limit(1)
+      .select(col("d").as("dominant_dim"),
+        col("s_d").cast("decimal(38,0)").as("s_dom"))
+    rows.crossJoin(broadcast(dimAgg)).crossJoin(broadcast(dom))
+      .select(col("n"), col("dim"),
+        round(col("sum_n2").cast("double") / col("n") / 1e12, 6)
+          .as("mean_sq_norm"),
+        round(sqrt(col("mu2").cast("double")) / col("n") / 1e6, 6)
+          .as("mean_vec_norm"),
+        round(col("mu2").cast("double") /
+          (col("n").cast("double") * col("sum_n2").cast("double")), 8)
+          .as("anisotropy_ratio"),
+        col("dominant_dim"),
+        round((col("s_dom") * col("s_dom")).cast("double") /
+          col("mu2").cast("double"), 6).as("dominant_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_isotropy_audit" -> (q304IsotropyAudit _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _))
 
 
   val oracles: Map[String, String] = Map(
+    "q304_isotropy_audit" ->
+      """WITH iv AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, v ->
+        |           CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))
+        |           AS iv
+        |  FROM embeddings),
+        |rows_ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(max(len(iv)) AS BIGINT) AS dim,
+        |         CAST(sum(list_aggregate(
+        |           list_transform(iv, x -> x * x), 'sum')) AS BIGINT)
+        |           AS sum_n2
+        |  FROM iv),
+        |dims AS (
+        |  SELECT d, CAST(sum(iv[d]) AS BIGINT) AS s_d
+        |  FROM iv CROSS JOIN
+        |    (SELECT unnest(generate_series(1, (SELECT CAST(dim AS INTEGER)
+        |       FROM rows_))) AS d)
+        |  GROUP BY 1),
+        |dim_agg AS (
+        |  SELECT sum(CAST(s_d AS HUGEINT) * s_d) AS mu2 FROM dims),
+        |dom AS (
+        |  SELECT CAST(d - 1 AS INTEGER) AS dominant_dim,
+        |         CAST(s_d AS HUGEINT) AS s_dom
+        |  FROM dims ORDER BY abs(s_d) DESC, d LIMIT 1)
+        |SELECT r.n, r.dim,
+        |       round(CAST(r.sum_n2 AS DOUBLE) / r.n / 1e12, 6)
+        |         AS mean_sq_norm,
+        |       round(sqrt(CAST(a.mu2 AS DOUBLE)) / r.n / 1e6, 6)
+        |         AS mean_vec_norm,
+        |       round(CAST(a.mu2 AS DOUBLE)
+        |             / (CAST(r.n AS DOUBLE) * CAST(r.sum_n2 AS DOUBLE)), 8)
+        |         AS anisotropy_ratio,
+        |       d.dominant_dim,
+        |       round(CAST(d.s_dom * d.s_dom AS DOUBLE)
+        |             / CAST(a.mu2 AS DOUBLE), 6) AS dominant_share
+        |FROM rows_ r, dim_agg a, dom d""".stripMargin,
     "q36_ann_brute_topk" ->
       s"""WITH ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -179,6 +179,38 @@ object Streams {
       }
   }
 
+  /** Per-user half-window activity counters for [[runningChurn]]. */
+  case class ChurnState(n1: Long, n2: Long)
+
+  /** Streaming twin of q302's label construction: per user, the
+    * (first-half, second-half) activity counters relative to a FROZEN
+    * cut timestamp, maintained as O(1) `mapGroupsWithState` state —
+    * the production shape of an activity-gap churn labeler that runs
+    * on the live stream and is read off at labeling time. Emits the
+    * running (user, n1, n2) after each batch; the final state must
+    * equal the batch q302 user profile (StreamingChurnSpec pins it). */
+  def runningChurn(events: DataFrame, cutUs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("user_id").cast("long"), col("us").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ChurnState, (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[ChurnState]) =>
+          var st = state.getOption.getOrElse(ChurnState(0L, 0L))
+          rows.foreach { r =>
+            st = if (r._2 < cutUs) ChurnState(st.n1 + 1, st.n2)
+            else ChurnState(st.n1, st.n2 + 1)
+          }
+          state.update(st)
+          (uid, st.n1, st.n2)
+      }
+  }
+
   /** Accumulated per-user session state for [[timeoutSessions]]: O(1)
     * counters per key, never the event list. */
   case class SessionAcc(n: Long, total: Double, first: Long, last: Long)

@@ -103,6 +103,7 @@ object PlanContract {
     "q175_gap_fill" -> "hourly spine × distinct event types",
     "q246_linear_interpolate" -> "hourly spine × distinct event types",
     "q201_chi_square" -> "types × weekdays zero-fill distincts",
+    "q306_cramers_v" -> "attribute-distinct zero-fill spines (≤ 25×5)",
     // day-spine ≤-joins over the |days|×k sketch-element profile
     "q226_incremental_kmv" ->
       "calendar day spine × sketch-element profile (days × k rows)",
@@ -190,6 +191,7 @@ object PlanContract {
     * and fails the sweep. */
   val GlobalWindowAllow: Map[String, String] = Map(
     "q301_water_filling" -> "source-grain supply profile (≤ |sources| rows)",
+    "q306_cramers_v" -> "densified contingency profile (≤ 25×5 cells)",
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
     "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
     "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
