@@ -230,7 +230,11 @@ object Explain {
     "q303_revenue_var",           // daily profile + percentile + fold
     "q304_isotropy_audit",        // dim-grain profile + row fold
     "q305_priority_drift",        // enum profile, exact-integer TV
-    "q306_cramers_v")             // densified contingency profiles
+    "q306_cramers_v",             // densified contingency profiles
+    "q307_churn_wilson",          // shared q302 buckets + fixed exprs
+    "q308_duration_planner",      // one conditional-agg scan, pinned z
+    "q309_bloom_advisor",         // ONE melted distinct fold
+    "q310_supplier_hhi")          // (quarter, supplier) profile folds
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -249,7 +249,9 @@ object ScaleSmoke {
         "q300_idf_shift", "q301_water_filling",
         "q302_churn_labels", "q303_revenue_var",
         "q304_isotropy_audit", "q305_priority_drift",
-        "q306_cramers_v")
+        "q306_cramers_v", "q307_churn_wilson",
+        "q308_duration_planner", "q309_bloom_advisor",
+        "q310_supplier_hhi")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -341,7 +341,44 @@ object Contribution {
           .as("cvar_daily"))
   }
 
+  /** q310 — SUPPLIER CONCENTRATION TREND: per ship quarter, the
+    * Herfindahl–Hirschman index of supplier revenue shares, the
+    * effective number of suppliers (1/HHI — "this quarter behaved as
+    * if N equal suppliers existed") and the top supplier's share —
+    * the supply-risk trend a procurement review reads next to q211's
+    * customer Gini: rising HHI = quietly concentrating supply. HHI
+    * and effective-N need no entropy/log machinery: Σrᵢ²/R² is exact
+    * integer arithmetic until one division.
+    *
+    * Exactness: per-(quarter, supplier) revenue folds as exact BIGINT
+    * cents; Σrᵢ² in decimal(38)/HUGEINT (q274 rule); HHI/effective-N/
+    * top-share are single fixed expressions, mirrored verbatim. */
+  def q310SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(concat(year(col("l_shipdate")).cast("string"), lit("-Q"),
+        quarter(col("l_shipdate")).cast("string")).as("qtr"),
+        col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+      .groupBy("qtr", "l_suppkey")
+      .agg(sum("cents").as("r"))
+    val hhi = col("s2").cast("double") /
+      (col("rt").cast("double") * col("rt").cast("double"))
+    rev.groupBy("qtr")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("r").as("rt"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("s2"),
+        max("r").as("rmax"))
+      .select(col("qtr"), col("n_suppliers"),
+        round(col("rt").cast("double") / 100, 2).as("revenue"),
+        round(hhi, 8).as("hhi"),
+        round(lit(1.0) / hhi, 4).as("effective_suppliers"),
+        round(col("rmax").cast("double") / col("rt"), 6).as("top_share"))
+      .orderBy("qtr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_supplier_hhi" -> (q310SupplierHhi _),
     "q303_revenue_var" -> (q303RevenueVar _),
     "q281_price_volume_mix" -> (q281PriceVolumeMix _),
     "q274_simpson_audit" -> (q274SimpsonAudit _),
@@ -351,6 +388,32 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q310_supplier_hhi" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR)
+        |           || '-Q' ||
+        |         CAST(quarter(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR)
+        |           AS qtr,
+        |         l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT qtr, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |         CAST(sum(r) AS BIGINT) AS rt,
+        |         sum(CAST(r AS HUGEINT) * r) AS s2,
+        |         CAST(max(r) AS BIGINT) AS rmax
+        |  FROM rev GROUP BY 1)
+        |SELECT qtr, n_suppliers,
+        |       round(CAST(rt AS DOUBLE) / 100, 2) AS revenue,
+        |       round(CAST(s2 AS DOUBLE)
+        |             / (CAST(rt AS DOUBLE) * CAST(rt AS DOUBLE)), 8)
+        |         AS hhi,
+        |       round(1.0 / (CAST(s2 AS DOUBLE)
+        |             / (CAST(rt AS DOUBLE) * CAST(rt AS DOUBLE))), 4)
+        |         AS effective_suppliers,
+        |       round(CAST(rmax AS DOUBLE) / rt, 6) AS top_share
+        |FROM agg ORDER BY qtr""".stripMargin,
     "q303_revenue_var" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

@@ -424,7 +424,61 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q308 pinned relative MDE target: plan for detecting a 2% lift on
+    * the control mean. */
+  private[graft] val TargetLift = 0.02
+
+  /** q308 — EXPERIMENT DURATION PLANNER: q280 answers "what can the
+    * running test detect?"; this answers the design question asked
+    * BEFORE launch — "how long must it run to detect a
+    * [[TargetLift]] lift?". Per event type, from the same exact
+    * sufficient statistics: the required per-arm sample
+    * n = (z_{α/2}+z_β)²·(s²_a+s²_b)/δ² at δ = [[TargetLift]]·mean_a,
+    * converted to DAYS through each arm's observed daily accrual
+    * rate, reporting the binding (slower) arm and whether the
+    * already-observed window was long enough.
+    *
+    * Exactness: counts/sums/squares fold exactly (the q280 fold plus
+    * one distinct-day count); every planning number is a fixed double
+    * expression over them with pinned z and lift literals, mirrored
+    * verbatim. */
+  def q308DurationPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(countDistinct(col("day")).as("n_days"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qa"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("sb"),
+        sum(when(!col("in_a"), col("cents") * col("cents")).otherwise(0L))
+          .as("qb"))
+    val ma = col("sa").cast("double") / col("na")
+    val va = (col("qa").cast("double") - col("sa").cast("double") * ma) /
+      (col("na") - 1)
+    val mb = col("sb").cast("double") / col("nb")
+    val vb = (col("qb").cast("double") - col("sb").cast("double") * mb) /
+      (col("nb") - 1)
+    val delta = lit(TargetLift) * ma
+    val nReq = lit(ZSum6) * lit(ZSum6) * (va + vb) / (delta * delta)
+    val daysA = nReq * col("n_days") / col("na")
+    val daysB = nReq * col("n_days") / col("nb")
+    val daysNeeded = greatest(daysA, daysB)
+    stats.select(col("event_type"), col("n_days"), col("na"), col("nb"),
+        round(delta / 100, 4).as("target_delta"),
+        round(nReq, 2).as("n_req_per_arm"),
+        round(daysNeeded, 2).as("days_needed"),
+        (daysNeeded <= col("n_days").cast("double")).as("already_enough"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_duration_planner" -> (q308DurationPlanner _),
     "q295_winsorized_welch" -> (q295WinsorizedWelch _),
     "q287_peeking_audit" -> (q287PeekingAudit _),
     "q280_ab_power" -> (q280AbPower _),
@@ -559,6 +613,51 @@ object Experiment {
         |       round(mean_cents / 100.0, 4) AS mean_spend,
         |       round((SELECT did_cents FROM did) / 100.0, 4) AS did_spend
         |FROM cells ORDER BY grp, period""".stripMargin,
+    "q308_duration_planner" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type,
+        |         CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS na,
+        |         CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS BIGINT)
+        |           AS sa,
+        |         CAST(sum(CASE WHEN in_a THEN cents * cents ELSE 0 END)
+        |           AS BIGINT) AS qa,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+        |           AS nb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents END) AS BIGINT)
+        |           AS sb,
+        |         CAST(sum(CASE WHEN in_a THEN 0 ELSE cents * cents END)
+        |           AS BIGINT) AS qb
+        |  FROM ev GROUP BY 1),
+        |calc AS (
+        |  SELECT event_type, n_days, na, nb,
+        |         $TargetLift * (CAST(sa AS DOUBLE) / na) AS delta,
+        |         $ZSum6 * $ZSum6
+        |           * ((CAST(qa AS DOUBLE)
+        |               - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / na))
+        |                / (na - 1)
+        |              + (CAST(qb AS DOUBLE)
+        |                 - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / nb))
+        |                  / (nb - 1))
+        |           / (($TargetLift * (CAST(sa AS DOUBLE) / na))
+        |              * ($TargetLift * (CAST(sa AS DOUBLE) / na)))
+        |           AS n_req
+        |  FROM stats)
+        |SELECT event_type, n_days, na, nb,
+        |       round(delta / 100, 4) AS target_delta,
+        |       round(n_req, 2) AS n_req_per_arm,
+        |       round(greatest(n_req * n_days / na,
+        |                      n_req * n_days / nb), 2) AS days_needed,
+        |       greatest(n_req * n_days / na, n_req * n_days / nb)
+        |         <= CAST(n_days AS DOUBLE) AS already_enough
+        |FROM calc ORDER BY event_type""".stripMargin,
     "q295_winsorized_welch" ->
       """WITH ev AS (
         |  SELECT event_type,

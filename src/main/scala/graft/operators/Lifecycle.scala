@@ -433,7 +433,43 @@ object Lifecycle {
       .orderBy("bucket")
   }
 
+  /** q307 pinned z (95% two-sided), micro-rounded once (the Benford6
+    * discipline — both engines parse the identical literal). */
+  private[graft] val WilsonZ = 1.959964
+
+  /** q307 — WILSON CONFIDENCE INTERVALS for the q302 churn curve: the
+    * per-bucket churn rates upgraded from point estimates to 95%
+    * Wilson score intervals — the interval that stays inside [0, 1]
+    * and behaves at small n where the naive normal interval fails,
+    * i.e. exactly the small high-engagement buckets a retention
+    * review argues about. Two buckets whose intervals don't overlap
+    * are REALLY different; a wide interval says "collect more data",
+    * which the q302 point rate can't.
+    *
+    * Exactness: k and n are exact integers from the shared q302
+    * construction; the Wilson bounds are one fixed double expression
+    * each (√ blessed, z pinned), mirrored verbatim. */
+  def q307ChurnWilson(spark: SparkSession, dir: String): DataFrame = {
+    val base = q302ChurnLabels(spark, dir)
+      .select(col("bucket"), col("n_users").as("n"),
+        col("n_churned").as("k"), col("churn_rate"))
+    val z = lit(WilsonZ)
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = p + z * z / (lit(2.0) * nD)
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD))
+    // + 0.0 normalizes the k = 0 bucket's −0.0 to +0.0 (IEEE: the sum
+    // of signed zeros is +0 under round-to-nearest, in both engines)
+    base.select(col("bucket"), col("n"), col("k"), col("churn_rate"),
+        (round((center - half) / denom, 6) + lit(0.0)).as("wilson_lo"),
+        (round((center + half) / denom, 6) + lit(0.0)).as("wilson_hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_churn_wilson" -> (q307ChurnWilson _),
     "q302_churn_labels" -> (q302ChurnLabels _),
     "q296_lead_time_sla" -> (q296LeadTimeSla _),
     "q235_km_survival" -> (q235KmSurvival _),
@@ -446,6 +482,55 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q307_churn_wilson" ->
+      s"""WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN us < (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN us >= (SELECT cut FROM cut)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ev GROUP BY 1
+        |  HAVING sum(CASE WHEN us < (SELECT cut FROM cut)
+        |             THEN 1 ELSE 0 END) > 0),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(n1, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                              0.6, 0.7, 0.8, 0.9]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM users),
+        |bucketed AS (
+        |  SELECT CAST(len(list_filter((SELECT edges FROM edges),
+        |                              e -> u.n1 >= e)) AS INTEGER)
+        |           AS bucket,
+        |         u.n2 = 0 AS churned
+        |  FROM users u),
+        |agg AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS k
+        |  FROM bucketed GROUP BY 1)
+        |SELECT bucket, n, k,
+        |       round(CAST(k AS DOUBLE) / count_n, 6) AS churn_rate,
+        |       round((p + $WilsonZ * $WilsonZ / (2.0 * count_n)
+        |              - $WilsonZ * sqrt(p * (1.0 - p) / count_n
+        |                  + $WilsonZ * $WilsonZ
+        |                    / (4.0 * count_n * count_n)))
+        |             / (1.0 + $WilsonZ * $WilsonZ / count_n), 6) + 0.0
+        |         AS wilson_lo,
+        |       round((p + $WilsonZ * $WilsonZ / (2.0 * count_n)
+        |              + $WilsonZ * sqrt(p * (1.0 - p) / count_n
+        |                  + $WilsonZ * $WilsonZ
+        |                    / (4.0 * count_n * count_n)))
+        |             / (1.0 + $WilsonZ * $WilsonZ / count_n), 6) + 0.0
+        |         AS wilson_hi
+        |FROM (SELECT *, CAST(n AS DOUBLE) AS count_n,
+        |             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |      FROM agg)
+        |ORDER BY bucket""".stripMargin,
     "q302_churn_labels" ->
       """WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id

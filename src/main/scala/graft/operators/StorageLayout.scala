@@ -293,13 +293,78 @@ object StorageLayout {
       .orderBy("key_name")
   }
 
+  /** q309 pinned Bloom constants for a 1% false-positive target:
+    * bits/element = −ln(0.01)/ln(2)² and the optimal hash count
+    * k = bits/element · ln 2, both micro-rounded literals (ln of
+    * constants is libm territory — the Benford6 discipline). */
+  private[graft] val BloomBitsPerElem = 9.585063
+  private[graft] val BloomHashes = 7
+
+  /** q309 — BLOOM-FILTER SIZING ADVISOR: for each join/filter key the
+    * engine's Bloom paths use (the q103 decontamination scan, runtime
+    * row-level filters), the exact ndv and the memory a 1%-FPR filter
+    * would cost — m = ndv·[[BloomBitsPerElem]] bits with
+    * [[BloomHashes]] hashes. The sizing decision behind q103's
+    * "Bloom at the scan" is registered as an auditable artifact: a
+    * key whose filter doesn't fit the driver/broadcast budget needs
+    * partition pruning (q286) instead.
+    *
+    * Exactness: ndv and row counts are exact (one melted distinct
+    * fold, the q286 discipline); the size is one multiplication by a
+    * pinned literal.
+    *
+    * Scale shape: ONE melted scan (4-key fan-out) into a distinct
+    * fold — never one pass per key. */
+  def q309BloomAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def cand(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("key_name"), v.cast("long").as("key_value"))
+    val melted = Tables.lineitem(spark, dir).select(inline(array(
+      cand("l_orderkey", col("l_orderkey")),
+      cand("l_partkey", col("l_partkey")),
+      cand("l_suppkey", col("l_suppkey")))))
+      .unionByName(Tables.orders(spark, dir).select(
+        cand("o_custkey", col("o_custkey")).as("c"))
+        .select(col("c.key_name"), col("c.key_value")))
+    melted.groupBy("key_name")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("key_value")).as("ndv"))
+      .select(col("key_name"), col("rows"), col("ndv"),
+        round(col("ndv").cast("double") * lit(BloomBitsPerElem) /
+          8 / 1024 / 1024, 4).as("bloom_mib"),
+        lit(BloomHashes).as("n_hashes"),
+        round(col("ndv").cast("double") / col("rows"), 6)
+          .as("ndv_per_row"))
+      .orderBy("key_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_zorder_scan" -> (q132ZorderScan _),
     "q133_cell_serving" -> (q133CellServing _),
     "q134_bucketed_join" -> (q134BucketedJoin _),
+    "q309_bloom_advisor" -> (q309BloomAdvisor _),
     "q286_partition_advisor" -> (q286PartitionAdvisor _))
 
   val oracles: Map[String, String] = Map(
+    "q309_bloom_advisor" ->
+      s"""WITH melted AS (
+        |  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'o_custkey', o_custkey FROM orders),
+        |agg AS (
+        |  SELECT key_name, CAST(count(*) AS BIGINT) AS rows,
+        |         CAST(count(DISTINCT key_value) AS BIGINT) AS ndv
+        |  FROM melted GROUP BY 1)
+        |SELECT key_name, rows, ndv,
+        |       round(CAST(ndv AS DOUBLE) * $BloomBitsPerElem
+        |             / 8 / 1024 / 1024, 4) AS bloom_mib,
+        |       $BloomHashes AS n_hashes,
+        |       round(CAST(ndv AS DOUBLE) / rows, 6) AS ndv_per_row
+        |FROM agg ORDER BY key_name""".stripMargin,
     "q286_partition_advisor" ->
       """WITH melted AS (
         |  SELECT 'ship_month' AS key_name,
