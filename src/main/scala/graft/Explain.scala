@@ -234,7 +234,11 @@ object Explain {
     "q307_churn_wilson",          // shared q302 buckets + fixed exprs
     "q308_duration_planner",      // one conditional-agg scan, pinned z
     "q309_bloom_advisor",         // ONE melted distinct fold
-    "q310_supplier_hhi")          // (quarter, supplier) profile folds
+    "q310_supplier_hhi",          // (quarter, supplier) profile folds
+    "q311_ild_audit",             // cached top-k table, k²-bounded pairs
+    "q312_covariate_balance",     // ONE wide conditional user fold
+    "q313_loo_encoding",          // category profile + one deviation fold
+    "q314_price_dispersion")      // brand-grain percentile folds
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

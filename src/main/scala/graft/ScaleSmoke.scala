@@ -251,7 +251,9 @@ object ScaleSmoke {
         "q304_isotropy_audit", "q305_priority_drift",
         "q306_cramers_v", "q307_churn_wilson",
         "q308_duration_planner", "q309_bloom_advisor",
-        "q310_supplier_hhi")
+        "q310_supplier_hhi", "q311_ild_audit",
+        "q312_covariate_balance", "q313_loo_encoding",
+        "q314_price_dispersion")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -377,7 +377,37 @@ object Contribution {
       .orderBy("qtr")
   }
 
+  /** q314 — PRICE DISPERSION BY BRAND (coefficient of quartile
+    * variation): per part brand, the robust dispersion
+    * CQV = (Q3 − Q1)/(Q3 + Q1) of retail prices plus the quartiles
+    * themselves — the pricing-consistency audit a catalog owner runs:
+    * a brand with a fat CQV prices inconsistently (or mixes product
+    * tiers), and robust quartiles ignore the outliers a std-based CV
+    * (q50) would chase. Brand-grain percentile folds only.
+    *
+    * Exactness: prices quantize to cents; quartiles are the
+    * engine-identical exact interpolated percentiles per brand; CQV
+    * is one fixed expression over the two shared doubles. */
+  def q314PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(col("p_brand"),
+        expr("cast(round(p_retailprice * 100, 0) as bigint)").as("c"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("percentile(c, 0.25)").as("q1"),
+        expr("percentile(c, 0.5)").as("q2"),
+        expr("percentile(c, 0.75)").as("q3"))
+      .select(col("p_brand"), col("n_parts"),
+        round(col("q1") / 100, 2).as("p25"),
+        round(col("q2") / 100, 2).as("median"),
+        round(col("q3") / 100, 2).as("p75"),
+        round((col("q3") - col("q1")) / (col("q3") + col("q1")), 6)
+          .as("cqv"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_price_dispersion" -> (q314PriceDispersion _),
     "q310_supplier_hhi" -> (q310SupplierHhi _),
     "q303_revenue_var" -> (q303RevenueVar _),
     "q281_price_volume_mix" -> (q281PriceVolumeMix _),
@@ -388,6 +418,23 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q314_price_dispersion" ->
+      """WITH p AS (
+        |  SELECT p_brand,
+        |         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS c
+        |  FROM part),
+        |agg AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |         quantile_cont(c, 0.25) AS q1,
+        |         quantile_cont(c, 0.5) AS q2,
+        |         quantile_cont(c, 0.75) AS q3
+        |  FROM p GROUP BY 1)
+        |SELECT p_brand, n_parts,
+        |       round(q1 / 100, 2) AS p25,
+        |       round(q2 / 100, 2) AS median,
+        |       round(q3 / 100, 2) AS p75,
+        |       round((q3 - q1) / (q3 + q1), 6) AS cqv
+        |FROM agg ORDER BY p_brand""".stripMargin,
     "q310_supplier_hhi" ->
       """WITH rev AS (
         |  SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR)

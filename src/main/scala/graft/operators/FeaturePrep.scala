@@ -301,7 +301,100 @@ object FeaturePrep {
       .orderBy("pair")
   }
 
+  /** q312 SMD balance threshold (the conventional 0.1 rule). */
+  private[graft] val SmdThreshold = 0.1
+
+  /** q312 — COVARIATE BALANCE AUDIT of the q165 experiment's
+    * randomization: per user-grain feature (the q227 vector), the
+    * standardized mean difference between arms,
+    * SMD = (x̄_A − x̄_B)/√((s²_A + s²_B)/2) — the pre-readout check
+    * that the hash split didn't land unlucky on any covariate
+    * (|SMD| < [[SmdThreshold]] is the conventional balance rule). An
+    * imbalanced covariate is exactly when q167's CUPED adjustment
+    * stops being optional.
+    *
+    * Exactness: features are exact integers per user; per-arm n/Σ/Σ²
+    * fold exactly in ONE wide conditional aggregate; each SMD is a
+    * fixed double expression, mirrored verbatim. */
+  def q312CovariateBalance(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.events(spark, dir).groupBy("user_id").agg(
+      count(lit(1)).as("f_events"),
+      sum(expr("cast(round(value * 100, 0) as bigint)")).as("f_spend"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("f_purchases"),
+      countDistinct(to_date(col("ts"))).as("f_days"))
+      .withColumn("in_a",
+        pmod(graft.functions.Hashing.md5Hash60(
+          concat(lit("arm:"), col("user_id"))), lit(2)) === 0)
+    val sums = CorrFeatures.flatMap { f =>
+      Seq(sum(when(col("in_a"), col(f)).otherwise(0L)).as(s"sa_$f"),
+        sum(when(col("in_a"), col(f) * col(f)).otherwise(0L))
+          .as(s"qa_$f"),
+        sum(when(!col("in_a"), col(f)).otherwise(0L)).as(s"sb_$f"),
+        sum(when(!col("in_a"), col(f) * col(f)).otherwise(0L))
+          .as(s"qb_$f"))
+    } ++ Seq(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"))
+    val wide = feats.agg(sums.head, sums.tail: _*)
+    def dbl(c: String): Column = col(c).cast("double")
+    val rows = CorrFeatures.map { f =>
+      val ma = dbl(s"sa_$f") / col("na")
+      val mb = dbl(s"sb_$f") / col("nb")
+      val va = (dbl(s"qa_$f") - dbl(s"sa_$f") * ma) / (col("na") - 1)
+      val vb = (dbl(s"qb_$f") - dbl(s"sb_$f") * mb) / (col("nb") - 1)
+      val smd = (ma - mb) / sqrt((va + vb) / lit(2.0))
+      struct(lit(f).as("feature"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(smd, 6).as("smd"),
+        (abs(smd) < SmdThreshold).as("balanced"))
+    }
+    wide.select(inline(array(rows: _*))).orderBy("feature")
+  }
+
+  /** q313 — LEAVE-ONE-OUT TARGET-ENCODING LEAKAGE AUDIT: q197 encodes
+    * each category with its (smoothed) mean target, which leaks each
+    * row's OWN label into its feature; the leakage-free form is the
+    * LOO mean (S − yᵢ)/(n − 1). This audit measures HOW FAR the two
+    * diverge per category — mean and max |LOO − naive| — which is
+    * exactly the magnitude of label information the naive encoding
+    * injects (decays as 1/n: harmless for big categories, a leak for
+    * rare ones — the rule this query turns into numbers).
+    *
+    * Exactness: |n·yᵢ − S| folds row-wise as exact integers (the LOO
+    * deviation times n(n−1), kept integral; the fold runs in
+    * decimal(38) — n·y products pass int64 at scale, the q274 rule);
+    * the reported shifts are fixed double expressions over the exact
+    * folds, mirrored verbatim. */
+  def q313LooEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("category"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val prof = rows.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    val dev = rows.join(broadcast(prof), Seq("category"))
+      .select(col("category"),
+        abs(col("cents").cast("decimal(38,0)") * col("n") - col("s"))
+          .as("d"))
+      .groupBy("category")
+      .agg(sum("d").as("sd"), max("d").as("md"))
+    prof.join(dev, Seq("category"))
+      .select(col("category"), col("n"),
+        round(col("s").cast("double") / col("n") / 100, 6)
+          .as("naive_mean"),
+        round(col("sd").cast("double") / col("n") /
+          (col("n").cast("double") * (col("n") - 1)) / 100, 6)
+          .as("mean_loo_shift"),
+        round(col("md").cast("double") /
+          (col("n").cast("double") * (col("n") - 1)) / 100, 6)
+          .as("max_loo_shift"))
+      .orderBy("category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_loo_encoding" -> (q313LooEncoding _),
+    "q312_covariate_balance" -> (q312CovariateBalance _),
     "q306_cramers_v" -> (q306CramersV _),
     "q227_feature_corr" -> (q227FeatureCorr _),
     "q196_temporal_split" -> (q196TemporalSplit _),
@@ -390,7 +483,79 @@ object FeaturePrep {
        |ORDER BY pair""".stripMargin
   }
 
+  /** q312 oracle: one SELECT per feature over the shared wide fold. */
+  private def covariateBalanceSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val arms = CorrFeatures.map { f =>
+      val ma = s"${d(s"sa_$f")} / na"
+      val mb = s"${d(s"sb_$f")} / nb"
+      val va = s"(${d(s"qa_$f")} - ${d(s"sa_$f")} * ($ma)) / (na - 1)"
+      val vb = s"(${d(s"qb_$f")} - ${d(s"sb_$f")} * ($mb)) / (nb - 1)"
+      val smd = s"(($ma) - ($mb)) / sqrt((($va) + ($vb)) / 2.0)"
+      s"""SELECT '$f' AS feature, na AS n_a, nb AS n_b,
+         |  round($ma, 6) AS mean_a, round($mb, 6) AS mean_b,
+         |  round($smd, 6) AS smd,
+         |  abs($smd) < $SmdThreshold AS balanced
+         |FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val condSums = CorrFeatures.flatMap { f =>
+      Seq(
+        s"CAST(sum(CASE WHEN in_a THEN $f ELSE 0 END) AS BIGINT) AS sa_$f",
+        s"CAST(sum(CASE WHEN in_a THEN $f * $f ELSE 0 END) AS BIGINT) AS qa_$f",
+        s"CAST(sum(CASE WHEN in_a THEN 0 ELSE $f END) AS BIGINT) AS sb_$f",
+        s"CAST(sum(CASE WHEN in_a THEN 0 ELSE $f * $f END) AS BIGINT) AS qb_$f")
+    }.mkString(",\n         ")
+    s"""WITH feats AS (
+       |  SELECT user_id,
+       |         CAST(count(*) AS BIGINT) AS f_events,
+       |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+       |           AS BIGINT) AS f_spend,
+       |         CAST(sum(CASE WHEN event_type = 'purchase'
+       |                       THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS f_purchases,
+       |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+       |           AS f_days,
+       |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+       |           % 2 = 0 AS in_a
+       |  FROM events GROUP BY user_id),
+       |wide AS (
+       |  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS na,
+       |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS nb,
+       |         $condSums
+       |  FROM feats)
+       |$arms
+       |ORDER BY feature""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q313_loo_encoding" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderpriority AS category,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |prof AS (
+        |  SELECT category, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS s
+        |  FROM rows_ GROUP BY 1),
+        |dev AS (
+        |  SELECT r.category,
+        |         sum(abs(CAST(r.cents AS HUGEINT) * p.n - p.s)) AS sd,
+        |         max(abs(CAST(r.cents AS HUGEINT) * p.n - p.s)) AS md
+        |  FROM rows_ r JOIN prof p USING (category)
+        |  GROUP BY 1)
+        |SELECT p.category, p.n,
+        |       round(CAST(p.s AS DOUBLE) / p.n / 100, 6) AS naive_mean,
+        |       round(CAST(d.sd AS DOUBLE) / p.n
+        |             / (CAST(p.n AS DOUBLE) * (p.n - 1)) / 100, 6)
+        |         AS mean_loo_shift,
+        |       round(CAST(d.md AS DOUBLE)
+        |             / (CAST(p.n AS DOUBLE) * (p.n - 1)) / 100, 6)
+        |         AS max_loo_shift
+        |FROM prof p JOIN dev d USING (category)
+        |ORDER BY p.category""".stripMargin,
+    "q312_covariate_balance" -> covariateBalanceSql,
     "q306_cramers_v" -> cramersVSql,
     "q227_feature_corr" -> featureCorrSql,
     "q196_temporal_split" ->

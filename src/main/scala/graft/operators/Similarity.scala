@@ -257,13 +257,108 @@ object Similarity {
           col("mu2").cast("double"), 6).as("dominant_share"))
   }
 
+  /** q311 — INTRA-LIST DIVERSITY AUDIT of the exact top-k lists: per
+    * query, the mean pairwise cosine among its [[TopK]] brute-force
+    * neighbors — the redundancy number that says whether plain
+    * similarity retrieval (q36) returns ten copies of one thing (ILD
+    * → 1) or a varied neighborhood, i.e. the measured justification
+    * for q224's MMR re-ranking. List membership is the SAME cached
+    * exact ranking q36 exposes; pair similarity uses the
+    * integer-vector cosine (the q223/q224 discipline) so the audit
+    * itself has no float-sum anywhere: pair cosines micro-quantize
+    * before the per-query mean.
+    *
+    * Scale shape: |queries|·C(k,2) = 45 pairs per query over the
+    * cached top-k table — the k²-bounded profile, never a corpus
+    * pass; the int dot is one codegen-friendly aggregate lambda. */
+  def q311IldAudit(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, v -> " +
+        "cast(round(cast(v as double) * 1000000, 0) as bigint))")
+        .as("iv"))
+      .withColumn("n2",
+        expr("aggregate(iv, cast(0 as bigint), (a, x) -> a + x * x)"))
+    val top = bruteRanked(spark, dir).select("qid", "cid")
+    val m = top.join(iv.select(col("vec_id").as("cid"), col("iv"),
+      col("n2")), Seq("cid"))
+    val pairs = m.select(col("qid"), col("cid").as("c1"),
+        col("iv").as("iv1"), col("n2").as("n2a"))
+      .join(m.select(col("qid"), col("cid").as("c2"),
+        col("iv").as("iv2"), col("n2").as("n2b")), Seq("qid"))
+      .filter(col("c1") < col("c2"))
+    val dot = expr("aggregate(zip_with(iv1, iv2, (x, y) -> x * y), " +
+      "cast(0 as bigint), (a, t) -> a + t)")
+    val cos = dot.cast("double") /
+      (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))
+    pairs
+      .select(col("qid"),
+        round(cos * lit(1000000d), 0).cast("long").as("mu"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_pairs"), sum("mu").as("s_mu"))
+      .select(col("qid"), col("n_pairs"),
+        round(col("s_mu").cast("double") / col("n_pairs") / 1e6, 6)
+          .as("ild"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_ild_audit" -> (q311IldAudit _),
     "q304_isotropy_audit" -> (q304IsotropyAudit _),
     "q36_ann_brute_topk" -> (q36AnnBruteTopK _),
     "q37_ann_lsh_topk" -> (q37AnnLshTopK _))
 
 
   val oracles: Map[String, String] = Map(
+    "q311_ild_audit" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+        |                     AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / (n1.nrm * n2.nrm), 6) DESC,
+        |                    cid ASC) AS rank
+        |  FROM dots
+        |  JOIN norms n1 ON n1.vec_id = qid
+        |  JOIN norms n2 ON n2.vec_id = cid),
+        |top AS (SELECT qid, cid FROM ranked WHERE rank <= 10),
+        |exi AS (
+        |  SELECT vec_id,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000,
+        |           0) AS BIGINT) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM exi GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.qid, a.cid AS c1, b.cid AS c2
+        |  FROM top a JOIN top b ON a.qid = b.qid AND a.cid < b.cid),
+        |pair_dots AS (
+        |  SELECT p.qid, p.c1, p.c2, CAST(sum(e1.v * e2.v) AS BIGINT)
+        |           AS dot
+        |  FROM pairs p
+        |  JOIN exi e1 ON e1.vec_id = p.c1
+        |  JOIN exi e2 ON e2.vec_id = p.c2 AND e2.i = e1.i
+        |  GROUP BY 1, 2, 3),
+        |mus AS (
+        |  SELECT d.qid,
+        |         CAST(round(CAST(d.dot AS DOUBLE)
+        |               / (sqrt(CAST(za.n2 AS DOUBLE))
+        |                  * sqrt(CAST(zb.n2 AS DOUBLE)))
+        |               * 1000000, 0) AS BIGINT) AS mu
+        |  FROM pair_dots d
+        |  JOIN n2 za ON za.vec_id = d.c1
+        |  JOIN n2 zb ON zb.vec_id = d.c2)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(CAST(sum(mu) AS DOUBLE) / count(*) / 1e6, 6) AS ild
+        |FROM mus GROUP BY 1 ORDER BY 1""".stripMargin,
     "q304_isotropy_audit" ->
       """WITH iv AS (
         |  SELECT vec_id,
