@@ -238,7 +238,11 @@ object Explain {
     "q311_ild_audit",             // cached top-k table, k²-bounded pairs
     "q312_covariate_balance",     // ONE wide conditional user fold
     "q313_loo_encoding",          // category profile + one deviation fold
-    "q314_price_dispersion")      // brand-grain percentile folds
+    "q314_price_dispersion",      // brand-grain percentile folds
+    "q315_retrieval_map",         // shared int-cosine ranking, top-10
+    "q316_user_influx",           // first-seen fold + half conditional
+    "q317_segment_migration",     // customer profile + tercile edges
+    "q318_quantile_effects")      // per-(type, arm) percentile folds
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

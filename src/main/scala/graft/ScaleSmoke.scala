@@ -253,7 +253,9 @@ object ScaleSmoke {
         "q308_duration_planner", "q309_bloom_advisor",
         "q310_supplier_hhi", "q311_ild_audit",
         "q312_covariate_balance", "q313_loo_encoding",
-        "q314_price_dispersion")
+        "q314_price_dispersion", "q315_retrieval_map",
+        "q316_user_influx", "q317_segment_migration",
+        "q318_quantile_effects")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

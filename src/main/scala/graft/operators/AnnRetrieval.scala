@@ -536,6 +536,69 @@ object AnnRetrieval {
     * rank windows) — swap in the ANN candidate paths at corpus
     * scale; everything after the top-[[NdcgK]] filter runs on
     * ≤ batch·K rows. */
+  /** q315 — MEAN AVERAGE PRECISION @10: the order-sensitive set
+    * metric that completes the retrieval-eval triad — q255's MRR
+    * rewards the FIRST hit, q263's NDCG applies graded positional
+    * discounts; MAP averages precision AT EACH HIT, so it punishes
+    * every relevant item pushed down, not just the first. Same
+    * label-as-relevance frame, same INT-cosine ranking, per-label
+    * report.
+    *
+    * Exactness: each hit's precision@k = cumhits/rank is a rational
+    * of exact integers micro-quantized before the per-query fold
+    * (q169 discipline); AP divides by min(R, 10) with R the query's
+    * true relevant count (exact); per-query APs micro-quantize again
+    * before the per-label mean — no float ever sums across rows. */
+  def q315RetrievalMap(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), expr(
+        "transform(embedding, v -> " +
+          "cast(round(cast(v as double) * 1000000, 0) as bigint))")
+        .as("iv"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("iv").as("qv"))
+    val corpus = emb.select(col("vec_id").as("cid"),
+      col("label").as("clabel"), col("iv").as("cv"), col("n2").as("cn2"))
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, t) -> acc + t)"))
+      .withColumn("score",
+        col("dot").cast("double") / sqrt(col("cn2").cast("double")))
+    val wRank = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid"))
+    val top = scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 10)
+    val wHit = Window.partitionBy("qid").orderBy("rn")
+    val perQuery = top.filter(col("clabel") === col("qlabel"))
+      .withColumn("cumhits", count(lit(1)).over(wHit))
+      .withColumn("prec_mu", expr(
+        "cast(round(cumhits * 1e6 / rn, 0) as bigint)"))
+      .groupBy("qid", "qlabel")
+      .agg(sum("prec_mu").as("s_mu"), count(lit(1)).as("n_hits"))
+    val labelCounts = corpus.groupBy(col("clabel").as("qlabel"))
+      .agg(count(lit(1)).as("n_label"))
+    val ap = queries.select("qid", "qlabel")
+      .join(broadcast(labelCounts), Seq("qlabel"))
+      .join(perQuery, Seq("qid", "qlabel"), "left")
+      .withColumn("denom", least(col("n_label") - 1, lit(10L)))
+      .withColumn("ap_mu", coalesce(
+        expr("cast(round(cast(s_mu as double) / denom, 0) as bigint)"),
+        lit(0L)))
+    ap.groupBy(col("qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("ap_mu")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("map10"),
+        round(sum(coalesce(col("n_hits"), lit(0L))).cast("double") /
+          count(lit(1)), 4).as("mean_hits_at_10"))
+      .orderBy("label")
+  }
+
   def q263RetrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), expr(
@@ -662,6 +725,7 @@ object AnnRetrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_retrieval_ndcg" -> (q263RetrievalNdcg _),
     "q265_mcnemar_picks" -> (q265McnemarPicks _),
+    "q315_retrieval_map" -> (q315RetrievalMap _),
     "q255_retrieval_mrr" -> (q255RetrievalMrr _),
     "q233_label_noise" -> (q233LabelNoise _),
     "q223_centroid_separation" -> (q223CentroidSeparation _),
@@ -674,6 +738,64 @@ object AnnRetrieval {
 
 
   val oracles: Map[String, String] = Map(
+    "q315_retrieval_map" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+        |              AS BIGINT) AS vm
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |n2 AS (SELECT vec_id, CAST(sum(vm * vm) AS BIGINT) AS nn
+        |       FROM ex GROUP BY 1),
+        |labels AS (SELECT DISTINCT vec_id, label FROM ex),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
+        |  FROM labels q JOIN labels c
+        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |  JOIN ex qe ON qe.vec_id = q.vec_id
+        |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT d.qid, d.cid,
+        |         row_number() OVER (PARTITION BY d.qid
+        |           ORDER BY CAST(d.dot AS DOUBLE)
+        |             / sqrt(CAST(n.nn AS DOUBLE)) DESC, d.cid) AS rn
+        |  FROM dots d JOIN n2 n ON n.vec_id = d.cid),
+        |top AS (SELECT qid, cid, rn FROM ranked WHERE rn <= 10),
+        |hits AS (
+        |  SELECT t.qid, ql.label AS qlabel, t.rn,
+        |         CAST(count(*) OVER (PARTITION BY t.qid ORDER BY t.rn)
+        |           AS BIGINT) AS cumhits
+        |  FROM top t
+        |  JOIN labels cl ON cl.vec_id = t.cid
+        |  JOIN labels ql ON ql.vec_id = t.qid
+        |  WHERE cl.label = ql.label),
+        |perq AS (
+        |  SELECT qid, qlabel,
+        |         CAST(sum(CAST(round(cumhits * 1e6 / rn, 0) AS BIGINT))
+        |           AS BIGINT) AS s_mu,
+        |         CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM hits GROUP BY 1, 2),
+        |lc AS (SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_label
+        |       FROM labels GROUP BY 1),
+        |ap AS (
+        |  SELECT q.label AS qlabel,
+        |         COALESCE(CAST(round(CAST(p.s_mu AS DOUBLE)
+        |             / least(l.n_label - 1, 10), 0) AS BIGINT), 0)
+        |           AS ap_mu,
+        |         COALESCE(p.n_hits, 0) AS n_hits
+        |  FROM labels q
+        |  JOIN lc l ON l.qlabel = q.label
+        |  LEFT JOIN perq p ON p.qid = q.vec_id
+        |  WHERE q.vec_id % 100 = 0)
+        |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+        |       round(CAST(sum(ap_mu) AS DOUBLE) / count(*) / 1e6, 6)
+        |         AS map10,
+        |       round(CAST(sum(n_hits) AS DOUBLE) / count(*), 4)
+        |         AS mean_hits_at_10
+        |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin,
     "q263_retrieval_ndcg" -> {
       val discList = s"[${NdcgDisc6.mkString(", ")}]"
       val idealList = s"[${NdcgIdeal6.mkString(", ")}]"

@@ -406,7 +406,53 @@ object Contribution {
       .orderBy("p_brand")
   }
 
+  /** q317 — CUSTOMER SEGMENT MIGRATION MATRIX: tercile each half's
+    * active customers by that half's OWN spend distribution
+    * (low/mid/high), then count every (first-half segment →
+    * second-half segment) transition including entries ('none' → x,
+    * new customers) and exits (x → 'none') — the value-migration view
+    * q184's static RFM snapshot can't give: WHO is upgrading,
+    * downgrading, arriving, leaving. Per-half terciles (not global)
+    * make the matrix a RELATIVE-rank migration, immune to overall
+    * growth.
+    *
+    * Exactness: spends fold as exact cents; tercile edges are the
+    * engine-identical exact percentiles rounded once to 6dp (the q151
+    * edge discipline) so every segment assignment is a deterministic
+    * comparison; counts exact, share one division. */
+  def q317SegmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(unix_micros(col("o_orderdate")).as("us"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val cut = ord.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val spend = ord.crossJoin(broadcast(cut))
+      .groupBy("o_custkey")
+      .agg(sum(when(col("us") < col("cut"), col("cents"))).as("s1"),
+        sum(when(col("us") >= col("cut"), col("cents"))).as("s2"))
+    def edges(c: String) = spend.filter(col(c).isNotNull)
+      .agg(expr(s"round(percentile($c, 0.3333333333333333d), 6)")
+        .as(s"e1_$c"),
+        expr(s"round(percentile($c, 0.6666666666666666d), 6)")
+          .as(s"e2_$c"))
+    def seg(c: String) = when(col(c).isNull, "none")
+      .when(col(c).cast("double") <= col(s"e1_$c"), "low")
+      .when(col(c).cast("double") <= col(s"e2_$c"), "mid")
+      .otherwise("high")
+    val tagged = spend.crossJoin(broadcast(edges("s1")))
+      .crossJoin(broadcast(edges("s2")))
+      .select(seg("s1").as("seg_first"), seg("s2").as("seg_second"))
+    val counts = tagged.groupBy("seg_first", "seg_second")
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = counts.agg(sum("n_customers").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("seg_first"), col("seg_second"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("t"), 6)
+          .as("share"))
+      .orderBy("seg_first", "seg_second")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_segment_migration" -> (q317SegmentMigration _),
     "q314_price_dispersion" -> (q314PriceDispersion _),
     "q310_supplier_hhi" -> (q310SupplierHhi _),
     "q303_revenue_var" -> (q303RevenueVar _),
@@ -418,6 +464,52 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q317_segment_migration" ->
+      """WITH ord AS (
+        |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,
+        |         o_custkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ord),
+        |spend AS (
+        |  SELECT o_custkey,
+        |         sum(CASE WHEN us < (SELECT cut FROM cut)
+        |                  THEN cents END) AS s1,
+        |         sum(CASE WHEN us >= (SELECT cut FROM cut)
+        |                  THEN cents END) AS s2
+        |  FROM ord GROUP BY 1),
+        |e1 AS (SELECT round(quantile_cont(s1, 0.3333333333333333), 6)
+        |                AS e1_s1,
+        |              round(quantile_cont(s1, 0.6666666666666666), 6)
+        |                AS e2_s1
+        |       FROM spend WHERE s1 IS NOT NULL),
+        |e2 AS (SELECT round(quantile_cont(s2, 0.3333333333333333), 6)
+        |                AS e1_s2,
+        |              round(quantile_cont(s2, 0.6666666666666666), 6)
+        |                AS e2_s2
+        |       FROM spend WHERE s2 IS NOT NULL),
+        |tagged AS (
+        |  SELECT CASE WHEN s1 IS NULL THEN 'none'
+        |              WHEN CAST(s1 AS DOUBLE) <= (SELECT e1_s1 FROM e1)
+        |                THEN 'low'
+        |              WHEN CAST(s1 AS DOUBLE) <= (SELECT e2_s1 FROM e1)
+        |                THEN 'mid'
+        |              ELSE 'high' END AS seg_first,
+        |         CASE WHEN s2 IS NULL THEN 'none'
+        |              WHEN CAST(s2 AS DOUBLE) <= (SELECT e1_s2 FROM e2)
+        |                THEN 'low'
+        |              WHEN CAST(s2 AS DOUBLE) <= (SELECT e2_s2 FROM e2)
+        |                THEN 'mid'
+        |              ELSE 'high' END AS seg_second
+        |  FROM spend),
+        |counts AS (
+        |  SELECT seg_first, seg_second, CAST(count(*) AS BIGINT)
+        |           AS n_customers
+        |  FROM tagged GROUP BY 1, 2)
+        |SELECT seg_first, seg_second, n_customers,
+        |       round(CAST(n_customers AS DOUBLE)
+        |             / (SELECT sum(n_customers) FROM counts), 6) AS share
+        |FROM counts ORDER BY seg_first, seg_second""".stripMargin,
     "q314_price_dispersion" ->
       """WITH p AS (
         |  SELECT p_brand,

@@ -477,7 +477,42 @@ object Experiment {
       .orderBy("event_type")
   }
 
+  /** q318 — QUANTILE TREATMENT EFFECTS: per event type, the arm-A vs
+    * arm-B value difference at each decile — the DISTRIBUTIONAL read
+    * of the q165 experiment: a mean effect (q165) can hide a
+    * tail-only treatment (q295's winsorized read hints at it; this
+    * shows the whole profile: QTE flat = uniform shift, QTE rising in
+    * p = the treatment moves the big spenders). Deciles 10%..90% per
+    * (type, arm).
+    *
+    * Exactness: exact interpolated percentiles per (type, arm) over
+    * exact cents (q278's discipline applied to the arm axis); each
+    * QTE is one subtraction of the shared doubles, rounded once. */
+  def q318QuantileEffects(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(Hashing.md5Hash60(concat(lit("arm:"), col("user_id"))),
+          lit(2)) === 0).as("in_a"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val probes = (1 to 9).map(_ / 10.0)
+    val qs = ev.groupBy("event_type", "in_a")
+      .agg(expr(s"percentile(cents, array(${probes.mkString(", ")}))")
+        .as("q"))
+    qs.select(col("event_type"), col("in_a"),
+        posexplode(col("q")).as(Seq("i", "qv")))
+      .groupBy("event_type", "i")
+      .agg(max(when(col("in_a"), col("qv"))).as("qa"),
+        max(when(!col("in_a"), col("qv"))).as("qb"))
+      .select(col("event_type"), ((col("i") + 1) * 10).as("probe_pct"),
+        round(col("qa") / 100, 4).as("q_a"),
+        round(col("qb") / 100, 4).as("q_b"),
+        // + 0.0 normalizes tied quantiles' −0.0 (the q307 precedent)
+        (round((col("qa") - col("qb")) / 100, 4) + lit(0.0)).as("qte"))
+      .orderBy("event_type", "probe_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_quantile_effects" -> (q318QuantileEffects _),
     "q308_duration_planner" -> (q308DurationPlanner _),
     "q295_winsorized_welch" -> (q295WinsorizedWelch _),
     "q287_peeking_audit" -> (q287PeekingAudit _),
@@ -613,6 +648,29 @@ object Experiment {
         |       round(mean_cents / 100.0, 4) AS mean_spend,
         |       round((SELECT did_cents FROM did) / 100.0, 4) AS did_spend
         |FROM cells ORDER BY grp, period""".stripMargin,
+    "q318_quantile_effects" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         ('0x' || substr(md5('arm:' || user_id), 1, 15))::BIGINT
+        |           % 2 = 0 AS in_a,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |qs AS (
+        |  SELECT event_type, in_a,
+        |         quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                               0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, i - 1 AS i,
+        |         max(CASE WHEN in_a THEN q[i] END) AS qa,
+        |         max(CASE WHEN NOT in_a THEN q[i] END) AS qb
+        |  FROM qs CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST((i + 1) * 10 AS INTEGER) AS probe_pct,
+        |       round(qa / 100, 4) AS q_a,
+        |       round(qb / 100, 4) AS q_b,
+        |       round((qa - qb) / 100, 4) + 0.0 AS qte
+        |FROM m ORDER BY event_type, probe_pct""".stripMargin,
     "q308_duration_planner" ->
       s"""WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -468,7 +468,46 @@ object Lifecycle {
       .orderBy("bucket")
   }
 
+  /** q316 — USER INFLUX AUDIT: churn's mirror (q302 measures who
+    * LEFT; this measures who ARRIVED) — per event type in the second
+    * half: active users, how many are globally NEW (first event after
+    * the shared midpoint), and what share of the type's second-half
+    * volume the newcomers carry. A type whose volume is
+    * newcomer-carried is growing on acquisition, not habit — the
+    * retention review's first split.
+    *
+    * Exactness: newness is an exact integer comparison on each user's
+    * global min timestamp; all counts exact; shares single
+    * divisions. */
+  def q316UserInflux(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val firstSeen = ev.groupBy("user_id").agg(min("us").as("first_us"))
+    val h2 = ev.crossJoin(broadcast(cut))
+      .filter(col("us") >= col("cut"))
+      .join(firstSeen, Seq("user_id"))
+      .select(col("event_type"), col("user_id"),
+        (col("first_us") >= col("cut")).as("is_new"))
+    val perUserType = h2.groupBy("event_type", "user_id", "is_new")
+      .agg(count(lit(1)).as("n_ev"))
+    perUserType.groupBy("event_type")
+      .agg(count(lit(1)).as("h2_users"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_users"),
+        sum("n_ev").as("h2_events"),
+        sum(when(col("is_new"), col("n_ev")).otherwise(0L))
+          .as("new_events"))
+      .select(col("event_type"), col("h2_users"), col("new_users"),
+        round(col("new_users").cast("double") / col("h2_users"), 6)
+          .as("new_user_share"),
+        round(col("new_events").cast("double") / col("h2_events"), 6)
+          .as("new_volume_share"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_user_influx" -> (q316UserInflux _),
     "q307_churn_wilson" -> (q307ChurnWilson _),
     "q302_churn_labels" -> (q302ChurnLabels _),
     "q296_lead_time_sla" -> (q296LeadTimeSla _),
@@ -482,6 +521,30 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q316_user_influx" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |first_seen AS (
+        |  SELECT user_id, min(us) AS first_us FROM ev GROUP BY 1),
+        |put AS (
+        |  SELECT e.event_type, e.user_id,
+        |         f.first_us >= (SELECT cut FROM cut) AS is_new,
+        |         CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM ev e JOIN first_seen f USING (user_id)
+        |  WHERE e.us >= (SELECT cut FROM cut)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS h2_users,
+        |       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS new_users,
+        |       round(CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS new_user_share,
+        |       round(CAST(sum(CASE WHEN is_new THEN n_ev ELSE 0 END)
+        |               AS DOUBLE) / sum(n_ev), 6) AS new_volume_share
+        |FROM put GROUP BY 1 ORDER BY 1""".stripMargin,
     "q307_churn_wilson" ->
       s"""WITH ev AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id

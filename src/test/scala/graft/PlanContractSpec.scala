@@ -78,6 +78,7 @@ object PlanContract {
     "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
     "q255_retrieval_mrr" -> "1% query batch (vec_id % 100)",
     "q263_retrieval_ndcg" -> "1% query batch (vec_id % 100)",
+    "q315_retrieval_map" -> "1% query batch (vec_id % 100)",
     // all-pairs over a dimension-bounded profile: ≤ |nations| rows
     "q267_kendall_tau" -> "nation-grain profile (≤ nations rows)",
     // source-pair spine × 2^|sources|-row membership-mask histogram
