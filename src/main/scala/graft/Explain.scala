@@ -242,7 +242,11 @@ object Explain {
     "q315_retrieval_map",         // shared int-cosine ranking, top-10
     "q316_user_influx",           // first-seen fold + half conditional
     "q317_segment_migration",     // customer profile + tercile edges
-    "q318_quantile_effects")      // per-(type, arm) percentile folds
+    "q318_quantile_effects",      // per-(type, arm) percentile folds
+    "q319_markup_audit",          // broadcast part join + brand folds
+    "q320_watermark_sweep",       // one lateness window, all delays
+    "q321_markov_backtest",       // transition profile argmaxes
+    "q322_load_profile")          // 24-slot profile + argmax window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -255,7 +255,9 @@ object ScaleSmoke {
         "q312_covariate_balance", "q313_loo_encoding",
         "q314_price_dispersion", "q315_retrieval_map",
         "q316_user_influx", "q317_segment_migration",
-        "q318_quantile_effects")
+        "q318_quantile_effects", "q319_markup_audit",
+        "q320_watermark_sweep", "q321_markov_backtest",
+        "q322_load_profile")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

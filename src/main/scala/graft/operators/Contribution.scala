@@ -451,7 +451,39 @@ object Contribution {
       .orderBy("seg_first", "seg_second")
   }
 
+  /** q319 — MARKUP AUDIT BY BRAND: per brand, the median realized
+    * markup of sold lines over the catalog retail price
+    * ((unit price / retail) − 1) and the share of lines sold BELOW
+    * retail — the pricing-health view that q314's dispersion (catalog
+    * side) can't give: it reads the TRANSACTIONS. A brand with a fat
+    * negative-margin share is being discounted away.
+    *
+    * Exactness: the per-line markup is one fixed double expression
+    * over the raw parquet doubles (identical inputs → identical IEEE
+    * arithmetic), micro-quantized per line (q169) so the median runs
+    * on exact BIGINTs; shares are integer divisions. */
+  def q319MarkupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+          col("p_retailprice"))), Seq("l_partkey"))
+      .select(col("p_brand"),
+        expr("cast(round((l_extendedprice / (l_quantity * p_retailprice)" +
+          " - 1.0) * 1e6, 0) as bigint)").as("mu"))
+    lines.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(mu, 0.5)").as("med_mu"),
+        sum(when(col("mu") < 0, 1L).otherwise(0L)).as("n_below"))
+      .select(col("p_brand"), col("n_lines"),
+        round(col("med_mu") / 1e6, 6).as("median_markup"),
+        round(col("n_below").cast("double") / col("n_lines"), 6)
+          .as("below_retail_share"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_markup_audit" -> (q319MarkupAudit _),
     "q317_segment_migration" -> (q317SegmentMigration _),
     "q314_price_dispersion" -> (q314PriceDispersion _),
     "q310_supplier_hhi" -> (q310SupplierHhi _),
@@ -464,6 +496,18 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q319_markup_audit" ->
+      """WITH lines AS (
+        |  SELECT p.p_brand,
+        |         CAST(round((l.l_extendedprice
+        |                     / (l.l_quantity * p.p_retailprice) - 1.0)
+        |                    * 1e6, 0) AS BIGINT) AS mu
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(quantile_cont(mu, 0.5) / 1e6, 6) AS median_markup,
+        |       round(CAST(sum(CASE WHEN mu < 0 THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS below_retail_share
+        |FROM lines GROUP BY 1 ORDER BY 1""".stripMargin,
     "q317_segment_migration" ->
       """WITH ord AS (
         |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,

@@ -256,13 +256,112 @@ object InfoTheory {
       .orderBy("user_id")
   }
 
+  /** q321 — MARKOV NEXT-EVENT BACKTEST: train the q84 first-order
+    * transition model on the FIRST time half, predict each
+    * second-half transition's next type as the trained argmax row,
+    * and score top-1 accuracy per antecedent against the
+    * always-predict-the-h1-majority baseline — the honest "is the
+    * sequence structure q232 measures actually PREDICTIVE
+    * out-of-time?" eval (in-sample accuracy would just echo the
+    * training counts). A transition belongs to the half its TARGET
+    * event falls in, so no training pair leaks into the test set.
+    *
+    * Exactness: counts exact; argmaxes tie-break (count desc, type
+    * asc) via row_number over the enum-sized transition profile;
+    * accuracies single divisions. */
+  def q321MarkovBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .crossJoin(broadcast(cut))
+      .select(col("event_type").as("prev"), col("next_type").as("nxt"),
+        (col("next_us") >= col("cut")).as("is_test"))
+    val trainCounts = trans.filter(!col("is_test"))
+      .groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev").orderBy(col("n").desc, col("nxt"))
+    val pred = trainCounts.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("nxt").as("pred_next"))
+    val baseline = trans.filter(!col("is_test"))
+      .groupBy("nxt").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("nxt")).limit(1)
+      .select(col("nxt").as("base_next"))
+    trans.filter(col("is_test"))
+      .join(broadcast(pred), Seq("prev"))
+      .crossJoin(broadcast(baseline))
+      .groupBy("prev", "pred_next", "base_next")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("pred_next"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("nxt") === col("base_next"), 1L).otherwise(0L))
+          .as("n_base"))
+      .select(col("prev"), col("pred_next"), col("n_test"),
+        round(col("n_correct").cast("double") / col("n_test"), 6)
+          .as("accuracy"),
+        round(col("n_base").cast("double") / col("n_test"), 6)
+          .as("baseline_accuracy"),
+        (col("n_correct") >= col("n_base")).as("beats_baseline"))
+      .orderBy("prev")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_markov_backtest" -> (q321MarkovBacktest _),
     "q241_surprisal_anomaly" -> (q241SurprisalAnomaly _),
     "q244_incremental_surprisal" -> (q244IncrementalSurprisal _),
     "q231_source_jsd" -> (q231SourceJsd _),
     "q232_transition_entropy" -> (q232TransitionEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q321_markov_backtest" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |trans AS (
+        |  SELECT event_type AS prev,
+        |         lead(event_type, 1) OVER w AS nxt,
+        |         lead(us, 1) OVER w >= (SELECT cut FROM cut) AS is_test
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |t2 AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+        |train AS (
+        |  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM t2 WHERE NOT is_test GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT prev, nxt AS pred_next FROM (
+        |    SELECT prev, nxt,
+        |           row_number() OVER (PARTITION BY prev
+        |             ORDER BY n DESC, nxt) AS rn
+        |    FROM train) WHERE rn = 1),
+        |baseline AS (
+        |  SELECT nxt AS base_next FROM (
+        |    SELECT nxt, CAST(count(*) AS BIGINT) AS n
+        |    FROM t2 WHERE NOT is_test GROUP BY 1)
+        |  ORDER BY n DESC, base_next LIMIT 1)
+        |SELECT t.prev, p.pred_next,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       round(CAST(sum(CASE WHEN t.nxt = p.pred_next
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS accuracy,
+        |       round(CAST(sum(CASE WHEN t.nxt = b.base_next
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS baseline_accuracy,
+        |       sum(CASE WHEN t.nxt = p.pred_next THEN 1 ELSE 0 END)
+        |         >= sum(CASE WHEN t.nxt = b.base_next THEN 1 ELSE 0 END)
+        |         AS beats_baseline
+        |FROM t2 t JOIN pred p USING (prev) CROSS JOIN baseline b
+        |WHERE t.is_test
+        |GROUP BY 1, 2
+        |ORDER BY t.prev""".stripMargin,
     // the q166 equivalence class: the oracle is the plain FULL
     // recompute — hash equality proves incremental == full
     "q244_incremental_surprisal" ->

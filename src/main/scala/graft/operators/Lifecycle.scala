@@ -506,7 +506,43 @@ object Lifecycle {
       .orderBy("event_type")
   }
 
+  /** q320 candidate watermark delays (seconds). */
+  private[graft] val WatermarkDelays = Seq(1L, 5L, 10L, 30L)
+
+  /** q320 — WATERMARK-DELAY SWEEP: q212 suggests ONE delay (ceil p99);
+    * this reports the operating curve — for each candidate
+    * `withWatermark` delay, the fraction of events a streaming job
+    * (q44–q47) would DROP as too-late, per type. The q272/q249
+    * threshold-curve discipline applied to the streaming knob: pick
+    * the knee, see exactly what any SLA-driven tighter delay costs.
+    * Same arrival-order lateness profile as q212 (ONE window pass);
+    * ALL candidate delays fold in one conditional aggregate.
+    *
+    * Exactness: lateness is exact integer micros; drop counts are
+    * conditional integer folds; each rate one division. */
+  def q320WatermarkSweep(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+    val folds = WatermarkDelays.map(d =>
+      sum(when(col("late_us") > d * 1000000L, 1L).otherwise(0L))
+        .as(s"d$d"))
+    val agg = late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), folds: _*)
+    val rows = WatermarkDelays.map(d =>
+      struct(lit(d).as("delay_s"), col(s"d$d").as("n_dropped"),
+        round(col(s"d$d").cast("double") / col("n_events"), 6)
+          .as("drop_rate")))
+    agg.select(col("event_type"), col("n_events"),
+        inline(array(rows: _*)))
+      .orderBy("event_type", "delay_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_watermark_sweep" -> (q320WatermarkSweep _),
     "q316_user_influx" -> (q316UserInflux _),
     "q307_churn_wilson" -> (q307ChurnWilson _),
     "q302_churn_labels" -> (q302ChurnLabels _),
@@ -521,6 +557,31 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q320_watermark_sweep" -> {
+      val arms = WatermarkDelays.map { d =>
+        s"""SELECT event_type, n_events, CAST($d AS BIGINT) AS delay_s,
+           |  d$d AS n_dropped,
+           |  round(CAST(d$d AS DOUBLE) / n_events, 6) AS drop_rate
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val folds = WatermarkDelays.map(d =>
+        s"CAST(sum(CASE WHEN late_us > ${d * 1000000L} THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS d$d").mkString(",\n         ")
+      s"""WITH late AS (
+         |  SELECT event_type,
+         |         max(epoch_us(CAST(ts AS TIMESTAMP)))
+         |           OVER (PARTITION BY event_type ORDER BY event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW)
+         |           - epoch_us(CAST(ts AS TIMESTAMP)) AS late_us
+         |  FROM events),
+         |agg AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |         $folds
+         |  FROM late GROUP BY 1)
+         |$arms
+         |ORDER BY event_type, delay_s""".stripMargin
+    },
     "q316_user_influx" ->
       """WITH ev AS (
         |  SELECT event_type, user_id,

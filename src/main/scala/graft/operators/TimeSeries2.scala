@@ -786,7 +786,37 @@ object TimeSeries2 {
       .orderBy("event_type", "day")
   }
 
+  /** q322 — HOUR-OF-DAY LOAD PROFILE: per event type, the peak hour,
+    * its share of daily volume and the peak-to-mean ratio — the
+    * capacity-planning numbers (how much headroom must the pipeline
+    * provision over its average rate?) on the one calendar axis the
+    * seasonality family doesn't cover: q177 profiles weekdays, q268
+    * scans day-scale periods; load is provisioned by the HOUR. The
+    * fixed 24-slot denominator makes peak-to-mean exactly
+    * peak·24/total.
+    *
+    * Exactness: slot counts exact; argmax tie-breaks (count desc,
+    * hour asc); both ratios single divisions. */
+  def q322LoadProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("h"))
+    hourly
+      .withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("tot").as("n_events"),
+        col("h").as("peak_hour"), col("n").as("peak_n"),
+        round(col("n").cast("double") / col("tot"), 6).as("peak_share"),
+        round(col("n").cast("double") * 24 / col("tot"), 4)
+          .as("peak_to_mean"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_load_profile" -> (q322LoadProfile _),
     "q299_decomposition_anomalies" -> (q299DecompositionAnomalies _),
     "q294_seasonal_strength" -> (q294SeasonalStrength _),
     "q293_brown_backtest" -> (q293BrownBacktest _),
@@ -853,6 +883,25 @@ object TimeSeries2 {
       |    ON s.event_type = v.event_type AND s.dow = v.dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q322_load_profile" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, h, n,
+        |         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS tot,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY n DESC, h) AS rn
+        |  FROM ranked_src)
+        |SELECT event_type, tot AS n_events, h AS peak_hour,
+        |       n AS peak_n,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS peak_share,
+        |       round(CAST(n AS DOUBLE) * 24 / tot, 4) AS peak_to_mean
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+        .replace("ranked_src", "hourly"),
     "q299_decomposition_anomalies" ->
       s"""WITH $decompCte,
         |mom AS (
