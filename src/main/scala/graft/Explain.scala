@@ -246,7 +246,11 @@ object Explain {
     "q319_markup_audit",          // broadcast part join + brand folds
     "q320_watermark_sweep",       // one lateness window, all delays
     "q321_markov_backtest",       // transition profile argmaxes
-    "q322_load_profile")          // 24-slot profile + argmax window
+    "q322_load_profile",          // 24-slot profile + argmax window
+    "q323_return_trend",          // month-grain conditional folds
+    "q324_discount_curve",        // discount-grid profile fold
+    "q325_burstiness",            // one lag window + decimal moments
+    "q326_streak_distribution")   // user-day islands + histogram
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -257,7 +257,9 @@ object ScaleSmoke {
         "q316_user_influx", "q317_segment_migration",
         "q318_quantile_effects", "q319_markup_audit",
         "q320_watermark_sweep", "q321_markov_backtest",
-        "q322_load_profile")
+        "q322_load_profile", "q323_return_trend",
+        "q324_discount_curve", "q325_burstiness",
+        "q326_streak_distribution")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -482,7 +482,62 @@ object Contribution {
       .orderBy("p_brand")
   }
 
+  /** q323 — RETURN-RATE TREND: per ship month, the share of lines in
+    * each return status (R returned / A accepted / N none) and the
+    * returned-revenue share — the quality-of-fulfilment trend a
+    * revenue review reads next to q296's lead-time SLA: volume can
+    * hold while returns quietly climb. All counts exact, shares
+    * single divisions. */
+  def q323ReturnTrend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+    li.groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(col("cents")).as("rev"),
+        sum(when(col("l_returnflag") === "R", col("cents"))
+          .otherwise(0L)).as("rev_returned"))
+      .select(col("month"), col("n_lines"), col("n_returned"),
+        round(col("n_returned").cast("double") / col("n_lines"), 6)
+          .as("return_line_share"),
+        round(col("rev_returned").cast("double") / col("rev"), 6)
+          .as("return_revenue_share"))
+      .orderBy("month")
+  }
+
+  /** q324 — DISCOUNT-EFFECTIVENESS CURVE: per discount level (the
+    * catalog's percent steps), line volume, mean quantity and the
+    * per-line revenue — "does a deeper discount actually move
+    * volume, and what does each point cost?": the merchandising curve
+    * behind every promo decision, which no single aggregate shows.
+    * Discount levels are exact integer percents (the generator's
+    * grid); quantities and cents fold exactly. */
+  def q324DiscountCurve(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(expr("cast(round(l_discount * 100, 0) as bigint)")
+        .as("discount_pct"),
+        expr("cast(round(l_quantity, 0) as bigint)").as("qty"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+      .groupBy("discount_pct")
+      .agg(count(lit(1)).as("n_lines"), sum("qty").as("sq"),
+        sum("cents").as("rev"))
+      .select(col("discount_pct"), col("n_lines"),
+        round(col("sq").cast("double") / col("n_lines"), 4)
+          .as("mean_qty"),
+        round(col("rev").cast("double") / 100, 2).as("revenue"),
+        round(col("rev").cast("double") / col("n_lines") / 100, 2)
+          .as("revenue_per_line"))
+      .orderBy("discount_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_return_trend" -> (q323ReturnTrend _),
+    "q324_discount_curve" -> (q324DiscountCurve _),
     "q319_markup_audit" -> (q319MarkupAudit _),
     "q317_segment_migration" -> (q317SegmentMigration _),
     "q314_price_dispersion" -> (q314PriceDispersion _),
@@ -496,6 +551,36 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q323_return_trend" ->
+      """WITH li AS (
+        |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')
+        |           AS month,
+        |         l_returnflag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_returned,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                          THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS return_line_share,
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                          THEN cents ELSE 0 END) AS DOUBLE)
+        |             / sum(cents), 6) AS return_revenue_share
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q324_discount_curve" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_discount * 100, 0) AS BIGINT)
+        |           AS discount_pct,
+        |         CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT discount_pct, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS mean_qty,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS revenue,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 2)
+        |         AS revenue_per_line
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     "q319_markup_audit" ->
       """WITH lines AS (
         |  SELECT p.p_brand,

@@ -541,7 +541,71 @@ object Lifecycle {
       .orderBy("event_type", "delay_s")
   }
 
+  /** q325 — INTER-ARRIVAL BURSTINESS (Goh–Barabási B = (σ−μ)/(σ+μ)):
+    * per event type over the same per-(user, type) gaps q180
+    * summarizes — B → −1 is a metronome, 0 is Poisson, → 1 is bursty.
+    * The single dimensionless number that says whether q180's mean
+    * cadence is TYPICAL or an average over silence-and-storm (and
+    * whether q275's burst episodes are the rule or the exception).
+    *
+    * Exactness: gaps are exact integer micros; Σd and Σd² fold
+    * exactly (Σd² in decimal(38)/HUGEINT — µs² passes int64, the q274
+    * rule); σ, µ and B are one fixed double expression over them. */
+  def q325Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("d", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val stats = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("d").as("sd"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sd2"))
+    val m = col("sd").cast("double") / col("n")
+    val sig = sqrt((col("sd2").cast("double") -
+      col("sd").cast("double") * m) / col("n"))
+    stats
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(m / 1e6, 4).as("mean_gap_s"),
+        round(sig / 1e6, 4).as("sd_gap_s"),
+        round((sig - m) / (sig + m), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** q326 — ACTIVITY-STREAK DISTRIBUTION: maximal consecutive-day
+    * activity runs per user (gaps-and-islands on the deduplicated
+    * user-day table), folded to a streak-length histogram with user
+    * reach — the habit-formation view next to q182's rolling counts
+    * and q179's lifetime curve: how LONG do users stay daily-active
+    * once they start? All integer arithmetic (islands by day-index −
+    * row-number). */
+  def q326StreakDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = userDays
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    val tot = streaks.agg(count(lit(1)).as("t"))
+    streaks.groupBy("len")
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("len").as("streak_days"), col("n_streaks"),
+        col("n_users"),
+        round(col("n_streaks").cast("double") / col("t"), 6)
+          .as("streak_share"))
+      .orderBy("streak_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_burstiness" -> (q325Burstiness _),
+    "q326_streak_distribution" -> (q326StreakDistribution _),
     "q320_watermark_sweep" -> (q320WatermarkSweep _),
     "q316_user_influx" -> (q316UserInflux _),
     "q307_churn_wilson" -> (q307ChurnWilson _),
@@ -557,6 +621,55 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q325_burstiness" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |         us - lag(us, 1) OVER w AS d
+        |  FROM (SELECT user_id, event_type, event_id,
+        |               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |        FROM events)
+        |  WINDOW w AS (PARTITION BY user_id, event_type
+        |               ORDER BY us, event_id)),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(d) AS BIGINT) AS sd,
+        |         sum(CAST(d AS HUGEINT) * d) AS sd2
+        |  FROM gaps WHERE d IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n AS n_gaps,
+        |       round(CAST(sd AS DOUBLE) / n / 1e6, 4) AS mean_gap_s,
+        |       round(sqrt((CAST(sd2 AS DOUBLE)
+        |                   - CAST(sd AS DOUBLE)
+        |                     * (CAST(sd AS DOUBLE) / n)) / n) / 1e6, 4)
+        |         AS sd_gap_s,
+        |       round((sqrt((CAST(sd2 AS DOUBLE)
+        |                    - CAST(sd AS DOUBLE)
+        |                      * (CAST(sd AS DOUBLE) / n)) / n)
+        |              - CAST(sd AS DOUBLE) / n)
+        |             / (sqrt((CAST(sd2 AS DOUBLE)
+        |                      - CAST(sd AS DOUBLE)
+        |                        * (CAST(sd AS DOUBLE) / n)) / n)
+        |                + CAST(sd AS DOUBLE) / n), 6) AS burstiness
+        |FROM stats ORDER BY event_type""".stripMargin,
+    "q326_streak_distribution" ->
+      """WITH user_days AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS day
+        |  FROM events),
+        |streaks AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM (SELECT user_id, day,
+        |               day - row_number() OVER (PARTITION BY user_id
+        |                                        ORDER BY day) AS grp
+        |        FROM user_days)
+        |  GROUP BY user_id, grp),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM streaks)
+        |SELECT len AS streak_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       round(CAST(count(*) AS DOUBLE) / (SELECT t FROM tot), 6)
+        |         AS streak_share
+        |FROM streaks GROUP BY 1 ORDER BY 1""".stripMargin,
     "q320_watermark_sweep" -> {
       val arms = WatermarkDelays.map { d =>
         s"""SELECT event_type, n_events, CAST($d AS BIGINT) AS delay_s,
