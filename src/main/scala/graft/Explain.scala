@@ -250,7 +250,11 @@ object Explain {
     "q323_return_trend",          // month-grain conditional folds
     "q324_discount_curve",        // discount-grid profile fold
     "q325_burstiness",            // one lag window + decimal moments
-    "q326_streak_distribution")   // user-day islands + histogram
+    "q326_streak_distribution",   // user-day islands + histogram
+    "q327_onboarding_velocity",   // per-user rank window + K filters
+    "q328_salt_advisor",          // ONE melted per-key fold
+    "q329_exact_dup_savings",     // md5 canonical fold, source grain
+    "q330_growth_accounting")     // (user, week) grain lag windows
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

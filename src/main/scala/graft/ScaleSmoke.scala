@@ -259,7 +259,9 @@ object ScaleSmoke {
         "q320_watermark_sweep", "q321_markov_backtest",
         "q322_load_profile", "q323_return_trend",
         "q324_discount_curve", "q325_burstiness",
-        "q326_streak_distribution")
+        "q326_streak_distribution", "q327_onboarding_velocity",
+        "q328_salt_advisor", "q329_exact_dup_savings",
+        "q330_growth_accounting")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

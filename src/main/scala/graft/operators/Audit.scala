@@ -389,7 +389,44 @@ object Audit {
       .orderBy("bucket")
   }
 
+  /** q328 assumed shuffle parallelism for the salt recommendation
+    * (matches the session's shuffle partitions). */
+  private[graft] val SaltParallelism = 32L
+
+  /** q328 — JOIN-SKEW SALT ADVISOR: per join key of the fact table,
+    * the hottest key's share of rows and the salt factor that would
+    * level it across [[SaltParallelism]] shuffle partitions —
+    * salt = ceil(max_key_rows / (rows / parallelism)), 1 meaning "no
+    * salting needed". The decision input behind q75's salted
+    * aggregate, registered as an auditable artifact the way q286
+    * registers partition pruning and q309 Bloom sizing: a key whose
+    * advisor row says salt = 1 should never pay the salting rewrite.
+    *
+    * Exactness: per-key counts exact (one melted fold, the q286
+    * discipline); the recommendation is integer ceil arithmetic. */
+  def q328SaltAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def cand(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("key_name"), v.cast("long").as("key_value"))
+    val melted = Tables.lineitem(spark, dir).select(inline(array(
+      cand("l_orderkey", col("l_orderkey")),
+      cand("l_partkey", col("l_partkey")),
+      cand("l_suppkey", col("l_suppkey")))))
+    melted.groupBy("key_name", "key_value")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("key_name")
+      .agg(sum("n").as("rows"), count(lit(1)).as("ndv"),
+        max("n").as("max_n"))
+      .select(col("key_name"), col("rows"), col("ndv"), col("max_n"),
+        round(col("max_n").cast("double") / col("rows"), 8)
+          .as("top_key_share"),
+        // ceil(max_n·P / rows) as exact integer arithmetic
+        expr(s"(max_n * $SaltParallelism + rows - 1) div rows")
+          .as("salt_factor"))
+      .orderBy("key_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_salt_advisor" -> (q328SaltAdvisor _),
     "q290_selectivity_calibration" -> (q290SelectivityCalibration _),
     "q257_card_calibration" -> (q257CardCalibration _),
     "q239_fd_audit" -> (q239FdAudit _),
@@ -458,6 +495,27 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    "q328_salt_advisor" ->
+      s"""WITH melted AS (
+        |  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        |per_key AS (
+        |  SELECT key_name, key_value, CAST(count(*) AS BIGINT) AS n
+        |  FROM melted GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT key_name, CAST(sum(n) AS BIGINT) AS rows,
+        |         CAST(count(*) AS BIGINT) AS ndv,
+        |         CAST(max(n) AS BIGINT) AS max_n
+        |  FROM per_key GROUP BY 1)
+        |SELECT key_name, rows, ndv, max_n,
+        |       round(CAST(max_n AS DOUBLE) / rows, 8) AS top_key_share,
+        |       (max_n * $SaltParallelism + rows - 1) // rows
+        |         AS salt_factor
+        |FROM agg ORDER BY key_name""".stripMargin,
     "q290_selectivity_calibration" ->
       """WITH cents AS (
         |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c

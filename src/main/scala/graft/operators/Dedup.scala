@@ -566,7 +566,42 @@ object Dedup {
       .orderBy("tau")
   }
 
+  /** q329 — EXACT-DUP SAVINGS BY SOURCE: q277's ledger prices the
+    * NEAR-dup campaign globally; this is the cheap first cut a corpus
+    * owner actually runs first — per source, the docs and tokens
+    * removable by EXACT text dedup alone (md5 groups, min-doc_id
+    * canonical, cross-source duplicates charged to the copy's own
+    * source). Reading it next to q277 splits the dedup budget into
+    * "free" (hash equality) and "expensive" (similarity) savings, per
+    * source.
+    *
+    * Exactness: group canonicals are exact min-aggregates on the hash
+    * key; token counts exact; shares single divisions. */
+  def q329ExactDupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+          .cast("long").as("toks"))
+    val canon = docs.groupBy("h").agg(min("doc_id").as("canon"))
+    docs.join(canon, Seq("h"))
+      .select(col("source"), col("toks"),
+        (col("doc_id") =!= col("canon")).as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("is_dup"), col("toks")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("doc_savings"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6)
+          .as("token_savings"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_exact_dup_savings" -> (q329ExactDupSavings _),
     "q249_threshold_curve" -> (q249ThresholdCurve _),
     "q31_dedup_exact" -> (q31DedupExact _),
     "q158_containment_dedup" -> (q158ContainmentDedup _),
@@ -591,6 +626,25 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q329_exact_dup_savings" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         CAST(len(list_filter(string_split(trim(text), ' '),
+        |                              w -> length(w) > 0)) AS BIGINT)
+        |           AS toks
+        |  FROM documents),
+        |canon AS (SELECT h, min(doc_id) AS canon FROM docs GROUP BY 1),
+        |tagged AS (
+        |  SELECT d.source, d.toks, d.doc_id <> c.canon AS is_dup
+        |  FROM docs d JOIN canon c USING (h))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS doc_savings,
+        |       round(CAST(sum(CASE WHEN is_dup THEN toks ELSE 0 END)
+        |               AS DOUBLE) / sum(toks), 6) AS token_savings
+        |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q297_transitivity_audit" -> {
       val tauRows = TransitivityTaus.map { t =>
         s"""SELECT $t AS tau,

@@ -603,7 +603,100 @@ object Lifecycle {
       .orderBy("streak_days")
   }
 
+  /** q327 audited activation milestones (events). */
+  private[graft] val OnboardK = Seq(2, 5, 10)
+
+  /** q327 — ONBOARDING VELOCITY: for each activation milestone K (the
+    * Kth event), what fraction of users ever reach it and how fast
+    * (median / p90 days from their first event) — the
+    * time-to-activation funnel next to q179's lifetime curve: q179
+    * says how long users LAST, this says how fast they DEEPEN, the
+    * number an activation team actually targets.
+    *
+    * Exactness: per-user event ranks from one window pass; reach
+    * times are exact integer day differences; percentiles the
+    * engine-identical interpolated form; rates single divisions. */
+  def q327OnboardingVelocity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ranked = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("first_us", min(col("us")).over(
+        Window.partitionBy("user_id")))
+    val totalUsers = ranked.filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n_users"))
+    val rows = OnboardK.map { k =>
+      ranked.filter(col("rn") === k)
+        .select(expr(s"(us - first_us) div 86400000000").as("days"))
+        .agg(count(lit(1)).as("n_reached"),
+          expr("percentile(days, 0.5)").as("p50"),
+          expr("percentile(days, 0.9)").as("p90"))
+        .withColumn("milestone_k", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(totalUsers))
+      .select(col("milestone_k"), col("n_users"), col("n_reached"),
+        round(col("n_reached").cast("double") / col("n_users"), 6)
+          .as("reach_rate"),
+        round(col("p50"), 4).as("p50_days"),
+        round(col("p90"), 4).as("p90_days"))
+      .orderBy("milestone_k")
+  }
+
+  /** q330 — GROWTH ACCOUNTING (weekly): the canonical active-user
+    * decomposition — per week, actives split into NEW (first-ever
+    * week), RETAINED (also active the prior week) and RESURRECTED
+    * (active before, skipped last week), plus the prior week's
+    * CHURNED (active then, absent now) and the quick ratio
+    * (new + resurrected)/churned — the growth review's one table,
+    * which q302 (one-shot churn) and q316 (one-shot influx)
+    * deliberately simplify. Weeks are day-index div 7 (engine-neutral
+    * like q294's dow).
+    *
+    * Exactness: all counts are exact folds over the (user, week)
+    * grain with integer lag comparisons; the ratio is one division
+    * (NULL when nothing churned — declared, not ∞). */
+  def q330GrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date'2024-01-01') div 7").as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val flagged = uw
+      .withColumn("first_wk", min(col("wk")).over(
+        Window.partitionBy("user_id")))
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("next_wk", lead(col("wk"), 1).over(w))
+    val states = flagged.select(col("wk"),
+      when(col("wk") === col("first_wk"), "new")
+        .when(col("prev_wk") === col("wk") - 1, "retained")
+        .otherwise("resurrected").as("state"),
+      // this row churns AFTER wk iff the user skips wk+1
+      (col("next_wk").isNull || col("next_wk") > col("wk") + 1)
+        .as("churns_after"))
+    val byWeek = states.groupBy("wk")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("new_u"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"),
+        sum(when(col("churns_after"), 1L).otherwise(0L))
+          .as("churning_after"))
+    val wOrd = Window.orderBy("wk")
+    byWeek
+      .withColumn("churned", lag(col("churning_after"), 1).over(wOrd))
+      .select(col("wk").as("week"), col("active"), col("new_u").as("new"),
+        col("retained"), col("resurrected"), col("churned"),
+        when(col("churned") > 0,
+          round((col("new_u") + col("resurrected")).cast("double") /
+            col("churned"), 4)).as("quick_ratio"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_onboarding_velocity" -> (q327OnboardingVelocity _),
+    "q330_growth_accounting" -> (q330GrowthAccounting _),
     "q325_burstiness" -> (q325Burstiness _),
     "q326_streak_distribution" -> (q326StreakDistribution _),
     "q320_watermark_sweep" -> (q320WatermarkSweep _),
@@ -621,6 +714,69 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q327_onboarding_velocity" -> {
+      val arms = OnboardK.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS milestone_k,
+           |  (SELECT n_users FROM tot) AS n_users,
+           |  CAST(count(*) AS BIGINT) AS n_reached,
+           |  round(CAST(count(*) AS DOUBLE)
+           |        / (SELECT n_users FROM tot), 6) AS reach_rate,
+           |  round(quantile_cont(days, 0.5), 4) AS p50_days,
+           |  round(quantile_cont(days, 0.9), 4) AS p90_days
+           |FROM ranked WHERE rn = $k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |ranked AS (
+         |  SELECT user_id,
+         |         row_number() OVER w AS rn,
+         |         (us - min(us) OVER (PARTITION BY user_id)) // 86400000000
+         |           AS days
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users
+         |        FROM ranked WHERE rn = 1)
+         |$arms
+         |ORDER BY milestone_k""".stripMargin
+    },
+    "q330_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           // 7 AS wk
+        |  FROM events),
+        |flagged AS (
+        |  SELECT wk,
+        |         wk = min(wk) OVER (PARTITION BY user_id) AS is_new,
+        |         lag(wk, 1) OVER w = wk - 1 AS is_retained,
+        |         COALESCE(lead(wk, 1) OVER w > wk + 1, TRUE)
+        |           AS churns_after
+        |  FROM uw
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+        |by_week AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS active,
+        |         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS new_u,
+        |         CAST(sum(CASE WHEN NOT is_new AND
+        |                            COALESCE(is_retained, FALSE)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |         CAST(sum(CASE WHEN NOT is_new AND
+        |                            NOT COALESCE(is_retained, FALSE)
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS resurrected,
+        |         CAST(sum(CASE WHEN churns_after THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS churning_after
+        |  FROM flagged GROUP BY 1)
+        |SELECT wk AS week, active, new_u AS "new", retained,
+        |       resurrected,
+        |       lag(churning_after, 1) OVER (ORDER BY wk) AS churned,
+        |       CASE WHEN lag(churning_after, 1) OVER (ORDER BY wk) > 0
+        |            THEN round(CAST(new_u + resurrected AS DOUBLE)
+        |                 / lag(churning_after, 1) OVER (ORDER BY wk), 4)
+        |       END AS quick_ratio
+        |FROM by_week ORDER BY week""".stripMargin,
     "q325_burstiness" ->
       """WITH gaps AS (
         |  SELECT event_type,

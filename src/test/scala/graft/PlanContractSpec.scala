@@ -192,6 +192,7 @@ object PlanContract {
     * and fails the sweep. */
   val GlobalWindowAllow: Map[String, String] = Map(
     "q301_water_filling" -> "source-grain supply profile (≤ |sources| rows)",
+    "q330_growth_accounting" -> "weekly profile lag (≤ |weeks| rows)",
     "q306_cramers_v" -> "densified contingency profile (≤ 25×5 cells)",
     "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
     "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
