@@ -254,7 +254,11 @@ object Explain {
     "q327_onboarding_velocity",   // per-user rank window + K filters
     "q328_salt_advisor",          // ONE melted per-key fold
     "q329_exact_dup_savings",     // md5 canonical fold, source grain
-    "q330_growth_accounting")     // (user, week) grain lag windows
+    "q330_growth_accounting",     // (user, week) grain lag windows
+    "q331_price_elasticity",      // quantized-log OLS, type grain
+    "q332_lsh_bucket_audit",      // band-bucket profile folds
+    "q333_priority_sla",          // co-keyed join + priority profile
+    "q334_dkw_median_band")       // (type, cent) CDF inversion
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

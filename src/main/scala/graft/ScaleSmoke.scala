@@ -261,7 +261,9 @@ object ScaleSmoke {
         "q324_discount_curve", "q325_burstiness",
         "q326_streak_distribution", "q327_onboarding_velocity",
         "q328_salt_advisor", "q329_exact_dup_savings",
-        "q330_growth_accounting")
+        "q330_growth_accounting", "q331_price_elasticity",
+        "q332_lsh_bucket_audit", "q333_priority_sla",
+        "q334_dkw_median_band")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

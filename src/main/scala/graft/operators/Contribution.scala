@@ -535,7 +535,48 @@ object Contribution {
       .orderBy("discount_pct")
   }
 
+  /** q331 — PRICE ELASTICITY (log-log OLS) per part type: the slope
+    * of ln(quantity) on ln(unit price) across that type's sold lines
+    * — the classic demand-curve read (β ≈ −1 is unit-elastic; β near
+    * 0 means price doesn't move volume and q324's discount spend is
+    * charity). The q240 quantized-log OLS discipline: both logs
+    * micro-quantize per line before any cross-row fold, so the
+    * regression moments are exact integers.
+    *
+    * Exactness: unit price = extendedprice/quantity over raw parquet
+    * doubles (identical inputs → identical IEEE values); ln of those
+    * and of quantity micro-quantize once; Σx, Σy, Σxy, Σx², Σy² fold
+    * exactly (products in decimal(38)/HUGEINT — micro-log products
+    * pass int64 at fact scale); slope/r² fixed double expressions. */
+  def q331PriceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+        Seq("l_partkey"))
+      .select(col("p_type"),
+        expr("cast(round(ln(l_extendedprice / l_quantity) * 1e6, 0) " +
+          "as bigint)").as("x"),
+        expr("cast(round(ln(l_quantity) * 1e6, 0) as bigint)").as("y"))
+    def d(c: String): Column = col(c).cast("double")
+    lines.groupBy("p_type")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("num", d("k") * d("sxy") - d("sx") * d("sy"))
+      .withColumn("denx", d("k") * d("sxx") - d("sx") * d("sx"))
+      .withColumn("deny", d("k") * d("syy") - d("sy") * d("sy"))
+      .filter(col("k") >= 2L && col("denx") =!= 0.0 &&
+        col("deny") =!= 0.0)
+      .select(col("p_type"), col("k").as("n_lines"),
+        round(col("num") / col("denx"), 6).as("elasticity"),
+        round((col("num") * col("num")) / (col("denx") * col("deny")), 6)
+          .as("r2"))
+      .orderBy("p_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_price_elasticity" -> (q331PriceElasticity _),
     "q323_return_trend" -> (q323ReturnTrend _),
     "q324_discount_curve" -> (q324DiscountCurve _),
     "q319_markup_audit" -> (q319MarkupAudit _),
@@ -551,6 +592,35 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q331_price_elasticity" ->
+      """WITH lines AS (
+        |  SELECT p.p_type,
+        |         CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1e6,
+        |           0) AS BIGINT) AS x,
+        |         CAST(round(ln(l.l_quantity) * 1e6, 0) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |m AS (
+        |  SELECT p_type, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM lines GROUP BY 1),
+        |f AS (
+        |  SELECT p_type, k,
+        |         CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+        |         CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM m)
+        |SELECT p_type, k AS n_lines,
+        |       round(num / denx, 6) AS elasticity,
+        |       round((num * num) / (denx * deny), 6) AS r2
+        |FROM f WHERE k >= 2 AND denx <> 0.0 AND deny <> 0.0
+        |ORDER BY p_type""".stripMargin,
     "q323_return_trend" ->
       """WITH li AS (
         |  SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m')

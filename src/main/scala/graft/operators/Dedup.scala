@@ -600,7 +600,35 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q332 — LSH BUCKET-LOAD AUDIT: per minhash band of the q32 index,
+    * the bucket-size profile — bucket count, the hottest bucket, its
+    * share, and the expected probe size Σc²/N (the q286
+    * collision-probability math applied to the dedup index: the mean
+    * candidate-bucket size a random document joins into). This is the
+    * measured justification for q35's hot-bucket cap: a band whose
+    * expected probe is dominated by one mega-bucket is where the
+    * band-join's Σ bucket² cost lives.
+    *
+    * Exactness: bucket sizes exact; Σc² in decimal(38)/HUGEINT; both
+    * ratios single divisions over exact folds. */
+  def q332LshBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    minhashBands(spark, dir)
+      .groupBy("band", "band_sig").agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
+      .select(col("band"), col("n_docs"), col("n_buckets"),
+        col("max_bucket"),
+        round(col("max_bucket").cast("double") / col("n_docs"), 6)
+          .as("max_share"),
+        round(col("s2").cast("double") / col("n_docs").cast("double"), 4)
+          .as("expected_probe"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_lsh_bucket_audit" -> (q332LshBucketAudit _),
     "q329_exact_dup_savings" -> (q329ExactDupSavings _),
     "q249_threshold_curve" -> (q249ThresholdCurve _),
     "q31_dedup_exact" -> (q31DedupExact _),
@@ -626,6 +654,36 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q332_lsh_bucket_audit" ->
+      s"""WITH $shinglesCte,
+         |hashed AS (
+         |  SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x
+         |  FROM shingles),
+         |perms AS (
+         |  SELECT doc_id, x, unnest(generate_series(0, 15)) AS j
+         |  FROM hashed),
+         |minhashes AS (
+         |  SELECT doc_id, j,
+         |         min((((2654435761 * (j + 1)) % 1000000007) * (x % 1000000007)
+         |              + ((123456789 * (j + 1) + 987654321) % 1000000007))
+         |             % 1000000007) AS mh
+         |  FROM perms GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+         |         md5(string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j))
+         |           AS band_sig
+         |  FROM minhashes GROUP BY doc_id, j // 4),
+         |buckets AS (
+         |  SELECT band, band_sig, CAST(count(*) AS BIGINT) AS c
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT band, CAST(sum(c) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(c) AS BIGINT) AS max_bucket,
+         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_share,
+         |       round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+         |             / CAST(sum(c) AS DOUBLE), 4) AS expected_probe
+         |FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
     "q329_exact_dup_savings" ->
       """WITH docs AS (
         |  SELECT doc_id, source, md5(text) AS h,

@@ -300,7 +300,62 @@ object Drift {
       .orderBy("priority")
   }
 
+  /** q334 pinned DKW constant: ln(2/α) at α = 0.05, micro-rounded
+    * once (ln of a constant is libm territory — Benford6 rule). */
+  private[graft] val DkwLn40 = 3.688879
+
+  /** q334 — DKW CONFIDENCE BAND for the median: per event type, the
+    * distribution-free 95% band on the median from the
+    * Dvoretzky–Kiefer–Wolfowitz inequality — ε = √(ln(2/α)/2n) on the
+    * empirical CDF, inverted to VALUE units on the cents profile (the
+    * values where the CDF crosses 0.5 ∓ ε). No normality assumption,
+    * no bootstrap randomness: the honest "how well do we even know
+    * the median?" error bar under every median-based monitor
+    * (q176/q190/q254).
+    *
+    * Exactness: the CDF lives on the exact (type, cent) profile;
+    * band endpoints are min-value selections under `cum ≥ p·n`
+    * comparisons formed identically in both engines; ε is one √ of a
+    * pinned-literal division. */
+  def q334DkwMedianBand(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("c")
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wC))
+      .withColumn("n", sum(col("cnt")).over(wT))
+    val eps = sqrt(lit(DkwLn40) / (lit(2.0) * col("n")))
+    val med = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("c"))
+      .groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    cum
+      .withColumn("lo_t", (lit(0.5) - eps) * col("n"))
+      .withColumn("hi_t", (lit(0.5) + eps) * col("n"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum").cast("double") >= col("lo_t"), col("c")))
+          .as("lo_c"),
+        min(when(col("cum").cast("double") >= col("hi_t"), col("c")))
+          .as("hi_c"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        round(col("med") / 100, 4).as("median_value"),
+        round(col("lo_c").cast("double") / 100, 2).as("band_lo"),
+        round(col("hi_c").cast("double") / 100, 2).as("band_hi"),
+        round((col("hi_c") - col("lo_c")).cast("double") / 100, 2)
+          .as("band_width"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_dkw_median_band" -> (q334DkwMedianBand _),
     "q234_ks_drift" -> (q234KsDrift _),
     "q151_psi_drift" -> (q151PsiDrift _),
     "q298_wasserstein_drift" -> (q298WassersteinDrift _),
@@ -348,6 +403,41 @@ object Drift {
   }
 
   val oracles: Map[String, String] = Map(
+    "q334_dkw_median_band" ->
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, c,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS n
+        |  FROM hist),
+        |bands AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |         min(CASE WHEN CAST(cum AS DOUBLE) >=
+        |               (0.5 - sqrt($DkwLn40 / (2.0 * n))) * n
+        |             THEN c END) AS lo_c,
+        |         min(CASE WHEN CAST(cum AS DOUBLE) >=
+        |               (0.5 + sqrt($DkwLn40 / (2.0 * n))) * n
+        |             THEN c END) AS hi_c
+        |  FROM cum GROUP BY 1),
+        |med AS (
+        |  SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM ev GROUP BY 1)
+        |SELECT b.event_type, b.n,
+        |       round(m.med / 100, 4) AS median_value,
+        |       round(CAST(b.lo_c AS DOUBLE) / 100, 2) AS band_lo,
+        |       round(CAST(b.hi_c AS DOUBLE) / 100, 2) AS band_hi,
+        |       round(CAST(b.hi_c - b.lo_c AS DOUBLE) / 100, 2)
+        |         AS band_width
+        |FROM bands b JOIN med m USING (event_type)
+        |ORDER BY b.event_type""".stripMargin,
     "q305_priority_drift" ->
       """WITH ord AS (
         |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us,

@@ -694,7 +694,40 @@ object Lifecycle {
       .orderBy("week")
   }
 
+  /** q333 — PRIORITY SLA CONFORMANCE: the q296 lead-time percentiles
+    * split by ORDER PRIORITY instead of month — "do 1-URGENT orders
+    * actually ship faster than 5-LOW?", the conformance question the
+    * priority field exists to answer. Reports each class against the
+    * overall P90 (beats_overall), so a priority scheme that nobody
+    * honors is one boolean column away from visible.
+    *
+    * Exactness: integer day lags, engine-identical percentiles, one
+    * comparison against the shared overall P90 double. */
+  def q333PrioritySla(spark: SparkSession, dir: String): DataFrame = {
+    val lags = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("odate")), Seq("o_orderkey"))
+      .select(col("priority"),
+        datediff(col("ship"), col("odate")).cast("long").as("lag"))
+    val overall = lags.agg(expr("percentile(lag, 0.9)").as("p90_all"))
+    lags.groupBy("priority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag, 0.5)").as("p50"),
+        expr("percentile(lag, 0.9)").as("p90"))
+      .crossJoin(broadcast(overall))
+      .select(col("priority"), col("n_lines"),
+        round(col("p50"), 4).as("p50_days"),
+        round(col("p90"), 4).as("p90_days"),
+        round(col("p90_all"), 4).as("p90_overall"),
+        (col("p90") <= col("p90_all")).as("beats_overall"))
+      .orderBy("priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_priority_sla" -> (q333PrioritySla _),
     "q327_onboarding_velocity" -> (q327OnboardingVelocity _),
     "q330_growth_accounting" -> (q330GrowthAccounting _),
     "q325_burstiness" -> (q325Burstiness _),
@@ -714,6 +747,22 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q333_priority_sla" ->
+      """WITH lags AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                        CAST(l.l_shipdate AS DATE)) AS BIGINT)
+        |           AS lag
+        |  FROM lineitem l JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey),
+        |overall AS (SELECT quantile_cont(lag, 0.9) AS p90_all FROM lags)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(quantile_cont(lag, 0.5), 4) AS p50_days,
+        |       round(quantile_cont(lag, 0.9), 4) AS p90_days,
+        |       round((SELECT p90_all FROM overall), 4) AS p90_overall,
+        |       quantile_cont(lag, 0.9) <= (SELECT p90_all FROM overall)
+        |         AS beats_overall
+        |FROM lags GROUP BY 1 ORDER BY 1""".stripMargin,
     "q327_onboarding_velocity" -> {
       val arms = OnboardK.map { k =>
         s"""SELECT CAST($k AS BIGINT) AS milestone_k,
