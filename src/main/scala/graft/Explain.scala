@@ -258,7 +258,11 @@ object Explain {
     "q331_price_elasticity",      // quantized-log OLS, type grain
     "q332_lsh_bucket_audit",      // band-bucket profile folds
     "q333_priority_sla",          // co-keyed join + priority profile
-    "q334_dkw_median_band")       // (type, cent) CDF inversion
+    "q334_dkw_median_band",       // (type, cent) CDF inversion
+    "q335_fold_balance",          // hash folds + stratum profile
+    "q336_spearman_length_quality", // midrank windows per source
+    "q337_freshness_matrix",      // per-table 1-row aggregates
+    "q338_charset_profile")       // regexp counts, source folds
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

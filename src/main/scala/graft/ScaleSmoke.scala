@@ -263,7 +263,9 @@ object ScaleSmoke {
         "q328_salt_advisor", "q329_exact_dup_savings",
         "q330_growth_accounting", "q331_price_elasticity",
         "q332_lsh_bucket_audit", "q333_priority_sla",
-        "q334_dkw_median_band")
+        "q334_dkw_median_band", "q335_fold_balance",
+        "q336_spearman_length_quality", "q337_freshness_matrix",
+        "q338_charset_profile")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -425,7 +425,44 @@ object Audit {
       .orderBy("key_name")
   }
 
+  /** q337 — FRESHNESS / VOLUME MATRIX: one row per warehouse table —
+    * row count, latest business date (for the time-bearing tables)
+    * and staleness in days against the freshest table — the
+    * cross-table DQ heartbeat a pipeline owner checks before any
+    * analysis trusts a join (q94 profiles one table's columns; this
+    * is the fleet view). Dimension tables report NULL latest — they
+    * are declared timeless, not silently fresh.
+    *
+    * Exactness: counts and max-dates exact; staleness integer day
+    * differences. */
+  def q337FreshnessMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def dated(name: String, df: DataFrame, dc: Column) =
+      df.agg(count(lit(1)).as("n_rows"),
+        max(to_date(dc)).as("latest"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("latest"))
+    def timeless(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          lit(null).cast("date").as("latest"))
+    val rows = Seq(
+      dated("lineitem", Tables.lineitem(spark, dir), col("l_shipdate")),
+      dated("orders", Tables.orders(spark, dir), col("o_orderdate")),
+      dated("events", Tables.events(spark, dir), col("ts")),
+      timeless("customer", Tables.customer(spark, dir)),
+      timeless("supplier", Tables.supplier(spark, dir)),
+      timeless("part", Tables.part(spark, dir)),
+      timeless("documents", Tables.documents(spark, dir)),
+      timeless("embeddings", Tables.embeddings(spark, dir)))
+      .reduce(_ unionByName _)
+    val freshest = rows.agg(max("latest").as("freshest"))
+    rows.crossJoin(broadcast(freshest))
+      .select(col("table_name"), col("n_rows"), col("latest"),
+        datediff(col("freshest"), col("latest")).as("days_stale"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_freshness_matrix" -> (q337FreshnessMatrix _),
     "q328_salt_advisor" -> (q328SaltAdvisor _),
     "q290_selectivity_calibration" -> (q290SelectivityCalibration _),
     "q257_card_calibration" -> (q257CardCalibration _),
@@ -495,6 +532,37 @@ object Audit {
   }
 
   val oracles: Map[String, String] = Map(
+    "q337_freshness_matrix" ->
+      """WITH rows_ AS (
+        |  SELECT 'lineitem' AS table_name,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         max(CAST(l_shipdate AS DATE)) AS latest FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         max(CAST(o_orderdate AS DATE)) FROM orders
+        |  UNION ALL
+        |  SELECT 'events', CAST(count(*) AS BIGINT),
+        |         max(CAST(ts AS DATE)) FROM events
+        |  UNION ALL
+        |  SELECT 'customer', CAST(count(*) AS BIGINT),
+        |         CAST(NULL AS DATE) FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(count(*) AS BIGINT),
+        |         CAST(NULL AS DATE) FROM supplier
+        |  UNION ALL
+        |  SELECT 'part', CAST(count(*) AS BIGINT),
+        |         CAST(NULL AS DATE) FROM part
+        |  UNION ALL
+        |  SELECT 'documents', CAST(count(*) AS BIGINT),
+        |         CAST(NULL AS DATE) FROM documents
+        |  UNION ALL
+        |  SELECT 'embeddings', CAST(count(*) AS BIGINT),
+        |         CAST(NULL AS DATE) FROM embeddings),
+        |freshest AS (SELECT max(latest) AS f FROM rows_)
+        |SELECT table_name, n_rows, latest,
+        |       CAST(date_diff('day', latest, (SELECT f FROM freshest))
+        |         AS INTEGER) AS days_stale
+        |FROM rows_ ORDER BY table_name""".stripMargin,
     "q328_salt_advisor" ->
       s"""WITH melted AS (
         |  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value

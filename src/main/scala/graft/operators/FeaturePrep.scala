@@ -392,7 +392,88 @@ object FeaturePrep {
       .orderBy("category")
   }
 
+  /** q335 CV folds. */
+  private[graft] val CvFolds = 5
+
+  /** q335 — STRATIFIED K-FOLD ASSIGNMENT + balance audit: every
+    * embedding row hash-assigned to one of [[CvFolds]] folds, with
+    * the per-(fold, label) count matrix and each fold's deviation
+    * from the stratum's expected share — the split a cross-validated
+    * eval actually trains on, plus the audit that the hash didn't
+    * land unlucky on any class (the q312 balance idea applied to CV
+    * folds). Deterministic fold membership (salted 60-bit hash mod
+    * K — the q97/q112 never-rand() rule): reproducible on re-runs
+    * and across engines.
+    *
+    * Exactness: counts exact; deviation one division. */
+  def q335FoldBalance(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        pmod(graft.functions.Hashing.md5Hash60(concat(lit("fold:"),
+          col("vec_id").cast("string"))), lit(CvFolds)).as("fold"))
+    val cells = rows.groupBy("label", "fold")
+      .agg(count(lit(1)).as("n"))
+    val strata = cells.groupBy("label").agg(sum("n").as("n_label"))
+    cells.join(broadcast(strata), Seq("label"))
+      .select(col("label"), col("fold").cast("int").as("fold"), col("n"),
+        col("n_label"),
+        round(col("n").cast("double") / col("n_label"), 6)
+          .as("fold_share"),
+        round(col("n").cast("double") / col("n_label") -
+          lit(1.0) / CvFolds, 6).as("share_deviation"))
+      .orderBy("label", "fold")
+  }
+
+  /** q336 — SPEARMAN RANK CORRELATION of document length vs quality
+    * per source: the monotone-association companion to q227's Pearson
+    * matrix — Pearson on MIDRANKS (the exact tie-corrected Spearman
+    * ρ), which no outlier document can dominate. "Does longer mean
+    * better in this source?" is the curation question behind every
+    * length-based filter (q122/q130).
+    *
+    * Exactness: midranks are exact half-integers — 2·midrank =
+    * 2·rank_min + (ties − 1) folds as exact BIGINTs via two window
+    * counts — so ALL Pearson moments are exact integer folds
+    * (products in decimal(38)/HUGEINT) and ρ is one fixed double
+    * expression. The quality score is q39's integer word count —
+    * already exact. */
+  def q336SpearmanLengthQuality(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        size(expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
+          .cast("long").as("n_words"))
+    def midrank2(c: String): Column = {
+      // 2·midrank = 2·rank_min + ties − 1 (exact half-integer ranks
+      // doubled into BIGINTs)
+      val r = rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col(c)))
+      val t = count(lit(1)).over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("source"), col(c)))
+      r.cast("long") * 2 + t - 1
+    }
+    val ranked = docs
+      .withColumn("x", midrank2("n_chars"))
+      .withColumn("y", midrank2("n_words"))
+    def d(c: String): Column = col(c).cast("double")
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("num", d("k") * d("sxy") - d("sx") * d("sy"))
+      .withColumn("denx", d("k") * d("sxx") - d("sx") * d("sx"))
+      .withColumn("deny", d("k") * d("syy") - d("sy") * d("sy"))
+      .filter(col("denx") > 0 && col("deny") > 0)
+      .select(col("source"), col("k").as("n_docs"),
+        round(col("num") / (sqrt(col("denx")) * sqrt(col("deny"))), 6)
+          .as("spearman_rho"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_fold_balance" -> (q335FoldBalance _),
+    "q336_spearman_length_quality" -> (q336SpearmanLengthQuality _),
     "q313_loo_encoding" -> (q313LooEncoding _),
     "q312_covariate_balance" -> (q312CovariateBalance _),
     "q306_cramers_v" -> (q306CramersV _),
@@ -530,6 +611,63 @@ object FeaturePrep {
   }
 
   val oracles: Map[String, String] = Map(
+    "q335_fold_balance" ->
+      s"""WITH rows_ AS (
+        |  SELECT label,
+        |         CAST(('0x' || substr(md5('fold:' || vec_id), 1, 15))
+        |           ::BIGINT % $CvFolds AS INTEGER) AS fold
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT label, fold, CAST(count(*) AS BIGINT) AS n
+        |  FROM rows_ GROUP BY 1, 2),
+        |strata AS (
+        |  SELECT label, CAST(sum(n) AS BIGINT) AS n_label
+        |  FROM cells GROUP BY 1)
+        |SELECT c.label, c.fold, c.n, s.n_label,
+        |       round(CAST(c.n AS DOUBLE) / s.n_label, 6) AS fold_share,
+        |       round(CAST(c.n AS DOUBLE) / s.n_label
+        |             - 1.0 / $CvFolds, 6) AS share_deviation
+        |FROM cells c JOIN strata s USING (label)
+        |ORDER BY c.label, c.fold""".stripMargin,
+    "q336_spearman_length_quality" ->
+      """WITH docs AS (
+        |  SELECT source, n_chars,
+        |         CAST(len(list_filter(string_split(trim(text), ' '),
+        |                              w -> length(w) > 0)) AS BIGINT)
+        |           AS n_words
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source,
+        |         CAST(rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |           AS BIGINT) * 2
+        |           + CAST(count(*) OVER (PARTITION BY source, n_chars)
+        |             AS BIGINT) - 1 AS x,
+        |         CAST(rank() OVER (PARTITION BY source ORDER BY n_words)
+        |           AS BIGINT) * 2
+        |           + CAST(count(*) OVER (PARTITION BY source, n_words)
+        |             AS BIGINT) - 1 AS y
+        |  FROM docs),
+        |m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM ranked GROUP BY 1),
+        |f AS (
+        |  SELECT source, k,
+        |         CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |         CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+        |         CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM m)
+        |SELECT source, k AS n_docs,
+        |       round(num / (sqrt(denx) * sqrt(deny)), 6) AS spearman_rho
+        |FROM f WHERE denx > 0 AND deny > 0
+        |ORDER BY source""".stripMargin,
     "q313_loo_encoding" ->
       """WITH rows_ AS (
         |  SELECT o_orderpriority AS category,

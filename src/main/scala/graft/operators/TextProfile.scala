@@ -180,12 +180,77 @@ object TextProfile {
       .orderBy("source")
   }
 
+  /** q338 — CHARSET COMPOSITION PROFILE: per source, the character
+    * mix — letter / digit / space / punctuation / other shares of all
+    * characters — the hygiene fingerprint that separates prose from
+    * tables, logs and markup at a glance (q39 gates single documents;
+    * this profiles the SOURCE, the grain at which ingest decisions
+    * are made). Counts via length-difference after class removal —
+    * exact integers; shares single divisions. */
+  def q338CharsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("n"),
+        cnt("[A-Za-z]").as("letters"), cnt("[0-9]").as("digits"),
+        cnt("[ ]").as("spaces"), cnt("[.,!?;:]").as("punct"))
+    perDoc.groupBy("source")
+      .agg(sum("n").as("chars"), sum("letters").as("l"),
+        sum("digits").as("d"), sum("spaces").as("s"),
+        sum("punct").as("p"))
+      .select(col("source"), col("chars"),
+        round(col("l").cast("double") / col("chars"), 6)
+          .as("letter_share"),
+        round(col("d").cast("double") / col("chars"), 6)
+          .as("digit_share"),
+        round(col("s").cast("double") / col("chars"), 6)
+          .as("space_share"),
+        round(col("p").cast("double") / col("chars"), 6)
+          .as("punct_share"),
+        round((col("chars") - col("l") - col("d") - col("s") - col("p"))
+          .cast("double") / col("chars"), 6).as("other_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_charset_profile" -> (q338CharsetProfile _),
     "q288_readability" -> (q288Readability _),
     "q289_oov_emergence" -> (q289OovEmergence _),
     "q291_heaps_law" -> (q291HeapsLaw _))
 
   val oracles: Map[String, String] = Map(
+    "q338_charset_profile" ->
+      """WITH per_doc AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+        |           AS BIGINT) AS letters,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |           AS BIGINT) AS digits,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[ ]', '', 'g'))
+        |           AS BIGINT) AS spaces,
+        |         CAST(length(text)
+        |           - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |           AS BIGINT) AS punct
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS chars,
+        |         CAST(sum(letters) AS BIGINT) AS l,
+        |         CAST(sum(digits) AS BIGINT) AS d,
+        |         CAST(sum(spaces) AS BIGINT) AS s,
+        |         CAST(sum(punct) AS BIGINT) AS p
+        |  FROM per_doc GROUP BY 1)
+        |SELECT source, chars,
+        |       round(CAST(l AS DOUBLE) / chars, 6) AS letter_share,
+        |       round(CAST(d AS DOUBLE) / chars, 6) AS digit_share,
+        |       round(CAST(s AS DOUBLE) / chars, 6) AS space_share,
+        |       round(CAST(p AS DOUBLE) / chars, 6) AS punct_share,
+        |       round(CAST(chars - l - d - s - p AS DOUBLE) / chars, 6)
+        |         AS other_share
+        |FROM agg ORDER BY source""".stripMargin,
     "q288_readability" ->
       """WITH per_doc AS (
         |  SELECT source,
