@@ -262,7 +262,11 @@ object Explain {
     "q335_fold_balance",          // hash folds + stratum profile
     "q336_spearman_length_quality", // midrank windows per source
     "q337_freshness_matrix",      // per-table 1-row aggregates
-    "q338_charset_profile")       // regexp counts, source folds
+    "q338_charset_profile",       // regexp counts, source folds
+    "q339_market_share_shift",    // nation revenue profile + exact TV
+    "q340_dup_rate_by_length",    // md5 canonicals × decile edges
+    "q341_engagement_diversity",  // per-user entropy fold + segments
+    "q342_fulfilment_span")       // order-grain span + month profile
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

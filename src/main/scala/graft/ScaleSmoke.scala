@@ -265,7 +265,9 @@ object ScaleSmoke {
         "q332_lsh_bucket_audit", "q333_priority_sla",
         "q334_dkw_median_band", "q335_fold_balance",
         "q336_spearman_length_quality", "q337_freshness_matrix",
-        "q338_charset_profile")
+        "q338_charset_profile", "q339_market_share_shift",
+        "q340_dup_rate_by_length", "q341_engagement_diversity",
+        "q342_fulfilment_span")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -575,7 +575,86 @@ object Contribution {
       .orderBy("p_type")
   }
 
+  /** q339 — MARKET-SHARE SHIFT BY NATION: each nation's share of
+    * total revenue in the first vs second half of the shipment span
+    * and the share delta — the q305 composition-drift idea applied to
+    * REVENUE WEIGHT (where q305 counts rows): "whose market is
+    * growing?" is asked in dollars, not orders. Same shared midpoint,
+    * exact cents folds, shares single divisions, plus the exact
+    * total-variation distance of the revenue mix. */
+  def q339MarketShareShift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(unix_micros(col("l_shipdate")).as("us"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+          .as("cents"))
+    val cut = li.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+    val nat = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("nation"))
+    val prof = li.crossJoin(broadcast(cut))
+      .join(broadcast(nat), Seq("l_suppkey"))
+      .groupBy("nation")
+      .agg(sum(when(col("us") < col("cut"), col("cents")).otherwise(0L))
+        .as("r1"),
+        sum(when(col("us") >= col("cut"), col("cents")).otherwise(0L))
+          .as("r2"))
+    val tot = prof.agg(sum("r1").as("t1"), sum("r2").as("t2"))
+    val cross = prof.crossJoin(broadcast(tot))
+    val tv = cross.agg(max("t1").as("t1"), max("t2").as("t2"),
+      sum(abs(col("r1").cast("decimal(38,0)") * col("t2") -
+        col("r2").cast("decimal(38,0)") * col("t1"))).as("tvn"))
+      .select((col("tvn").cast("double") /
+        (lit(2.0) * col("t1").cast("double") * col("t2").cast("double")))
+        .as("tv"))
+    cross.crossJoin(broadcast(tv))
+      .select(col("nation"),
+        round(col("r1").cast("double") / 100, 2).as("rev_first"),
+        round(col("r2").cast("double") / 100, 2).as("rev_second"),
+        round(col("r1").cast("double") / col("t1"), 6).as("share_first"),
+        round(col("r2").cast("double") / col("t2"), 6)
+          .as("share_second"),
+        (round(col("r2").cast("double") / col("t2") -
+          col("r1").cast("double") / col("t1"), 6) + lit(0.0))
+          .as("share_delta"),
+        round(col("tv"), 6).as("mix_tv_distance"))
+      .orderBy("nation")
+  }
+
+  /** q342 — ORDER FULFILMENT SPAN: how long an order stays "open" —
+    * per order the days between its FIRST and LAST shipped line,
+    * summarized per order month (P50/P90, single-shipment share) —
+    * the multi-shipment metric q296's per-line lead time averages
+    * away: a customer experiences the LAST box, not the mean one.
+    * Exactness: spans are exact integer day differences from one
+    * order-grain min/max fold; percentiles engine-identical. */
+  def q342FulfilmentSpan(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        to_date(col("l_shipdate")).as("ship"))
+      .groupBy("o_orderkey")
+      .agg(datediff(max("ship"), min("ship")).cast("long").as("span"),
+        count(lit(1)).as("n_lines"))
+    spans
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")),
+        Seq("o_orderkey"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("span") === 0, 1L).otherwise(0L)).as("single_ship"),
+        expr("percentile(span, 0.5)").as("p50"),
+        expr("percentile(span, 0.9)").as("p90"))
+      .select(col("month"), col("n_orders"),
+        round(col("single_ship").cast("double") / col("n_orders"), 6)
+          .as("single_shipment_share"),
+        round(col("p50"), 4).as("p50_span_days"),
+        round(col("p90"), 4).as("p90_span_days"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_market_share_shift" -> (q339MarketShareShift _),
+    "q342_fulfilment_span" -> (q342FulfilmentSpan _),
     "q331_price_elasticity" -> (q331PriceElasticity _),
     "q323_return_trend" -> (q323ReturnTrend _),
     "q324_discount_curve" -> (q324DiscountCurve _),
@@ -592,6 +671,59 @@ object Contribution {
     "q211_revenue_gini" -> (q211RevenueGini _))
 
   val oracles: Map[String, String] = Map(
+    "q339_market_share_shift" ->
+      """WITH li AS (
+        |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS us,
+        |         l_suppkey,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM li),
+        |prof AS (
+        |  SELECT s.s_nationkey AS nation,
+        |         CAST(sum(CASE WHEN l.us < (SELECT cut FROM cut)
+        |                       THEN l.cents ELSE 0 END) AS BIGINT) AS r1,
+        |         CAST(sum(CASE WHEN l.us >= (SELECT cut FROM cut)
+        |                       THEN l.cents ELSE 0 END) AS BIGINT) AS r2
+        |  FROM li l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r1) AS BIGINT) AS t1,
+        |               CAST(sum(r2) AS BIGINT) AS t2 FROM prof),
+        |tv AS (
+        |  SELECT CAST(sum(abs(CAST(r1 AS HUGEINT) * t.t2
+        |                      - CAST(r2 AS HUGEINT) * t.t1)) AS DOUBLE)
+        |         / (2.0 * CAST(t.t1 AS DOUBLE) * CAST(t.t2 AS DOUBLE))
+        |           AS tv
+        |  FROM prof, tot t GROUP BY t.t1, t.t2)
+        |SELECT p.nation,
+        |       round(CAST(p.r1 AS DOUBLE) / 100, 2) AS rev_first,
+        |       round(CAST(p.r2 AS DOUBLE) / 100, 2) AS rev_second,
+        |       round(CAST(p.r1 AS DOUBLE) / t.t1, 6) AS share_first,
+        |       round(CAST(p.r2 AS DOUBLE) / t.t2, 6) AS share_second,
+        |       round(CAST(p.r2 AS DOUBLE) / t.t2
+        |             - CAST(p.r1 AS DOUBLE) / t.t1, 6) + 0.0
+        |         AS share_delta,
+        |       round(v.tv, 6) AS mix_tv_distance
+        |FROM prof p, tot t, tv v
+        |ORDER BY p.nation""".stripMargin,
+    "q342_fulfilment_span" ->
+      """WITH spans AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(date_diff('day', min(CAST(l_shipdate AS DATE)),
+        |                        max(CAST(l_shipdate AS DATE))) AS BIGINT)
+        |           AS span
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')
+        |           AS month,
+        |         s.span
+        |  FROM spans s JOIN orders o ON o.o_orderkey = s.o_orderkey)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CASE WHEN span = 0 THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6)
+        |         AS single_shipment_share,
+        |       round(quantile_cont(span, 0.5), 4) AS p50_span_days,
+        |       round(quantile_cont(span, 0.9), 4) AS p90_span_days
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q331_price_elasticity" ->
       """WITH lines AS (
         |  SELECT p.p_type,

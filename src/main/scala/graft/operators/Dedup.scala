@@ -627,7 +627,41 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** q340 — DUP RATE BY LENGTH DECILE: is duplication a short-doc or
+    * a long-doc phenomenon in this corpus? Exact-dup membership (the
+    * q329 md5 canonicals) crossed with corpus-wide length deciles
+    * (the q234 rounded-edge discipline) — the interaction every
+    * length filter (q122/q130) silently assumes away: if dups
+    * concentrate in a length band, filtering and dedup are NOT
+    * independent knobs.
+    *
+    * Exactness: dup flags and counts exact; decile edges are the
+    * engine-identical exact percentiles rounded once; rates single
+    * divisions. */
+  def q340DupRateByLength(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+    val canon = docs.groupBy("h").agg(min("doc_id").as("canon"))
+    val flagged = docs.join(canon, Seq("h"))
+      .select(col("n_chars"), (col("doc_id") =!= col("canon"))
+        .as("is_dup"))
+    val edges = flagged.agg(
+      expr("transform(percentile(n_chars, array(0.1, 0.2, 0.3, 0.4, " +
+        "0.5, 0.6, 0.7, 0.8, 0.9)), e -> round(e, 6))").as("edges"))
+    flagged.crossJoin(broadcast(edges))
+      .select(size(expr("filter(edges, e -> n_chars >= e)"))
+        .as("length_decile"), col("is_dup"))
+      .groupBy("length_decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("length_decile"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy("length_decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_dup_rate_by_length" -> (q340DupRateByLength _),
     "q332_lsh_bucket_audit" -> (q332LshBucketAudit _),
     "q329_exact_dup_savings" -> (q329ExactDupSavings _),
     "q249_threshold_curve" -> (q249ThresholdCurve _),
@@ -654,6 +688,31 @@ object Dedup {
       |        FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q340_dup_rate_by_length" ->
+      """WITH docs AS (
+        |  SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+        |canon AS (SELECT h, min(doc_id) AS canon FROM docs GROUP BY 1),
+        |flagged AS (
+        |  SELECT d.n_chars, d.doc_id <> c.canon AS is_dup
+        |  FROM docs d JOIN canon c USING (h)),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                                   0.6, 0.7, 0.8, 0.9]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM flagged),
+        |bucketed AS (
+        |  SELECT CAST(len(list_filter((SELECT edges FROM edges),
+        |                              e -> f.n_chars >= e)) AS INTEGER)
+        |           AS length_decile,
+        |         f.is_dup
+        |  FROM flagged f)
+        |SELECT length_decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup,
+        |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM bucketed GROUP BY 1 ORDER BY 1""".stripMargin,
     "q332_lsh_bucket_audit" ->
       s"""WITH $shinglesCte,
          |hashed AS (

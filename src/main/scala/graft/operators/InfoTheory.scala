@@ -312,7 +312,53 @@ object InfoTheory {
       .orderBy("prev")
   }
 
+  /** q341 — ENGAGEMENT-DIVERSITY SEGMENTATION: per user the Shannon
+    * entropy of their event-TYPE mix (0 bits = single-behavior
+    * specialist, log₂5 ≈ 2.32 = uniform generalist), folded to
+    * quarter-bit segments with user counts, mean activity and mean
+    * spend — the "do generalists spend more?" view that q186's
+    * type-pair affinities can't give because it is USER-grain.
+    *
+    * Exactness: each −(c/n)·log₂(c/n) term is log₂ of an exact ratio
+    * (blessed, q123) micro-quantized per (user, type) row (the q198
+    * discipline), so the per-user entropy is an exact BIGINT sum of
+    * ≤ |types| terms; segments are integer division of that sum;
+    * per-segment means single divisions of exact folds. */
+  def q341EngagementDiversity(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val perUt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val perUser = perUt
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .select(col("user_id"), col("c"), col("cents"), col("n"),
+        expr("cast(round(-(cast(c as double) / n) * " +
+          "log2(cast(c as double) / n) * 1e6, 0) as bigint)")
+          .as("term_mu"))
+      .groupBy("user_id")
+      .agg(sum("term_mu").as("ent_mu"), sum("c").as("n_events"),
+        sum("cents").as("cents"))
+    perUser
+      .select(expr("ent_mu div 250000").as("segment"), col("n_events"),
+        col("cents"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("ev"),
+        sum("cents").as("sc"))
+      .select(col("segment"),
+        round(col("segment").cast("double") * 0.25, 2)
+          .as("entropy_bits_lo"),
+        col("n_users"),
+        round(col("ev").cast("double") / col("n_users"), 4)
+          .as("mean_events"),
+        round(col("sc").cast("double") / col("n_users") / 100, 2)
+          .as("mean_spend"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_engagement_diversity" -> (q341EngagementDiversity _),
     "q321_markov_backtest" -> (q321MarkovBacktest _),
     "q241_surprisal_anomaly" -> (q241SurprisalAnomaly _),
     "q244_incremental_surprisal" -> (q244IncrementalSurprisal _),
@@ -320,6 +366,37 @@ object InfoTheory {
     "q232_transition_entropy" -> (q232TransitionEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q341_engagement_diversity" ->
+      """WITH per_ut AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT user_id, c, cents,
+        |         CAST(round(-(CAST(c AS DOUBLE)
+        |               / sum(c) OVER (PARTITION BY user_id))
+        |             * log2(CAST(c AS DOUBLE)
+        |               / sum(c) OVER (PARTITION BY user_id))
+        |             * 1e6, 0) AS BIGINT) AS term_mu
+        |  FROM per_ut),
+        |per_user AS (
+        |  SELECT user_id, CAST(sum(term_mu) AS BIGINT) AS ent_mu,
+        |         CAST(sum(c) AS BIGINT) AS n_events,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM terms GROUP BY 1),
+        |seg AS (
+        |  SELECT ent_mu // 250000 AS segment, n_events, cents
+        |  FROM per_user)
+        |SELECT segment,
+        |       round(CAST(segment AS DOUBLE) * 0.25, 2)
+        |         AS entropy_bits_lo,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 4)
+        |         AS mean_events,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 2)
+        |         AS mean_spend
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q321_markov_backtest" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type,
