@@ -266,7 +266,11 @@ object Explain {
     "q339_market_share_shift",    // nation revenue profile + exact TV
     "q340_dup_rate_by_length",    // md5 canonicals × decile edges
     "q341_engagement_diversity",  // per-user entropy fold + segments
-    "q342_fulfilment_span")       // order-grain span + month profile
+    "q342_fulfilment_span",       // order-grain span + month profile
+    "q343_ingest_quality_trend",  // doc-id decile buckets, one fold
+    "q344_truncation_waste",      // ONE fold for every context length
+    "q345_events_data_card",      // per-type governance folds
+    "q346_basket_size_profile")   // order-grain size histogram
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

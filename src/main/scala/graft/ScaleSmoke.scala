@@ -267,7 +267,9 @@ object ScaleSmoke {
         "q336_spearman_length_quality", "q337_freshness_matrix",
         "q338_charset_profile", "q339_market_share_shift",
         "q340_dup_rate_by_length", "q341_engagement_diversity",
-        "q342_fulfilment_span")
+        "q342_fulfilment_span", "q343_ingest_quality_trend",
+        "q344_truncation_waste", "q345_events_data_card",
+        "q346_basket_size_profile")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -303,7 +303,36 @@ object Affinity {
       .limit(TopRules)
   }
 
+  /** q346 — BASKET-SIZE PROFILE: the distinct-items-per-order
+    * histogram with mean and dispersion index — the measured
+    * foundation under every a-priori scaladoc claim in this module
+    * ("baskets are bounded, so the pair/triple blow-up is C(≤k, 3)"):
+    * registering the distribution turns that scale assumption into a
+    * monitored artifact that drifts visibly if order shapes change.
+    *
+    * Exactness: sizes and the histogram exact; mean/dispersion fixed
+    * double expressions over exact moment folds (Σk² in
+    * decimal(38)/HUGEINT). */
+  def q346BasketSizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = basketItems(spark, dir)
+      .groupBy("okey").agg(count(lit(1)).as("k"))
+    val hist = sizes.groupBy("k").agg(count(lit(1)).as("n_orders"))
+    val mom = sizes.agg(count(lit(1)).as("n"), sum("k").as("sk"),
+      sum(col("k").cast("decimal(38,0)") * col("k")).as("sk2"))
+    val m = col("sk").cast("double") / col("n")
+    val varK = (col("sk2").cast("double") -
+      col("sk").cast("double") * m) / col("n")
+    hist.crossJoin(broadcast(mom))
+      .select(col("k").as("basket_size"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n"), 6)
+          .as("order_share"),
+        round(m, 4).as("mean_size"),
+        round(varK / m, 6).as("dispersion_index"))
+      .orderBy("basket_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_basket_size_profile" -> (q346BasketSizeProfile _),
     "q282_association_rules" -> (q282AssociationRules _),
     "q173_basket_lift" -> (q173BasketLift _),
     "q214_frequent_triples" -> (q214FrequentTriples _),
@@ -312,6 +341,31 @@ object Affinity {
     "q186_type_affinity" -> (q186TypeAffinity _))
 
   val oracles: Map[String, String] = Map(
+    "q346_basket_size_profile" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |sizes AS (
+        |  SELECT okey, CAST(count(*) AS BIGINT) AS k
+        |  FROM items GROUP BY 1),
+        |hist AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM sizes GROUP BY 1),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(k) AS BIGINT) AS sk,
+        |         sum(CAST(k AS HUGEINT) * k) AS sk2
+        |  FROM sizes)
+        |SELECT h.k AS basket_size, h.n_orders,
+        |       round(CAST(h.n_orders AS DOUBLE) / m.n, 6) AS order_share,
+        |       round(CAST(m.sk AS DOUBLE) / m.n, 4) AS mean_size,
+        |       round((CAST(m.sk2 AS DOUBLE)
+        |              - CAST(m.sk AS DOUBLE)
+        |                * (CAST(m.sk AS DOUBLE) / m.n)) / m.n
+        |             / (CAST(m.sk AS DOUBLE) / m.n), 6)
+        |         AS dispersion_index
+        |FROM hist h, mom m
+        |ORDER BY basket_size""".stripMargin,
     "q282_association_rules" ->
       s"""${pairsCte(TriMinSup)},
         |tri AS (

@@ -726,7 +726,40 @@ object Lifecycle {
       .orderBy("priority")
   }
 
+  /** q345 — EVENTS DATA CARD: the per-type one-row governance summary
+    * (volume, reach, span, value stats) — q215 documents the TEXT
+    * corpus; this is the same datasheet discipline for the EVENT
+    * stream, the card a consumer reads before joining events into
+    * anything. Exact integer folds, engine-identical percentiles,
+    * single divisions. */
+  def q345EventsDataCard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("d"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("d")).as("n_days"),
+        sum("cents").as("sc"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.95)").as("p95"),
+        max("cents").as("mx"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("n_days"),
+        round(col("sc").cast("double") / 100, 2).as("total_value"),
+        round(col("sc").cast("double") / col("n_events") / 100, 4)
+          .as("mean_value"),
+        round(col("p50") / 100, 4).as("p50_value"),
+        round(col("p95") / 100, 4).as("p95_value"),
+        round(col("mx").cast("double") / 100, 2).as("max_value"),
+        round(col("n_events").cast("double") / col("n_users"), 4)
+          .as("events_per_user"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_events_data_card" -> (q345EventsDataCard _),
     "q333_priority_sla" -> (q333PrioritySla _),
     "q327_onboarding_velocity" -> (q327OnboardingVelocity _),
     "q330_growth_accounting" -> (q330GrowthAccounting _),
@@ -747,6 +780,24 @@ object Lifecycle {
     "q189_ltv_curve" -> (q189LtvCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q345_events_data_card" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_value,
+        |       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 4)
+        |         AS mean_value,
+        |       round(quantile_cont(cents, 0.5) / 100, 4) AS p50_value,
+        |       round(quantile_cont(cents, 0.95) / 100, 4) AS p95_value,
+        |       round(CAST(max(cents) AS DOUBLE) / 100, 2) AS max_value,
+        |       round(CAST(count(*) AS DOUBLE)
+        |             / count(DISTINCT user_id), 4) AS events_per_user
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "q333_priority_sla" ->
       """WITH lags AS (
         |  SELECT o.o_orderpriority AS priority,

@@ -213,13 +213,141 @@ object TextProfile {
       .orderBy("source")
   }
 
+  /** q343 — INGEST-QUALITY TREND: the corpus's quality trajectory in
+    * ingest order — per doc_id-decile batch, mean length, mean words,
+    * mean word length and short-doc share — the "is the crawl getting
+    * worse?" monitor: q39 gates documents one at a time, q289/q291
+    * track vocabulary; this tracks the QUALITY SURFACE batch over
+    * batch. Batches are value-based doc_id deciles (the q234 edge
+    * discipline), so no global window runs.
+    *
+    * Exactness: per-doc counts exact; batch means single divisions. */
+  def q343IngestQualityTrend(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(wordsOf(col("text"))).cast("long").as("n_words"))
+    val edges = docs.agg(
+      expr("transform(percentile(doc_id, array(0.1, 0.2, 0.3, 0.4, " +
+        "0.5, 0.6, 0.7, 0.8, 0.9)), e -> round(e, 6))").as("edges"))
+    docs.crossJoin(broadcast(edges))
+      .select(size(expr("filter(edges, e -> doc_id >= e)"))
+        .as("ingest_decile"), col("n_chars"), col("n_words"))
+      .groupBy("ingest_decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sc"),
+        sum("n_words").as("sw"),
+        sum(when(col("n_words") < 50, 1L).otherwise(0L)).as("n_short"))
+      .select(col("ingest_decile"), col("n_docs"),
+        round(col("sc").cast("double") / col("n_docs"), 4)
+          .as("mean_chars"),
+        round(col("sw").cast("double") / col("n_docs"), 4)
+          .as("mean_words"),
+        round(col("sc").cast("double") / col("sw"), 4)
+          .as("mean_word_len"),
+        round(col("n_short").cast("double") / col("n_docs"), 6)
+          .as("short_doc_share"))
+      .orderBy("ingest_decile")
+  }
+
+  /** q344 audited context lengths (whitespace tokens). */
+  private[graft] val ContextLengths = Seq(128L, 256L, 512L, 1024L)
+
+  /** q344 — TRUNCATION-WASTE CURVE: for each candidate context length
+    * L, how many documents exceed it and what fraction of corpus
+    * tokens a hard truncation at L would discard — the context-window
+    * sizing decision that q98's packing and q130's budget selection
+    * take as GIVEN. One fold evaluates every candidate (the q272/q320
+    * operating-curve discipline).
+    *
+    * Exactness: token counts and excess sums fold as exact BIGINTs;
+    * shares single divisions. */
+  def q344TruncationWaste(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(size(wordsOf(col("text"))).cast("long").as("toks"))
+    val folds = ContextLengths.zipWithIndex.flatMap { case (l, i) =>
+      Seq(sum(when(col("toks") > l, 1L).otherwise(0L)).as(s"o$i"),
+        sum(when(col("toks") > l, col("toks") - l).otherwise(0L))
+          .as(s"w$i"))
+    }
+    val agg = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("toks").as("n_tokens") +: folds): _*)
+    val rows = ContextLengths.zipWithIndex.map { case (l, i) =>
+      struct(lit(l).as("context_len"), col(s"o$i").as("docs_over"),
+        round(col(s"o$i").cast("double") / col("n_docs"), 6)
+          .as("docs_over_share"),
+        col(s"w$i").as("tokens_lost"),
+        round(col(s"w$i").cast("double") / col("n_tokens"), 6)
+          .as("tokens_lost_share"))
+    }
+    agg.select(col("n_docs"), col("n_tokens"), inline(array(rows: _*)))
+      .orderBy("context_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_ingest_quality_trend" -> (q343IngestQualityTrend _),
+    "q344_truncation_waste" -> (q344TruncationWaste _),
     "q338_charset_profile" -> (q338CharsetProfile _),
     "q288_readability" -> (q288Readability _),
     "q289_oov_emergence" -> (q289OovEmergence _),
     "q291_heaps_law" -> (q291HeapsLaw _))
 
   val oracles: Map[String, String] = Map(
+    "q343_ingest_quality_trend" ->
+      """WITH docs AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(list_filter(string_split(trim(text), ' '),
+        |                              w -> length(w) > 0)) AS BIGINT)
+        |           AS n_words
+        |  FROM documents),
+        |edges AS (
+        |  SELECT list_transform(
+        |           quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                                  0.6, 0.7, 0.8, 0.9]),
+        |           e -> round(e, 6)) AS edges
+        |  FROM docs),
+        |bucketed AS (
+        |  SELECT CAST(len(list_filter((SELECT edges FROM edges),
+        |                              e -> d.doc_id >= e)) AS INTEGER)
+        |           AS ingest_decile,
+        |         d.n_chars, d.n_words
+        |  FROM docs d)
+        |SELECT ingest_decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
+        |         AS mean_chars,
+        |       round(CAST(sum(n_words) AS DOUBLE) / count(*), 4)
+        |         AS mean_words,
+        |       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_words), 4)
+        |         AS mean_word_len,
+        |       round(CAST(sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END)
+        |               AS DOUBLE) / count(*), 6) AS short_doc_share
+        |FROM bucketed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q344_truncation_waste" -> {
+      val arms = ContextLengths.map { l =>
+        s"""SELECT (SELECT n_docs FROM tot) AS n_docs,
+           |  (SELECT n_tokens FROM tot) AS n_tokens,
+           |  CAST($l AS BIGINT) AS context_len,
+           |  CAST(sum(CASE WHEN toks > $l THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS docs_over,
+           |  round(CAST(sum(CASE WHEN toks > $l THEN 1 ELSE 0 END)
+           |          AS DOUBLE) / (SELECT n_docs FROM tot), 6)
+           |    AS docs_over_share,
+           |  CAST(sum(CASE WHEN toks > $l THEN toks - $l ELSE 0 END)
+           |    AS BIGINT) AS tokens_lost,
+           |  round(CAST(sum(CASE WHEN toks > $l THEN toks - $l
+           |                      ELSE 0 END) AS DOUBLE)
+           |        / (SELECT n_tokens FROM tot), 6) AS tokens_lost_share
+           |FROM docs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         |  SELECT CAST(len(list_filter(string_split(trim(text), ' '),
+         |                              w -> length(w) > 0)) AS BIGINT)
+         |           AS toks
+         |  FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(toks) AS BIGINT) AS n_tokens FROM docs)
+         |$arms
+         |ORDER BY context_len""".stripMargin
+    },
     "q338_charset_profile" ->
       """WITH per_doc AS (
         |  SELECT source, CAST(length(text) AS BIGINT) AS n,
