@@ -177,12 +177,18 @@ object Skew {
           (col("n0") * col("n1")).cast("double"))
       .orderBy(col("objective").desc, col("cents"))
       .limit(1)
+      // class means are rounded to whole cents with exact integer
+      // HALF-UP ((2s+n) div 2n — positive domain) and displayed with
+      // ONE exact-integer division: round(double, 2) here sat on a
+      // literal half-cent boundary (s0/n0 = …684.5 cents at sf0.001)
+      // where Spark's shortest-repr BigDecimal rounds up and DuckDB's
+      // exact binary expansion rounds down
       .select(round(col("cents").cast("double") / 100.0, 2)
           .as("threshold"),
         col("n0").as("n_below"), col("n1").as("n_above"),
-        round(col("s0").cast("double") / col("n0") / 100.0, 2)
+        (expr("(2 * s0 + n0) div (2 * n0)").cast("double") / 100.0)
           .as("mean_below"),
-        round(col("s1").cast("double") / col("n1") / 100.0, 2)
+        (expr("(2 * s1 + n1) div (2 * n1)").cast("double") / 100.0)
           .as("mean_above"))
   }
 
@@ -253,8 +259,10 @@ object Skew {
         |  LIMIT 1)
         |SELECT round(CAST(cents AS DOUBLE) / 100.0, 2) AS threshold,
         |       n0 AS n_below, n1 AS n_above,
-        |       round(CAST(s0 AS DOUBLE) / n0 / 100.0, 2) AS mean_below,
-        |       round(CAST(s1 AS DOUBLE) / n1 / 100.0, 2) AS mean_above
+        |       CAST((2 * s0 + n0) // (2 * n0) AS DOUBLE) / 100.0
+        |         AS mean_below,
+        |       CAST((2 * s1 + n1) // (2 * n1) AS DOUBLE) / 100.0
+        |         AS mean_above
         |FROM best""".stripMargin,
     "q259_hill_tail" -> hillSql,
     "q75_salted_agg" ->

@@ -74,6 +74,17 @@ object PlanContract {
     "q120_hybrid_rrf" -> "one query vector (vec_id = 0)",
     "q133_cell_serving" -> "one query vector (vec_id = 0)",
     // fixed-rate query batch: vec_id % 100 = 0 (1% of the table)
+    // — q36 is the MANDATED exact brute baseline (SURVEY §2: ANN
+    // "brute-force cosine top-k as the baseline"); q37/q113/q170/q311
+    // reuse its cached ground-truth table (the r10 cache-sharing
+    // design) or carry their own query-batch arm. These were always
+    // this shape — the r11 InMemoryRelation walk just made them
+    // visible (VERDICT r10 #2).
+    "q36_ann_brute_topk" -> "1% query batch (vec_id % 100), the baseline",
+    "q37_ann_lsh_topk" -> "cached q36 brute table (1% query batch)",
+    "q113_ann_pq" -> "cached brute/ADC arms (1% query batch)",
+    "q170_context_assembly" -> "cached q36 brute table (1% query batch)",
+    "q311_ild_audit" -> "cached q36 brute table (1% query batch)",
     "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
     "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
     "q255_retrieval_mrr" -> "1% query batch (vec_id % 100)",
@@ -89,9 +100,6 @@ object PlanContract {
     // probe rows by construction (sequence(1, 10) over a grouping-less
     // aggregate), invisible through the Generate node
     "q290_selectivity_calibration" -> "10-row decile probe table",
-    // q224's same-shape 1% query-batch BNLJ lives inside its DfCache'd
-    // candidate relation (InMemoryRelation subtrees are outside the
-    // walk), so no grant is needed — documented in Mmr.scala instead
     // cached k-bounded centroid/codebook tables (k IVF lists / PQ
     // codewords per subspace — model-size, not data-size)
     "q52_ann_ivf_topk" -> "cached centroid table, k rows",
@@ -153,6 +161,10 @@ object PlanContract {
       tinyBuild(j.left) && tinyBuild(j.right)
     case j: BroadcastHashJoinExec =>
       tinyBuild(j.left) && tinyBuild(j.right)
+    // a cached relation holds exactly the rows its cached plan
+    // produced — descend into it (VERDICT r10 #2)
+    case im: org.apache.spark.sql.execution.columnar
+        .InMemoryTableScanExec => tinyBuild(unwrapAqe(im.relation.cachedPlan))
     case other => other.children match {
       // descend through single-child wrappers that preserve row count
       // (exchanges, reuse, codegen adaptors); Generate/Union/Expand
@@ -163,6 +175,15 @@ object PlanContract {
         other.nodeName.contains("WholeStageCodegen") => tinyBuild(only)
       case _ => false
     }
+  }
+
+  /** Cached plans compiled under AQE wrap their tree in an
+    * `AdaptiveSparkPlanExec` LEAF — unwrap to the current physical
+    * tree so the walk can see inside. */
+  private def unwrapAqe(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a.executedPlan
+    case other => other
   }
 
   private def atomic(dt: DataType): Boolean = dt match {
@@ -265,6 +286,18 @@ object PlanContract {
         s"$name: BroadcastNestedLoopJoin with unbounded build " +
           s"side (${build.nodeName}); not provably tiny, not allow-listed")
     }
+    // recurse into DfCache'd subtrees (VERDICT r10 #2): an
+    // InMemoryTableScan is a LEAF whose cached plan used to hide
+    // BNLJ/window shapes from the walk — q224's old brute-pool BNLJ
+    // lived exactly there. Same allow-lists, same depth guard.
+    val cached =
+      if (depth >= 3) Nil
+      else plan.collect {
+        case im: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => im.relation.cachedPlan
+      }.flatMap { cp =>
+        planViolations(name, unwrapAqe(cp), spark, depth + 1)
+      }
     // recurse into subquery inner plans (depth-capped as a loop guard;
     // registered queries nest at most one level of scalar subqueries)
     val subs =
@@ -283,7 +316,7 @@ object PlanContract {
           s"$name: subquery inner plan could not be walked: ${e.getMessage}")
         }
       }
-    carts ++ gw ++ bnlj ++ unpushedScans(name, plan) ++ subs
+    carts ++ gw ++ bnlj ++ unpushedScans(name, plan) ++ cached ++ subs
   }
 
   /** Allow-list entries actually exercised during a sweep — lets the
@@ -364,6 +397,21 @@ class PlanContractSpec extends SparkTestBase {
       val v = PlanContract.violations("induced_subquery", bad)
       assert(v.exists(_.contains("CartesianProduct")),
         s"checker missed a cartesian inside a scalar subquery; got: $v")
+    }
+  }
+
+  test("the contract goes red on a cartesian hidden behind .cache() " +
+      "(the walk recurses into InMemoryRelation subtrees)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val cachedBad = docs.crossJoin(docs.select(col("doc_id").as("d2")))
+        .cache()
+      try {
+        val onTop = cachedBad.groupBy("d2").count()
+        val v = PlanContract.violations("induced_cached", onTop)
+        assert(v.exists(_.contains("CartesianProduct")),
+          s"checker missed a cartesian inside a cached relation; got: $v")
+      } finally cachedBad.unpersist(blocking = true)
     }
   }
 

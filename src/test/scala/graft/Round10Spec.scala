@@ -390,31 +390,72 @@ class Round10Spec extends SparkTestBase {
     }
   }
 
-  test("q224 MMR selection equals a sequential greedy replay and " +
-      "genuinely diversifies (picks differ from pure top-k)") {
+  test("q224 MMR selection equals a sequential greedy replay over an " +
+      "independently re-derived LSH pool, genuinely diversifies, and " +
+      "the LSH pool keeps recall vs the brute top-pool ground truth") {
     import graft.operators.Mmr
     val out = Mmr.q224MmrRetrieval(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     def rnd(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val vecs = Tables.embeddings(spark, sf)
+    val raw = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).toArray.map(v => rnd(v.toDouble * 1000000)))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .toMap
+    val vecs = raw.map { case (id, e) =>
+      id -> e.map(v => rnd(v.toDouble * 1000000))
+    }
     def cos(a: Array[Long], b: Array[Long]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
         math.sqrt(b.map(x => x * x).sum.toDouble))
     }
+    // --- independent pool re-derivation (sequential Scala, no Spark):
+    // md5 planes, floor(x*1000) quantization, adaptive band width from
+    // the corpus count, MSB-first packing, hot-cap, multi-probe flips
+    val n = raw.size.toLong
+    val b = Mmr.mmrBandBits(n)
+    val dim = raw.values.head.length
+    val planes = Mmr.mmrPlanes(dim)
+    def bandsOf(e: Array[Float]): Seq[(Int, Long)] = {
+      val xq = e.map(x => math.floor(x.toDouble * 1000.0))
+      val bits = planes.map { p =>
+        if (p.zip(xq).map { case (c, q) => c * q }.sum > 0) 1L else 0L
+      }
+      (0 until Mmr.MmrBands).map { k =>
+        (k, (0 until b).foldLeft(0L)((acc, j) =>
+          acc * 2L + bits(k * Mmr.MmrBandSlot + j)))
+      }
+    }
+    val allBands = raw.map { case (id, e) => id -> bandsOf(e) }
+    val bucketN = allBands.values.flatten
+      .groupBy(identity).map { case (kv, g) => kv -> g.size }
+    val ok: Map[Long, Seq[(Int, Long)]] = allBands.map { case (id, bs) =>
+      id -> bs.filter(kv => bucketN(kv) <= Mmr.MmrHotCap)
+    }
+    val bucketMembers = ok.toSeq
+      .flatMap { case (id, bs) => bs.map(kv => kv -> id) }
+      .groupBy(_._1).map { case (kv, g) => kv -> g.map(_._2).toSet }
+    def lshCandidates(qid: Long): Set[Long] =
+      ok(qid).flatMap { case (k, v) =>
+        val probes = v +: (0 until b).map(j => v ^ (1L << j))
+        probes.flatMap(pv => bucketMembers.getOrElse((k, pv), Set.empty))
+      }.toSet - qid
     val lam = Mmr.MmrLambdaPct / 100.0
     val om = (100 - Mmr.MmrLambdaPct) / 100.0
     var diversified = false
+    val recalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     vecs.keys.filter(_ % 100 == 0).foreach { qid =>
-      val pool = vecs.keys.filter(_ != qid).toSeq
+      val pool = lshCandidates(qid).toSeq
         .map(c => c -> cos(vecs(qid), vecs(c)))
         .sortBy { case (c, rel) => (-rel, c) }
         .take(Mmr.MmrPool)
+      val brute = vecs.keys.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(Mmr.MmrPool).map(_._1).toSet
+      recalls += pool.map(_._1).count(brute.contains).toDouble /
+        Mmr.MmrPool
       var selected = Seq(pool.head._1)
       (2 to Mmr.MmrK).foreach { r =>
         val pick = pool.filterNot(p => selected.contains(p._1))
@@ -433,5 +474,20 @@ class Round10Spec extends SparkTestBase {
       if (selected != pool.take(Mmr.MmrK).map(_._1)) diversified = true
     }
     assert(diversified)
+    // pool quality: the scale-safe LSH pool must keep a usable share
+    // of the brute top-pool on this weakly-clustered random fixture
+    // (measured ~0.9 at sf0.001; floor pinned with margin)
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.55, s"LSH pool recall $avgRecall below floor")
+    // and the Spark-side brute arm agrees with the driver-side brute
+    // (the demoted ground-truth kernel stays correct)
+    val sparkBrute = Mmr.brutePool(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val someQ = vecs.keys.filter(_ % 100 == 0).min
+    val bruteQ = vecs.keys.filter(_ != someQ).toSeq
+      .map(c => c -> cos(vecs(someQ), vecs(c)))
+      .sortBy { case (c, rel) => (-rel, c) }
+      .take(Mmr.MmrPool).map(_._1).toSet
+    assert(sparkBrute(someQ).map(_._2).toSet == bruteQ)
   }
 }

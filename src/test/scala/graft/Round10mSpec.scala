@@ -133,8 +133,12 @@ class Round10mSpec extends SparkTestBase {
     val best = cands.maxBy(t => (t._6, -t._1.toDouble))
     assert(row.getDouble(0) == r2(best._1.toDouble / 100.0))
     assert((row.getLong(1), row.getLong(2)) == ((best._2, best._4)))
-    assert(row.getDouble(3) == r2(best._3.toDouble / best._2 / 100.0))
-    assert(row.getDouble(4) == r2(best._5.toDouble / best._4 / 100.0))
+    // means: exact integer HALF-UP to whole cents, one exact division
+    // (the engine's r11 boundary-proof formulation)
+    assert(row.getDouble(3) ==
+      ((2 * best._3 + best._2) / (2 * best._2)).toDouble / 100.0)
+    assert(row.getDouble(4) ==
+      ((2 * best._5 + best._4) / (2 * best._4)).toDouble / 100.0)
     assert(row.getDouble(4) > row.getDouble(3),
       "the above-threshold mean must exceed the below-threshold mean")
   }
