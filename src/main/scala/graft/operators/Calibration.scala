@@ -144,15 +144,17 @@ object Calibration {
     * two final single-division ratios. The rank is selected with a
     * full (score, key) tie-break.
     *
-    * Scale shape: model + threshold come from ONE grouped fold plus a
-    * rank window over the CALIBRATION half partitioned by segment
-    * (dimension-grain profile, never facts); coverage is a second
-    * grouped fold. Output is |segments| rows. Segment cardinality is
-    * fixed, so per-partition window size grows linearly with the
-    * customer dimension (measured ~1.4x time at 10x dims,
-    * docs/SCALE.md) — at extreme dimension scale swap the rank window
-    * for per-segment distributed selection (the q10 range-partition +
-    * zipWithIndex recipe). */
+    * Scale shape: model comes from ONE grouped fold; the per-segment
+    * threshold is DISTRIBUTED SELECTION (VERDICT r10 #6) — a global
+    * ordinal over the total order (seg, r, k) via [[DistributedRank]]
+    * (range-partition + zipWithIndex, every partition a bounded key
+    * range at any dimension size), converted to a per-segment rank by
+    * subtracting each segment's min ordinal (one broadcast join on
+    * the enum-sized segment profile). The segment-partitioned rank
+    * window this replaces held a full segment per task — linear in
+    * the customer dimension (measured ~1.4× at 10× dims in r10's
+    * docs/SCALE.md). Coverage is a second grouped fold; output is
+    * |segments| rows. */
   def q218ConformalThreshold(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Hashing
     val base = Tables.customer(spark, dir).select(
@@ -166,10 +168,13 @@ object Calibration {
       .withColumn("r", abs(col("cents") * col("n_cal") - col("sum_cents")))
       .withColumn("m_rank",
         expr(s"((n_cal + 1) * $ConfNum + ${ConfDen - 1}) div $ConfDen"))
-    val wr = Window.partitionBy("seg").orderBy(col("r"), col("k"))
-    val thr = scored.filter(col("is_cal"))
-      .withColumn("rn", row_number().over(wr))
-      .filter(col("rn") === col("m_rank"))
+    val indexed = DistributedRank.withGlobalRank(
+      scored.filter(col("is_cal"))
+        .select("seg", "k", "r", "m_rank"),
+      "ord", col("seg"), col("r"), col("k"))
+    val segBase = indexed.groupBy("seg").agg(min(col("ord")).as("base"))
+    val thr = indexed.join(broadcast(segBase), Seq("seg"))
+      .filter(col("ord") - col("base") + 1L === col("m_rank"))
       .select(col("seg"), col("r").as("thr_scaled"))
     scored.filter(!col("is_cal"))
       .join(thr, Seq("seg"))

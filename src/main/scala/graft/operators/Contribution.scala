@@ -16,12 +16,13 @@ import graft.sources.Tables
   * entity-grain profile (customer triple, part revenue) with one
   * map-side-combinable aggregate — the q151/q179 profile-table
   * discipline — and every window after that runs over the profile:
-  * q185's global sort is bounded by |parts| (dimension-sized), and
-  * q184's three ntile windows by |customers|. The ntile windows are
-  * single-partition by construction (a global quantile needs a global
-  * order); the documented 100 TB drop-in is q168's broadcast
-  * percentile-boundary grid, which trades exact equal-count buckets
-  * for an O(1)-boundary map-side assignment.
+  * the quantile cuts (q184's three quintiles, q185's decile) are
+  * EXACT DISTRIBUTED ntiles via [[DistributedRank]] — range-partition
+  * + in-partition sort + zipWithIndex, never a single-task global
+  * window — so both queries survive dimension growth unchanged
+  * (VERDICT r10 #7; the previously-documented approximate
+  * percentile-grid drop-in is unnecessary because the exact recipe is
+  * already distributed).
   *
   * Determinism: every window order is total (entity key tie-breaks),
   * money is exact BIGINT cents, and shares are single
@@ -46,13 +47,26 @@ object Contribution {
     val profile = byCust.crossJoin(broadcast(dmax))
       .select(col("custkey"), datediff(col("dmax"), col("last_d"))
         .as("recency_days"), col("frequency"), col("cents"))
-    profile
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("custkey").asc)))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("custkey").asc)))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("cents").desc, col("custkey").asc)))
+    // the three quintiles are EXACT distributed ntiles (the q10
+    // range-partition + zipWithIndex recipe via DistributedRank,
+    // VERDICT r10 #7) — a single-task ntile window over the customer
+    // profile grows with the customer dimension; these don't, and the
+    // tile values are bit-identical to the windows they replaced
+    val r = DistributedRank.withNtile(
+      profile.select("custkey", "recency_days"), 5, "r_score",
+      col("recency_days").asc, col("custkey").asc)
+      .select("custkey", "r_score")
+    val f = DistributedRank.withNtile(
+      profile.select("custkey", "frequency"), 5, "f_score",
+      col("frequency").desc, col("custkey").asc)
+      .select("custkey", "f_score")
+    val m = DistributedRank.withNtile(
+      profile.select("custkey", "cents"), 5, "m_score",
+      col("cents").desc, col("custkey").asc)
+      .select("custkey", "m_score")
+    profile.select("custkey", "cents")
+      .join(r, Seq("custkey")).join(f, Seq("custkey"))
+      .join(m, Seq("custkey"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("segment_cents"))
@@ -71,16 +85,26 @@ object Contribution {
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(expr("cast(round(l_extendedprice * 100, 0) as bigint)"))
         .as("cents"))
-    val deciled = byPart.withColumn("decile", ntile(10).over(
-      Window.orderBy(col("cents").desc, col("part").asc)))
+    // exact distributed decile (the q10 recipe via DistributedRank,
+    // VERDICT r10 #7) — the part-dimension sort no longer funnels
+    // through one window task; the 10-row cumulative then folds a
+    // grouping-less collect_list (array slice prefix sums on ONE row),
+    // so the plan has no global window at all
+    val deciled = DistributedRank.withNtile(byPart, 10, "decile",
+      col("cents").desc, col("part").asc)
     val perDecile = deciled.groupBy("decile")
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
-    val total = perDecile.agg(sum(col("cents")).as("total_cents"))
     perDecile
-      .withColumn("cum_cents", sum(col("cents")).over(
-        Window.orderBy("decile")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(total))
+      .agg(expr("array_sort(collect_list(struct(decile, n_parts, cents)))")
+        .as("a"))
+      .select(expr(
+        """inline(transform(a, (s, i) -> struct(
+          |  s.decile AS decile, s.n_parts AS n_parts, s.cents AS cents,
+          |  aggregate(slice(a, 1, i + 1), cast(0 AS bigint),
+          |            (acc, t) -> acc + t.cents) AS cum_cents,
+          |  aggregate(a, cast(0 AS bigint),
+          |            (acc, t) -> acc + t.cents) AS total_cents)))"""
+          .stripMargin))
       .select(col("decile"), col("n_parts"), col("cents"),
         round(col("cents").cast("double") / col("total_cents"), 6)
           .as("share"),

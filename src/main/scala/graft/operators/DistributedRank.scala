@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The q10 DISTRIBUTED GLOBAL-ORDINAL recipe (range-partition +
+  * in-partition sort + `zipWithIndex`) packaged for reuse — the 100 TB
+  * replacement for any single-task global rank/ntile window (VERDICT
+  * r10 #6/#7): every partition sorts ITS key range in parallel,
+  * `zipWithIndex` adds per-partition offsets with one extra count job,
+  * and no row ever funnels through one task at any data size. The
+  * ordinal is deterministic whenever the order columns form a TOTAL
+  * order (range boundaries can only split the order, never permute
+  * equal rows — there are none). */
+object DistributedRank {
+
+  /** Appends a 1-based global rank column under `order` (which must be
+    * a total order over `df`). */
+  private[operators] def withGlobalRank(df: DataFrame, rankCol: String,
+      order: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** EXACT `ntile(k)` (SQL size rule: with n rows the first n % k
+    * tiles hold n/k + 1 rows) derived from [[withGlobalRank]] plus one
+    * broadcast scalar count — bit-identical to the window `ntile` it
+    * replaces, INT-typed like it, with no global window in the plan. */
+  private[operators] def withNtile(df: DataFrame, k: Int, tileCol: String,
+      order: Column*): DataFrame = {
+    val ranked = withGlobalRank(df, "__rank", order: _*)
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+      .withColumn("__q", expr(s"__n div $k"))
+      .withColumn("__cut", (col("__n") % k) * (col("__q") + 1L))
+      .withColumn(tileCol,
+        when(col("__rank") <= col("__cut"),
+          expr("(__rank - 1) div (__q + 1) + 1"))
+          .otherwise(expr(
+            "__n % " + k + " + (__rank - __cut - 1) div " +
+              "greatest(__q, 1L) + 1"))
+          .cast("int"))
+      .drop("__rank", "__n", "__q", "__cut")
+  }
+}

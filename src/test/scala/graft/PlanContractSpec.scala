@@ -221,7 +221,6 @@ object PlanContract {
     "q279_otsu_threshold" ->
       "distinct-spend profile cumulative + full-frame totals",
     "q213_reliability_curve" -> "user-grain spend profile ntile",
-    "q185_pareto_deciles" -> "part-dimension revenue profile",
     "q192_skyline" -> "part-dimension price/size profile",
     "q62_ntile" -> "supplier-dimension revenue profile",
     "q130_token_budget_select" -> "doc-grain quality profile",
@@ -234,7 +233,6 @@ object PlanContract {
     "q99_data_mix" -> "language-grain mix table",
     "q120_hybrid_rrf" -> "top-k retrieval arm tables (≤ k rows)",
     "q150_temperature_mix" -> "language-grain rate table",
-    "q184_rfm_segments" -> "customer-dimension RFM profile",
     "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
     "q193_rank_delta" -> "part-dimension per-half rank profiles",
     "q235_km_survival" ->
