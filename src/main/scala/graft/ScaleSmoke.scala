@@ -111,7 +111,12 @@ object ScaleSmoke {
         // round-10 additions whose key profiles are DIMENSION-sized:
         // FD candidates over customer/part, ndv/count profiles over
         // customer/part keys
-        "q239_fd_audit", "q257_card_calibration")
+        "q239_fd_audit", "q257_card_calibration",
+        // round-11 additions (VERDICT r10 #5): supplier-/brand-/
+        // priority-keyed profiles whose SCALE notes name dim growth
+        // as the real stress axis
+        "q310_supplier_hhi", "q314_price_dispersion",
+        "q333_priority_sla")
         .filter(n => only.isEmpty || only(n))
       dimQueries.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

@@ -100,13 +100,20 @@ object Mmr {
       .getOrElse(MmrBandSlot)
 
   /** Engine-portable integer hyperplanes, q35's [[DedupEmbedding
-    * .portablePlanes]] family under an "mmr" salt (192 planes vs
+    * .portablePlanes]] family under an "mmr" salt (192 plane ids vs
     * q35's 96): component (p, d) = md5("mmr{p}_{d}") mod 2001 − 1000,
-    * derivable identically in DuckDB, exact in double arithmetic. */
-  private[graft] def mmrPlanes(dim: Int): Seq[Seq[Double]] =
-    (0 until MmrPlanes).map { p =>
-      (0 until dim).map { d =>
-        (Hashing.md5Hash60Value(s"mmr${p}_${d}") % 2001 - 1000).toDouble
+    * derivable identically in DuckDB, exact in double arithmetic.
+    * Only the b USED planes of each band's 16-slot reservation are
+    * materialized (plane ids k·16 + j, j < b, in (k, j) order) — the
+    * unused bits would never enter a band value, so neither engine
+    * computes them. */
+  private[graft] def mmrPlanes(dim: Int, b: Int): Seq[Seq[Double]] =
+    (0 until MmrBands).flatMap { k =>
+      (0 until b).map { j =>
+        val p = k * MmrBandSlot + j
+        (0 until dim).map { d =>
+          (Hashing.md5Hash60Value(s"mmr${p}_${d}") % 2001 - 1000).toDouble
+        }
       }
     }
 
@@ -140,7 +147,7 @@ object Mmr {
         .select(col("vec_id"), col("embedding"))
         .withColumn("xq", expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS DOUBLE))"))
-        .withColumn("planes", typedLit(mmrPlanes(dim)))
+        .withColumn("planes", typedLit(mmrPlanes(dim, b)))
         // dimension-mismatch rows raise instead of silently truncating
         // the signature (the q35/q37 guard: the oracle dots over every
         // observed dimension)
@@ -155,7 +162,7 @@ object Mmr {
              |  'k', k,
              |  'v', aggregate(sequence(0, ${b - 1}), 0L,
              |         (acc, j) -> acc * 2L +
-             |           element_at(bits, k * $MmrBandSlot + j + 1))))"""
+             |           element_at(bits, k * $b + j + 1))))"""
             .stripMargin)).as("band"))
         .select(col("vec_id"), col("band.k").as("k"), col("band.v").as("v")))
   }
@@ -313,7 +320,8 @@ object Mmr {
         |                             || CAST(d AS VARCHAR)), 1, 15))::BIGINT
         |           % 2001 - 1000 AS c
         |  FROM generate_series(0, ${MmrPlanes - 1}) tp(p),
-        |       (SELECT DISTINCT i - 1 AS d FROM ex) td),
+        |       (SELECT DISTINCT i - 1 AS d FROM ex) td
+        |  WHERE (p % $MmrBandSlot) < (SELECT b FROM bsel)),
         |bits AS (
         |  SELECT vec_id, p, CASE WHEN sum(c * q) > 0 THEN 1 ELSE 0 END AS bit
         |  FROM xq JOIN planes USING (d)

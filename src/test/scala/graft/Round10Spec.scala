@@ -416,7 +416,7 @@ class Round10Spec extends SparkTestBase {
     val n = raw.size.toLong
     val b = Mmr.mmrBandBits(n)
     val dim = raw.values.head.length
-    val planes = Mmr.mmrPlanes(dim)
+    val planes = Mmr.mmrPlanes(dim, b)
     def bandsOf(e: Array[Float]): Seq[(Int, Long)] = {
       val xq = e.map(x => math.floor(x.toDouble * 1000.0))
       val bits = planes.map { p =>
@@ -424,7 +424,7 @@ class Round10Spec extends SparkTestBase {
       }
       (0 until Mmr.MmrBands).map { k =>
         (k, (0 until b).foldLeft(0L)((acc, j) =>
-          acc * 2L + bits(k * Mmr.MmrBandSlot + j)))
+          acc * 2L + bits(k * b + j)))
       }
     }
     val allBands = raw.map { case (id, e) => id -> bandsOf(e) }
