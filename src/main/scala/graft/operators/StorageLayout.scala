@@ -248,6 +248,76 @@ object StorageLayout {
       .withColumn("colocated_merge_join", lit(mergeJoin))
   }
 
+  /** q347 — DIMENSION-side bucketed-join layout proof (VERDICT r10
+    * stretch #9, completing the storage-layout family): q132 proves
+    * z-order pruning and q133 cell-serving on FACTS, q134 the
+    * fact×fact co-located join; this registers the remaining
+    * production layout — a DIMENSION co-bucketed with its fact on the
+    * join key (customer ⊔ orders on custkey, both
+    * `bucketBy(16, custkey)` + `sortBy`), the layout a 100 TB
+    * warehouse gives a large dimension so every enrichment join
+    * streams bucket-aligned with no network. Contract booleans are
+    * computed from the compiled plan with AQE and broadcast disabled
+    * (so the assertion is about the LAYOUT, not a small-side
+    * broadcast that vanishes at real scale): the join is the
+    * co-located SortMergeJoin and its subtree contains ZERO
+    * ShuffleExchange — the only exchange in the whole query is the
+    * enum-sized market-segment rollup ABOVE the join, which is the
+    * point of the layout. The riding summary (per-segment purchasing
+    * customers, orders, exact revenue cents) is hash-checked against
+    * DuckDB's layout-free join — the layout changes where bytes sit,
+    * never answers. */
+  def q347DimBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = layoutRoot(dir, "dimbuckets")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val custT = s"graft_bucketed_customer_$tag"
+    val ordT = s"graft_bucketed_orders_cust_$tag"
+    graft.sources.DfCache.value(spark, s"dim_bucket_layout|$dir") {
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+        .write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$root/customer")
+        .mode("overwrite").saveAsTable(custT)
+      Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+        .write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$root/orders")
+        .mode("overwrite").saveAsTable(ordT)
+      true
+    }
+    def joined(): DataFrame =
+      spark.table(custT)
+        .join(spark.table(ordT), col("c_custkey") === col("o_custkey"))
+    val (prevAqe, prevBc) = (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val (joinSubtreeShuffles, mergeJoin) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = joined().groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n")).queryExecution.executedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        (joins.map(_.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.size).sum, joins.nonEmpty)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    joined()
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(countDistinct(col("c_custkey")).as("n_purchasing_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("revenue_cents"))
+      .withColumn("join_subtree_shuffle_free",
+        lit(joinSubtreeShuffles == 0))
+      .withColumn("colocated_merge_join", lit(mergeJoin))
+      .orderBy("segment")
+  }
+
   /** q286 — PARTITION-PRUNING ADVISOR: for each candidate partition
     * key of the fact table, the expected fraction of rows a uniformly
     * drawn point predicate on that key would scan — Σ(n_p/N)², the
@@ -341,6 +411,7 @@ object StorageLayout {
     "q132_zorder_scan" -> (q132ZorderScan _),
     "q133_cell_serving" -> (q133CellServing _),
     "q134_bucketed_join" -> (q134BucketedJoin _),
+    "q347_dim_bucketed_join" -> (q347DimBucketedJoin _),
     "q309_bloom_advisor" -> (q309BloomAdvisor _),
     "q286_partition_advisor" -> (q286PartitionAdvisor _))
 
@@ -413,6 +484,17 @@ object StorageLayout {
         |       true AS topk_matches_ivf,
         |       true AS topk_complete
         |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+    "q347_dim_bucketed_join" ->
+      """SELECT c_mktsegment AS segment,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT)
+        |         AS n_purchasing_customers,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents,
+        |       true AS join_subtree_shuffle_free,
+        |       true AS colocated_merge_join
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q134_bucketed_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(n_items) AS BIGINT) AS n_items,

@@ -302,6 +302,54 @@ object Streams {
       }
   }
 
+  /** Per-type running CUSUM state for [[runningCusum]]: the last
+    * folded day, the current one-sided statistic S (exact micro-unit
+    * BIGINT), and the alarm-day count — O(1) per event type. */
+  case class CusumState(lastDay: Long, sMicro: Long, alarms: Long)
+
+  /** Streaming twin of q252's CUSUM mean-shift monitor
+    * (`mapGroupsWithState`): the textbook recursion
+    * S_t = max(0, S_{t−1} + (x_t − μ0 − k)) folded incrementally per
+    * event type over arriving DAILY counts, under a FROZEN tuning
+    * snapshot (per-type μ0 in exact micro-units — k = μ0/4 and
+    * h = 2·μ0 derive from it, so every state transition is exact
+    * BIGINT arithmetic and parity with the batch q252 closed form
+    * (S_t = P_t − min(0, min_j≤t P_j), provably the same sequence) is
+    * EXACT, not approximate — StreamingCusumSpec pins it). Each
+    * micro-batch sorts its per-type rows by day (the grouped iterator
+    * carries no order guarantee) and folds them through the carried
+    * state; days must arrive batch-monotonically per type (the
+    * daily-profile upstream is a tumbling-window aggregate, which
+    * emits in watermark order). State is one [[CusumState]] per type
+    * — bounded by |types|, never stream length. */
+  def runningCusum(daily: DataFrame, muMicro: Map[String, Long])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sess = daily.sparkSession
+    import sess.implicits._
+    daily.select(col("event_type"), col("day").cast("long"),
+        col("n").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CusumState, (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) =>
+          val mu = muMicro(t)
+          val k = mu / 4L
+          val h = mu * 2L
+          var st = state.getOption
+            .getOrElse(CusumState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            val s1 = math.max(0L, st.sMicro + r._3 * 1000000L - mu - k)
+            st = CusumState(r._2, s1,
+              st.alarms + (if (s1 > h) 1L else 0L))
+          }
+          state.update(st)
+          (t, st.lastDay, st.sMicro, st.alarms)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
