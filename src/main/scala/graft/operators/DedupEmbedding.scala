@@ -60,9 +60,9 @@ object DedupEmbedding {
   // near-threshold pairs; at 100 TB the band WIDTH grows with the corpus
   // (buckets ~ O(N / target-bucket-size)) and the band count stays the
   // recall knob — same trade documented for q37.
-  private[operators] val EmbBandBits = 8
-  private[operators] val EmbNBands = 12
-  private[operators] val EmbNPlanes = EmbBandBits * EmbNBands
+  private[graft] val EmbBandBits = 8
+  private[graft] val EmbNBands = 12
+  private[graft] val EmbNPlanes = EmbBandBits * EmbNBands
   private val EmbCosineFloor = 0.4
 
   /** Hot-bucket cap, part of q35's REGISTERED (oracle-replicated)
@@ -80,15 +80,15 @@ object DedupEmbedding {
     * 38 at sf0.1, both under the floor of 64. Both engines derive the
     * cap from the same corpus count, so the candidate sets stay
     * hash-identical. */
-  private[operators] val EmbCapFloor = 64L
-  private[operators] val EmbCapSkewFactor = 8L
+  private[graft] val EmbCapFloor = 64L
+  private[graft] val EmbCapSkewFactor = 8L
 
   /** The divisor turning corpus size into the cap:
     * n / (2^EmbBandBits / EmbCapSkewFactor), i.e. 8x average occupancy
     * for 8-bit bands. */
-  private[operators] val EmbCapDiv = (1L << EmbBandBits) / EmbCapSkewFactor
+  private[graft] val EmbCapDiv = (1L << EmbBandBits) / EmbCapSkewFactor
 
-  private[operators] def embHotBucketCap(n: Long): Long =
+  private[graft] def embHotBucketCap(n: Long): Long =
     math.max(EmbCapFloor, (n + EmbCapDiv - 1) / EmbCapDiv)
 
   /** ENGINE-PORTABLE integer hyperplanes: component (p, d) is
@@ -113,7 +113,7 @@ object DedupEmbedding {
     * integer dots via the codegen `graft_dot`), pack 8-bit band values
     * MSB-first. One narrow shuffle-free projection of the embeddings
     * scan; cached per (session, dir) because both join sides read it. */
-  private def embeddingBands(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def embeddingBands(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val dim = Similarity.embeddingDim(spark, dir)
     graft.sources.DfCache.df(spark, s"emb_bands|$dir")(

@@ -35,7 +35,7 @@ object Similarity {
     * than letting Q scale with N. Kept as one reviewed constant instead
     * of scattered `% 100` literals (VERDICT r03 #7); the oracle SQL
     * interpolates the same value. */
-  private[operators] val QueryStride = 100
+  private[graft] val QueryStride = 100
 
   private[operators] def queryVecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

@@ -165,6 +165,12 @@ object PlanContract {
     // produced — descend into it (VERDICT r10 #2)
     case im: org.apache.spark.sql.execution.columnar
         .InMemoryTableScanExec => tinyBuild(unwrapAqe(im.relation.cachedPlan))
+    // materialized adaptive stages / exchange reuses are leaves over
+    // row-preserving wrappers — descend
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      tinyBuild(qs.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      tinyBuild(r.child)
     case other => other.children match {
       // descend through single-child wrappers that preserve row count
       // (exchanges, reuse, codegen adaptors); Generate/Union/Expand
@@ -185,6 +191,21 @@ object PlanContract {
       a.executedPlan
     case other => other
   }
+
+  /** An EXECUTED adaptive plan replaces materialized exchange subtrees
+    * with `QueryStageExec` LEAVES (and re-reads with `ReusedExchange`
+    * leaves) — `collect` cannot see inside either, which is exactly
+    * where a cached query's BNLJ sits once a prior test/query has run
+    * it. Expand every such leaf so the walk sees the full tree
+    * regardless of execution state. Terminates because each stage's
+    * inner plan is a strictly smaller tree. */
+  private def expanded(plan: SparkPlan): Seq[SparkPlan] =
+    plan +: (plan.collect {
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        qs.plan
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r.child
+    }).flatMap(expanded)
 
   private def atomic(dt: DataType): Boolean = dt match {
     case _: ArrayType | _: MapType | _: StructType => false
@@ -256,9 +277,15 @@ object PlanContract {
 
   private def planViolations(name: String, plan: SparkPlan,
       spark: org.apache.spark.sql.SparkSession, depth: Int): Seq[String] = {
-    val carts = plan.collect { case c: CartesianProductExec => c }
+    // every rule collects over the STAGE-EXPANDED tree set, so an
+    // executed adaptive plan (QueryStage/ReusedExchange leaves) is
+    // walked identically to a fresh one
+    val plans = expanded(plan)
+    def collectAll[A](f: PartialFunction[SparkPlan, A]): Seq[A] =
+      plans.flatMap(_.collect(f))
+    val carts = collectAll { case c: CartesianProductExec => c }
       .map(_ => s"$name: CartesianProduct in physical plan")
-    val gw = plan.collect {
+    val gw = collectAll {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
@@ -270,7 +297,7 @@ object PlanContract {
         s"$name: GLOBAL window (empty partitionSpec) — all rows " +
           "through one task; not a documented profile-bounded window")
     }
-    val bnlj = plan.collect {
+    val bnlj = collectAll {
       case j: BroadcastNestedLoopJoinExec => j
     }.flatMap { j =>
       val build = j.buildSide match {
@@ -290,7 +317,7 @@ object PlanContract {
     // lived exactly there. Same allow-lists, same depth guard.
     val cached =
       if (depth >= 3) Nil
-      else plan.collect {
+      else collectAll {
         case im: org.apache.spark.sql.execution.columnar
             .InMemoryTableScanExec => im.relation.cachedPlan
       }.flatMap { cp =>
@@ -300,12 +327,12 @@ object PlanContract {
     // registered queries nest at most one level of scalar subqueries)
     val subs =
       if (depth >= 3) Nil
-      else plan.flatMap { node =>
+      else plans.flatMap(_.flatMap { node =>
         node.expressions.flatMap(_.collect {
           case pe: org.apache.spark.sql.catalyst.expressions
               .PlanExpression[_] => pe.plan
         })
-      }.collect {
+      }).collect {
         case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => lp
       }.flatMap { lp =>
         try planViolations(name,
@@ -314,7 +341,8 @@ object PlanContract {
           s"$name: subquery inner plan could not be walked: ${e.getMessage}")
         }
       }
-    carts ++ gw ++ bnlj ++ unpushedScans(name, plan) ++ cached ++ subs
+    carts ++ gw ++ bnlj ++ plans.flatMap(p => unpushedScans(name, p)) ++
+      cached ++ subs
   }
 
   /** Allow-list entries actually exercised during a sweep — lets the
