@@ -113,6 +113,9 @@ object PlanContract {
     "q246_linear_interpolate" -> "hourly spine × distinct event types",
     "q201_chi_square" -> "types × weekdays zero-fill distincts",
     "q306_cramers_v" -> "attribute-distinct zero-fill spines (≤ 25×5)",
+    // week-spine ≤-join over the |weeks|-row cohort-size profile
+    // (right-censoring mass per offset, the q235 at-risk shape)
+    "q359_ltv_curve" -> "weekly cohort-size profile (≤ |weeks| rows)",
     // day-spine ≤-joins over the |days|×k sketch-element profile
     "q226_incremental_kmv" ->
       "calendar day spine × sketch-element profile (days × k rows)",
