@@ -116,6 +116,9 @@ object PlanContract {
     // week-spine ≤-join over the |weeks|-row cohort-size profile
     // (right-censoring mass per offset, the q235 at-risk shape)
     "q359_ltv_curve" -> "weekly cohort-size profile (≤ |weeks| rows)",
+    // day-spine ≥-join over the (group, days-to-ship) profile
+    // (at-risk mass per event time, the q235/q359 censoring shape)
+    "q365_logrank_test" -> "days-to-ship profile (≤ 2·|days| rows)",
     // day-spine ≤-joins over the |days|×k sketch-element profile
     "q226_incremental_kmv" ->
       "calendar day spine × sketch-element profile (days × k rows)",
