@@ -274,7 +274,16 @@ object ScaleSmoke {
         "q340_dup_rate_by_length", "q341_engagement_diversity",
         "q342_fulfilment_span", "q343_ingest_quality_trend",
         "q344_truncation_waste", "q345_events_data_card",
-        "q346_basket_size_profile")
+        "q346_basket_size_profile", "q347_dim_bucketed_join",
+        "q348_hamming_retrieval", "q349_cohort_retention",
+        "q350_retrieval_exposure", "q351_temporal_holdout",
+        "q352_theil_decomposition", "q353_benford_audit",
+        "q354_jl_distortion", "q355_session_paths",
+        "q356_broadcast_advisor", "q357_novelty_curve",
+        "q358_trade_flows", "q359_ltv_curve",
+        "q360_encoding_advisor", "q361_pseudonymize_audit",
+        "q362_shard_rebalance", "q363_exact_median",
+        "q364_neyman_allocation", "q365_logrank_test")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself
