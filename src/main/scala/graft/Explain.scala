@@ -112,8 +112,8 @@ object Explain {
     "q222_metric_stability", // ONE wide conditional aggregate: 32
                              // replicates from hash bits, no fan-out
     "q224_mmr_retrieval", // greedy rounds over cached pool²-profile
-                          // sims; brute pool gen is the documented
-                          // q36-class arm
+                          // sims; pool gen = adaptive-width sign-LSH
+                          // band equi-join (r11 — no Q×N arm left)
     "q225_weighted_median", // doc-grain cumulative-weight windows per
                             // source; min-struct qualifying pick
     "q226_incremental_kmv", // day-spine joins over the |days|×k sketch
@@ -132,7 +132,18 @@ object Explain {
     "q233_label_noise",  // n×k×d classify join, model-sized broadcast
                          // build; per-vec argmax window over k rows
     "q234_ks_drift",     // conditional-count fold → |types|×buckets
-                         // profile; ≤11-row CDF windows per type
+                         // profile; ≤11-row CDF windows per type,
+    "q184_rfm_segments", // three DistributedRank exact ntiles (r11) —
+                         // zero global windows, three custkey joins
+    "q347_dim_bucketed_join", // dim co-bucketed with its fact: SMJ
+                              // subtree exchange-free, only the segment
+                              // rollup shuffles
+    "q348_hamming_retrieval", // band bucket equi-join + popcount rank
+                              // over collision candidates only
+    "q363_exact_median", // DistributedRank ordinal + broadcast-scalar
+                         // rank filter — exact median, no global sort
+    "q365_logrank_test", // fact fold → (group, days) profile; granted
+                         // profile×spine at-risk join
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)
