@@ -283,7 +283,9 @@ object ScaleSmoke {
         "q358_trade_flows", "q359_ltv_curve",
         "q360_encoding_advisor", "q361_pseudonymize_audit",
         "q362_shard_rebalance", "q363_exact_median",
-        "q364_neyman_allocation", "q365_logrank_test")
+        "q364_neyman_allocation", "q365_logrank_test",
+        "q366_grouped_median", "q367_penny_proration",
+        "q368_revenue_recognition", "q369_open_order_aging")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

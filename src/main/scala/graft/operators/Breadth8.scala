@@ -114,6 +114,10 @@ object Breadth8 {
     *
     * Exactness: day counts and all allocation arithmetic are BIGINT;
     * the only double is the final share display division. */
+  /** q368 recognition horizon in days (declared accounting policy;
+    * also the constant bounding the per-line month fan-out). */
+  private[graft] val RecognitionHorizonDays = 182
+
   def q368RevenueRecognition(spark: SparkSession, dir: String): DataFrame = {
     // the corpus carries DUPLICATE (orderkey, linenumber) rows (the
     // reference's duplicate-txn ingest quirk) — the allocation unit is
@@ -133,7 +137,12 @@ object Breadth8 {
       // dates (some precede them) — normalize the service period to
       // [least, greatest] so the interval is always valid
       .withColumn("d1", least(col("ord"), col("ship")))
-      .withColumn("d2", greatest(col("ord"), col("ship")))
+      // recognition horizon (declared policy, [[RecognitionHorizonDays]]):
+      // the service period is capped — this also BOUNDS the per-line
+      // month fan-out by a constant, which is the operator's 100 TB
+      // scale contract (the raw synthetic intervals span years)
+      .withColumn("d2", least(greatest(col("ord"), col("ship")),
+        date_add(col("d1"), RecognitionHorizonDays - 1)))
       .withColumn("total_days",
         (datediff(col("d2"), col("d1")) + 1).cast("long"))
     val monthly = spans
@@ -305,7 +314,9 @@ object Breadth8 {
         |  FROM units u JOIN orders o ON o.o_orderkey = u.l_orderkey),
         |norm AS (
         |  SELECT l_orderkey, l_linenumber, ship, cents,
-        |         least(ord, ship) AS d1, greatest(ord, ship) AS d2
+        |         least(ord, ship) AS d1,
+        |         least(greatest(ord, ship),
+        |               least(ord, ship) + 181) AS d2
         |  FROM spans),
         |monthly AS (
         |  SELECT l_orderkey, l_linenumber, ship, cents, d1, d2,
