@@ -285,7 +285,8 @@ object ScaleSmoke {
         "q362_shard_rebalance", "q363_exact_median",
         "q364_neyman_allocation", "q365_logrank_test",
         "q366_grouped_median", "q367_penny_proration",
-        "q368_revenue_recognition", "q369_open_order_aging")
+        "q368_revenue_recognition", "q369_open_order_aging",
+        "q370_abc_classification", "q371_duplicate_invoice")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -29,6 +29,38 @@ object DistributedRank {
     sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
+  /** Appends an INCLUSIVE running total of `valueCol` (LongType) under
+    * `order` — the distributed PREFIX-SUM twin of [[withGlobalRank]]:
+    * range-partition + in-partition sort, one small job collecting the
+    * per-partition sums (#partitions values on the driver — bounded by
+    * the cluster, not the data), then one pass adding each partition's
+    * offset. No row ever crosses a single-task window; both jobs read
+    * the same eagerly-checkpointed sorted frame. */
+  private[graft] def withRunningTotal(df: DataFrame, valueCol: String,
+      outCol: String, order: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(valIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        acc += row.getLong(valIdx)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
   /** EXACT `ntile(k)` (SQL size rule: with n rows the first n % k
     * tiles hold n/k + 1 rows) derived from [[withGlobalRank]] plus one
     * broadcast scalar count — bit-identical to the window `ntile` it
