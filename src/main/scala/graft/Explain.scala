@@ -146,8 +146,8 @@ object Explain {
                          // profile×spine at-risk join,
     "q368_revenue_recognition", // horizon-bounded month explode;
                                 // ≤7-row per-unit windows
-    "q370_abc_classification" // distributed prefix sum: 2 jobs over
-                              // one checkpointed sorted frame
+    "q370_abc_classification", // distributed prefix sum: 2 jobs over
+                               // one checkpointed sorted frame
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)
