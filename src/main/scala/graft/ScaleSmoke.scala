@@ -286,7 +286,8 @@ object ScaleSmoke {
         "q364_neyman_allocation", "q365_logrank_test",
         "q366_grouped_median", "q367_penny_proration",
         "q368_revenue_recognition", "q369_open_order_aging",
-        "q370_abc_classification", "q371_duplicate_invoice")
+        "q370_abc_classification", "q371_duplicate_invoice",
+        "q372_horizon_audit", "q373_quantile_ladder")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -58,6 +58,46 @@ class Round11iSpec extends SparkTestBase {
     assert(row.getLong(2) == held.map(_._2).sum)
   }
 
+  test("q372 horizon tripwire matches a sequential recompute and the " +
+      "capped share is the honest (large) number on this corpus") {
+    val row = graft.operators.Breadth9.q372HorizonAudit(spark, sf)
+      .collect().head
+    val spans = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)"),
+        to_date(col("l_shipdate")))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), to_date(col("o_orderdate"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .drop("l_orderkey", "o_orderkey").collect()
+      .map { r =>
+        val (c, ship, ord) =
+          (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate)
+        val d = math.abs(
+          java.time.temporal.ChronoUnit.DAYS.between(ship, ord)) + 1
+        (c, d)
+      }
+    val h = graft.operators.Breadth8.RecognitionHorizonDays
+    assert(row.getLong(0) == spans.length.toLong)
+    assert(row.getLong(1) == spans.count(_._2 > h).toLong)
+    // the synthetic corpus's independent dates make the cap bind on
+    // most lines — the tripwire's value is that this is REPORTED
+    assert(row.getDouble(2) > 0.5)
+  }
+
+  test("q373 quantile ladder equals brute sorted order statistics") {
+    val out = graft.operators.Breadth9.q373QuantileLadder(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Tables.orders(spark, sf)
+      .select(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    graft.operators.Breadth9.QuantileLadder.foreach { p =>
+      val r = ((p * n + 999) / 1000).toInt
+      assert(out(p) == cents(r - 1), s"p$p diverged")
+    }
+  }
+
   test("withRunningTotal is invariant to the input partitioning") {
     import graft.operators.DistributedRank
     val byPart = Tables.lineitem(spark, sf)
