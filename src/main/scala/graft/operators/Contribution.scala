@@ -44,9 +44,13 @@ object Contribution {
         sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
           .as("cents"))
     val dmax = byCust.agg(max(col("last_d")).as("dmax"))
+    // materialize the customer profile ONCE — the three ntile passes
+    // and the final join would otherwise each re-fold the orders scan
+    // (measured 1.78s -> ~1.0s at sf0.1)
     val profile = byCust.crossJoin(broadcast(dmax))
       .select(col("custkey"), datediff(col("dmax"), col("last_d"))
         .as("recency_days"), col("frequency"), col("cents"))
+      .localCheckpoint()
     // the three quintiles are EXACT distributed ntiles (the q10
     // range-partition + zipWithIndex recipe via DistributedRank,
     // VERDICT r10 #7) — a single-task ntile window over the customer
