@@ -174,8 +174,13 @@ object Breadth6 {
       .agg(sum(col("cents")).as("cents"),
         countDistinct(col("user_id")).as("n_active_users"))
     // at-risk mass per offset: cohorts observable at k (tiny ≤-join:
-    // weeks-profile × weeks-spine)
-    val spine = spark.range(0, 1000).select(col("id").as("k"))
+    // weeks-profile × weeks-spine). Spine derived FROM THE DATA (the
+    // observed offsets), exactly like the oracle's `DISTINCT k` — a
+    // `spark.range(0, 1000)` literal would silently cap offsets at
+    // 999 and drop ledger rows on a >19-year corpus while the oracle
+    // kept them. Downstream is an inner join on k, so the two spines
+    // are anyway equivalent only when nothing is capped.
+    val spine = byOffset.select("k").distinct()
       .crossJoin(broadcast(maxW))
       .filter(col("k") <= col("max_week"))
     val atRisk = spine.join(broadcast(sizes),

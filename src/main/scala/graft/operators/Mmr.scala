@@ -175,13 +175,18 @@ object Mmr {
     graft.sources.DfCache.df(spark, s"mmr_cand|$dir") {
       val raw = mmrBandTable(spark, dir)
       val b = mmrBandBits(embCount(spark, dir))
-      // hot-bucket guard: the bucket-size table is tiny (≤ band space),
-      // so the exclusion join broadcasts
-      val small = raw.groupBy("k", "v")
+      // hot-bucket guard, inverted so the broadcast side is the HOT
+      // set: buckets over MmrHotCap number ≤ bands·N/MmrHotCap = N/~11
+      // by pigeonhole — and in practice a handful — whereas the
+      // NON-hot occupied-bucket table grows like 0.75·N under the
+      // adaptive band width (band space 12·2^b, 2^b ≈ N/16) and would
+      // blow the broadcast at corpus scale. Anti-join keeps semantics
+      // identical: a row survives iff its bucket count ≤ MmrHotCap.
+      val hot = raw.groupBy("k", "v")
         .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= MmrHotCap)
+        .filter(col("bucket_n") > MmrHotCap)
         .select("k", "v")
-      val bands = raw.join(broadcast(small), Seq("k", "v"))
+      val bands = raw.join(broadcast(hot), Seq("k", "v"), "left_anti")
       val probes = bands.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("k"), explode(expr(
           s"""concat(array(v), transform(sequence(0, ${b - 1}),

@@ -327,9 +327,16 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val sess = daily.sparkSession
     import sess.implicits._
+    // Types absent from the frozen tuning snapshot are DROPPED before
+    // grouping — exactly the batch q252's inner join on the mu table
+    // (TimeSeries2.q252Cusum). Without this, an unseen type arriving
+    // mid-stream would hit `muMicro(t)` inside the state function and
+    // kill the whole streaming query with NoSuchElementException.
+    val known = muMicro.keySet
     daily.select(col("event_type"), col("day").cast("long"),
         col("n").cast("long"))
       .as[(String, Long, Long)]
+      .filter(r => known.contains(r._1))
       .groupByKey(_._1)
       .mapGroupsWithState[CusumState, (String, Long, Long, Long)](
         GroupStateTimeout.NoTimeout) {
