@@ -138,18 +138,36 @@ object Breadth2 {
   }
 
   /** q62 — distribution ranking (§2.5): revenue quartile, percent_rank
-    * and cume_dist per supplier. */
+    * and cume_dist per supplier — all three derived from ONE
+    * [[DistributedRank.withGlobalRank]] ordinal plus a broadcast
+    * count, instead of a single-task global window over the supplier
+    * profile (which grows with the corpus). Under the total order
+    * (revenue DESC, rep_name) there are no rank peers, so
+    * `percent_rank = (rn−1)/(n−1)` and `cume_dist = rn/n` exactly,
+    * and the quartile applies the SQL ntile size rule (first n%k
+    * tiles get one extra row) — bit-identical to the window forms. */
   def q62Ntile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val rev = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
       .groupBy(col("s_name").as("rep_name"))
       .agg(money(sum(col("l_extendedprice"))).as("revenue"))
-    val w = Window.orderBy(desc("revenue"), asc("rep_name"))
-    rev.select(col("rep_name"), col("revenue"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+    DistributedRank.withGlobalRank(rev, "rn",
+        desc("revenue"), asc("rep_name"))
+      .crossJoin(broadcast(rev.agg(count(lit(1)).as("__n"))))
+      .withColumn("__q", expr("__n div 4"))
+      .withColumn("__cut", (col("__n") % 4) * (col("__q") + 1L))
+      .select(col("rep_name"), col("revenue"),
+        when(col("rn") <= col("__cut"),
+          expr("(rn - 1) div (__q + 1) + 1"))
+          .otherwise(expr(
+            "__n % 4 + (rn - __cut - 1) div greatest(__q, 1L) + 1"))
+          .cast("int").as("quartile"),
+        round(when(col("__n") > 1L, (col("rn") - 1L).cast("double") /
+          (col("__n") - 1L).cast("double")).otherwise(0.0), 6)
+          .as("pct_rank"),
+        round(col("rn").cast("double") / col("__n").cast("double"), 6)
+          .as("cume"))
       .orderBy("rep_name")
   }
 

@@ -82,7 +82,9 @@ object Breadth4 {
     * iff its size exceeds that — equal-priced smaller-or-equal rows
     * are dominated by their own price group's max, handled by keeping
     * only each price group's (max size, min key) representative
-    * first. One window pass over the parts DIMENSION; the oracle
+    * first. The prefix max runs over the DISTINCT-PRICE profile via
+    * [[DistributedRank.withRunningMaxExclusive]] (range-partitioned —
+    * no global window even as the part dimension grows); the oracle
     * states dominance directly (NOT EXISTS), so the hash match proves
     * the one-pass form, including its tie handling. */
   def q192Skyline(spark: SparkSession, dir: String): DataFrame = {
@@ -92,14 +94,12 @@ object Breadth4 {
     // within a price group only the largest size can be on the front,
     // and among equal (price, size) every copy is (nothing separates
     // them on either axis — dominance requires one strict)
-    val groupBest = parts
-      .withColumn("grp_max", max(col("p_size"))
-        .over(Window.partitionBy("cents")))
+    val grp = parts.groupBy("cents")
+      .agg(max(col("p_size")).cast("long").as("grp_max"))
+    val grpWithPrefix = DistributedRank.withRunningMaxExclusive(
+      grp, "grp_max", "cheaper_max", asc("cents"))
+    parts.join(grpWithPrefix, Seq("cents"))
       .filter(col("p_size") === col("grp_max"))
-    val cheaperMax = Window.orderBy("cents")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    groupBest
-      .withColumn("cheaper_max", max(col("p_size")).over(cheaperMax))
       .filter(col("cheaper_max").isNull ||
         col("p_size") > col("cheaper_max"))
       .select(col("p_partkey"),
@@ -128,12 +128,19 @@ object Breadth4 {
         expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"),
         (unix_micros(col("o_orderdate")) * 2 <=
           unix_micros(col("t0")) + unix_micros(col("t1"))).as("first_half"))
+    // per-period ranks via DistributedRank (range-partitioned global
+    // ordinal — part profiles are dimension-sized and grow with the
+    // corpus, so no single-task rank window), INT-cast to keep the
+    // row_number schema it replaces
     def profile(firstHalf: Boolean): DataFrame = {
       val suffix = if (firstHalf) "a" else "b"
-      tagged.filter(col("first_half") === firstHalf)
+      val agg = tagged.filter(col("first_half") === firstHalf)
         .groupBy("part").agg(sum(col("cents")).as(s"cents_$suffix"))
-        .withColumn(s"rank_$suffix", row_number().over(
-          Window.orderBy(col(s"cents_$suffix").desc, col("part").asc)))
+      DistributedRank.withGlobalRank(agg, s"rank_${suffix}_l",
+          col(s"cents_$suffix").desc, col("part").asc)
+        .withColumn(s"rank_$suffix",
+          col(s"rank_${suffix}_l").cast("int"))
+        .drop(s"rank_${suffix}_l")
     }
     profile(firstHalf = true).join(profile(firstHalf = false), Seq("part"))
       .select(col("part"), col("rank_a"), col("rank_b"),

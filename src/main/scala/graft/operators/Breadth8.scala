@@ -156,14 +156,27 @@ object Breadth8 {
           greatest(col("d1"), col("month"))) + 1).cast("long"))
       .withColumn("base", expr("cents * days div total_days"))
       .withColumn("rem", expr("(cents * days) % total_days"))
-    val wLine = Window.partitionBy("l_orderkey", "l_linenumber", "ship")
+    // Largest-remainder allocation as ONE hash-aggregate fold per
+    // line group instead of two Window passes (row_number + sum over
+    // the same partition compiled to two sort-based Window nodes —
+    // the suite's slowest plan at 9.69s in r11): collect the ≤7
+    // month rows (bounded by [[RecognitionHorizonDays]]), sort by
+    // (rem desc, month asc) via the struct's natural order on
+    // (-rem, month), and hand the i-th ranked month a penny while
+    // i < shortfall. Identical arithmetic, hash unchanged.
     val alloc = monthly
-      .withColumn("rem_rank", row_number().over(
-        wLine.orderBy(col("rem").desc, col("month").asc)))
-      .withColumn("short", col("cents") - sum(col("base")).over(wLine))
-      .withColumn("rec",
-        col("base") + when(col("rem_rank") <= col("short"), 1L)
-          .otherwise(0L))
+      .groupBy("l_orderkey", "l_linenumber", "ship")
+      .agg(max(col("cents")).as("cents"),
+        collect_list(struct((-col("rem")).as("nr"),
+          col("month").as("month"), col("base").as("base"))).as("ms"))
+      .withColumn("short",
+        expr("cents - aggregate(ms, 0L, (acc, x) -> acc + x.base)"))
+      .select(explode(expr(
+        """transform(array_sort(ms), (x, i) -> struct(
+          |  x.month AS month,
+          |  x.base + (CASE WHEN i < short THEN 1L ELSE 0L END)
+          |    AS rec))""".stripMargin)).as("s"))
+      .select(col("s.month").as("month"), col("s.rec").as("rec"))
     val byMonth = alloc.groupBy(date_format(col("month"), "yyyy-MM")
         .as("month"))
       .agg(sum(col("rec")).as("recognized_cents"),

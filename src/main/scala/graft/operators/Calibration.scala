@@ -212,22 +212,29 @@ object Calibration {
     * bins-row table — BnljAllow-granted, structurally bounded by the
     * bin count, never by users.
     *
-    * Scale shape: one user-grain fold + one ntile over the user
-    * profile (the q213 window); ALL isotonic arithmetic runs on the
-    * 10-row bin table. */
+    * Scale shape: one user-grain fold + one
+    * [[DistributedRank.withNtile]] over the user profile (range-
+    * partitioned, no global window even as users grow); ALL isotonic
+    * arithmetic runs on the 10-row bin table, whose prefix sums fold
+    * through one collect_list (the q359 ledger pattern) instead of a
+    * prefix window — the registered plan is globally window-free. */
   def q237IsotonicCalibrate(spark: SparkSession, dir: String): DataFrame = {
     val users = Evaluation.scoredUsers(spark, dir)
-    val wAsc = Window.orderBy(col("cents"), col("user_id"))
-    val bins = users.withColumn("bin", ntile(IsoBins).over(wAsc))
+    val bins = DistributedRank.withNtile(users, IsoBins, "bin",
+        col("cents").asc, col("user_id").asc)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"))
-    val wPre = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins
-      .withColumn("cp", sum(col("n_pos")).over(wPre))
-      .withColumn("cn", sum(col("n_users")).over(wPre))
-      .select(col("bin"), col("n_users"), col("n_pos"), col("cp"),
-        col("cn"))
+      .agg(expr("array_sort(collect_list(struct(bin, n_users, n_pos)))")
+        .as("a"))
+      .select(expr(
+        """inline(transform(a, (s, i) -> struct(
+          |  s.bin AS bin, s.n_users AS n_users, s.n_pos AS n_pos,
+          |  aggregate(slice(a, 1, i + 1), 0L,
+          |            (acc, t) -> acc + t.n_pos) AS cp,
+          |  aggregate(slice(a, 1, i + 1), 0L,
+          |            (acc, t) -> acc + t.n_users) AS cn)))"""
+          .stripMargin))
     val starts = pre.select(col("bin").as("i"),
       (col("cp") - col("n_pos")).as("cp_lo"),
       (col("cn") - col("n_users")).as("cn_lo"))

@@ -347,13 +347,14 @@ object Curation {
     *
     * Scale shape: the naive form is a GLOBAL single-partition running
     * sum — the q35-cartesian of window functions. This implementation
-    * is the two-phase exact equivalent: (1) bucket quality (monotone
-    * floor(q*100) key), aggregate token mass per bucket, and run the
-    * cumulative sum over the tiny bucket table; (2) buckets wholly
-    * under budget select entirely, and ONLY the single boundary bucket
-    * runs a per-doc running sum (window partitioned by bucket). Ties
-    * in quality land in one bucket by construction, so the two-phase
-    * result equals the global greedy row-for-row. */
+    * is [[DistributedRank.withRunningTotal]] (the q10 recipe): range-
+    * partition on (quality DESC, doc_id), per-partition prefix sums,
+    * one #partitions-scalar offset job — the exact greedy cumulative
+    * with NO global window and no single-task funnel at any corpus
+    * size. (Replaces r04's two-phase quality-bucket design, whose
+    * boundary-bucket window was still a single task over O(N/100)
+    * rows under the fixed 101-bucket key — the q200 fixed-cardinality
+    * lesson applied to running sums.) */
   def q130TokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -362,35 +363,12 @@ object Curation {
         .select(col("doc_id"), col("quality")), Seq("doc_id"))
     val budget = docs.agg(
       floor(sum(col("n_tokens")) * 0.25).cast("long").as("budget"))
-    val bucketed = docs
-      .withColumn("bucket", floor(col("quality") * 100).cast("long"))
-    val wB = Window.orderBy(desc("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketCum = bucketed.groupBy("bucket")
-      .agg(sum(col("n_tokens")).as("btok"))
-      .withColumn("cum_before", coalesce(sum(col("btok")).over(wB), lit(0L)))
+    DistributedRank.withRunningTotal(docs, "n_tokens", "cum",
+        desc("quality"), asc("doc_id"))
       .crossJoin(broadcast(budget))
-      .select(col("bucket"), col("cum_before"),
-        (col("cum_before") + col("btok") <= col("budget")).as("full_bucket"),
-        (col("cum_before") < col("budget")).as("reaches_budget"),
-        col("budget"))
-    val wIn = Window.partitionBy("bucket")
-      .orderBy(desc("quality"), asc("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = bucketed.join(broadcast(bucketCum), Seq("bucket"))
-    // the per-doc running sum touches ONLY the boundary bucket's rows
-    // (code-review r04: windowing the whole corpus here would be the
-    // exact work the two-phase design exists to avoid)
-    val boundary = base
-      .filter(col("reaches_budget") && !col("full_bucket"))
-      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
       .select(col("doc_id"), col("quality"), col("n_tokens"),
-        (col("cum_before") + col("cum_in") <= col("budget")).as("selected"))
-    val decided = base
-      .filter(!(col("reaches_budget") && !col("full_bucket")))
-      .select(col("doc_id"), col("quality"), col("n_tokens"),
-        col("full_bucket").as("selected"))
-    boundary.unionByName(decided).orderBy("doc_id")
+        (col("cum") <= col("budget")).as("selected"))
+      .orderBy("doc_id")
   }
 
   /** q67 — repetition score (quality signal): fraction of a document's
@@ -559,17 +537,20 @@ object Curation {
     * DuckDB oracle draws the IDENTICAL sample. Scale: one narrow
     * map over the corpus + a global top-k (TakeOrderedAndProject — no
     * full sort, no single-partition window over the corpus); the rank
-    * window runs over the k survivors only (same shape as q96). */
+    * over the k survivors is [[DistributedRank.withGlobalRank]]
+    * (bounded either way at k = [[WeightedSampleK]] rows, but this
+    * keeps the registered plans globally window-free). */
   def q112WeightedSample(spark: SparkSession, dir: String): DataFrame = {
     val u = (Hashing.md5Hash60(concat(lit("ws_"),
       col("doc_id").cast("string"))) + 1).cast("double") / lit(Pow2To60)
-    Tables.documents(spark, dir)
+    val survivors = Tables.documents(spark, dir)
       .filter(col("n_chars") > 0)
       .withColumn("priority", -log(u) / col("n_chars"))
       .orderBy(asc("priority"), asc("doc_id")).limit(WeightedSampleK)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(asc("priority"), asc("doc_id"))))
-      .select(col("rank"), col("doc_id"), col("n_chars").as("weight"),
+    DistributedRank.withGlobalRank(survivors, "rank_l",
+        asc("priority"), asc("doc_id"))
+      .select(col("rank_l").cast("int").as("rank"), col("doc_id"),
+        col("n_chars").as("weight"),
         round(col("priority"), 8).as("priority"))
       .orderBy("rank")
   }

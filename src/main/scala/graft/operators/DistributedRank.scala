@@ -61,6 +61,47 @@ object DistributedRank {
     sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
+  /** Appends an EXCLUSIVE running max of `valueCol` (LongType) under
+    * `order` — the value a `max(...) over (ORDER BY ... RANGE BETWEEN
+    * UNBOUNDED PRECEDING AND -1)` frame yields on a table whose order
+    * keys are UNIQUE (each row sees the max of all strictly-earlier
+    * rows; the first row gets NULL). Same two-job shape as
+    * [[withRunningTotal]]: per-partition maxes are #partitions scalars
+    * on the driver, never data-sized. */
+  private[graft] def withRunningMaxExclusive(df: DataFrame,
+      valueCol: String, outCol: String, order: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partMaxes = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m = Option.empty[Long]
+      it.foreach(r => m = Some(m.fold(r.getLong(valIdx))(
+        math.max(_, r.getLong(valIdx)))))
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(i) = max over partitions 0..i-1 (None when empty)
+    val offsets = partMaxes.scanLeft(Option.empty[Long]) { (acc, m) =>
+      (acc, m) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        val out = acc.map(Long.box).orNull
+        acc = Some(acc.fold(row.getLong(valIdx))(
+          math.max(_, row.getLong(valIdx))))
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
   /** EXACT `ntile(k)` (SQL size rule: with n rows the first n % k
     * tiles hold n/k + 1 rows) derived from [[withGlobalRank]] plus one
     * broadcast scalar count — bit-identical to the window `ntile` it

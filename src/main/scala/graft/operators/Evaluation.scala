@@ -146,14 +146,15 @@ object Evaluation {
     * reporting its size, positive count, positive rate, mean score
     * and lift over the global rate. A well-ranking score shows a
     * monotone curve; AUC alone cannot show WHERE the ranking is
-    * miscalibrated. The ntile window runs over the user-grain profile
-    * (never events); every rate/lift is a single division of exact
-    * integers. */
+    * miscalibrated. Deciles come from [[DistributedRank.withNtile]]
+    * over the user-grain profile (bit-identical to the SQL `ntile`
+    * it replaces, but range-partitioned — no single-task global
+    * window even as users grow with the corpus); every rate/lift is
+    * a single division of exact integers. */
   def q213ReliabilityCurve(spark: SparkSession, dir: String): DataFrame = {
     val users = scoredUsers(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cents").desc, col("user_id"))
-    val binned = users.withColumn("decile", ntile(10).over(w))
+    val binned = DistributedRank.withNtile(users, 10, "decile",
+        col("cents").desc, col("user_id").asc)
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("label")).as("n_pos"),
         sum(col("cents")).as("cents"))

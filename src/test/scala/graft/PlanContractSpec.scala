@@ -247,11 +247,6 @@ object PlanContract {
     "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
     "q279_otsu_threshold" ->
       "distinct-spend profile cumulative + full-frame totals",
-    "q213_reliability_curve" -> "user-grain spend profile ntile",
-    "q192_skyline" -> "part-dimension price/size profile",
-    "q62_ntile" -> "supplier-dimension revenue profile",
-    "q130_token_budget_select" -> "doc-grain quality profile",
-    "q112_weighted_sample" -> "doc-grain weight profile",
     "q21_window_analytic" -> "aggregate-fact profile (≤ 192 rows)",
     "q61_range_frame" -> "daily revenue series (calendar-bounded)",
     "q82_funnel" -> "3-row funnel step table",
@@ -261,11 +256,8 @@ object PlanContract {
     "q120_hybrid_rrf" -> "top-k retrieval arm tables (≤ k rows)",
     "q150_temperature_mix" -> "language-grain rate table",
     "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
-    "q193_rank_delta" -> "part-dimension per-half rank profiles",
     "q235_km_survival" ->
       "lifetime-day spine (≤ observed-span rows): at-risk + KM product",
-    "q237_isotonic_calibrate" ->
-      "user-grain spend profile ntile + 10-row bin prefix sums",
     "q259_hill_tail" ->
       "top-(k_max+1) TakeOrdered head (≤ 201 rows): order-statistic ranks",
     "q260_rank_overlap" ->
