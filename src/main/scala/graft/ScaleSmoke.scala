@@ -17,6 +17,7 @@ object ScaleSmoke {
   private val SrcDir = "/root/testdata/sf0.1"
   private val OutDir = "/tmp/graft_sfx1"
   private val DimDir = "/tmp/graft_sfdim"
+  private val UsrDir = "/tmp/graft_sfusr"
   private val Copies = 10
 
   private def replicate(spark: SparkSession, table: String,
@@ -93,12 +94,64 @@ object ScaleSmoke {
     println(s"[scale] built $DimDir")
   }
 
+  /** User-growth dataset (VERDICT r11 #5): the five round-11 queries
+    * keyed on events.user_id (cohorts, holdout, session paths, LTV,
+    * pseudonymization) are stressed by USER-DIMENSION growth, which
+    * neither pseudo-sf1 (10× events per user, users constant) nor the
+    * customer/part dim build (events copied unchanged) exercises.
+    * Here events replicate with user_id AND event_id both shifted —
+    * 10× users as NEW identities, per-user history constant — so a
+    * per-user window grows its partition COUNT, not partition size,
+    * and user-profile tables grow 10×. All other tables copy as-is. */
+  def buildUsr(spark: SparkSession): Unit = {
+    replicate(spark, "events",
+        Seq("event_id" -> 100000000L, "user_id" -> 100000000L))
+      .write.mode("overwrite").parquet(s"$UsrDir/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$SrcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$UsrDir/$t.parquet")
+    }
+    println(s"[scale] built $UsrDir")
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
     val only = args.drop(1).toSet
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "dimbuild") buildDim(spark)
+    if (mode == "usrbuild") buildUsr(spark)
+    if (mode == "usrrun") {
+      val usrQueries = Seq("q349_cohort_retention", "q351_temporal_holdout",
+        "q355_session_paths", "q359_ltv_curve", "q361_pseudonymize_audit",
+        // user-grain ntile/profile queries rewritten onto
+        // DistributedRank this round — same stress axis
+        "q213_reliability_curve", "q237_isotonic_calibrate")
+        .filter(n => only.isEmpty || only(n))
+      usrQueries.foreach { n =>
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(e) =>
+          println(s"[scale] warmup $n failed: ${e.getMessage}")
+        }
+      }
+      usrQueries.foreach { name =>
+        Seq(SrcDir -> "sf0.1", UsrDir -> "sfusr").foreach {
+          case (dir, label) =>
+            graft.sources.DfCache.clear(spark)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              val dt = (System.nanoTime() - t0) / 1e9
+              println(f"[scale] $name $label: $dt%.2f s")
+            } catch { case e: Throwable =>
+              println(s"[scale] $name $label FAILED: ${e.getMessage}")
+            }
+        }
+      }
+    }
     if (mode == "dimrun") {
       // the queries whose cost is keyed to customer/part dimension
       // size — the axis pseudo-sf1 cannot stress
