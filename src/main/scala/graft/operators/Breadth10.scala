@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** [EXT] round-12 breadth: Dirichlet-smoothed query-likelihood
+  * retrieval (q374), a mergeable log-bucket quantile sketch with a
+  * real merge-parity proof (q375), a compaction planner on the
+  * distributed prefix-sum primitive (q376), and a selectivity-ordered
+  * join-order advisor (q377). */
+object Breadth10 {
+
+  /** q374 Dirichlet pseudo-count μ (declared smoothing policy). */
+  private[graft] val QlMu = 100L
+
+  /** q374 — QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing
+    * (Zhai & Lafferty; see PAPERS.md): score(d) = Σ_w∈Q ln((tf_{w,d}
+    * + μ·ctf_w/T) / (dl_d + μ)) — the language-modeling complement of
+    * q96's BM25 (tf-saturation heuristic) and q111's per-doc
+    * surprisal (no query): EVERY document scores, absent terms paying
+    * the collection-probability floor, which is what makes LM
+    * retrieval robust for short queries. Query = the corpus's top-3
+    * terms by (df DESC, word), the q96 data-derived convention.
+    *
+    * Exactness: each per-term log is ln of a single division of exact
+    * BIGINTs ((tf·T + μ·ctf) / ((dl+μ)·T)), micro-quantized to BIGINT
+    * per term BEFORE the per-doc sum (the q169/q198 fold discipline —
+    * no float ever crosses rows), with the parenthesization mirrored
+    * verbatim in the oracle.
+    *
+    * Scale shape: the per-(doc, term) frame is |docs|·|Q| rows built
+    * from one doc-length profile × a broadcast 3-row query table,
+    * left-joined to the query terms' postings (a term-keyed slice of
+    * the cached [[TextOps.termFreqs]] table); global top-20 via
+    * TakeOrderedAndProject, rank over the 20 survivors via
+    * [[DistributedRank.withGlobalRank]] (plan stays window-free). */
+  def q374QueryLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    val tf = TextOps.termFreqs(spark, dir)
+    val docLen = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val ctf = tf.groupBy("word").agg(sum(col("tf")).as("ctf"))
+    val totals = ctf.agg(sum(col("ctf")).as("t_tokens"))
+    val qterms = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word")).limit(3)
+      .join(ctf, Seq("word")).select("word", "ctf")
+    val matched = tf.join(broadcast(qterms.select("word")), Seq("word"))
+    val scored = docLen.crossJoin(broadcast(qterms))
+      .join(matched, Seq("doc_id", "word"), "left")
+      .na.fill(0L, Seq("tf"))
+      .crossJoin(broadcast(totals))
+      .withColumn("s_micro", expr(
+        s"""cast(round(ln(cast(tf * t_tokens + $QlMu * ctf as double)
+           |  / cast((dl + $QlMu) * t_tokens as double)) * 1e6, 0)
+           |as bigint)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("s_micro")).as("score_micro"),
+        sum(col("tf")).as("n_matched_tokens"))
+    val top = scored.orderBy(desc("score_micro"), asc("doc_id")).limit(20)
+    DistributedRank.withGlobalRank(top, "rank_l",
+        desc("score_micro"), asc("doc_id"))
+      .select(col("rank_l").cast("int").as("rank"), col("doc_id"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("ql_score"),
+        col("n_matched_tokens"))
+      .orderBy("rank")
+  }
+
+  /** q375 sketch growth factor γ = 2^(1/8) and its derived boundary
+    * ladder (BIGINT cents, strictly increasing, covering 1 cent to
+    * 2^24 cents): b_i = rint(γ^i) dedup'd. Computed ONCE here and
+    * shipped to BOTH engines as the same literals (the q268 cos6
+    * discipline — never let two libms evaluate pow independently). */
+  private[graft] val DdGamma = math.pow(2.0, 0.125)
+  private[graft] val DdBounds: Seq[Long] =
+    Iterator.iterate(1.0)(_ * DdGamma).map(math.rint(_).toLong)
+      .takeWhile(_ <= (1L << 24)).toSeq.distinct
+  /** Guaranteed relative error α = (γ−1)/(γ+1) of a γ-log-bucket
+    * sketch (DDSketch, Masson et al.; see PAPERS.md) — the bound the
+    * GEOMETRIC-MIDPOINT estimator 2·b/(γ+1) attains (the upper
+    * boundary alone is only within γ−1). [[DdMids]] pins the midpoint
+    * ladder as literals alongside the boundaries; integer rounding of
+    * a midpoint adds ≤ 0.5 cents of absolute slack. */
+  private[graft] val DdAlpha = (DdGamma - 1.0) / (DdGamma + 1.0)
+  private[graft] val DdMids: Seq[Long] =
+    DdBounds.map(b => math.rint(2.0 * b / (DdGamma + 1.0)).toLong)
+  private[graft] val DdPerMille = Seq(500, 950, 990)
+
+  /** q375 — MERGEABLE LOG-BUCKET QUANTILE SKETCH (DDSketch-style)
+    * over event value cents per type: bucket(c) = #{boundaries < c}
+    * (exact integer compares against the pinned [[DdBounds]] ladder),
+    * per-(type, bucket) counts, and the p50/p95/p99 estimates read
+    * from the cumulative bucket histogram with the q373 ceil-rank
+    * rule — each estimate is the bucket's pinned geometric midpoint
+    * ([[DdMids]]), within the declared relative error α of the true
+    * quantile. The 100 TB
+    * contrast with q373's EXACT ladder: the sketch is a fixed
+    * ≤|ladder|-row state per group, mergeable by count addition —
+    * the shape a streaming/partitioned aggregator keeps when a global
+    * ordinal pass is too expensive. `merge_lossless` PROVES the merge
+    * operation on this data: the sketch is built twice — once over
+    * all events, once as two independent half-sketches (event_id
+    * parity) merged by summing counts — and the two bucket tables
+    * must agree exactly (data-deterministic: exact integer counts,
+    * no physical dependence — see docs/DETERMINISM.md). */
+  def q375DdsketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val bArr = typedLit(DdBounds)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        pmod(col("event_id"), lit(2L)).as("half"))
+      .withColumn("bucket",
+        size(filter(bArr, b => b < col("cents"))))
+    val direct = ev.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val mergedHalves = ev.groupBy("event_type", "bucket", "half")
+      .agg(count(lit(1)).as("hn"))
+      .groupBy("event_type", "bucket")
+      .agg(sum(col("hn")).as("n_merged"))
+    val mergeOk = direct.join(mergedHalves,
+        Seq("event_type", "bucket"), "full_outer")
+      .groupBy("event_type")
+      .agg(expr("bool_and(coalesce(n, -1L) = coalesce(n_merged, -2L))")
+        .as("merge_lossless"))
+    val wCum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = direct.withColumn("cum", sum(col("n")).over(wCum))
+    val totals = direct.groupBy("event_type")
+      .agg(sum(col("n")).as("n_total"))
+    cum.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("n"), col("cum"),
+        col("n_total"),
+        explode(typedLit(DdPerMille)).as("per_mille"))
+      .withColumn("target", expr("(per_mille * n_total + 999) div 1000"))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("n") < col("target"))
+      .join(mergeOk, Seq("event_type"))
+      .select(col("event_type"), col("per_mille"), col("bucket"),
+        element_at(typedLit(DdMids), col("bucket") + 1).as("est_cents"),
+        round(element_at(typedLit(DdMids), col("bucket") + 1)
+          .cast("double") / 100.0, 2).as("est_dollars"),
+        col("n_total"),
+        round(lit(DdAlpha), 6).as("rel_err_bound"),
+        col("merge_lossless"))
+      .orderBy("event_type", "per_mille")
+  }
+
+  /** q376 packing target (1 MiB planning unit — small enough that the
+    * synthetic SFs produce multi-bin plans; at production scale the
+    * same pipeline runs with a 128 MiB target) and the declared
+    * per-row byte estimate. */
+  private[graft] val CompactTargetBytes = 1L << 20
+  private[graft] val CompactRowBytes = 128L
+
+  /** q376 — COMPACTION PLANNER: pack per-ship-day ingest volumes
+    * (rows × declared row width) into [[CompactTargetBytes]]-target
+    * output files by SIZE-DESCENDING sequential packing — sort days
+    * by estimated bytes desc, take the distributed running total
+    * ([[DistributedRank.withRunningTotal]] — per-partition prefix
+    * sums, #partitions driver scalars), and cut a new bin every time
+    * the running total crosses a target boundary (bin = start-offset
+    * div target). The small-files problem this plans away is the
+    * canonical 100 TB ingest pathology (q199's manifest SHOWS the
+    * fragmentation; this emits the repack plan); descending order
+    * packs the heavy days first so only the tail bins mix many small
+    * days. Deterministic: sizes are exact integers, ties break by
+    * day; bins can overflow a target by less than one day's bytes
+    * (documented NFD-style contiguous packing, not bin-perfect FFD —
+    * the single-sorted-pass plan a distributed compactor actually
+    * executes). */
+  def q376CompactionPlanner(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg((count(lit(1)) * CompactRowBytes).as("est_bytes"))
+    DistributedRank.withRunningTotal(daily, "est_bytes", "cum",
+        desc("est_bytes"), asc("day"))
+      .withColumn("bin",
+        expr(s"(cum - est_bytes) div $CompactTargetBytes"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_days"), sum(col("est_bytes")).as("bytes"),
+        min(col("day")).as("heaviest_day"))
+      .select(col("bin"), col("n_days"), col("bytes"),
+        round(col("bytes").cast("double") / CompactTargetBytes, 6)
+          .as("fill_ratio"),
+        col("heaviest_day"))
+      .orderBy("bin")
+  }
+
+  /** q377 declared dimension filters (pinned advisor inputs). */
+  private[graft] val AdvisorPartMaxSize = 15
+  private[graft] val AdvisorSuppMaxNation = 11
+  private[graft] val AdvisorOrderPriority = "1-URGENT"
+
+  /** q377 — JOIN-ORDER ADVISOR: for a star query over lineitem with
+    * declared filters on part / supplier / orders, measure each
+    * dimension's exact filter selectivity and emit the
+    * most-selective-first join order with the estimated fact
+    * cardinality after each join prefix (independence assumption —
+    * the System-R heuristic Catalyst's cost-based reorder implements;
+    * this makes the estimate INSPECTABLE next to the true final
+    * cardinality, which is the advisor's calibration column). The
+    * estimate folds left-to-right in doubles with the multiplication
+    * order pinned by position and mirrored verbatim in the oracle;
+    * selectivities order by exact integer ppm with a name tie-break.
+    *
+    * Scale shape: three dimension-profile aggregates (1 row each), a
+    * 3-row collect fold, and ONE real filtered star join for the
+    * calibration count — dimension filters push to the dim scans and
+    * the joins broadcast the filtered dims. */
+  def q377JoinOrderAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, df: DataFrame,
+        pred: org.apache.spark.sql.Column): DataFrame =
+      df.agg(lit(name).as("dim_name"), count(lit(1)).as("dim_rows"),
+        sum(when(pred, 1L).otherwise(0L)).as("dim_filtered"))
+    val prof =
+      profile("part", Tables.part(spark, dir),
+          col("p_size") <= AdvisorPartMaxSize)
+        .unionByName(profile("supplier", Tables.supplier(spark, dir),
+          col("s_nationkey") <= AdvisorSuppMaxNation))
+        .unionByName(profile("orders", Tables.orders(spark, dir),
+          col("o_orderpriority") === AdvisorOrderPriority))
+        .withColumn("sel_ppm",
+          expr("dim_filtered * 1000000L div dim_rows"))
+    val nFact = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_fact"))
+    val actual = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir)
+          .filter(col("p_size") <= AdvisorPartMaxSize),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir)
+          .filter(col("s_nationkey") <= AdvisorSuppMaxNation),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === AdvisorOrderPriority),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_final_rows"))
+    prof
+      .agg(expr("array_sort(collect_list(struct(sel_ppm, dim_name, " +
+        "dim_rows, dim_filtered)))").as("a"))
+      .crossJoin(broadcast(nFact))
+      .crossJoin(broadcast(actual))
+      .select(col("n_fact"), col("actual_final_rows"), expr(
+        """inline(transform(a, (s, i) -> struct(
+          |  cast(i + 1 as int) AS position, s.dim_name AS dim_name,
+          |  s.dim_rows AS dim_rows, s.dim_filtered AS dim_filtered,
+          |  s.sel_ppm AS sel_ppm,
+          |  round(aggregate(slice(a, 1, i + 1), cast(n_fact as double),
+          |    (acc, t) -> acc * (cast(t.dim_filtered as double)
+          |                       / cast(t.dim_rows as double))), 2)
+          |    AS est_rows_after)))""".stripMargin))
+      .select(col("position"), col("dim_name"), col("dim_rows"),
+        col("dim_filtered"), col("sel_ppm"), col("est_rows_after"),
+        col("actual_final_rows"))
+      .orderBy("position")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_query_likelihood" -> (q374QueryLikelihood _),
+    "q375_ddsketch_quantiles" -> (q375DdsketchQuantiles _),
+    "q376_compaction_planner" -> (q376CompactionPlanner _),
+    "q377_join_order_advisor" -> (q377JoinOrderAdvisor _))
+
+  val oracles: Map[String, String] = Map(
+    "q374_query_likelihood" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |ctf AS (SELECT word, CAST(sum(tf) AS BIGINT) AS ctf
+        |        FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_tokens FROM ctf),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |q AS (SELECT d.word, c.ctf FROM dfq d JOIN ctf c USING (word)
+        |      ORDER BY d.df DESC, d.word LIMIT 3),
+        |scored AS (
+        |  SELECT dl.doc_id,
+        |         CAST(sum(CAST(round(ln(
+        |             CAST(coalesce(m.tf, 0) * t.t_tokens
+        |                  + $QlMu * q.ctf AS DOUBLE)
+        |             / CAST((dl.dl + $QlMu) * t.t_tokens AS DOUBLE))
+        |           * 1e6, 0) AS BIGINT)) AS BIGINT) AS score_micro,
+        |         CAST(sum(coalesce(m.tf, 0)) AS BIGINT)
+        |           AS n_matched_tokens
+        |  FROM dl CROSS JOIN q CROSS JOIN tot t
+        |  LEFT JOIN tf m ON m.doc_id = dl.doc_id AND m.word = q.word
+        |  GROUP BY 1),
+        |top AS (SELECT * FROM scored
+        |        ORDER BY score_micro DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+        |            AS INTEGER) AS rank,
+        |       doc_id,
+        |       round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS ql_score,
+        |       n_matched_tokens
+        |FROM top ORDER BY rank""".stripMargin,
+    "q375_ddsketch_quantiles" -> {
+      val lst = DdBounds.mkString("[", ", ", "]")
+      val mids = DdMids.mkString("[", ", ", "]")
+      val pm = DdPerMille.mkString("[", ", ", "]")
+      val alpha6 = BigDecimal(DdAlpha).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |         event_id % 2 AS half
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_type, half,
+        |         CAST(len(list_filter($lst, b -> b < cents))
+        |              AS INTEGER) AS bucket
+        |  FROM ev),
+        |direct AS (SELECT event_type, bucket,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM bk GROUP BY 1, 2),
+        |halves AS (SELECT event_type, bucket, half,
+        |                  CAST(count(*) AS BIGINT) AS hn
+        |           FROM bk GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, bucket,
+        |                  CAST(sum(hn) AS BIGINT) AS n_merged
+        |           FROM halves GROUP BY 1, 2),
+        |mok AS (SELECT coalesce(d.event_type, m.event_type)
+        |                 AS event_type,
+        |               bool_and(coalesce(d.n, -1) = coalesce(m.n_merged,
+        |                 -2)) AS merge_lossless
+        |        FROM direct d FULL JOIN merged m
+        |          ON d.event_type = m.event_type AND d.bucket = m.bucket
+        |        GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, bucket, n,
+        |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY
+        |           bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         CAST(sum(n) OVER (PARTITION BY event_type)
+        |              AS BIGINT) AS n_total
+        |  FROM direct),
+        |pts AS (
+        |  SELECT c.event_type, c.bucket, c.n, c.cum, c.n_total,
+        |         unnest($pm) AS per_mille
+        |  FROM cum c)
+        |SELECT p.event_type, CAST(p.per_mille AS INTEGER) AS per_mille,
+        |       p.bucket,
+        |       CAST(($mids)[p.bucket + 1] AS BIGINT) AS est_cents,
+        |       round(CAST(($mids)[p.bucket + 1] AS DOUBLE) / 100.0, 2)
+        |         AS est_dollars,
+        |       p.n_total, $alpha6 AS rel_err_bound,
+        |       mok.merge_lossless
+        |FROM pts p JOIN mok ON mok.event_type = p.event_type
+        |WHERE p.cum >= (p.per_mille * p.n_total + 999) // 1000
+        |  AND p.cum - p.n < (p.per_mille * p.n_total + 999) // 1000
+        |ORDER BY p.event_type, per_mille""".stripMargin
+    },
+    "q376_compaction_planner" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(count(*) * $CompactRowBytes AS BIGINT) AS est_bytes
+        |  FROM lineitem GROUP BY 1),
+        |packed AS (
+        |  SELECT day, est_bytes,
+        |         CAST(sum(est_bytes) OVER (ORDER BY est_bytes DESC, day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM daily)
+        |SELECT (cum - est_bytes) // $CompactTargetBytes AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(est_bytes) AS BIGINT) AS bytes,
+        |       round(CAST(sum(est_bytes) AS DOUBLE)
+        |             / $CompactTargetBytes, 6) AS fill_ratio,
+        |       min(day) AS heaviest_day
+        |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q377_join_order_advisor" ->
+      s"""WITH prof AS (
+        |  SELECT 'part' AS dim_name, CAST(count(*) AS BIGINT)
+        |           AS dim_rows,
+        |         CAST(sum(CASE WHEN p_size <= $AdvisorPartMaxSize
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS dim_filtered
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN s_nationkey <= $AdvisorSuppMaxNation
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o_orderpriority =
+        |                  '$AdvisorOrderPriority'
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders),
+        |ord AS (
+        |  SELECT *, dim_filtered * 1000000 // dim_rows AS sel_ppm,
+        |         CAST(row_number() OVER (ORDER BY
+        |           dim_filtered * 1000000 // dim_rows, dim_name)
+        |           AS INTEGER) AS position
+        |  FROM prof),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_fact FROM lineitem),
+        |act AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS actual_final_rows
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |             AND p.p_size <= $AdvisorPartMaxSize
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND s.s_nationkey <= $AdvisorSuppMaxNation
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             AND o.o_orderpriority = '$AdvisorOrderPriority'),
+        |sel AS (
+        |  SELECT position,
+        |         CAST(dim_filtered AS DOUBLE) / CAST(dim_rows AS DOUBLE)
+        |           AS s
+        |  FROM ord)
+        |SELECT o.position, o.dim_name, o.dim_rows, o.dim_filtered,
+        |       CAST(o.sel_ppm AS BIGINT) AS sel_ppm,
+        |       round(CASE o.position
+        |         WHEN 1 THEN CAST(nf.n_fact AS DOUBLE)
+        |           * (SELECT s FROM sel WHERE position = 1)
+        |         WHEN 2 THEN (CAST(nf.n_fact AS DOUBLE)
+        |           * (SELECT s FROM sel WHERE position = 1))
+        |           * (SELECT s FROM sel WHERE position = 2)
+        |         ELSE ((CAST(nf.n_fact AS DOUBLE)
+        |           * (SELECT s FROM sel WHERE position = 1))
+        |           * (SELECT s FROM sel WHERE position = 2))
+        |           * (SELECT s FROM sel WHERE position = 3)
+        |       END, 2) AS est_rows_after,
+        |       act.actual_final_rows
+        |FROM ord o CROSS JOIN nf CROSS JOIN act
+        |ORDER BY o.position""".stripMargin)
+}

@@ -129,7 +129,7 @@ object TextOps {
     * q87 (entropy), and q96 (BM25), cached per (session, dir) like the
     * Dedup shingle table: the tokenize-explode-aggregate pass over the
     * corpus is the dominant cost of every consumer. */
-  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def termFreqs(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DfCache.df(spark, s"term_freqs|$dir")(
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
