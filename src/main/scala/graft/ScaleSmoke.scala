@@ -340,7 +340,11 @@ object ScaleSmoke {
         "q366_grouped_median", "q367_penny_proration",
         "q368_revenue_recognition", "q369_open_order_aging",
         "q370_abc_classification", "q371_duplicate_invoice",
-        "q372_horizon_audit", "q373_quantile_ladder")
+        "q372_horizon_audit", "q373_quantile_ladder",
+        // round-12 additions + the DistributedRank rewrites
+        "q374_query_likelihood", "q375_ddsketch_quantiles",
+        "q376_compaction_planner", "q377_join_order_advisor",
+        "q62_ntile")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

@@ -156,27 +156,24 @@ object Breadth8 {
           greatest(col("d1"), col("month"))) + 1).cast("long"))
       .withColumn("base", expr("cents * days div total_days"))
       .withColumn("rem", expr("(cents * days) % total_days"))
-    // Largest-remainder allocation as ONE hash-aggregate fold per
-    // line group instead of two Window passes (row_number + sum over
-    // the same partition compiled to two sort-based Window nodes —
-    // the suite's slowest plan at 9.69s in r11): collect the ≤7
-    // month rows (bounded by [[RecognitionHorizonDays]]), sort by
-    // (rem desc, month asc) via the struct's natural order on
-    // (-rem, month), and hand the i-th ranked month a penny while
-    // i < shortfall. Identical arithmetic, hash unchanged.
+    // Largest-remainder allocation in ONE WindowExec: rank and
+    // partition-total share the same (partition, order) spec — the
+    // rank's ROW frame and the total's UNBOUNDED frame compile into a
+    // single window node over one shuffle + one sort (r11 ran two
+    // Window passes, 3.86→19.03s at 10×; a collect_list fold measured
+    // WORSE, 7.2→42s — object aggregation beats codegen'd window
+    // processing at no point on this shape). Arithmetic unchanged.
+    val wOrd = Window.partitionBy("l_orderkey", "l_linenumber", "ship")
+      .orderBy(col("rem").desc, col("month").asc)
     val alloc = monthly
-      .groupBy("l_orderkey", "l_linenumber", "ship")
-      .agg(max(col("cents")).as("cents"),
-        collect_list(struct((-col("rem")).as("nr"),
-          col("month").as("month"), col("base").as("base"))).as("ms"))
-      .withColumn("short",
-        expr("cents - aggregate(ms, 0L, (acc, x) -> acc + x.base)"))
-      .select(explode(expr(
-        """transform(array_sort(ms), (x, i) -> struct(
-          |  x.month AS month,
-          |  x.base + (CASE WHEN i < short THEN 1L ELSE 0L END)
-          |    AS rec))""".stripMargin)).as("s"))
-      .select(col("s.month").as("month"), col("s.rec").as("rec"))
+      .withColumn("rem_rank", row_number().over(wOrd))
+      .withColumn("part_base", sum(col("base")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("rec",
+        col("base") + when(
+          col("rem_rank") <= col("cents") - col("part_base"), 1L)
+          .otherwise(0L))
     val byMonth = alloc.groupBy(date_format(col("month"), "yyyy-MM")
         .as("month"))
       .agg(sum(col("rec")).as("recognized_cents"),
