@@ -344,7 +344,9 @@ object ScaleSmoke {
         // round-12 additions + the DistributedRank rewrites
         "q374_query_likelihood", "q375_ddsketch_quantiles",
         "q376_compaction_planner", "q377_join_order_advisor",
-        "q62_ntile")
+        "q378_cell_suppression", "q379_retention_sweep",
+        "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
+        "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+
         // q148 is the recall contract (recomputes brute ground truth);
         // time the incremental serving path itself

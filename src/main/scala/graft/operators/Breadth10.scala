@@ -272,11 +272,106 @@ object Breadth10 {
       .orderBy("position")
   }
 
+  /** q378 small-cell threshold (the statistical-disclosure "rule of
+    * five") . */
+  private[graft] val SuppressK = 5L
+
+  /** q378 — SMALL-CELL SUPPRESSION with one-round complementary
+    * protection: the (nation × segment) purchasing-customer/revenue
+    * table is published with PRIMARY suppression of cells under
+    * [[SuppressK]] customers, then — because row and column totals
+    * are published too — any line left with EXACTLY ONE suppressed
+    * cell gets its smallest unsuppressed cell suppressed as a
+    * COMPLEMENT (rows first, then columns; a single declared round,
+    * deterministic (n, key) pick — the greedy a disclosure-control
+    * office actually runs, not the NP-hard exact audit). Extends
+    * q216's k-anonymity (which grades the quasi-id classes) to the
+    * RELEASE side: what a safe publication of this table looks like.
+    *
+    * Scale shape: one fact fold to the ≤ |nations|·|segments| cell
+    * profile; both passes are windows PARTITIONED by an enum key. */
+  def q378CellSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("n_name").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(countDistinct(col("c_custkey")).as("n_custs"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .as("cents"))
+      .withColumn("primary_sup", col("n_custs") < SuppressK)
+    val wRow = Window.partitionBy("nation")
+    val wRowPick = Window.partitionBy("nation")
+      .orderBy(col("n_custs").asc, col("segment").asc)
+    val afterRow = cells
+      .withColumn("row_primaries",
+        sum(col("primary_sup").cast("long")).over(wRow))
+      .withColumn("row_pick", row_number().over(wRowPick) ===
+        sum(when(col("primary_sup"), 1L).otherwise(0L)).over(wRowPick)
+          + 1L)
+      .withColumn("row_comp", !col("primary_sup") &&
+        col("row_primaries") === 1L && col("row_pick"))
+      .drop("row_primaries", "row_pick")
+    val wCol = Window.partitionBy("segment")
+    val wColPick = Window.partitionBy("segment")
+      .orderBy(col("n_custs").asc, col("nation").asc)
+    val sup = col("primary_sup") || col("row_comp")
+    afterRow
+      .withColumn("col_suppressed", sum(sup.cast("long")).over(wCol))
+      .withColumn("col_pick", row_number().over(wColPick) ===
+        sum(when(sup, 1L).otherwise(0L)).over(wColPick) + 1L)
+      .withColumn("col_comp", !sup &&
+        col("col_suppressed") === 1L && col("col_pick"))
+      .select(col("nation"), col("segment"), col("n_custs"),
+        when(col("primary_sup"), "primary")
+          .when(col("row_comp"), "row_complement")
+          .when(col("col_comp"), "col_complement")
+          .otherwise("none").as("suppression"),
+        when(col("primary_sup") || col("row_comp") || col("col_comp"),
+          lit(null).cast("double"))
+          .otherwise(round(col("cents").cast("double") / 100.0, 2))
+          .as("published_dollars"))
+      .orderBy("nation", "segment")
+  }
+
+  /** q379 retention horizon (days — declared policy). */
+  private[graft] val RetentionDays = 365
+
+  /** q379 — RETENTION-POLICY SWEEP: per event type, the events older
+    * than [[RetentionDays]] before the corpus's latest timestamp —
+    * count, share, and estimated reclaim bytes (declared row width) —
+    * the age-based deletion worklist that complements q215/q361's
+    * subject-keyed erasure (GDPR storage-limitation vs
+    * right-to-erasure are different sweeps). Exact integer date
+    * arithmetic; one enum-sized fold of the scan. */
+  def q379RetentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+    val cutoff = broadcast(ev.agg(
+      date_sub(max(col("d")), RetentionDays).as("cutoff")))
+    ev.crossJoin(cutoff)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("d") < col("cutoff"), 1L).otherwise(0L))
+          .as("n_expired"),
+        max(col("cutoff")).as("cutoff"))
+      .select(col("event_type"), col("n_events"), col("n_expired"),
+        round(col("n_expired").cast("double") / col("n_events"), 6)
+          .as("expired_share"),
+        (col("n_expired") * 64L).as("est_reclaim_bytes"),
+        col("cutoff"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q374_query_likelihood" -> (q374QueryLikelihood _),
     "q375_ddsketch_quantiles" -> (q375DdsketchQuantiles _),
     "q376_compaction_planner" -> (q376CompactionPlanner _),
-    "q377_join_order_advisor" -> (q377JoinOrderAdvisor _))
+    "q377_join_order_advisor" -> (q377JoinOrderAdvisor _),
+    "q378_cell_suppression" -> (q378CellSuppression _),
+    "q379_retention_sweep" -> (q379RetentionSweep _))
 
   val oracles: Map[String, String] = Map(
     "q374_query_likelihood" ->
@@ -386,6 +481,73 @@ object Breadth10 {
         |             / $CompactTargetBytes, 6) AS fill_ratio,
         |       min(day) AS heaviest_day
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q378_cell_suppression" ->
+      s"""WITH cells AS (
+        |  SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+        |         CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_custs,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |base AS (SELECT *, n_custs < $SuppressK AS primary_sup
+        |         FROM cells),
+        |rowp AS (
+        |  SELECT *,
+        |    sum(CASE WHEN primary_sup THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY nation) AS row_primaries,
+        |    row_number() OVER (PARTITION BY nation
+        |      ORDER BY n_custs, segment) AS rn,
+        |    sum(CASE WHEN primary_sup THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY nation ORDER BY n_custs, segment
+        |            ROWS UNBOUNDED PRECEDING) AS pcum
+        |  FROM base),
+        |afterrow AS (
+        |  SELECT nation, segment, n_custs, cents, primary_sup,
+        |    (NOT primary_sup) AND row_primaries = 1 AND rn = pcum + 1
+        |      AS row_comp
+        |  FROM rowp),
+        |colp AS (
+        |  SELECT *,
+        |    sum(CASE WHEN primary_sup OR row_comp THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY segment) AS col_suppressed,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY n_custs, nation) AS cn,
+        |    sum(CASE WHEN primary_sup OR row_comp THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY segment ORDER BY n_custs, nation
+        |            ROWS UNBOUNDED PRECEDING) AS scum
+        |  FROM afterrow),
+        |fin AS (
+        |  SELECT *, (NOT (primary_sup OR row_comp))
+        |        AND col_suppressed = 1 AND cn = scum + 1 AS col_comp
+        |  FROM colp)
+        |SELECT nation, segment, n_custs,
+        |  CASE WHEN primary_sup THEN 'primary'
+        |       WHEN row_comp THEN 'row_complement'
+        |       WHEN col_comp THEN 'col_complement'
+        |       ELSE 'none' END AS suppression,
+        |  CASE WHEN primary_sup OR row_comp OR col_comp THEN NULL
+        |       ELSE round(CAST(cents AS DOUBLE) / 100.0, 2)
+        |  END AS published_dollars
+        |FROM fin ORDER BY nation, segment""".stripMargin,
+    "q379_retention_sweep" ->
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |cut AS (SELECT max(d) - $RetentionDays AS cutoff FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN d < (SELECT cutoff FROM cut)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        |       round(CAST(sum(CASE WHEN d < (SELECT cutoff FROM cut)
+        |                           THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS expired_share,
+        |       CAST(sum(CASE WHEN d < (SELECT cutoff FROM cut)
+        |                     THEN 1 ELSE 0 END) * 64 AS BIGINT)
+        |         AS est_reclaim_bytes,
+        |       (SELECT cutoff FROM cut) AS cutoff
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "q377_join_order_advisor" ->
       s"""WITH prof AS (
         |  SELECT 'part' AS dim_name, CAST(count(*) AS BIGINT)

@@ -194,12 +194,18 @@ object Contribution {
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
         count(lit(1)).as("n_events"))
-    val wA = Window.orderBy(col("cents").desc, col("user_id"))
-    val wB = Window.orderBy(col("n_events").desc, col("user_id"))
-    val ra = users.withColumn("ra", row_number().over(wA))
-      .filter(col("ra") <= RboDepth).select("user_id", "ra")
-    val rb = users.withColumn("rb", row_number().over(wB))
-      .filter(col("rb") <= RboDepth).select("user_id", "rb")
+    // top-depth per ranking via TakeOrdered + a bounded ordinal (the
+    // q112 recipe) — the old full-profile rank windows were single
+    // tasks over a user table that grows with the corpus
+    val ra = DistributedRank.withGlobalRank(
+        users.orderBy(col("cents").desc, col("user_id")).limit(RboDepth),
+        "ra_l", col("cents").desc, col("user_id").asc)
+      .select(col("user_id"), col("ra_l").cast("int").as("ra"))
+    val rb = DistributedRank.withGlobalRank(
+        users.orderBy(col("n_events").desc, col("user_id"))
+          .limit(RboDepth),
+        "rb_l", col("n_events").desc, col("user_id").asc)
+      .select(col("user_id"), col("rb_l").cast("int").as("rb"))
     val both = ra.join(rb, Seq("user_id"))
       .select(greatest(col("ra"), col("rb")).as("enter_d"))
     val w6Arr = s"array(${RboW6.mkString("L, ")}L)"
@@ -211,13 +217,17 @@ object Contribution {
       .withColumn("term_micro", expr(
         s"cast(round(element_at($w6Arr, cast(d as int)) * overlap" +
           " / cast(d as double), 0) as bigint)"))
-    val wCum = Window.orderBy("d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumulative over the [[RboDepth]]-row spine via the q359
+    // collect-fold (constant-bounded — keeps the plan window-free)
     terms
-      .withColumn("rbo_cum",
-        round(sum(col("term_micro")).over(wCum).cast("double") / 1e6, 6))
-      .select(col("d").cast("int").as("depth"), col("overlap"),
-        col("rbo_cum"))
+      .agg(expr("array_sort(collect_list(struct(d, overlap, " +
+        "term_micro)))").as("a"))
+      .select(expr(
+        """inline(transform(a, (s, i) -> struct(
+          |  cast(s.d as int) AS depth, s.overlap AS overlap,
+          |  round(cast(aggregate(slice(a, 1, i + 1), 0L,
+          |    (acc, t) -> acc + t.term_micro) as double) / 1e6, 6)
+          |    AS rbo_cum)))""".stripMargin))
       .orderBy("depth")
   }
 

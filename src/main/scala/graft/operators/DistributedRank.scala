@@ -37,25 +37,39 @@ object DistributedRank {
     * offset. No row ever crosses a single-task window; both jobs read
     * the same eagerly-checkpointed sorted frame. */
   private[graft] def withRunningTotal(df: DataFrame, valueCol: String,
-      outCol: String, order: Column*): DataFrame = {
+      outCol: String, order: Column*): DataFrame =
+    withRunningTotals(df, Seq(valueCol -> outCol), order: _*)
+
+  /** Multi-column [[withRunningTotal]]: all prefix sums ride ONE
+    * range-partition + sort + two jobs (the per-partition offset
+    * vector is #partitions × #columns scalars on the driver). */
+  private[graft] def withRunningTotals(df: DataFrame,
+      valueOutCols: Seq[(String, String)], order: Column*): DataFrame = {
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .localCheckpoint()
-    val valIdx = sorted.schema.fieldIndex(valueCol)
+    val valIdxs = valueOutCols.map(c => sorted.schema.fieldIndex(c._1))
+    val k = valIdxs.length
     val rdd = sorted.rdd
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(valIdx))
-      Iterator((i, s))
+      val s = Array.fill(k)(0L)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) { s(j) += r.getLong(valIdxs(j)); j += 1 }
+      }
+      Iterator((i, s.toSeq))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
+    val offsets = partSums.scanLeft(Seq.fill(k)(0L)) { (acc, s) =>
+      acc.zip(s).map { case (a, b) => a + b }
+    }
+    val schema = StructType(sorted.schema.fields ++
+      valueOutCols.map(c => StructField(c._2, LongType, nullable = false)))
     val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
+      val acc = offsets(i).toArray
       it.map { row =>
-        acc += row.getLong(valIdx)
-        Row.fromSeq(row.toSeq :+ acc)
+        var j = 0
+        while (j < k) { acc(j) += row.getLong(valIdxs(j)); j += 1 }
+        Row.fromSeq(row.toSeq ++ acc.toSeq)
       }
     }
     sorted.sparkSession.createDataFrame(indexed, schema)

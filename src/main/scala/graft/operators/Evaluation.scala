@@ -40,12 +40,12 @@ object Evaluation {
     val byScore = users.groupBy("cents")
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
-    val wBelow = Window.orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val terms = byScore
-      .withColumn("neg_below",
-        coalesce(sum(col("neg")).over(wBelow), lit(0L)))
-      .select((lit(2L) * col("pos") * col("neg_below") +
+    // exclusive prefix = inclusive distributed prefix sum − own value
+    // (DistributedRank: the distinct-score profile grows with users,
+    // so no single-task window over it)
+    val terms = DistributedRank.withRunningTotal(byScore, "neg",
+        "cum_neg", col("cents").asc)
+      .select((lit(2L) * col("pos") * (col("cum_neg") - col("neg")) +
         col("pos") * col("neg")).as("u2_term"),
         col("pos"), col("neg"))
     terms.agg(

@@ -47,19 +47,18 @@ object Evaluation2 {
       .groupBy("cents")
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
-    val wCum = Window.orderBy(col("cents").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // totals ride the SAME sorted pass as the cumulative (full-frame
-    // windows) — no second scan, no recomputed broadcast subtree
-    val wFull = Window.orderBy(col("cents").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = byScore
-      .select(col("pos"), col("neg"),
-        sum(col("pos")).over(wCum).as("cum_tp"),
-        sum(col("pos") + col("neg")).over(wCum).as("cum_all"),
-        sum(col("pos")).over(wFull).as("n_pos"),
-        sum(col("neg")).over(wFull).as("n_neg"),
-        count(lit(1)).over(wFull).as("n_thresholds"))
+    // both cumulatives ride ONE distributed prefix-sum pass over the
+    // distinct-score profile (it grows with users — no single-task
+    // window); totals ride as a broadcast scalar
+    val totals = broadcast(byScore.agg(sum(col("pos")).as("n_pos"),
+      sum(col("neg")).as("n_neg"),
+      count(lit(1)).as("n_thresholds")))
+    val cum = DistributedRank.withRunningTotals(
+        byScore.withColumn("all", col("pos") + col("neg")),
+        Seq("pos" -> "cum_tp", "all" -> "cum_all"), col("cents").desc)
+      .crossJoin(totals)
+      .select(col("pos"), col("neg"), col("cum_tp"), col("cum_all"),
+        col("n_pos"), col("n_neg"), col("n_thresholds"))
     cum
       .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
         when(col("n_pos") > 0, expr(

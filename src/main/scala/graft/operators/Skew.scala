@@ -155,19 +155,17 @@ object Skew {
       .groupBy("user_id")
       .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
     val byVal = spend.groupBy("cents").agg(count(lit(1)).as("cnt"))
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy("cents")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    val wFull = org.apache.spark.sql.expressions.Window.orderBy("cents")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .unboundedFollowing)
-    val cum = byVal.select(col("cents"),
-      sum(col("cnt")).over(wCum).as("n0"),
-      sum(col("cnt") * col("cents")).over(wCum).as("s0"),
-      sum(col("cnt")).over(wFull).as("n_all"),
-      sum(col("cnt") * col("cents")).over(wFull).as("s_all"))
+      .withColumn("w", col("cnt") * col("cents"))
+    // both prefix sums ride one distributed pass over the
+    // distinct-spend profile (grows with users — no single-task
+    // window); the grand totals ride as a broadcast scalar
+    val totals = broadcast(byVal.agg(sum(col("cnt")).as("n_all"),
+      sum(col("w")).as("s_all")))
+    val cum = DistributedRank.withRunningTotals(byVal,
+        Seq("cnt" -> "n0", "w" -> "s0"), col("cents").asc)
+      .crossJoin(totals)
+      .select(col("cents"), col("n0"), col("s0"), col("n_all"),
+        col("s_all"))
     cum.filter(col("n0") < col("n_all"))
       .withColumn("n1", col("n_all") - col("n0"))
       .withColumn("s1", col("s_all") - col("s0"))

@@ -357,6 +357,50 @@ object Streams {
       }
   }
 
+  /** Per-type DDSketch bucket-count state for [[runningDdsketch]]:
+    * one FIXED-width count vector (|ladder|+1 slots) per event type —
+    * the constant-size mergeable state that makes log-bucket sketches
+    * the streaming quantile answer (vs q373's exact ladder, which
+    * needs a global ordinal pass). */
+  case class DdSketchState(counts: Seq[Long])
+
+  /** Streaming twin of q375's DDSketch quantile histogram
+    * (VERDICT r11 stretch #8, the q252/CUSUM playbook): arriving
+    * (event_type, cents) rows fold incrementally into the per-type
+    * bucket counts under the SAME pinned boundary ladder
+    * ([[graft.operators.Breadth10.DdBounds]]); bucket(c) =
+    * #{boundaries < c} via binary search — exact integer compares, so
+    * state parity with the batch sketch is BIT-EXACT, not approximate
+    * (StreamingQuantileSpec pins it). Emits the full count vector per
+    * type per micro-batch; any quantile reads off the final state
+    * with the q373 ceil-rank rule exactly as q375 does. */
+  def runningDdsketch(values: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Seq[Long])] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sess = values.sparkSession
+    import sess.implicits._
+    val bounds = graft.operators.Breadth10.DdBounds.toArray
+    val width = bounds.length + 1
+    values.select(col("event_type"), col("cents").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DdSketchState, (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[(String, Long)],
+         state: GroupState[DdSketchState]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.fill(width)(0L))
+          rows.foreach { r =>
+            val i = java.util.Arrays.binarySearch(bounds, r._2)
+            // found: index == #smaller; missing: insertion point ==
+            // #smaller — both are exactly q375's bucket rule
+            counts(if (i >= 0) i else -(i + 1)) += 1L
+          }
+          state.update(DdSketchState(counts.toIndexedSeq))
+          (t, counts.toIndexedSeq)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the

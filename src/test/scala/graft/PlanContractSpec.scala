@@ -242,11 +242,7 @@ object PlanContract {
     "q301_water_filling" -> "source-grain supply profile (≤ |sources| rows)",
     "q330_growth_accounting" -> "weekly profile lag (≤ |weeks| rows)",
     "q306_cramers_v" -> "densified contingency profile (≤ 25×5 cells)",
-    "q205_ranking_auc" -> "distinct-score profile (≤ users rows)",
-    "q262_pr_auc" -> "distinct-score profile (≤ users rows)",
     "q273_source_overlap" -> "source-enum index (≤ |sources| rows)",
-    "q279_otsu_threshold" ->
-      "distinct-spend profile cumulative + full-frame totals",
     "q21_window_analytic" -> "aggregate-fact profile (≤ 192 rows)",
     "q61_range_frame" -> "daily revenue series (calendar-bounded)",
     "q82_funnel" -> "3-row funnel step table",
@@ -259,9 +255,7 @@ object PlanContract {
     "q235_km_survival" ->
       "lifetime-day spine (≤ observed-span rows): at-risk + KM product",
     "q259_hill_tail" ->
-      "top-(k_max+1) TakeOrdered head (≤ 201 rows): order-statistic ranks",
-    "q260_rank_overlap" ->
-      "user-grain profile rankings + 50-row depth-spine cumulative sum")
+      "top-(k_max+1) TakeOrdered head (≤ 201 rows): order-statistic ranks")
 
   /** All plan-contract violations for one query's physical plan,
     * INCLUDING subquery inner plans (VERDICT r09 #4): scalar/IN/EXISTS

@@ -93,6 +93,59 @@ class Round12Spec extends SparkTestBase {
       "every byte must land in exactly one bin")
   }
 
+  test("q378 suppression equals a sequential greedy replay and every " +
+      "multi-cell segment column ends 0-or-≥2 suppressed") {
+    val rows = Breadth10.q378CellSuppression(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getString(3))))
+    // sequential replay: cells, primary, row pass, column pass
+    val cells = rows.map { case ((n, s), (c, _)) => (n, s, c) }
+    var supp = cells.filter(_._3 < Breadth10.SuppressK)
+      .map(t => (t._1, t._2) -> "primary").toMap
+    cells.groupBy(_._1).foreach { case (nation, cs) =>
+      val sup = cs.filter(c => supp.contains((c._1, c._2)))
+      val open = cs.filterNot(c => supp.contains((c._1, c._2)))
+        .sortBy(c => (c._3, c._2))
+      if (sup.length == 1 && open.nonEmpty)
+        supp += (open.head._1, open.head._2) -> "row_complement"
+    }
+    cells.groupBy(_._2).foreach { case (segment, cs) =>
+      val sup = cs.filter(c => supp.contains((c._1, c._2)))
+      val open = cs.filterNot(c => supp.contains((c._1, c._2)))
+        .sortBy(c => (c._3, c._1))
+      if (sup.length == 1 && open.nonEmpty)
+        supp += (open.head._1, open.head._2) -> "col_complement"
+    }
+    rows.foreach { case (key, (_, reason)) =>
+      assert(supp.getOrElse(key, "none") == reason, s"cell $key")
+    }
+    assert(rows.exists(_._2._2 != "none"),
+      "fixture must actually exercise suppression")
+    // disclosure-safety law on the last pass: no multi-cell segment
+    // column ends with exactly one suppressed cell
+    rows.groupBy(_._1._2).foreach { case (seg, cs) =>
+      if (cs.length >= 2) {
+        val n = cs.count(_._2._2 != "none")
+        assert(n != 1, s"segment $seg left singly-suppressed")
+      }
+    }
+  }
+
+  test("q379 retention sweep equals a sequential recompute") {
+    val rows = Breadth10.q379RetentionSweep(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val cutoff = ev.map(_._2).max.minusDays(Breadth10.RetentionDays)
+    rows.foreach { r =>
+      val t = ev.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == t.length.toLong)
+      assert(r.getLong(2) == t.count(_._2.isBefore(cutoff)).toLong)
+      assert(r.getDate(5).toLocalDate == cutoff)
+    }
+    assert(rows.length == ev.map(_._1).distinct.length)
+  }
+
   test("q377 estimates follow the independence model and the actual " +
       "count matches a sequential filtered star join") {
     val rows = Breadth10.q377JoinOrderAdvisor(spark, sf).collect()
