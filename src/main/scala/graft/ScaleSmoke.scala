@@ -127,7 +127,10 @@ object ScaleSmoke {
         "q355_session_paths", "q359_ltv_curve", "q361_pseudonymize_audit",
         // user-grain ntile/profile queries rewritten onto
         // DistributedRank this round — same stress axis
-        "q213_reliability_curve", "q237_isotonic_calibrate")
+        "q213_reliability_curve", "q237_isotonic_calibrate",
+        // round-12 DistributedRank rewrites over user-grain profiles
+        "q205_ranking_auc", "q262_pr_auc", "q279_otsu_threshold",
+        "q260_rank_overlap")
         .filter(n => only.isEmpty || only(n))
       usrQueries.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
