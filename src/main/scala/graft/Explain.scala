@@ -148,6 +148,20 @@ object Explain {
                                 // ≤7-row per-unit windows
     "q370_abc_classification", // distributed prefix sum: 2 jobs over
                                // one checkpointed sorted frame
+    "q373_quantile_ladder",  // one ordinal pass + broadcast-scalar
+                             // rank filters per ladder point
+    "q374_query_likelihood", // doc-length profile × broadcast 3-term
+                             // query; left join to term postings;
+                             // TakeOrdered 20 + bounded ordinal
+    "q375_ddsketch_quantiles", // octave bitlen + ≤8 pinned compares
+                               // per row; ≤ladder-row histograms
+    "q376_compaction_planner", // day profile → distributed running
+                               // total → bin div; output = plan grain
+    "q377_join_order_advisor", // three 1-row dim profiles + one real
+                               // broadcast-dim star join (calibration)
+    "q378_cell_suppression", // fact fold → enum cell profile; both
+                             // passes enum-partitioned windows
+    "q379_retention_sweep",  // one enum-sized conditional fold
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)
