@@ -162,6 +162,8 @@ object Explain {
     "q378_cell_suppression", // fact fold → enum cell profile; both
                              // passes enum-partitioned windows
     "q379_retention_sweep",  // one enum-sized conditional fold
+    "q380_quantile_trajectory", // day×bucket dense profile; two
+                                // partition-bounded cumulative windows
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)

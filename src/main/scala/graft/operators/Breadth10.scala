@@ -9,8 +9,11 @@ import graft.sources.Tables
 /** [EXT] round-12 breadth: Dirichlet-smoothed query-likelihood
   * retrieval (q374), a mergeable log-bucket quantile sketch with a
   * real merge-parity proof (q375), a compaction planner on the
-  * distributed prefix-sum primitive (q376), and a selectivity-ordered
-  * join-order advisor (q377). */
+  * distributed prefix-sum primitive (q376), a selectivity-ordered
+  * join-order advisor (q377), small-cell suppression with one-round
+  * complementary protection (q378), a retention-policy sweep (q379),
+  * and the incremental day-prefix quantile trajectory built by
+  * operational sketch merges (q380). */
 object Breadth10 {
 
   /** q374 Dirichlet pseudo-count μ (declared smoothing policy). */
@@ -365,7 +368,67 @@ object Breadth10 {
       .orderBy("event_type")
   }
 
+  /** q380 trajectory per-mille point (p95). */
+  private[graft] val TrajPerMille = 950L
+
+  /** q380 — INCREMENTAL QUANTILE TRAJECTORY: the p95 of event value
+    * over every DAY-PREFIX of the stream, computed by MERGING the
+    * per-day DDSketch bucket histograms (count addition — the
+    * mergeability q375 proves once, exercised here as |days|
+    * operational prefix merges; the batch companion of the
+    * `runningDdsketch` streaming twin, the q226 incremental-KMV
+    * pattern applied to quantiles). This is the dashboard "has the
+    * tail moved?" readout a 100 TB pipeline keeps WITHOUT any
+    * re-scan: day d's sketch is yesterday's state plus one day-sized
+    * delta.
+    *
+    * Exactness: bucketing is the q375 octave rule (exact integer
+    * compares against the pinned ladder); prefix merges are exact
+    * count additions via a bucket-partitioned cumulative window
+    * (partitions bounded by the month count); the read-off is the
+    * q373 ceil-rank rule on each month's merged histogram. */
+  def q380QuantileTrajectory(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .withColumn("k", (length(expr("bin(cents)")) - 1).cast("int"))
+      .withColumn("bucket",
+        element_at(typedLit(DdOctaveBase), col("k") + 1) +
+          size(filter(element_at(typedLit(DdOctaveBounds), col("k") + 1),
+            b => b < col("cents"))))
+      .groupBy("day", "bucket").agg(count(lit(1)).as("n"))
+    // prefix-merge: cumulative count per bucket over days
+    val wMerge = Window.partitionBy("bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = daily
+      // densify: every bucket must appear in every day ≥ its first
+      // occurrence for the cumulative to carry — join the observed
+      // bucket set to the observed day spine and zero-fill
+      .select(col("day")).distinct()
+      .crossJoin(broadcast(daily.select(col("bucket")).distinct()))
+      .join(daily, Seq("day", "bucket"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum_n", sum(col("n")).over(wMerge))
+      .filter(col("cum_n") > 0)
+    val wRead = Window.partitionBy("day").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("run", sum(col("cum_n")).over(wRead))
+      .withColumn("n_cum", sum(col("cum_n")).over(
+        Window.partitionBy("day")))
+      .withColumn("target",
+        expr(s"($TrajPerMille * n_cum + 999) div 1000"))
+      .filter(col("run") >= col("target") &&
+        col("run") - col("cum_n") < col("target"))
+      .select(col("day"), col("n_cum"), col("bucket"),
+        element_at(typedLit(DdMids), col("bucket") + 1).as("p95_cents"),
+        round(element_at(typedLit(DdMids), col("bucket") + 1)
+          .cast("double") / 100.0, 2).as("p95_dollars"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_quantile_trajectory" -> (q380QuantileTrajectory _),
     "q374_query_likelihood" -> (q374QueryLikelihood _),
     "q375_ddsketch_quantiles" -> (q375DdsketchQuantiles _),
     "q376_compaction_planner" -> (q376CompactionPlanner _),
@@ -481,6 +544,50 @@ object Breadth10 {
         |             / $CompactTargetBytes, 6) AS fill_ratio,
         |       min(day) AS heaviest_day
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q380_quantile_trajectory" -> {
+      val lst = DdBounds.mkString("[", ", ", "]")
+      val mids = DdMids.mkString("[", ", ", "]")
+      s"""WITH ev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |bk AS (
+        |  SELECT day,
+        |         CAST(len(list_filter($lst, b -> b < cents))
+        |              AS INTEGER) AS bucket
+        |  FROM ev),
+        |daily AS (SELECT day, bucket,
+        |                 CAST(count(*) AS BIGINT) AS n
+        |          FROM bk GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT m.day, b.bucket, coalesce(x.n, 0) AS n
+        |  FROM (SELECT DISTINCT day FROM daily) m
+        |  CROSS JOIN (SELECT DISTINCT bucket FROM daily) b
+        |  LEFT JOIN daily x
+        |    ON x.day = m.day AND x.bucket = b.bucket),
+        |merged AS (
+        |  SELECT day, bucket,
+        |         CAST(sum(n) OVER (PARTITION BY bucket ORDER BY day
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |  FROM dense),
+        |nz AS (SELECT * FROM merged WHERE cum_n > 0),
+        |readoff AS (
+        |  SELECT day, bucket, cum_n,
+        |         CAST(sum(cum_n) OVER (PARTITION BY day
+        |           ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |           AS BIGINT) AS run,
+        |         CAST(sum(cum_n) OVER (PARTITION BY day)
+        |              AS BIGINT) AS n_cum
+        |  FROM nz)
+        |SELECT day, n_cum, bucket,
+        |       CAST(($mids)[bucket + 1] AS BIGINT) AS p95_cents,
+        |       round(CAST(($mids)[bucket + 1] AS DOUBLE) / 100.0, 2)
+        |         AS p95_dollars
+        |FROM readoff
+        |WHERE run >= ($TrajPerMille * n_cum + 999) // 1000
+        |  AND run - cum_n < ($TrajPerMille * n_cum + 999) // 1000
+        |ORDER BY day""".stripMargin
+    },
     "q378_cell_suppression" ->
       s"""WITH cells AS (
         |  SELECT n.n_name AS nation, c.c_mktsegment AS segment,

@@ -70,6 +70,10 @@ object PlanContract {
   val BnljAllow: Map[String, String] = Map(
     // deliberate dimension cross join: build = region scan (5 rows)
     "q16_cross_join" -> "region dimension scan, 5 rows",
+    // month spine × distinct-bucket densify: build ≤ |ladder|+1 = 177
+    // rows by construction (bucket of the pinned DDSketch boundary
+    // ladder), unprovable to the planner through the distinct
+    "q380_quantile_trajectory" -> "distinct bucket set (≤ 177 rows)",
     // single query vector selected by unique-key equality vec_id = 0
     "q120_hybrid_rrf" -> "one query vector (vec_id = 0)",
     "q133_cell_serving" -> "one query vector (vec_id = 0)",

@@ -69,6 +69,35 @@ class Round12Spec extends SparkTestBase {
     assert(rows.length == byType.size * Breadth10.DdPerMille.size)
   }
 
+  test("q380 day-prefix p95 trajectory equals a sequential " +
+      "merge-and-read replay and the last point equals the full sketch") {
+    val rows = Breadth10.q380QuantileTrajectory(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted(
+      Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    assert(rows.length == days.length)
+    val state = Array.fill(Breadth10.DdBounds.length + 1)(0L)
+    rows.zip(days).foreach { case (r, day) =>
+      // sequential prefix merge: add this day's histogram to the state
+      ev.filter(_._1 == day).foreach { case (_, c) =>
+        state(Breadth10.DdBounds.count(_ < c)) += 1L
+      }
+      val n = state.sum
+      val target = (Breadth10.TrajPerMille * n + 999) / 1000
+      var cum = 0L
+      val bucket = state.indices.find { i =>
+        cum += state(i); cum >= target
+      }.get
+      assert(r.getDate(0).toLocalDate == day)
+      assert(r.getLong(1) == n, s"$day n_cum")
+      assert(r.getInt(2) == bucket, s"$day bucket")
+      assert(r.getLong(3) == Breadth10.DdMids(bucket), s"$day p95")
+    }
+  }
+
   test("q376 bins equal a sequential size-desc pack and conserve bytes") {
     val rows = Breadth10.q376CompactionPlanner(spark, sf).collect()
     val daily = graft.sources.Tables.lineitem(spark, sf)
