@@ -69,15 +69,15 @@ object Affinity {
 
   /** Shared oracle CTE prefix mirroring [[supportedPairs]]. */
   private def pairsCte(minSup: Long): String =
-    s"""WITH items AS (
+    s"""WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
       |  FROM lineitem),
-      |freq AS (
+      |freq AS MATERIALIZED (
       |  SELECT part, count(*) AS nf FROM items
       |  GROUP BY part HAVING count(*) >= $minSup),
-      |fi AS (
+      |fi AS MATERIALIZED (
       |  SELECT i.okey, i.part, f.nf FROM items i JOIN freq f USING (part)),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.part AS p1, b.part AS p2, a.nf AS n1, b.nf AS n2,
       |         count(*) AS pair_n
       |  FROM fi a JOIN fi b ON a.okey = b.okey AND a.part < b.part
@@ -368,14 +368,14 @@ object Affinity {
         |ORDER BY basket_size""".stripMargin,
     "q282_association_rules" ->
       s"""${pairsCte(TriMinSup)},
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT a.part AS pa, b.part AS pb, c.part AS pc,
         |         count(*) AS support
         |  FROM items a
         |  JOIN items b ON b.okey = a.okey AND b.part > a.part
         |  JOIN items c ON c.okey = a.okey AND c.part > b.part
         |  GROUP BY 1, 2, 3 HAVING count(*) >= $TriMinSup),
-        |tri_s AS (
+        |tri_s AS MATERIALIZED (
         |  SELECT pa, pb, pc, support,
         |         ab.pair_n AS sup_ab, ac.pair_n AS sup_ac,
         |         bc.pair_n AS sup_bc
@@ -411,7 +411,7 @@ object Affinity {
         |LIMIT $TopRules""".stripMargin,
     "q214_frequent_triples" ->
       s"""${pairsCte(TriMinSup)},
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT a.part AS pa, b.part AS pb, c.part AS pc,
         |         count(*) AS support
         |  FROM items a
