@@ -164,6 +164,8 @@ object Explain {
     "q379_retention_sweep",  // one enum-sized conditional fold
     "q380_quantile_trajectory", // day×bucket dense profile; two
                                 // partition-bounded cumulative windows
+    "q381_sample_cardinality",  // 1/64 hash sample + broadcast dims;
+                                // three 1-row arms
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)

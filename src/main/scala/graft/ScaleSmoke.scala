@@ -348,7 +348,7 @@ object ScaleSmoke {
         "q374_query_likelihood", "q375_ddsketch_quantiles",
         "q376_compaction_planner", "q377_join_order_advisor",
         "q378_cell_suppression", "q379_retention_sweep",
-        "q380_quantile_trajectory",
+        "q380_quantile_trajectory", "q381_sample_cardinality",
         "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
         "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+

@@ -427,7 +427,62 @@ object Breadth10 {
       .orderBy("day")
   }
 
+  /** q381 sampling modulus (deterministic 1-in-64 row sample). */
+  private[graft] val CardSampleMod = 64L
+
+  /** q381 — SAMPLING-BASED JOIN-CARDINALITY CALIBRATION: estimate
+    * |lineitem ⋈ filtered-dim| from a DETERMINISTIC 1-in-
+    * [[CardSampleMod]] hash sample of the fact rows (md5 of the line
+    * key — reproducible under any partitioning, the q68/q97
+    * never-rand() rule) and report it NEXT TO the true count for each
+    * of three join shapes (part filter, supplier filter, both). The
+    * empirical companion of q377's independence MODEL: q377 says what
+    * a System-R estimator would guess, this measures what a
+    * sample-based estimator (the other standard CBO input) actually
+    * achieves on this data — rel_err is the calibration column.
+    *
+    * Scale shape: the sample arm scans once and joins broadcast
+    * filtered dims (sample size n/64 keeps the estimate cheap at any
+    * corpus size); the actual arm is the same broadcast join
+    * unsampled. All counts exact BIGINTs; rel_err is one mirrored
+    * division. */
+  def q381SampleCardinality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val sampled = li.filter(pmod(Hashing.md5Hash60(
+      concat(lit("cardsample:"), col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))),
+      lit(CardSampleMod)) === 0L)
+    val partF = Tables.part(spark, dir)
+      .filter(col("p_size") <= AdvisorPartMaxSize).select("p_partkey")
+    val suppF = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") <= AdvisorSuppMaxNation)
+      .select("s_suppkey")
+    def joined(base: DataFrame, withPart: Boolean,
+        withSupp: Boolean): DataFrame = {
+      val p = if (withPart) base.join(broadcast(partF),
+        col("l_partkey") === col("p_partkey")) else base
+      if (withSupp) p.join(broadcast(suppF),
+        col("l_suppkey") === col("s_suppkey")) else p
+    }
+    def armRow(name: String, wp: Boolean, ws: Boolean): DataFrame =
+      joined(sampled, wp, ws).agg(count(lit(1)).as("sample_n"))
+        .crossJoin(broadcast(
+          joined(li, wp, ws).agg(count(lit(1)).as("actual_rows"))))
+        .select(lit(name).as("join_name"), col("sample_n"),
+          (col("sample_n") * CardSampleMod).as("est_rows"),
+          col("actual_rows"),
+          round(((col("sample_n") * CardSampleMod).cast("double") -
+            col("actual_rows")) / col("actual_rows"), 6).as("rel_err"))
+    armRow("part_and_supplier", wp = true, ws = true)
+      .unionByName(armRow("part_filter", wp = true, ws = false))
+      .unionByName(armRow("supplier_filter", wp = false, ws = true))
+      .orderBy("join_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_sample_cardinality" -> (q381SampleCardinality _),
     "q380_quantile_trajectory" -> (q380QuantileTrajectory _),
     "q374_query_likelihood" -> (q374QueryLikelihood _),
     "q375_ddsketch_quantiles" -> (q375DdsketchQuantiles _),
@@ -544,6 +599,46 @@ object Breadth10 {
         |             / $CompactTargetBytes, 6) AS fill_ratio,
         |       min(day) AS heaviest_day
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q381_sample_cardinality" ->
+      s"""WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT * FROM li
+        |  WHERE ('0x' || substr(md5('cardsample:'
+        |          || CAST(l_orderkey AS VARCHAR) || ':'
+        |          || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |        % $CardSampleMod = 0),
+        |pf AS (SELECT p_partkey FROM part
+        |       WHERE p_size <= $AdvisorPartMaxSize),
+        |sf AS (SELECT s_suppkey FROM supplier
+        |       WHERE s_nationkey <= $AdvisorSuppMaxNation),
+        |arms AS (
+        |  SELECT 'part_and_supplier' AS join_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s
+        |     JOIN pf ON l_partkey = p_partkey
+        |     JOIN sf ON l_suppkey = s_suppkey) AS sample_n,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM li
+        |     JOIN pf ON l_partkey = p_partkey
+        |     JOIN sf ON l_suppkey = s_suppkey) AS actual_rows
+        |  UNION ALL
+        |  SELECT 'part_filter',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s
+        |     JOIN pf ON l_partkey = p_partkey),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM li
+        |     JOIN pf ON l_partkey = p_partkey)
+        |  UNION ALL
+        |  SELECT 'supplier_filter',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s
+        |     JOIN sf ON l_suppkey = s_suppkey),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM li
+        |     JOIN sf ON l_suppkey = s_suppkey))
+        |SELECT join_name, sample_n,
+        |       CAST(sample_n * $CardSampleMod AS BIGINT) AS est_rows,
+        |       actual_rows,
+        |       round((CAST(sample_n * $CardSampleMod AS DOUBLE)
+        |              - actual_rows) / actual_rows, 6) AS rel_err
+        |FROM arms ORDER BY join_name""".stripMargin,
     "q380_quantile_trajectory" -> {
       val lst = DdBounds.mkString("[", ", ", "]")
       val mids = DdMids.mkString("[", ", ", "]")

@@ -175,6 +175,45 @@ class Round12Spec extends SparkTestBase {
     assert(rows.length == ev.map(_._1).distinct.length)
   }
 
+  test("q381 estimates equal a sequential hash-sample replay and the " +
+      "true counts equal key-set joins") {
+    import graft.functions.Hashing
+    val rows = Breadth10.q381SampleCardinality(spark, sf).collect()
+    assert(rows.length == 3)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3)))
+    val pk = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") <= Breadth10.AdvisorPartMaxSize)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val sk = graft.sources.Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") <= Breadth10.AdvisorSuppMaxNation)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    def inSample(ok: Long, ln: Long): Boolean =
+      Hashing.md5Hash60Value(s"cardsample:$ok:$ln") %
+        Breadth10.CardSampleMod == 0L
+    def counts(wp: Boolean, ws: Boolean): (Long, Long) = {
+      val hits = li.filter(t => (!wp || pk(t._3)) && (!ws || sk(t._4)))
+      (hits.count(t => inSample(t._1, t._2)).toLong, hits.length.toLong)
+    }
+    val exp = Map(
+      "part_and_supplier" -> counts(wp = true, ws = true),
+      "part_filter" -> counts(wp = true, ws = false),
+      "supplier_filter" -> counts(wp = false, ws = true))
+    rows.foreach { r =>
+      val (sn, actual) = exp(r.getString(0))
+      assert(r.getLong(1) == sn, s"${r.getString(0)} sample_n")
+      assert(r.getLong(2) == sn * Breadth10.CardSampleMod)
+      assert(r.getLong(3) == actual, s"${r.getString(0)} actual")
+    }
+    // the estimator must be in the right ballpark on this fixture
+    // (1-in-64 sampling of >10k matching rows)
+    rows.foreach(r => assert(math.abs(r.getDouble(4)) < 0.5,
+      s"${r.getString(0)} rel_err ${r.getDouble(4)}"))
+  }
+
   test("q377 estimates follow the independence model and the actual " +
       "count matches a sequential filtered star join") {
     val rows = Breadth10.q377JoinOrderAdvisor(spark, sf).collect()
