@@ -23,15 +23,21 @@ def main():
     cur = load(sys.argv[1] if len(sys.argv) > 1 else "bench_out.json")
     qs = {k: v for k, v in cur["queries"].items() if v >= 0}
     fails = [k for k, v in cur["queries"].items() if v < 0]
-    total = sum(qs.values())
+    setup = cur.get("setup", {})
+    total = sum(qs.values()) + sum(setup.values())
     n = len(qs)
     print(f"sf dir:        {cur['sf']}")
     print(f"queries:       {n} timed" +
           (f", {len(fails)} FAILED: {fails}" if fails else ""))
-    print(f"total:         {total:.1f}s  ({total / n:.3f} s/query)")
+    print(f"total:         {total:.1f}s  ({total / n:.3f} s/query, "
+          f"incl. {sum(setup.values()):.1f}s shared setup)")
     top = sorted(qs.items(), key=lambda kv: -kv[1])[:5]
     print("top-5 cost:    " +
           ", ".join(f"{k} {v:.2f}s" for k, v in top))
+    if setup:
+        stop = sorted(setup.items(), key=lambda kv: -kv[1])[:5]
+        print("top-5 setup:   " +
+              ", ".join(f"{k} {v:.2f}s" for k, v in stop))
     if len(sys.argv) > 2:
         prev = load(sys.argv[2])["queries"]
         common = {k: v for k, v in qs.items() if prev.get(k, -1) >= 0}

@@ -38,16 +38,27 @@ object Bench {
         if (p.toString.endsWith(".parquet")) Files.readAllBytes(p)
       }
     } catch { case _: Throwable => () }
-    // Best-of-2: the host this runs on shows intermittent external CPU
-    // contention (identical code measured 57s..214s across runs). Each
-    // rep clears the session intermediate cache first, so BOTH reps pay
-    // the full fact/shingle builds — the min filters interference
-    // without hiding real work.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Best-of-N (default 3 since round 13): the host this runs on shows
+    // intermittent external CPU contention (identical code measured
+    // 57s..214s across runs; r12's driver run showed 3.3x single-query
+    // swings best-of-2 didn't filter). Each rep clears the session
+    // intermediate cache first, so EVERY rep pays the full fact/shingle
+    // builds — the min filters interference without hiding real work.
+    //
+    // Shared-build attribution (VERDICT r12 #2): DfCache build timing
+    // is enabled AFTER the warmup, so each shared intermediate (brute
+    // ground truth, shingle tables, centroid/codebook models) is
+    // materialized eagerly inside DfCache, timed, and reported as its
+    // own `setup` row — consumer queries time only their own work, and
+    // a 3x swing on one query can no longer be a cache-build landing
+    // on whichever consumer ran first.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    graft.sources.DfCache.enableBuildTiming()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val runs = (1 to reps).map { _ =>
       graft.sources.DfCache.clear(spark)
-      names.map { case (name, fn) =>
+      graft.sources.DfCache.drainBuildTimes(spark) // discard warmup/stale
+      val qTimes = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -61,11 +72,18 @@ object Bench {
         // minimum; -1 in the output flags an all-reps failure loudly
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
+      (qTimes, graft.sources.DfCache.drainBuildTimes(spark))
     }
     val results = names.map { case (name, _) =>
-      val ts = runs.flatMap(_.toMap.apply(name))
+      val ts = runs.flatMap(_._1.toMap.apply(name))
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
+    // setup rows: min across reps per cache key; the "|<dir>" suffix is
+    // dropped for readability (one bench run measures one dir)
+    val setupRows = runs.flatMap(_._2.toSeq)
+      .groupBy(_._1).map { case (k, vs) =>
+        k.takeWhile(_ != '|') -> vs.map(_._2).min
+      }.toSeq.sortBy(_._1)
     // 4-decimal values (0.1ms resolution — below host noise): the
     // driver's artifact keeps only a tail of this line, so every byte
     // saved per entry is more queries surviving into BENCH_r{N}.json.
@@ -79,9 +97,15 @@ object Bench {
         "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 4))
       }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val setup = setupRows
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
+      .mkString("{", ",", "}")
+    // value = queries + setup: the same total work previous rounds
+    // reported, just attributed (round-over-round totals stay
+    // comparable even though per-query numbers no longer carry builds)
+    val total = results.map(_._2).sum + setupRows.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"setup":$setup,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout keeps only a tail, which truncated the
     // front of the r2/r3 metric lines (round totals unrecoverable from the

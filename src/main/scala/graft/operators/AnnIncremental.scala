@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import Similarity.{QueryStride, TopK, simCol, avgRecallContract}
+import Similarity.{QselCte, TopK, onlyQueries, simCol, avgRecallContract}
 
 /** [EXT] incremental IVF index maintenance (q148): the day-2 problem
   * every production ANN deployment hits — a new batch of embeddings
@@ -93,7 +93,7 @@ object AnnIncremental {
     val nprobe = AnnIndex.ivfNprobe(nCells, AnnIndex.IvfProbeScale,
       AnnIndex.ProbeFloor)
     val probes = AnnIndex.nearestCells(
-      all.filter(col("vec_id") % QueryStride === 0), centroids, nprobe,
+      onlyQueries(spark, dir, all), centroids, nprobe,
       "prank")
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         col("nrm").as("na"), col("cent_id").as("cell"))
@@ -141,8 +141,8 @@ object AnnIncremental {
     * flags are engine-side contracts asserted TRUE. */
   val oracles: Map[String, String] = Map(
     "q148_ann_incremental" ->
-      s"""SELECT CAST(count(CASE WHEN vec_id % $QueryStride = 0 THEN 1 END)
-        |            AS BIGINT) AS n_queries,
+      s"""WITH $QselCte
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM qsel) AS n_queries,
         |       CAST(count(CASE WHEN vec_id % $DeltaMod != $DeltaResidue THEN 1 END)
         |            AS BIGINT) AS n_base,
         |       CAST(count(CASE WHEN vec_id % $DeltaMod = $DeltaResidue THEN 1 END)

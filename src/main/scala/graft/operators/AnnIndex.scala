@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import Similarity.{QueryStride, TopK, queryVecs, corpusVecs, simCol,
+import Similarity.{QselCte, TopK, onlyQueries, queryVecs, corpusVecs, simCol,
   avgRecallContract, embeddingDim}
 
 /** [EXT] index-backed ANN (split from [[Similarity]], VERDICT r04 #6):
@@ -173,7 +173,7 @@ object AnnIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("cent_id").as("cell"))
     val probes = nearestCells(
-      all.filter(col("vec_id") % QueryStride === 0), centroids, nprobe,
+      onlyQueries(spark, dir, all), centroids, nprobe,
       "prank")
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         col("nrm").as("na"), col("cent_id").as("cell"))
@@ -292,8 +292,7 @@ object AnnIndex {
     * tiny, broadcast at every use. */
   private def pqLut(spark: SparkSession, dir: String,
       subDim: Int): DataFrame =
-    corpusSubvecs(spark, dir, subDim)
-      .filter(col("vec_id") % QueryStride === 0)
+    onlyQueries(spark, dir, corpusSubvecs(spark, dir, subDim))
       .join(broadcast(pqCodebooks(spark, dir, subDim)), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("code"),
         expr("graft_dot(svec, cvec)").as("qdot"))
@@ -396,7 +395,7 @@ object AnnIndex {
     val assigned = nearestCells(allN, centroids, 1, "crank")
       .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
     val probes = nearestCells(
-      allN.filter(col("vec_id") % QueryStride === 0), centroids, nprobe,
+      onlyQueries(spark, dir, allN), centroids, nprobe,
       "prank")
       .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
     val cand = probes.join(assigned, Seq("cell"))
@@ -427,15 +426,17 @@ object AnnIndex {
     avgRecallContract(spark, dir, ivfTopK(spark, dir), IvfRecallFloor)
 
   private val IvfRecallFloor = 0.5
-  // PQ avg recall floor: RecallScan measured (deterministic) 0.80 at
-  // sf0.001, 0.84 at sf0.01, 0.58 at sf0.1 with the 100-wide shortlist
+  // PQ avg recall floor: RecallScan measured (deterministic, fixed
+  // 20-query hash batch) 0.84 at sf0.001, 0.82 at sf0.01, 0.59 at
+  // sf0.1 with the 100-wide shortlist
   // — 32-bit codes on 64-dim vectors keep real quantization error, so
   // the honest floor sits below LSH's; at production scale the recall
   // knob is IVF+PQ composition (probe cells, ADC within), not a wider
   // full-corpus shortlist
   private val PqRecallFloor = 0.5
-  // IVF+PQ floor: RecallScan measured (deterministic) 0.76 at
-  // sf0.001, 0.92 at sf0.01, 0.58 at sf0.1 — the generous 2/3 probe
+  // IVF+PQ floor: RecallScan measured (deterministic, fixed 20-query
+  // hash batch) 0.81 at sf0.001, 0.80 at sf0.01, 0.58 at sf0.1 — the
+  // generous 2/3 probe
   // width keeps the stacked cell-boundary + quantization losses at
   // the flat-ADC level while scanning far fewer code rows per query
   private val IvfPqRecallFloor = 0.5
@@ -448,12 +449,15 @@ object AnnIndex {
 
   val oracles: Map[String, String] = Map(
     "q52_ann_ivf_topk" ->
-      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+      s"""WITH $QselCte
+        |SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM qsel""".stripMargin,
     "q113_ann_pq" ->
-      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+      s"""WITH $QselCte
+        |SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM qsel""".stripMargin,
     "q114_ann_ivfpq" ->
-      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin)
+      s"""WITH $QselCte
+        |SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM qsel""".stripMargin)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import Similarity.{QueryStride, TopK, queryVecs, corpusVecs, simCol,
+import Similarity.{QselCte, TopK, onlyQueries, queryVecs, corpusVecs, simCol,
   bruteRanked, avgRecallContract}
 import AnnIndex.{ivfCentroids, nearestCells}
 
@@ -75,7 +75,7 @@ object AnnRetrieval {
     * pins the contract booleans): (1) every drop is witnessed — its
     * recorded witness has a lower id and EXACT cosine >= t, so
     * precision is 1 by construction and the boolean guards the
-    * plumbing; (2) on the [[QueryStride]] audit subset, the blocked
+    * plumbing; (2) on the fixed [[Similarity.queryIds]] audit subset, the blocked
     * drop set recovers at least [[SemDedupRecallFloor]] of the
     * ground-truth droppable vectors (those with ANY lower-id corpus
     * neighbor at cosine >= t, computed O(Q x N) exactly). */
@@ -93,8 +93,7 @@ object AnnRetrieval {
       .select(col("qid"), col("cid"), simCol)
       .filter(col("cosine") >= SemDedupT)
       .select(col("qid")).distinct()
-    val caught = drops
-      .filter(col("vec_id") % QueryStride === 0)
+    val caught = onlyQueries(spark, dir, drops)
       .select(col("vec_id").as("qid"), lit(1).as("hit"))
     val recallOk = truth.join(caught, Seq("qid"), "left")
       .agg((count(col("hit")).cast("double") >=
@@ -163,7 +162,7 @@ object AnnRetrieval {
           s"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, $TruncDims)").as(out))
         .withColumn(normOut, sqrt(expr(s"graft_dot($out, $out)")))
     val emb = Tables.embeddings(spark, dir)
-    val qs = prefix(emb.filter(col("vec_id") % QueryStride === 0),
+    val qs = prefix(onlyQueries(spark, dir, emb),
       "vec_id", "qp", "qn").withColumnRenamed("vec_id", "qid")
     val cs = prefix(emb, "vec_id", "cp", "cn")
       .withColumnRenamed("vec_id", "cid")
@@ -204,7 +203,7 @@ object AnnRetrieval {
     * (qid, cid), so the sample is partitioning-invariant and the
     * DuckDB oracle draws the IDENTICAL rows (q112's A-ES trick, here
     * unweighted). Scale: candidate ranking is the q36 broadcast shape
-    * (Q x N rows, Q bounded by [[QueryStride]]) with a per-qid window
+    * (Q0 x N rows, Q0 the fixed [[Similarity.QueryBatchSize]]) with a per-qid window
     * — at 100 TB the exclusion set comes from the serving ANN index
     * instead of exact ground truth and the race keys stream through
     * the same TakeOrdered shape. */
@@ -213,8 +212,7 @@ object AnnRetrieval {
     val top = bruteRanked(spark, dir).select("qid", "cid")
     val pos = bruteRanked(spark, dir).filter(col("rank") === 1)
       .select(col("qid"), col("cid").as("pos_id"))
-    val qids = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % QueryStride === 0)
+    val qids = Similarity.queryIds(spark, dir)
       .select(col("vec_id").as("qid"))
     val cids = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("cid"))
@@ -465,7 +463,7 @@ object AnnRetrieval {
       .withColumn("n2", expr(
         "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
           "cast(0 as bigint), (acc, t) -> acc + t)"))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = onlyQueries(spark, dir, emb)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("iv").as("qv"))
     val corpus = emb.select(col("vec_id").as("cid"),
@@ -558,7 +556,7 @@ object AnnRetrieval {
       .withColumn("n2", expr(
         "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
           "cast(0 as bigint), (acc, t) -> acc + t)"))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = onlyQueries(spark, dir, emb)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("iv").as("qv"))
     val corpus = emb.select(col("vec_id").as("cid"),
@@ -608,7 +606,7 @@ object AnnRetrieval {
       .withColumn("n2", expr(
         "aggregate(zip_with(iv, iv, (x, y) -> x * y), " +
           "cast(0 as bigint), (acc, t) -> acc + t)"))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = onlyQueries(spark, dir, emb)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("iv").as("qv"))
     val corpus = emb.select(col("vec_id").as("cid"),
@@ -739,7 +737,8 @@ object AnnRetrieval {
 
   val oracles: Map[String, String] = Map(
     "q315_retrieval_map" ->
-      """WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, label, i AS pos,
         |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
         |              AS BIGINT) AS vm
@@ -753,7 +752,8 @@ object AnnRetrieval {
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
         |  FROM labels q JOIN labels c
-        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |    ON q.vec_id IN (SELECT vec_id FROM qsel)
+        |   AND c.vec_id <> q.vec_id
         |  JOIN ex qe ON qe.vec_id = q.vec_id
         |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
         |  GROUP BY 1, 2),
@@ -789,7 +789,7 @@ object AnnRetrieval {
         |  FROM labels q
         |  JOIN lc l ON l.qlabel = q.label
         |  LEFT JOIN perq p ON p.qid = q.vec_id
-        |  WHERE q.vec_id % 100 = 0)
+        |  WHERE q.vec_id IN (SELECT vec_id FROM qsel))
         |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
         |       round(CAST(sum(ap_mu) AS DOUBLE) / count(*) / 1e6, 6)
         |         AS map10,
@@ -799,7 +799,8 @@ object AnnRetrieval {
     "q263_retrieval_ndcg" -> {
       val discList = s"[${NdcgDisc6.mkString(", ")}]"
       val idealList = s"[${NdcgIdeal6.mkString(", ")}]"
-      s"""WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, label, i AS pos,
         |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
         |              AS BIGINT) AS vm
@@ -813,7 +814,8 @@ object AnnRetrieval {
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
         |  FROM labels q JOIN labels c
-        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |    ON q.vec_id IN (SELECT vec_id FROM qsel)
+        |   AND c.vec_id <> q.vec_id
         |  JOIN ex qe ON qe.vec_id = q.vec_id
         |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
         |  GROUP BY 1, 2),
@@ -913,7 +915,8 @@ object AnnRetrieval {
         |       END AS mcnemar_chi2
         |FROM cells""".stripMargin,
     "q255_retrieval_mrr" ->
-      """WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, label, i AS pos,
         |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
         |              AS BIGINT) AS vm
@@ -927,7 +930,8 @@ object AnnRetrieval {
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
         |         CAST(sum(qe.vm * ce.vm) AS BIGINT) AS dot
         |  FROM labels q JOIN labels c
-        |    ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |    ON q.vec_id IN (SELECT vec_id FROM qsel)
+        |   AND c.vec_id <> q.vec_id
         |  JOIN ex qe ON qe.vec_id = q.vec_id
         |  JOIN ex ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
         |  GROUP BY 1, 2),
@@ -950,7 +954,7 @@ object AnnRetrieval {
         |           AS rr_micro,
         |         f.first_rank
         |  FROM labels ql LEFT JOIN first_hit f ON f.qid = ql.vec_id
-        |  WHERE ql.vec_id % 100 = 0)
+        |  WHERE ql.vec_id IN (SELECT vec_id FROM qsel))
         |SELECT label, count(*) AS n_queries,
         |       round(CAST(CAST(sum(rr_micro) AS BIGINT) AS DOUBLE)
         |             / count(*) / 1e6, 6) AS mrr,
@@ -1036,14 +1040,16 @@ object AnnRetrieval {
         |             6) AS cos_sim
         |FROM agg ORDER BY label_a, label_b""".stripMargin,
     "q170_context_assembly" ->
-      s"""WITH ex AS (
+      s"""WITH ${Similarity.QselCte},
+         |ex AS (
          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
          |         generate_subscripts(embedding, 1) AS i
          |  FROM embeddings),
          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
          |dots AS (
          |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
-         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % ${Similarity.QueryStride} = 0
+         |  FROM ex a JOIN ex b ON a.i = b.i
+         |                     AND a.vec_id IN (SELECT vec_id FROM qsel)
          |                     AND a.vec_id <> b.vec_id
          |  GROUP BY 1, 2),
          |scored AS (
@@ -1167,20 +1173,23 @@ object AnnRetrieval {
         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
         |ORDER BY rank""".stripMargin,
     "q129_ann_truncated" ->
-      s"""SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+      s"""WITH $QselCte
+        |SELECT count(*) AS n_queries, TRUE AS avg_recall_ok
+        |FROM qsel""".stripMargin,
     // q36's exact-ranking CTEs provide the positive + the top-10
     // exclusion set; the negative draw is the same portable md5
     // priority race both engines compute bit-identically
     "q131_negative_sampling" ->
-      s"""WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
         |dots AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+        |  FROM ex a JOIN ex b ON a.i = b.i
+        |                     AND a.vec_id IN (SELECT vec_id FROM qsel)
         |                     AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |scored AS (
@@ -1202,7 +1211,8 @@ object AnnRetrieval {
         |                          || ':' || CAST(c.vec_id AS VARCHAR)),
         |                         1, 15))::BIGINT AS pri
         |  FROM embeddings q JOIN embeddings c
-        |    ON q.vec_id % $QueryStride = 0 AND c.vec_id <> q.vec_id
+        |    ON q.vec_id IN (SELECT vec_id FROM qsel)
+        |   AND c.vec_id <> q.vec_id
         |  WHERE NOT EXISTS (SELECT 1 FROM top10 t
         |                    WHERE t.qid = q.vec_id AND t.cid = c.vec_id)),
         |negs AS (

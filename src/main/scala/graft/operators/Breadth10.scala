@@ -101,6 +101,29 @@ object Breadth10 {
     (0 to 24).map(k =>
       DdBounds.filter(b => b >= (1L << k) && b < (1L << (k + 1))))
 
+  /** Octave-decomposed bucket of the BIGINT `cents` column against the
+    * pinned [[DdBounds]] ladder: octave k via exact bit length (bin()
+    * string — never log2's libm), then a ≤8-compare strict-< count
+    * within the k-th octave's boundary slice — O(8) vs the naive
+    * 176-compare full-ladder filter (measured 4.8s → 37.4s at sf0.1
+    * when tried). Inputs are clamped into the ladder's domain
+    * (cents < 0 → 0, octave k capped at 24) so out-of-ladder values
+    * degrade to the boundary buckets EXACTLY like the oracle's
+    * strict-< count over the full list (bucket 0 below, |ladder|
+    * above) instead of a NULL element_at past the 25-entry octave
+    * tables (ADVICE r12). This corpus has cents ≥ 0 < 2^25, so the
+    * clamp is inert here — it pins the cross-engine contract if the
+    * data contract ever loosens. */
+  private def withDdBucket(df: DataFrame): DataFrame =
+    df.withColumn("c_clamped", greatest(col("cents"), lit(0L)))
+      .withColumn("k", least(
+        (length(expr("bin(c_clamped)")) - 1).cast("int"), lit(24)))
+      .withColumn("bucket",
+        element_at(typedLit(DdOctaveBase), col("k") + 1) +
+          size(filter(element_at(typedLit(DdOctaveBounds), col("k") + 1),
+            b => b < col("c_clamped"))))
+      .drop("c_clamped", "k")
+
   /** q375 — MERGEABLE LOG-BUCKET QUANTILE SKETCH (DDSketch-style)
     * over event value cents per type: bucket(c) = #{boundaries < c}
     * (exact integer compares against the pinned [[DdBounds]] ladder),
@@ -119,19 +142,10 @@ object Breadth10 {
     * must agree exactly (data-deterministic: exact integer counts,
     * no physical dependence — see docs/DETERMINISM.md). */
   def q375DdsketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val ev = withDdBucket(Tables.events(spark, dir)
       .select(col("event_type"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"),
-        pmod(col("event_id"), lit(2L)).as("half"))
-      // octave k via exact bit length (bin() string — never log2's
-      // libm); values are ≥ 1 cent by the events schema, and the
-      // k-indexed lookup equals #{boundaries < cents} exactly
-      .withColumn("k", (length(expr("bin(cents)")) - 1).cast("int"))
-      .withColumn("bucket",
-        element_at(typedLit(DdOctaveBase), col("k") + 1) +
-          size(filter(element_at(typedLit(DdOctaveBounds), col("k") + 1),
-            b => b < col("cents"))))
-      .drop("k")
+        pmod(col("event_id"), lit(2L)).as("half")))
     val direct = ev.groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n"))
     val mergedHalves = ev.groupBy("event_type", "bucket", "half")
@@ -198,8 +212,13 @@ object Breadth10 {
       .withColumn("bin",
         expr(s"(cum - est_bytes) div $CompactTargetBytes"))
       .groupBy("bin")
+      // the bin's first-packed row (bytes-desc order) is its heaviest
+      // day, and packing order = running-total order, so the row with
+      // the bin's smallest cum is the heaviest (cum strictly increases:
+      // est_bytes ≥ CompactRowBytes > 0) — min_by over a scalar both
+      // engines share (ADVICE r12: min(day) was the EARLIEST day)
       .agg(count(lit(1)).as("n_days"), sum(col("est_bytes")).as("bytes"),
-        min(col("day")).as("heaviest_day"))
+        min_by(col("day"), col("cum")).as("heaviest_day"))
       .select(col("bin"), col("n_days"), col("bytes"),
         round(col("bytes").cast("double") / CompactTargetBytes, 6)
           .as("fill_ratio"),
@@ -388,14 +407,9 @@ object Breadth10 {
     * (partitions bounded by the month count); the read-off is the
     * q373 ceil-rank rule on each month's merged histogram. */
   def q380QuantileTrajectory(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    val daily = withDdBucket(Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"),
-        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-      .withColumn("k", (length(expr("bin(cents)")) - 1).cast("int"))
-      .withColumn("bucket",
-        element_at(typedLit(DdOctaveBase), col("k") + 1) +
-          size(filter(element_at(typedLit(DdOctaveBounds), col("k") + 1),
-            b => b < col("cents"))))
+        expr("cast(round(value * 100, 0) as bigint)").as("cents")))
       .groupBy("day", "bucket").agg(count(lit(1)).as("n"))
     // prefix-merge: cumulative count per bucket over days
     val wMerge = Window.partitionBy("bucket").orderBy("day")
@@ -597,7 +611,7 @@ object Breadth10 {
         |       CAST(sum(est_bytes) AS BIGINT) AS bytes,
         |       round(CAST(sum(est_bytes) AS DOUBLE)
         |             / $CompactTargetBytes, 6) AS fill_ratio,
-        |       min(day) AS heaviest_day
+        |       min_by(day, cum) AS heaviest_day
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
     "q381_sample_cardinality" ->
       s"""WITH li AS (

@@ -152,9 +152,13 @@ object Breadth2 {
     val rev = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
       .groupBy(col("s_name").as("rep_name"))
       .agg(money(sum(col("l_extendedprice"))).as("revenue"))
-    DistributedRank.withGlobalRank(rev, "rn",
+    // checkpoint the ranked frame once; the scalar count reads it
+    // instead of re-running rev's join+agg (the withNtile discipline)
+    val ranked = DistributedRank.withGlobalRank(rev, "rn",
         desc("revenue"), asc("rep_name"))
-      .crossJoin(broadcast(rev.agg(count(lit(1)).as("__n"))))
+      .localCheckpoint()
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
       .withColumn("__q", expr("__n div 4"))
       .withColumn("__cut", (col("__n") % 4) * (col("__q") + 1L))
       .select(col("rep_name"), col("revenue"),

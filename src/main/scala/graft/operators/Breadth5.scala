@@ -48,7 +48,7 @@ object Breadth5 {
       .filter(col("bucket_n") <= DedupEmbedding.embHotBucketCap(nVecs))
       .select("k", "v")
     val bands = raw.join(broadcast(small), Seq("k", "v"))
-    val cand = bands.filter(col("vec_id") % Similarity.QueryStride === 0)
+    val cand = Similarity.onlyQueries(spark, dir, bands)
       .select(col("vec_id").as("qid"), col("k"), col("v"))
       .join(bands.select(col("vec_id").as("cid"), col("k"), col("v")),
         Seq("k", "v"))
@@ -327,7 +327,7 @@ object Breadth5 {
         "transform(planes, p -> cast(graft_dot(p, xq) as bigint))"))
       .withColumn("xqi", expr("transform(xq, v -> cast(v as bigint))"))
       .select(col("vec_id"), col("xqi"), col("y"))
-    val qs = prepped.filter(col("vec_id") % Similarity.QueryStride === 0)
+    val qs = Similarity.onlyQueries(spark, dir, prepped)
       .select(col("vec_id").as("qid"), col("xqi").as("xa"),
         col("y").as("ya"))
       .select(col("qid"), col("xa"), col("ya"),
@@ -400,7 +400,7 @@ object Breadth5 {
     "q355_session_paths" -> (q355SessionPaths _))
 
   import DedupEmbedding.{EmbBandBits, EmbNPlanes, EmbCapFloor, EmbCapDiv}
-  import Similarity.QueryStride
+  import Similarity.{QselCte, onlyQueries}
 
   /** Shared oracle CTE text: q35's engine-portable banding (planes,
     * sign bits, 8-bit MSB-first packing, hot cap) — verbatim the
@@ -440,7 +440,8 @@ object Breadth5 {
   /** q36's exact brute top-10 lists as oracle CTE text (verbatim the
     * q36 oracle derivation) for q350. */
   private def bruteTopCtes: String =
-    s"""bex AS (
+    s"""$QselCte,
+      |bex AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
@@ -448,7 +449,8 @@ object Breadth5 {
       |           FROM bex GROUP BY 1),
       |bdots AS (
       |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
-      |  FROM bex a JOIN bex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+      |  FROM bex a JOIN bex b ON a.i = b.i
+      |                       AND a.vec_id IN (SELECT vec_id FROM qsel)
       |                       AND a.vec_id <> b.vec_id
       |  GROUP BY 1, 2),
       |bscored AS (
@@ -470,11 +472,12 @@ object Breadth5 {
     // stripMargin over it again (a second pass eats the `||` concat
     // lines inside it; the q224 mmrSql lesson)
     "q348_hamming_retrieval" ->
-      (s"WITH $bandCtes,\n" +
+      (s"WITH $QselCte,\n$bandCtes,\n" +
       s"""cand AS (
         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
         |  FROM okb q JOIN okb c ON q.k = c.k AND q.v = c.v
-        |  WHERE q.vec_id % $QueryStride = 0 AND c.vec_id <> q.vec_id),
+        |  WHERE q.vec_id IN (SELECT vec_id FROM qsel)
+        |    AND c.vec_id <> q.vec_id),
         |ham AS (
         |  SELECT qid, cid,
         |         CAST(sum(bit_count(xor(a.v, b.v))) AS INT) AS hamming
@@ -632,7 +635,8 @@ object Breadth5 {
         |ORDER BY e.digit""".stripMargin
     },
     "q354_jl_distortion" -> {
-      s"""WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
@@ -652,7 +656,7 @@ object Breadth5 {
         |prs AS (
         |  SELECT a.vec_id AS qid, a.vec_id + j AS cid
         |  FROM (SELECT DISTINCT vec_id FROM xq
-        |        WHERE vec_id % $QueryStride = 0) a,
+        |        WHERE vec_id IN (SELECT vec_id FROM qsel)) a,
         |       generate_series(1, 5) tj(j)),
         |pairs AS (
         |  SELECT p.qid, p.cid FROM prs p

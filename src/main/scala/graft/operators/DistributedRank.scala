@@ -122,7 +122,11 @@ object DistributedRank {
     * replaces, INT-typed like it, with no global window in the plan. */
   private[operators] def withNtile(df: DataFrame, k: Int, tileCol: String,
       order: Column*): DataFrame = {
-    val ranked = withGlobalRank(df, "__rank", order: _*)
+    // localCheckpoint so the scalar count below reads the materialized
+    // ranked frame instead of re-executing the repartitionByRange +
+    // zipWithIndex lineage a second time (ADVICE r12) — the same
+    // discipline withRunningTotals already applies
+    val ranked = withGlobalRank(df, "__rank", order: _*).localCheckpoint()
     ranked
       .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
       .withColumn("__q", expr(s"__n div $k"))

@@ -187,7 +187,7 @@ object Mmr {
         .filter(col("bucket_n") > MmrHotCap)
         .select("k", "v")
       val bands = raw.join(broadcast(hot), Seq("k", "v"), "left_anti")
-      val probes = bands.filter(col("vec_id") % 100 === 0)
+      val probes = Similarity.onlyQueries(spark, dir, bands)
         .select(col("vec_id").as("qid"), col("k"), explode(expr(
           s"""concat(array(v), transform(sequence(0, ${b - 1}),
              |                           j -> v ^ shiftleft(1L, j)))"""
@@ -224,7 +224,7 @@ object Mmr {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), intVec(col("embedding")).as("iv"))
       .withColumn("n2", dotL(col("iv"), col("iv")))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = Similarity.onlyQueries(spark, dir, emb)
       .select(col("vec_id").as("qid"), col("iv").as("qv"),
         col("n2").as("qn2"))
     val corpus = emb.select(col("vec_id").as("cid"), col("iv").as("cv"),
@@ -307,7 +307,8 @@ object Mmr {
     val lam = s"CAST(${MmrLambdaPct / 100.0} AS DOUBLE)"
     val oneMinus = s"CAST(${(100 - MmrLambdaPct) / 100.0} AS DOUBLE)"
     val base =
-      s"""WITH bsel AS (
+      s"""WITH ${Similarity.QselCte},
+        |bsel AS (
         |  SELECT coalesce(min(b), $MmrBandSlot) AS b
         |  FROM generate_series($MmrMinBits, $MmrBandSlot) t(b)
         |  WHERE (CAST(1 AS BIGINT) << b) * $MmrTargetBucket >=
@@ -344,11 +345,13 @@ object Mmr {
         |  JOIN bsz ON bsz.k = a.k AND bsz.v = a.v
         |  WHERE bsz.cnt <= $MmrHotCap),
         |probes AS (
-        |  SELECT vec_id, k, v FROM okbands WHERE vec_id % 100 = 0
+        |  SELECT vec_id, k, v FROM okbands
+        |  WHERE vec_id IN (SELECT vec_id FROM qsel)
         |  UNION ALL
         |  SELECT vec_id, k, xor(v, CAST(1 AS BIGINT) << j) AS v
         |  FROM okbands, generate_series(0, ${MmrBandSlot - 1}) tj(j)
-        |  WHERE vec_id % 100 = 0 AND j < (SELECT b FROM bsel)),
+        |  WHERE vec_id IN (SELECT vec_id FROM qsel)
+        |    AND j < (SELECT b FROM bsel)),
         |cpairs AS (
         |  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS cid
         |  FROM probes p JOIN okbands c ON p.k = c.k AND p.v = c.v

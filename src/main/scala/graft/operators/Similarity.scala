@@ -13,7 +13,7 @@ import graft.sources.Tables
   * All vector math is native codegen kernels (`graft_dot`,
   * `graft_sign_bits`) plus Catalyst column expressions in double
   * precision — no Scala UDFs. Query vectors are the deterministic
-  * subset vec_id % [[QueryStride]] == 0.
+  * fixed-count hash-selected batch [[Similarity.queryIds]].
   *
   * Scale story: brute force is O(Q x N) — fine for small query batches
   * (it broadcasts the query set and never shuffles the corpus); the LSH
@@ -27,19 +27,62 @@ object Similarity {
 
   private[operators] val TopK = 10
 
-  /** Query-batch selector: every [[QueryStride]]-th vector is a query.
-    * This is THE boundedness knob for the exact ground truth: q36 costs
-    * O(Q x N) with Q = N / QueryStride, which is fine while Q stays a
-    * small batch — at 100 TB a recall-audit job pins Q explicitly (a
-    * fixed query list, or a stride that grows with the corpus) rather
-    * than letting Q scale with N. Kept as one reviewed constant instead
-    * of scattered `% 100` literals (VERDICT r03 #7); the oracle SQL
-    * interpolates the same value. */
-  private[graft] val QueryStride = 100
+  /** Query-batch selector: the [[QueryBatchSize]] vectors whose
+    * md5("annq_" || vec_id) hashes sort FIRST — a deterministic,
+    * FIXED-COUNT evaluation batch (round 13, VERDICT r12 #1). This is
+    * THE boundedness knob for the exact ground truth: q36 costs
+    * O(Q0 x N) with Q0 a constant, so the query-side broadcast build
+    * is structurally constant and the brute arm is linear in the
+    * corpus. The previous fixed-RATE selector (vec_id % 100 == 0) made
+    * both grow with N — the broadcast build was 1% of the table (a
+    * linear-broadcast OOM at corpus scale) and the brute ground truth
+    * was O(N²/100); SCALE.md measured 13–22x at 100x pair space for
+    * the retrieval-eval consumers. The hash order makes the batch a
+    * uniform draw rather than a head-of-table bias, and both engines
+    * compute the identical set (md5 of the same string). Kept as one
+    * reviewed definition; the oracle SQL interpolates [[QselCte]]. */
+  private[graft] val QueryBatchSize = 20
+
+  /** The fixed query-id set: [[QueryBatchSize]] rows, selected by
+    * global hash order (TakeOrderedAndProject — one scan, K-sized
+    * driver merge), cached per (session, dir). */
+  private[graft] def queryIds(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"ann_qsel|$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"))
+        .orderBy(md5(concat(lit("annq_"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(QueryBatchSize)
+    }
+
+  /** Restrict `df` to rows whose `idCol` is in the fixed query batch:
+    * a broadcast LEFT SEMI hash join against the [[QueryBatchSize]]-row
+    * cached id set — the structurally-constant replacement for the old
+    * modulo filter. */
+  private[graft] def onlyQueries(spark: SparkSession, dir: String,
+      df: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.join(
+      broadcast(queryIds(spark, dir).withColumnRenamed("vec_id", idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Sequential replay of [[queryIds]] for specs: the
+    * [[QueryBatchSize]] ids whose md5("annq_" || id) hex strings sort
+    * first (id tie-break), computed driver-side over a full id list. */
+  private[graft] def queryIdSetSeq(ids: Seq[Long]): Seq[Long] = {
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ids.sortBy(id => (hex(s"annq_$id"), id)).take(QueryBatchSize)
+  }
+
+  /** DuckDB CTE body for the same fixed query-id set (single line so
+    * it can be interpolated into stripMargin templates safely). */
+  private[graft] val QselCte: String =
+    "qsel AS (SELECT vec_id FROM embeddings ORDER BY " +
+      s"md5('annq_' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $QueryBatchSize)"
 
   private[operators] def queryVecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % QueryStride === 0)
+    onlyQueries(spark, dir, Tables.embeddings(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("ea"),
         DedupEmbedding.normExpr.as("na"))
 
@@ -166,8 +209,7 @@ object Similarity {
     graft.plans.GraftFunctions.register(spark)
     val dim = embeddingDim(spark, dir)
     val q = withProbeBands(
-      Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % QueryStride === 0), dim)
+      onlyQueries(spark, dir, Tables.embeddings(spark, dir)), dim)
       .select(col("vec_id").as("qid"), explode(col("bands")).as("band"))
     val c = withSignature(Tables.embeddings(spark, dir), dim)
       .select(col("vec_id").as("cid"), explode(col("bands")).as("band"))
@@ -206,8 +248,9 @@ object Similarity {
       .select(col("n_queries"), (col("r") >= floor).as("avg_recall_ok"))
 
   // floors hold with margin at sf0.001/0.01/0.1 (see DedupSimilaritySpec
-  // + RecallScan): multi-probe LSH per-qid min observed 1.0 at every SF;
-  // IVF avg observed 0.65-0.74 after the round-4 Lloyd refinement
+  // + RecallScan, re-measured on the round-13 fixed 20-query hash
+  // batch): multi-probe LSH per-qid min observed 1.0 at every SF;
+  // IVF avg observed 0.74-0.88 after the round-4 Lloyd refinement
   // (deterministic — integer-mean centroids, fixed seeds/queries)
   private val LshRecallFloor = 0.8
 
@@ -310,14 +353,16 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q311_ild_audit" ->
-      s"""WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
         |dots AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+        |  FROM ex a JOIN ex b ON a.i = b.i
+        |                     AND a.vec_id IN (SELECT vec_id FROM qsel)
         |                     AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |ranked AS (
@@ -398,14 +443,16 @@ object Similarity {
         |             / CAST(a.mu2 AS DOUBLE), 6) AS dominant_share
         |FROM rows_ r, dim_agg a, dom d""".stripMargin,
     "q36_ann_brute_topk" ->
-      s"""WITH ex AS (
+      s"""WITH $QselCte,
+        |ex AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
         |dots AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x * b.x) AS dot
-        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id % $QueryStride = 0
+        |  FROM ex a JOIN ex b ON a.i = b.i
+        |                     AND a.vec_id IN (SELECT vec_id FROM qsel)
         |                     AND a.vec_id <> b.vec_id
         |  GROUP BY 1, 2),
         |scored AS (
@@ -428,6 +475,7 @@ object Similarity {
     // recall floor vs exact brute force. A recall regression flips
     // recall_ok and fails the compare.
     "q37_ann_lsh_topk" ->
-      s"""SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
-        |WHERE vec_id % $QueryStride = 0 ORDER BY qid""".stripMargin)
+      s"""WITH $QselCte
+        |SELECT vec_id AS qid, TRUE AS recall_ok FROM qsel
+        |ORDER BY qid""".stripMargin)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import Similarity.{QueryStride, simCol}
+import Similarity.{QselCte, simCol}
 import AnnIndex.{ivfCentroids, nearestCells, ivfNprobe, IvfProbeScale, ProbeFloor}
 
 /** [EXT] storage-LAYOUT proof queries (VERDICT r04 #2/#3): the scale
@@ -158,8 +158,7 @@ object StorageLayout {
     val nCells = graft.sources.DfCache.value(spark, s"ivf_ncells|$dir")(
       centroids.count())
     val nprobe = ivfNprobe(nCells, IvfProbeScale, ProbeFloor)
-    val qid = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % QueryStride === 0)
+    val qid = Similarity.queryIds(spark, dir)
       .agg(min(col("vec_id"))).collect().head.getLong(0)
     val probedCells = nearestCells(
         all.filter(col("vec_id") === qid), centroids, nprobe, "prank")
@@ -501,12 +500,13 @@ object StorageLayout {
     // layout internals (Lloyd cells, probe set) are Scala-side
     // deterministic, not SQL-expressible — contract oracle, like q52
     "q133_cell_serving" ->
-      s"""SELECT CAST(min(vec_id) AS BIGINT) AS qid,
+      s"""WITH $QselCte
+        |SELECT CAST(min(vec_id) AS BIGINT) AS qid,
         |       true AS cells_probed_lt_total,
         |       true AS files_read_lt_total,
         |       true AS topk_matches_ivf,
         |       true AS topk_complete
-        |FROM embeddings WHERE vec_id % $QueryStride = 0""".stripMargin,
+        |FROM qsel""".stripMargin,
     "q347_dim_bucketed_join" ->
       """SELECT c_mktsegment AS segment,
         |       CAST(count(DISTINCT c_custkey) AS BIGINT)

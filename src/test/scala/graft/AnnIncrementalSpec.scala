@@ -13,7 +13,8 @@ class AnnIncrementalSpec extends SparkTestBase {
     val ids = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id").collect().map(_.getLong(0))
     val row = AI.q148AnnIncremental(spark, sf).collect().head
-    assert(row.getLong(0) == ids.count(_ % 100 == 0), "n_queries")
+    assert(row.getLong(0) ==
+      graft.operators.Similarity.queryIdSetSeq(ids.toSeq).size, "n_queries")
     assert(row.getLong(1) == ids.count(_ % AI.DeltaMod != AI.DeltaResidue), "n_base")
     assert(row.getLong(2) == ids.count(_ % AI.DeltaMod == AI.DeltaResidue), "n_delta")
     assert(row.getBoolean(3), "merge integrity")

@@ -77,23 +77,25 @@ object PlanContract {
     // single query vector selected by unique-key equality vec_id = 0
     "q120_hybrid_rrf" -> "one query vector (vec_id = 0)",
     "q133_cell_serving" -> "one query vector (vec_id = 0)",
-    // fixed-rate query batch: vec_id % 100 = 0 (1% of the table)
-    // — q36 is the MANDATED exact brute baseline (SURVEY §2: ANN
-    // "brute-force cosine top-k as the baseline"); q37/q113/q170/q311
-    // reuse its cached ground-truth table (the r10 cache-sharing
-    // design) or carry their own query-batch arm. These were always
-    // this shape — the r11 InMemoryRelation walk just made them
-    // visible (VERDICT r10 #2).
-    "q36_ann_brute_topk" -> "1% query batch (vec_id % 100), the baseline",
-    "q37_ann_lsh_topk" -> "cached q36 brute table (1% query batch)",
-    "q113_ann_pq" -> "cached brute/ADC arms (1% query batch)",
-    "q170_context_assembly" -> "cached q36 brute table (1% query batch)",
-    "q311_ild_audit" -> "cached q36 brute table (1% query batch)",
-    "q129_ann_truncated" -> "1% query batch (vec_id % 100)",
-    "q131_negative_sampling" -> "1% query batch (vec_id % 100)",
-    "q255_retrieval_mrr" -> "1% query batch (vec_id % 100)",
-    "q263_retrieval_ndcg" -> "1% query batch (vec_id % 100)",
-    "q315_retrieval_map" -> "1% query batch (vec_id % 100)",
+    // FIXED-COUNT query batch (round 13, VERDICT r12 #1): the
+    // Similarity.QueryBatchSize (20) vec_ids whose md5("annq_"||id)
+    // sort first — the broadcast build is structurally CONSTANT (20
+    // rows regardless of corpus size) and the chartered brute
+    // ground-truth arm is O(N·Q0), linear in the corpus. q36 is the
+    // MANDATED exact brute baseline (SURVEY §2: ANN "brute-force
+    // cosine top-k as the baseline"); q37/q113/q170/q311 reuse its
+    // cached ground-truth table (the r10 cache-sharing design) or
+    // carry their own query-batch arm.
+    "q36_ann_brute_topk" -> "fixed 20-query hash batch, the baseline",
+    "q37_ann_lsh_topk" -> "cached q36 brute table (fixed 20-query batch)",
+    "q113_ann_pq" -> "cached brute/ADC arms (fixed 20-query batch)",
+    "q170_context_assembly" -> "cached q36 brute table (fixed 20-query batch)",
+    "q311_ild_audit" -> "cached q36 brute table (fixed 20-query batch)",
+    "q129_ann_truncated" -> "fixed 20-query hash batch",
+    "q131_negative_sampling" -> "fixed 20-query hash batch",
+    "q255_retrieval_mrr" -> "fixed 20-query hash batch",
+    "q263_retrieval_ndcg" -> "fixed 20-query hash batch",
+    "q315_retrieval_map" -> "fixed 20-query hash batch",
     // all-pairs over a dimension-bounded profile: ≤ |nations| rows
     "q267_kendall_tau" -> "nation-grain profile (≤ nations rows)",
     // source-pair spine × 2^|sources|-row membership-mask histogram
@@ -250,11 +252,11 @@ object PlanContract {
     "q21_window_analytic" -> "aggregate-fact profile (≤ 192 rows)",
     "q61_range_frame" -> "daily revenue series (calendar-bounded)",
     "q82_funnel" -> "3-row funnel step table",
-    "q92_count_min" -> "CMS sketch-width table",
-    "q96_bm25" -> "query-term posting-bounded score table",
-    "q99_data_mix" -> "language-grain mix table",
+    "q92_count_min" -> "event_type-grain profile (groupBy event_type; ≤ |event types| rows)",
+    "q96_bm25" -> "top-20 TakeOrdered head (orderBy+limit(20) precedes the rank window)",
+    "q99_data_mix" -> "source-grain profile (groupBy source; ≤ |sources| rows)",
     "q120_hybrid_rrf" -> "top-k retrieval arm tables (≤ k rows)",
-    "q150_temperature_mix" -> "language-grain rate table",
+    "q150_temperature_mix" -> "lang-grain profile (groupBy lang; ≤ |languages| rows)",
     "q179_survival_curve" -> "lifetime-week spine (≤ weeks rows)",
     "q235_km_survival" ->
       "lifetime-day spine (≤ observed-span rows): at-risk + KM product",

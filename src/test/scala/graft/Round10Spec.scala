@@ -445,7 +445,7 @@ class Round10Spec extends SparkTestBase {
     val om = (100 - Mmr.MmrLambdaPct) / 100.0
     var diversified = false
     val recalls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    vecs.keys.filter(_ % 100 == 0).foreach { qid =>
+    graft.operators.Similarity.queryIdSetSeq(vecs.keys.toSeq).foreach { qid =>
       val pool = lshCandidates(qid).toSeq
         .map(c => c -> cos(vecs(qid), vecs(c)))
         .sortBy { case (c, rel) => (-rel, c) }
@@ -483,7 +483,7 @@ class Round10Spec extends SparkTestBase {
     // (the demoted ground-truth kernel stays correct)
     val sparkBrute = Mmr.brutePool(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-    val someQ = vecs.keys.filter(_ % 100 == 0).min
+    val someQ = graft.operators.Similarity.queryIdSetSeq(vecs.keys.toSeq).min
     val bruteQ = vecs.keys.filter(_ != someQ).toSeq
       .map(c => c -> cos(vecs(someQ), vecs(c)))
       .sortBy { case (c, rel) => (-rel, c) }

@@ -65,7 +65,8 @@ class Round10hSpec extends SparkTestBase {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
     val norms = vecs.map(v => v._1 ->
       math.sqrt(v._3.map(x => x * x).sum.toDouble)).toMap
-    val queries = vecs.filter(_._1 % 100 == 0)
+    val qset = graft.operators.Similarity.queryIdSetSeq(vecs.map(_._1).toSeq).toSet
+    val queries = vecs.filter(v => qset.contains(v._1))
     val perQuery = queries.map { case (qid, qlabel, qv) =>
       val ranked = vecs.filter(_._1 != qid).map { case (cid, clabel, cv) =>
         val dot = qv.zip(cv).map { case (a, b) => a * b }.sum

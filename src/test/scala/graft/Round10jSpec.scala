@@ -76,7 +76,8 @@ class Round10jSpec extends SparkTestBase {
     val labelSize = vecs.groupBy(_._2).map { case (l, vs) =>
       l -> vs.size }
     val n2 = vecs.map(v => v._1 -> v._3.map(x => x * x).sum).toMap
-    val perQ = vecs.filter(_._1 % 100 == 0).map { case (qid, ql, qv) =>
+    val qset = graft.operators.Similarity.queryIdSetSeq(vecs.map(_._1).toSeq).toSet
+    val perQ = vecs.filter(v => qset.contains(v._1)).map { case (qid, ql, qv) =>
       val ranked = vecs.filter(_._1 != qid).map { case (cid, cl, cv) =>
         val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
         (cid, cl, dot.toDouble / math.sqrt(n2(cid).toDouble))

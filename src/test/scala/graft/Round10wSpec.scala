@@ -34,7 +34,8 @@ class Round10wSpec extends SparkTestBase {
     val labelOf = vecs.map(v => v._1 -> v._2).toMap
     val nLabel = vecs.groupBy(_._2).map { case (l, xs) =>
       l -> xs.length.toLong }
-    val queries = vecs.filter(_._1 % 100 == 0)
+    val qset = graft.operators.Similarity.queryIdSetSeq(vecs.map(_._1).toSeq).toSet
+    val queries = vecs.filter(v => qset.contains(v._1))
     val apByQuery = queries.map { case (qid, ql, qv) =>
       val ranked = vecs.filter(_._1 != qid).map { case (cid, cl, cv) =>
         val dot = qv.zip(cv).map { case (x, y) => x * y }.sum

@@ -57,7 +57,7 @@ class Round11eSpec extends SparkTestBase {
     val selCos = scala.collection.mutable.ArrayBuffer.empty[Double]
     val allCos = scala.collection.mutable.ArrayBuffer.empty[Double]
     val bruteCos = scala.collection.mutable.ArrayBuffer.empty[Double]
-    raw.keys.filter(_ % Similarity.QueryStride == 0).foreach { qid =>
+    Similarity.queryIdSetSeq(raw.keys.toSeq).foreach { qid =>
       val cands = ok(qid).flatMap(kv => members(kv)).toSet - qid
       val top = cands.toSeq.map(c => (c, ham(qid, c)))
         .sortBy { case (c, h) => (h, c) }.take(Breadth5.HammK)
@@ -203,7 +203,7 @@ class Round11eSpec extends SparkTestBase {
       .map(_.map(_.toLong))
     def proj(v: Array[Long]): Seq[Long] =
       planes.map(p => p.zip(v).map { case (c, q) => c * q }.sum)
-    val ratios = raw.keys.toSeq.filter(_ % Similarity.QueryStride == 0)
+    val ratios = Similarity.queryIdSetSeq(raw.keys.toSeq)
       .flatMap { q => (1 to 5).map(j => (q, q + j)) }
       .filter { case (_, c) => raw.contains(c) }
       .flatMap { case (q, c) =>
