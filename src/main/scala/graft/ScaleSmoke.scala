@@ -172,7 +172,13 @@ object ScaleSmoke {
         // priority-keyed profiles whose SCALE notes name dim growth
         // as the real stress axis
         "q310_supplier_hhi", "q314_price_dispersion",
-        "q333_priority_sla")
+        "q333_priority_sla",
+        // round-13 (VERDICT r12 #4): q381's six arms broadcast the
+        // FILTERED part/supplier dims — the part dim grows 10x on
+        // this axis (facts re-keyed to reference the copies), which
+        // is the broadcast-build stress its SCALE note names; the
+        // supplier dim is constant in this build (documented floor)
+        "q381_sample_cardinality")
         .filter(n => only.isEmpty || only(n))
       dimQueries.foreach { n =>
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

@@ -401,6 +401,45 @@ object Streams {
       }
   }
 
+  /** Per-bucket running count for [[runningDdTrajectory]]: ONE long
+    * per bucket key — the day-prefix trajectory state is just the
+    * DDSketch histogram sharded by bucket (≤ |ladder|+1 groups), so
+    * no row ever funnels through a single task and the state size is
+    * ladder-bounded regardless of corpus size. */
+  case class DdCumState(cum: Long)
+
+  /** Streaming twin of q380's day-prefix quantile trajectory (VERDICT
+    * r12 #5, the q375-twin playbook): arriving `cents` rows key by
+    * their pinned-ladder bucket (binary search — the exact
+    * #{boundaries < c} rule q375/q380 share, including the clamp
+    * semantics: out-of-range values land in the boundary buckets) and
+    * fold into a per-bucket running count. Feeding one calendar day
+    * per micro-batch makes the emitted (bucket, cum) updates after
+    * batch d EXACTLY day d's row of q380's prefix-merged histogram —
+    * the batch query's cumulative-over-days window re-expressed as
+    * mapGroupsWithState increments, state parity bit-exact
+    * (StreamingTrajectorySpec pins it, including the p95 read-off). */
+  def runningDdTrajectory(values: DataFrame)
+      : org.apache.spark.sql.Dataset[(Int, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sess = values.sparkSession
+    import sess.implicits._
+    val bounds = graft.operators.Breadth10.DdBounds.toArray
+    values.select(col("cents").cast("long")).as[Long]
+      .groupByKey { c =>
+        val i = java.util.Arrays.binarySearch(bounds, c)
+        if (i >= 0) i else -(i + 1)
+      }
+      .mapGroupsWithState[DdCumState, (Int, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[Long],
+         state: org.apache.spark.sql.streaming.GroupState[DdCumState]) =>
+          val cum = state.getOption.map(_.cum).getOrElse(0L) + rows.size
+          state.update(DdCumState(cum))
+          (bucket, cum)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
