@@ -60,7 +60,7 @@ object Graph {
     val n = graft.sources.DfCache.value(spark, s"pr_n|$dir")(nodes.count())
     // Final ranks are DfCache'd so repeated calls skip the loop.
     val ranks = graft.sources.DfCache.df(spark, s"pr_ranks|$dir")(
-      pagerankRanks(nodes, edges, outdeg, n))
+      pagerankRanks(nodes, edges, outdeg, n, Some(dir)))
     ranks.select(col("node"), round(col("r"), 8).as("rank"),
         col("converged"))
       .orderBy(desc("rank"), asc("node"))
@@ -114,7 +114,22 @@ object Graph {
     * node-partitioned checkpointed rounds (the same scalar-per-round
     * discipline as the dangling mass and q142's node counts). */
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame,
-      outdeg: DataFrame, n: Long): DataFrame = {
+      outdeg: DataFrame, n: Long, cacheDir: Option[String] = None): DataFrame = {
+    // the out-degree is STATIC, so it pre-joins onto the persisted
+    // edge table ONCE (broadcast of the supplier-sized outdeg; the
+    // result keeps the src partitioning) instead of re-joining
+    // r⋈outdeg inside every round's contribution subtree — per round
+    // the contribs join now moves only the rank column. Arithmetic is
+    // unchanged (same r/d terms into the same dst-keyed sum), so
+    // ranks stay bit-identical to the oracle's unrolled recurrence.
+    def buildEdgesD =
+      edges.join(broadcast(outdeg.withColumnRenamed("node", "src")),
+        Seq("src"))
+    val edgesD = cacheDir match {
+      case Some(dir) => graft.sources.DfCache.df(nodes.sparkSession,
+        s"pr_edges_d|$dir")(buildEdgesD)
+      case None => buildEdgesD
+    }
     var r = nodes.withColumn("r", lit(1.0 / n))
     var delta = Double.MaxValue
     var it = 0
@@ -122,24 +137,28 @@ object Graph {
       val withDeg = r.join(outdeg, Seq("node"), "left")
       val dang = withDeg.filter(col("d").isNull)
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      val contribs = edges
-        .join(withDeg.filter(col("d").isNotNull)
-          .select(col("node").as("src"), col("r"), col("d")), Seq("src"))
+      val contribs = edgesD
+        .join(r.select(col("node").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("d")).as("c"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      // r_prev rides the checkpointed frame so the per-round L1-delta
+      // job is a join-free scan of the checkpoint (it used to re-join
+      // the two node-partitioned rounds — co-partitioned, but still a
+      // second two-input plan per round)
+      val next = r.select(col("node"), col("r").as("r_prev"))
+        .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit((1.0 - Damping) / n) +
             lit(Damping) *
               (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
-            .as("r"))
+            .as("r"),
+          col("r_prev"))
         .localCheckpoint()
-      delta = next.join(r.select(col("node"), col("r").as("r_prev")),
-          Seq("node"))
+      delta = next
         .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
         .collect()(0).getDouble(0)
-      r = next
+      r = next.drop("r_prev")
       it += 1
     }
     r.withColumn("converged", lit(delta < ConvergenceEps))
