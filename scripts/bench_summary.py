@@ -38,6 +38,12 @@ def main():
         stop = sorted(setup.items(), key=lambda kv: -kv[1])[:5]
         print("top-5 setup:   " +
               ", ".join(f"{k} {v:.2f}s" for k, v in stop))
+    spread = cur.get("spread", {})
+    if spread:
+        wide = sorted(spread.items(), key=lambda kv: -kv[1])[:5]
+        print("worst spread:  " +
+              ", ".join(f"{k} {v:.1f}x" for k, v in wide) +
+              "  (max/min across reps; >>1 = host noise on that row)")
     if len(sys.argv) > 2:
         prev = load(sys.argv[2])["queries"]
         common = {k: v for k, v in qs.items() if prev.get(k, -1) >= 0}

@@ -78,6 +78,17 @@ object Bench {
       val ts = runs.flatMap(_._1.toMap.apply(name))
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
+    // per-query max/min ratio across reps: the machine-visible noise
+    // band (round 13 — the r12 driver run showed 3.3x single-query
+    // swings on a contended host that best-of-2 didn't filter; a row
+    // with spread >> 1 says "this number is host noise, not a plan").
+    // Worst-20 only: the driver artifact keeps a stdout tail, so the
+    // full 387-entry map would evict query rows from BENCH_r{N}.json.
+    val spreads = names.flatMap { case (name, _) =>
+      val ts = runs.flatMap(_._1.toMap.apply(name))
+      if (ts.size >= 2 && ts.min > 0) Some(name -> ts.max / ts.min)
+      else None
+    }.sortBy(-_._2).take(20)
     // setup rows: min across reps per cache key; the "|<dir>" suffix is
     // dropped for readability (one bench run measures one dir)
     val setupRows = runs.flatMap(_._2.toSeq)
@@ -104,8 +115,11 @@ object Bench {
     // reported, just attributed (round-over-round totals stay
     // comparable even though per-query numbers no longer carry builds)
     val total = results.map(_._2).sum + setupRows.map(_._2).sum
+    val spread = spreads
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"setup":$setup,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"setup":$setup,"spread":$spread,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout keeps only a tail, which truncated the
     // front of the r2/r3 metric lines (round totals unrecoverable from the

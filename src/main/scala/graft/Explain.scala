@@ -166,6 +166,20 @@ object Explain {
                                 // partition-bounded cumulative windows
     "q381_sample_cardinality",  // 1/64 hash sample + broadcast dims;
                                 // three 1-row arms
+    "q382_changepoint",      // fact fold → (type, day) profile; all
+                             // windows type-partitioned, calendar-
+                             // bounded; micro-quantized argmax
+    "q383_curation_funnel",  // one scan, one conditional fold per
+                             // source; integer cross-product bands
+    "q384_token_budget_sample", // DistributedRank prefix sum over
+                                // hash order; stride-crossing filter
+    "q385_boilerplate_prefix",  // content-key groupBy on the prefix
+                                // + TakeOrdered(20); no pair join
+    "q386_simplified_silhouette", // n·k·d point×centroid join with
+                                  // model-sized broadcast; exact
+                                  // BIGINT folds, micro-quantized s
+    "q387_int8_quant_audit",    // per-vec 64-row window + exact folds;
+                                // linear, no joins wider than the scan
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)

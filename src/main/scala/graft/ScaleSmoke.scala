@@ -355,6 +355,10 @@ object ScaleSmoke {
         "q376_compaction_planner", "q377_join_order_advisor",
         "q378_cell_suppression", "q379_retention_sweep",
         "q380_quantile_trajectory", "q381_sample_cardinality",
+        // round-13 additions
+        "q382_changepoint", "q383_curation_funnel",
+        "q384_token_budget_sample", "q385_boilerplate_prefix",
+        "q386_simplified_silhouette", "q387_int8_quant_audit",
         "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
         "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+

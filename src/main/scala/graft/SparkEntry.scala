@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Breadth6, Breadth7, Breadth8, Breadth9, Breadth10, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Drift, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, SketchAlgebra, Skew, StorageLayout, TextEncode, TextOps, TimeSeries, TimeSeries2, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Breadth6, Breadth7, Breadth8, Breadth9, Breadth10, Breadth11, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Drift, Expectations, Multimodal, Graph, Graph2, Relational, Similarity, SketchAlgebra, Skew, StorageLayout, TextEncode, TextOps, TimeSeries, TimeSeries2, TrainingPipeline, XmlShred}
 import graft.operators.{Affinity, Audit, Calibration, Contribution, Coreset, CrossCorr, Cuped, Evaluation, Evaluation2, ExactSubstr, Experiment, FeaturePrep, Governance, Graph3, Hierarchy, InfoTheory, InvertedIndex, Keyphrase, Lifecycle, Linkage, MaxCover, Mmr, Pca, SessionState, TextProfile, Vocabulary}
 import graft.streaming.Streams
 
@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Breadth.queries ++ Breadth2.queries ++
-      Breadth3.queries ++ Breadth4.queries ++ Breadth5.queries ++ Breadth6.queries ++ Breadth7.queries ++ Breadth8.queries ++ Breadth9.queries ++ Breadth10.queries ++
+      Breadth3.queries ++ Breadth4.queries ++ Breadth5.queries ++ Breadth6.queries ++ Breadth7.queries ++ Breadth8.queries ++ Breadth9.queries ++ Breadth10.queries ++ Breadth11.queries ++
       Dedup.queries ++ DedupEmbedding.queries ++ DedupClusters.queries ++
       TextOps.queries ++ TextEncode.queries ++ Similarity.queries ++ AnnIndex.queries ++
       AnnRetrieval.queries ++ AnnIncremental.queries ++
@@ -35,7 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Breadth.oracles ++ Breadth2.oracles ++
-      Breadth3.oracles ++ Breadth4.oracles ++ Breadth5.oracles ++ Breadth6.oracles ++ Breadth7.oracles ++ Breadth8.oracles ++ Breadth9.oracles ++ Breadth10.oracles ++
+      Breadth3.oracles ++ Breadth4.oracles ++ Breadth5.oracles ++ Breadth6.oracles ++ Breadth7.oracles ++ Breadth8.oracles ++ Breadth9.oracles ++ Breadth10.oracles ++ Breadth11.oracles ++
       Dedup.oracles ++ DedupEmbedding.oracles ++ DedupClusters.oracles ++
       TextOps.oracles ++ TextEncode.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
       AnnRetrieval.oracles ++ AnnIncremental.oracles ++

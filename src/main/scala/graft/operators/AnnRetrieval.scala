@@ -345,8 +345,15 @@ object AnnRetrieval {
     * combinable fold of the scan), then all pair arithmetic happens on
     * the |labels|·dim centroid profile — 640 rows here, model-sized at
     * any corpus scale. */
-  def q223CentroidSeparation(spark: SparkSession, dir: String): DataFrame = {
-    val cd = graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
+  /** The micro-quantized (label × dim) centroid profile shared by
+    * q223/q233/q386 (one cached build per (session, dir)): per-
+    * coordinate sums fold exact BIGINT micro-units, the centroid is
+    * re-quantized to integer micro-units after the single mean
+    * division, so every downstream dot/norm fold runs over exact
+    * integers (the q169 pattern — see q223's design note). */
+  private[operators] def labelCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
       Tables.embeddings(spark, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
@@ -355,6 +362,9 @@ object AnnRetrieval {
             .as("s"))
         .select(col("label"), col("pos"), col("n"),
           expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+
+  def q223CentroidSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val cd = labelCentroids(spark, dir)
     val a = cd.select(col("label").as("label_a"), col("pos"),
       col("n").as("na"), col("cq").as("ca"))
     val b = cd.select(col("label").as("label_b"), col("pos"),
@@ -394,15 +404,7 @@ object AnnRetrieval {
     * brute classify matmul; the window partitions by vec_id over k
     * rows each; output folds to the k×k confusion profile. */
   def q233LabelNoise(spark: SparkSession, dir: String): DataFrame = {
-    val cd = graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
-      Tables.embeddings(spark, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
-            .as("s"))
-        .select(col("label"), col("pos"), col("n"),
-          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+    val cd = labelCentroids(spark, dir)
     val norms = cd.groupBy(col("label").as("c_label"))
       .agg(sum(col("cq") * col("cq")).as("c2"))
     val pts = Tables.embeddings(spark, dir)

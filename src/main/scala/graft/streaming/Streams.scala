@@ -440,6 +440,41 @@ object Streams {
       }
   }
 
+  /** Per-(type, day) running count for [[runningDailyCounts]]: one
+    * long per key — the q382 changepoint's input profile sharded at
+    * (type × day) grain, so state is calendar-bounded (types × days
+    * keys) and no row ever funnels through a single task. */
+  case class DayCountState(n: Long)
+
+  /** Streaming twin of q382's input profile (the q380-twin playbook):
+    * arriving (event_type, day) rows fold into a per-key running
+    * count via `mapGroupsWithState`. The expensive part of the batch
+    * changepoint — the corpus fold to the (type, day) daily-count
+    * profile — is exactly this state; the gain argmax is then a
+    * profile-sized recompute (≤ types × days rows) any consumer can
+    * run per trigger. Feeding one calendar day per micro-batch makes
+    * the state after batch d bit-equal to the batch profile over days
+    * ≤ d (StreamingChangepointSpec pins the parity AND the final
+    * changepoint read-off against the registered q382 rows). */
+  def runningDailyCounts(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sess = events.sparkSession
+    import sess.implicits._
+    events.select(col("event_type").cast("string"),
+        col("day").cast("string"))
+      .as[(String, String)]
+      .groupByKey(identity)
+      .mapGroupsWithState[DayCountState, (String, String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String)],
+         state: org.apache.spark.sql.streaming.GroupState[DayCountState]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + rows.size
+          state.update(DayCountState(n))
+          (key._1, key._2, n)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
