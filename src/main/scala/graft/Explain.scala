@@ -180,6 +180,9 @@ object Explain {
                                   // BIGINT folds, micro-quantized s
     "q387_int8_quant_audit",    // per-vec 64-row window + exact folds;
                                 // linear, no joins wider than the scan
+    "q388_changepoint2",     // q382 recursion depth 2: one more pass
+                             // over the calendar-bounded profile;
+                             // type-grain best-split broadcast
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)

@@ -359,6 +359,7 @@ object ScaleSmoke {
         "q382_changepoint", "q383_curation_funnel",
         "q384_token_budget_sample", "q385_boilerplate_prefix",
         "q386_simplified_silhouette", "q387_int8_quant_audit",
+        "q388_changepoint2",
         "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
         "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+

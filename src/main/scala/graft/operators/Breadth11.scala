@@ -44,20 +44,27 @@ object Breadth11 {
     * event_type over the day-grain profile (≤ |days| rows per type —
     * calendar-bounded, never data-sized); Σx² folds in decimal(38)
     * before one final double cast. */
-  def q382Changepoint(spark: SparkSession, dir: String): DataFrame = {
+  /** The (type, day) daily-count profile with per-row prefix sums and
+    * per-type totals — the shared input of q382/q388. Every window
+    * partitions by event_type over ≤ |days| rows (calendar-bounded). */
+  private def dailyIdx(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("event_type")
-    val idx = daily
+    daily
       .withColumn("k", row_number().over(wOrd).cast("long"))
       .withColumn("slft", sum(col("x")).over(wCum))
       .withColumn("s", sum(col("x")).over(wAll))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("q2",
         sum((col("x") * col("x")).cast("decimal(38,0)")).over(wAll))
+  }
+
+  def q382Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val idx = dailyIdx(spark, dir)
       .filter(col("k") < col("n"))
       // identical textual formula in the oracle: products and
       // divisions are IEEE-exact-rounded, so the doubles agree
@@ -80,6 +87,69 @@ object Breadth11 {
         expr("case when cast(q2 as double) - cast(s as double) * s / n" +
           " > 0 then round(gain_u / 1e6 / (cast(q2 as double)" +
           " - cast(s as double) * s / n), 6) end").as("eta2"))
+      .orderBy("event_type")
+  }
+
+  /** q388 — TWO-LEVEL BINARY SEGMENTATION (the q382 recursion, depth
+    * 2): fix the level-1 split b, then score every remaining candidate
+    * k with the WITHIN-SEGMENT SSE gain (prefix arithmetic relative to
+    * the segment boundaries — left: prefixes as-is against (b, S_b);
+    * right: prefixes shifted by (b, S_b) against (n−b, S−S_b)) and
+    * take the single best second split across both segments. This is
+    * how binary segmentation finds K changepoints at 100 TB: each
+    * level is ONE more pass over the calendar-bounded profile —
+    * candidate gains stay O(1) reads of three prefix scalars, never a
+    * segment rescan — so K changepoints cost K profile passes, not K
+    * corpus scans. Output: both split days in calendar order, the
+    * three segment means, and both gains (gain_second ≤ gain_first is
+    * NOT implied — the second gain is within-segment — but both are
+    * nonneg). Same determinism story as q382: micro-quantized argmax,
+    * earliest-day tie-break, level-1 tie identical to q382's. */
+  def q388Changepoint2(spark: SparkSession, dir: String): DataFrame = {
+    val idx = dailyIdx(spark, dir)
+    val wPick1 = Window.partitionBy("event_type").orderBy(
+      desc("gain1_u"), asc("day"))
+    val best = idx.filter(col("k") < col("n"))
+      .withColumn("gain1_u", expr(
+        "cast(round((cast(slft as double) * slft / k" +
+          " + cast(s - slft as double) * (s - slft) / (n - k)" +
+          " - cast(s as double) * s / n) * 1e6, 0) as bigint)"))
+      .withColumn("rn", row_number().over(wPick1))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("k").as("b"), col("slft").as("sb"),
+        col("day").as("day_b"), col("gain1_u"))
+    val cand = idx
+      .join(broadcast(best), Seq("event_type"))
+      .filter(col("k") =!= col("b") && col("k") < col("n"))
+      .withColumn("gain2_u", expr(
+        "cast(round((case when k < b" +
+          " then cast(slft as double) * slft / k" +
+          " + cast(sb - slft as double) * (sb - slft) / (b - k)" +
+          " - cast(sb as double) * sb / b" +
+          " else cast(slft - sb as double) * (slft - sb) / (k - b)" +
+          " + cast(s - slft as double) * (s - slft) / (n - k)" +
+          " - cast(s - sb as double) * (s - sb) / (n - b) end)" +
+          " * 1e6, 0) as bigint)"))
+    val wPick2 = Window.partitionBy("event_type").orderBy(
+      desc("gain2_u"), asc("day"))
+    cand.withColumn("rn", row_number().over(wPick2))
+      .filter(col("rn") === 1)
+      .withColumn("k1", least(col("k"), col("b")))
+      .withColumn("k2", greatest(col("k"), col("b")))
+      .withColumn("c1", when(col("k") < col("b"), col("slft"))
+        .otherwise(col("sb")))
+      .withColumn("c2", when(col("k") < col("b"), col("sb"))
+        .otherwise(col("slft")))
+      .select(col("event_type"), col("n").as("n_days"),
+        when(col("k") < col("b"), col("day")).otherwise(col("day_b"))
+          .as("split_day_1"),
+        when(col("k") < col("b"), col("day_b")).otherwise(col("day"))
+          .as("split_day_2"),
+        expr("round(cast(c1 as double) / k1, 6)").as("m1"),
+        expr("round(cast(c2 - c1 as double) / (k2 - k1), 6)").as("m2"),
+        expr("round(cast(s - c2 as double) / (n - k2), 6)").as("m3"),
+        expr("round(gain1_u / 1e6, 6)").as("gain_first"),
+        expr("round(gain2_u / 1e6, 6)").as("gain_second"))
       .orderBy("event_type")
   }
 
@@ -331,7 +401,8 @@ object Breadth11 {
     "q384_token_budget_sample" -> (q384TokenBudgetSample _),
     "q385_boilerplate_prefix" -> (q385BoilerplatePrefix _),
     "q386_simplified_silhouette" -> (q386SimplifiedSilhouette _),
-    "q387_int8_quant_audit" -> (q387Int8QuantAudit _))
+    "q387_int8_quant_audit" -> (q387Int8QuantAudit _),
+    "q388_changepoint2" -> (q388Changepoint2 _))
 
   val oracles: Map[String, String] = Map(
     "q382_changepoint" ->
@@ -426,6 +497,68 @@ object Breadth11 {
         |FROM c
         |WHERE cum // $TokenStride > (cum - n_tokens) // $TokenStride
         |ORDER BY cum""".stripMargin,
+    "q388_changepoint2" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, x,
+        |         CAST(row_number() OVER w AS BIGINT) AS k,
+        |         CAST(sum(x) OVER (w ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS slft,
+        |         CAST(sum(x) OVER p AS BIGINT) AS s,
+        |         CAST(count(*) OVER p AS BIGINT) AS n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |         p AS (PARTITION BY event_type)),
+        |g1 AS (
+        |  SELECT *,
+        |         CAST(round((CAST(slft AS DOUBLE) * slft / k
+        |           + CAST(s - slft AS DOUBLE) * (s - slft) / (n - k)
+        |           - CAST(s AS DOUBLE) * s / n) * 1e6, 0) AS BIGINT)
+        |           AS gain1_u
+        |  FROM idx WHERE k < n),
+        |best AS (
+        |  SELECT event_type, k AS b, slft AS sb, day AS day_b, gain1_u
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |          ORDER BY gain1_u DESC, day) AS rn FROM g1)
+        |  WHERE rn = 1),
+        |g2 AS (
+        |  SELECT i.*, t.b, t.sb, t.day_b, t.gain1_u,
+        |         CAST(round((CASE WHEN i.k < t.b
+        |           THEN CAST(i.slft AS DOUBLE) * i.slft / i.k
+        |             + CAST(t.sb - i.slft AS DOUBLE) * (t.sb - i.slft)
+        |               / (t.b - i.k)
+        |             - CAST(t.sb AS DOUBLE) * t.sb / t.b
+        |           ELSE CAST(i.slft - t.sb AS DOUBLE) * (i.slft - t.sb)
+        |               / (i.k - t.b)
+        |             + CAST(i.s - i.slft AS DOUBLE) * (i.s - i.slft)
+        |               / (i.n - i.k)
+        |             - CAST(i.s - t.sb AS DOUBLE) * (i.s - t.sb)
+        |               / (i.n - t.b) END)
+        |           * 1e6, 0) AS BIGINT) AS gain2_u
+        |  FROM idx i JOIN best t USING (event_type)
+        |  WHERE i.k <> t.b AND i.k < i.n),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY gain2_u DESC, day) AS rn
+        |  FROM g2),
+        |win AS (
+        |  SELECT *,
+        |         least(k, b) AS k1, greatest(k, b) AS k2,
+        |         CASE WHEN k < b THEN slft ELSE sb END AS c1,
+        |         CASE WHEN k < b THEN sb ELSE slft END AS c2
+        |  FROM pick WHERE rn = 1)
+        |SELECT event_type, n AS n_days,
+        |       CASE WHEN k < b THEN day ELSE day_b END AS split_day_1,
+        |       CASE WHEN k < b THEN day_b ELSE day END AS split_day_2,
+        |       round(CAST(c1 AS DOUBLE) / k1, 6) AS m1,
+        |       round(CAST(c2 - c1 AS DOUBLE) / (k2 - k1), 6) AS m2,
+        |       round(CAST(s - c2 AS DOUBLE) / (n - k2), 6) AS m3,
+        |       round(gain1_u / 1e6, 6) AS gain_first,
+        |       round(gain2_u / 1e6, 6) AS gain_second
+        |FROM win ORDER BY event_type""".stripMargin,
     "q386_simplified_silhouette" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,

@@ -51,6 +51,58 @@ class Round13Spec extends SparkTestBase {
     }
   }
 
+  test("q388 depth-2 splits equal a sequential exhaustive two-level " +
+      "replay and both gains are nonnegative") {
+    val rows = Breadth11.q388Changepoint2(spark, sf).collect()
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2.toEpochDay)).toMap
+    assert(rows.length == byType.count(_._2.length > 2))
+    rows.foreach { r =>
+      val seq = byType(r.getString(0))
+      val xs = seq.map(_._3)
+      val n = xs.length
+      val s = xs.sum
+      def gainU(lo: Int, hi: Int, k: Int): Long = {
+        // within-segment gain for split at local prefix k of xs(lo until hi)
+        val seg = xs.slice(lo, hi)
+        val st = seg.sum
+        val sl = seg.take(k).sum
+        math.round((sl.toDouble * sl / k +
+          (st - sl).toDouble * (st - sl) / (seg.length - k) -
+          st.toDouble * st / seg.length) * 1e6)
+      }
+      val g1 = (1 until n).map(k => k -> gainU(0, n, k))
+      val (b, bestG1) = g1.minBy { case (k, g) => (-g, k) }
+      // level 2: candidates are global indices != b, expressed as
+      // within-segment splits
+      val g2 = (1 until n).filter(_ != b).map { k =>
+        val g = if (k < b) gainU(0, b, k) else gainU(b, n, k - b)
+        (k, g)
+      }
+      val (k2g, bestG2) = g2.minBy { case (k, g) =>
+        (-g, seq(k - 1)._2.toEpochDay)
+      }
+      val (k1, k2) = (math.min(b, k2g), math.max(b, k2g))
+      assert(r.getLong(1) == n)
+      assert(r.getDate(2).toLocalDate == seq(k1 - 1)._2, "split_day_1")
+      assert(r.getDate(3).toLocalDate == seq(k2 - 1)._2, "split_day_2")
+      val (c1, c2) = (xs.take(k1).sum, xs.take(k2).sum)
+      assert(math.abs(r.getDouble(4) - c1.toDouble / k1) < 1e-6, "m1")
+      assert(math.abs(r.getDouble(5) -
+        (c2 - c1).toDouble / (k2 - k1)) < 1e-6, "m2")
+      assert(math.abs(r.getDouble(6) -
+        (s - c2).toDouble / (n - k2)) < 1e-6, "m3")
+      assert(math.abs(r.getDouble(7) - bestG1 / 1e6) < 1e-9, "gain_first")
+      assert(math.abs(r.getDouble(8) - bestG2 / 1e6) < 1e-9,
+        "gain_second")
+      assert(bestG1 >= 0 && bestG2 >= 0)
+    }
+  }
+
   test("q383 funnel equals a sequential rule replay and attrition is " +
       "monotone") {
     val rows = Breadth11.q383CurationFunnel(spark, sf).collect()
