@@ -55,15 +55,28 @@ object Similarity {
         .limit(QueryBatchSize)
     }
 
+  /** The fixed query-id set as a driver value (one K-row collect of
+    * [[queryIds]], cached) — class-1 data-deterministic per
+    * docs/DETERMINISM.md (a collected query result both engines
+    * compute identically from the same parquet). */
+  private[graft] def queryIdSet(spark: SparkSession, dir: String): Seq[Long] =
+    graft.sources.DfCache.value(spark, s"ann_qsel_ids|$dir")(
+      queryIds(spark, dir).collect().map(_.getLong(0)).toSeq.sorted)
+
   /** Restrict `df` to rows whose `idCol` is in the fixed query batch:
-    * a broadcast LEFT SEMI hash join against the [[QueryBatchSize]]-row
-    * cached id set — the structurally-constant replacement for the old
-    * modulo filter. */
+    * a PUSHED-DOWN `IN` literal filter over the collected
+    * [[QueryBatchSize]]-row id set — the structurally-constant
+    * replacement for the old modulo filter. A broadcast semi-join
+    * formulation was measured 2.4x SLOWER end-to-end on the LSH path:
+    * the join shape blocks the scan-filter pushdown, and after
+    * CollapseProject the probe-bands lambdas inline the full
+    * signature expression per probe, so keeping the query side a
+    * filtered SCAN (the r12 modulo plan shape) is load-bearing, not
+    * cosmetic. The id collect is K rows (20), once per (session,
+    * dir). */
   private[graft] def onlyQueries(spark: SparkSession, dir: String,
       df: DataFrame, idCol: String = "vec_id"): DataFrame =
-    df.join(
-      broadcast(queryIds(spark, dir).withColumnRenamed("vec_id", idCol)),
-      Seq(idCol), "left_semi")
+    df.filter(col(idCol).isInCollection(queryIdSet(spark, dir)))
 
   /** Sequential replay of [[queryIds]] for specs: the
     * [[QueryBatchSize]] ids whose md5("annq_" || id) hex strings sort
