@@ -58,6 +58,7 @@ object Bench {
     val runs = (1 to reps).map { _ =>
       graft.sources.DfCache.clear(spark)
       graft.sources.DfCache.drainBuildTimes(spark) // discard warmup/stale
+      val repSetup = scala.collection.mutable.Map.empty[String, Double]
       val qTimes = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -68,11 +69,27 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // SUBTRACT the shared-build seconds that landed inside this
+        // query's window (round 14 — the r13 q113 `weak` root cause):
+        // the eager DfCache count() runs lazily inside whichever
+        // consumer FIRST touches a cached intermediate, so draining
+        // per-REP (r13) left those seconds in the first consumer's
+        // wall AND in the setup rows — q113, the alphabetically-first
+        // ANN consumer, carried the codebook/brute builds (~3-5s)
+        // every rep while its own ADC+rerank work is ~1.5s. Draining
+        // per-QUERY makes "consumers time only their own work" true
+        // and the total count each second exactly once. Build windows
+        // are sequential and non-overlapping, so subtracting their sum
+        // is exact (clamped at 0 against clock noise).
+        val built = graft.sources.DfCache.drainBuildTimes(spark)
+        built.foreach { case (k, v) => repSetup(k) = v }
         // a failed rep's time-to-failure must not become the reported
         // minimum; -1 in the output flags an all-reps failure loudly
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        name -> (if (ok) Some(math.max(dt - built.values.sum, 0.0))
+                 else None)
       }
-      (qTimes, graft.sources.DfCache.drainBuildTimes(spark))
+      (qTimes, repSetup.toMap)
     }
     val results = names.map { case (name, _) =>
       val ts = runs.flatMap(_._1.toMap.apply(name))
@@ -111,9 +128,11 @@ object Bench {
     val setup = setupRows
       .map { case (k, v) => "\"" + k + "\":" + num(v, 4) }
       .mkString("{", ",", "}")
-    // value = queries + setup: the same total work previous rounds
-    // reported, just attributed (round-over-round totals stay
-    // comparable even though per-query numbers no longer carry builds)
+    // value = queries + setup. Since round 14 each build second is
+    // counted exactly ONCE (subtracted from the consumer it ran
+    // inside, reported as its setup row); the r13 sidecar counted
+    // build seconds TWICE (inside the first consumer's wall AND as a
+    // setup row), so r13 totals overstate by roughly sum(setup).
     val total = results.map(_._2).sum + setupRows.map(_._2).sum
     val spread = spreads
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }

@@ -15,18 +15,61 @@ object Profile {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROFILE_STAGES=1: print per-stage wall + task-time
+    // lines between the per-rep lines, for attributing a rep's cost to
+    // specific exchanges/scans (the r13 q37 diagnosis recipe, kept).
+    if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_STAGES", "0") == "1")
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              ev: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = ev.stageInfo
+            val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+              yield (c - s) / 1000.0).getOrElse(-1.0)
+            val cpu = si.taskMetrics.executorRunTime / 1000.0
+            println(f"[stage] id=${si.stageId}%4d wall=$wall%6.2fs " +
+              f"taskSum=$cpu%7.2fs tasks=${si.numTasks}%3d " +
+              si.name.linesIterator.next().take(100))
+          }
+        })
+    // SPARK_GRAFT_PROFILE_BENCHMODE=1: reproduce Bench's per-query
+    // measurement conditions exactly — sf0.001 warmup of the selected
+    // queries, DfCache build timing on (shared intermediates charged
+    // to named setup rows via an eager count), and a cache clear
+    // before each rep so every rep pays (and attributes) the builds.
+    val benchMode =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_BENCHMODE", "0") == "1"
+    if (benchMode) {
+      names.foreach { name =>
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.sources.DfCache.enableBuildTiming()
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { r =>
         // SPARK_GRAFT_PROFILE_CLEAR=1: drop cached intermediates before
         // each rep so the timing includes the shared builds (DfCache
         // otherwise makes rep2+ measure only the post-cache tail)
-        if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_CLEAR", "0") == "1")
+        if (sys.env.getOrElse("SPARK_GRAFT_PROFILE_CLEAR",
+            if (benchMode) "1" else "0") == "1") {
           graft.sources.DfCache.clear(spark)
+          graft.sources.DfCache.drainBuildTimes(spark)
+        }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[profile] $name rep$r: $dt%.3f s")
+        val setup = graft.sources.DfCache.drainBuildTimes(spark)
+        val setupStr =
+          if (setup.isEmpty) ""
+          else setup.toSeq.sortBy(-_._2)
+            .map { case (k, v) => f"${k.takeWhile(_ != '|')}=$v%.2f" }
+            .mkString(
+              f"  own=${math.max(dt - setup.values.sum, 0.0)}%.3f [setup ",
+              " ", "]")
+        println(f"[profile] $name rep$r: $dt%.3f s$setupStr")
       }
     }
     spark.stop()

@@ -326,6 +326,24 @@ object AnnRetrieval {
       .orderBy("qid", "rank", "chunk_ix")
   }
 
+  /** The micro-quantized (label × dim) centroid profile shared by
+    * q223/q233/q386 (one cached build per (session, dir)): per-
+    * coordinate sums fold exact BIGINT micro-units, the centroid is
+    * re-quantized to integer micro-units after the single mean
+    * division, so every downstream dot/norm fold runs over exact
+    * integers (the q169 pattern — see q223's design note). */
+  private[operators] def labelCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+            .as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
+
   /** q223 — PER-CLASS CENTROID SEPARATION: the pairwise cosine matrix
     * of label centroids over the embedding table — the embedding-space
     * separability audit run before trusting labels for retrieval
@@ -345,24 +363,6 @@ object AnnRetrieval {
     * combinable fold of the scan), then all pair arithmetic happens on
     * the |labels|·dim centroid profile — 640 rows here, model-sized at
     * any corpus scale. */
-  /** The micro-quantized (label × dim) centroid profile shared by
-    * q223/q233/q386 (one cached build per (session, dir)): per-
-    * coordinate sums fold exact BIGINT micro-units, the centroid is
-    * re-quantized to integer micro-units after the single mean
-    * division, so every downstream dot/norm fold runs over exact
-    * integers (the q169 pattern — see q223's design note). */
-  private[operators] def labelCentroids(spark: SparkSession,
-      dir: String): DataFrame =
-    graft.sources.DfCache.df(spark, s"label_centroids|$dir")(
-      Tables.embeddings(spark, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
-            .as("s"))
-        .select(col("label"), col("pos"), col("n"),
-          expr("cast(round(cast(s as double) / n, 0) as bigint)").as("cq")))
-
   def q223CentroidSeparation(spark: SparkSession, dir: String): DataFrame = {
     val cd = labelCentroids(spark, dir)
     val a = cd.select(col("label").as("label_a"), col("pos"),

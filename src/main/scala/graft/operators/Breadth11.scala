@@ -27,23 +27,6 @@ object Breadth11 {
 
   // ---------------------------------------------------------------- q382
 
-  /** q382 — CHANGEPOINT LOCALIZATION (binary segmentation, one split)
-    * over the per-type DAILY event-count series: for every candidate
-    * split k the SSE reduction of a two-mean fit,
-    *
-    *   gain(k) = S_L²/k + S_R²/(n−k) − S²/n
-    *
-    * computed from ONE cumulative window over the (type, day) profile
-    * (prefix sums make every candidate O(1) — no segment rescans), the
-    * winning split per type by micro-quantized-gain argmax with the
-    * EARLIEST day breaking ties. η² = gain/SSE_total says how much of
-    * the series' variance one break explains. The batch twin of the
-    * streaming CUSUM detector (StreamingCusumSpec): CUSUM answers
-    * "has it drifted?" online; this answers "WHERE did it break?" over
-    * the lakehouse history. Scale: all windows partition by
-    * event_type over the day-grain profile (≤ |days| rows per type —
-    * calendar-bounded, never data-sized); Σx² folds in decimal(38)
-    * before one final double cast. */
   /** The (type, day) daily-count profile with per-row prefix sums and
     * per-type totals — the shared input of q382/q388. Every window
     * partitions by event_type over ≤ |days| rows (calendar-bounded). */
@@ -63,19 +46,48 @@ object Breadth11 {
         sum((col("x") * col("x")).cast("decimal(38,0)")).over(wAll))
   }
 
+  /** q382 — CHANGEPOINT LOCALIZATION (binary segmentation, one split)
+    * over the per-type DAILY event-count series: for every candidate
+    * split k the SSE reduction of a two-mean fit,
+    *
+    *   gain(k) = S_L²/k + S_R²/(n−k) − S²/n
+    *
+    * computed from ONE cumulative window over the (type, day) profile
+    * (prefix sums make every candidate O(1) — no segment rescans), the
+    * winning split per type by micro-quantized RELATIVE-gain argmax
+    * (gain/SSE_total — bounded in [0, 1] at any count magnitude) with
+    * the EARLIEST day breaking ties. η² = gain/SSE_total says how much
+    * of the series' variance one break explains. The batch twin of the
+    * streaming CUSUM detector (StreamingCusumSpec): CUSUM answers
+    * "has it drifted?" online; this answers "WHERE did it break?" over
+    * the lakehouse history. Scale: all windows partition by
+    * event_type over the day-grain profile (≤ |days| rows per type —
+    * calendar-bounded, never data-sized); Σx² folds in decimal(38)
+    * before one final double cast. */
   def q382Changepoint(spark: SparkSession, dir: String): DataFrame = {
     val idx = dailyIdx(spark, dir)
       .filter(col("k") < col("n"))
-      // identical textual formula in the oracle: products and
+      // identical textual formulas in the oracle: products and
       // divisions are IEEE-exact-rounded, so the doubles agree
-      // bit-for-bit; the argmax still only ever sees the micro-
-      // quantized BIGINT
-      .withColumn("gain_u", expr(
-        "cast(round((cast(slft as double) * slft / k" +
+      // bit-for-bit; the argmax still only ever sees a micro-
+      // quantized BIGINT. The argmax key is the RELATIVE gain
+      // gain/SSE_total ∈ [0, 1] (round 14, ADVICE r13): every
+      // candidate in a partition shares the SSE_total denominator, so
+      // the ordering is the absolute-gain ordering, but the quantized
+      // quantity is BOUNDED — the old gain*1e6 was count²-scale and
+      // would overflow BIGINT once a type's total count passes ~3e6
+      // (where Spark's non-ANSI cast clamps and DuckDB errors).
+      .withColumn("gaind", expr(
+        "cast(slft as double) * slft / k" +
           " + cast(s - slft as double) * (s - slft) / (n - k)" +
-          " - cast(s as double) * s / n) * 1e6, 0) as bigint)"))
+          " - cast(s as double) * s / n"))
+      .withColumn("sse", expr(
+        "cast(q2 as double) - cast(s as double) * s / n"))
+      .withColumn("grel_u", expr(
+        "cast(round(case when sse > 0 then gaind / sse else 0 end" +
+          " * 1e6, 0) as bigint)"))
     val wPick = Window.partitionBy("event_type")
-      .orderBy(desc("gain_u"), asc("day"))
+      .orderBy(desc("grel_u"), asc("day"))
     idx.withColumn("rn", row_number().over(wPick))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("n").as("n_days"),
@@ -83,10 +95,9 @@ object Breadth11 {
         expr("round(cast(slft as double) / k, 6)").as("mean_left"),
         expr("round(cast(s - slft as double) / (n - k), 6)")
           .as("mean_right"),
-        expr("round(gain_u / 1e6, 6)").as("gain"),
-        expr("case when cast(q2 as double) - cast(s as double) * s / n" +
-          " > 0 then round(gain_u / 1e6 / (cast(q2 as double)" +
-          " - cast(s as double) * s / n), 6) end").as("eta2"))
+        expr("round(gaind, 6)").as("gain"),
+        expr("case when sse > 0 then round(grel_u / 1e6, 6) end")
+          .as("eta2"))
       .orderBy("event_type")
   }
 
@@ -107,31 +118,42 @@ object Breadth11 {
     * earliest-day tie-break, level-1 tie identical to q382's. */
   def q388Changepoint2(spark: SparkSession, dir: String): DataFrame = {
     val idx = dailyIdx(spark, dir)
+    // same bounded relative-gain argmax as q382 (ADVICE r13): BOTH
+    // levels share the per-type SSE_total denominator, so the level-2
+    // ordering across the two segments is unchanged and the quantized
+    // key stays in [0, 1e6] at any count magnitude
     val wPick1 = Window.partitionBy("event_type").orderBy(
-      desc("gain1_u"), asc("day"))
+      desc("grel1_u"), asc("day"))
     val best = idx.filter(col("k") < col("n"))
-      .withColumn("gain1_u", expr(
-        "cast(round((cast(slft as double) * slft / k" +
+      .withColumn("gain1d", expr(
+        "cast(slft as double) * slft / k" +
           " + cast(s - slft as double) * (s - slft) / (n - k)" +
-          " - cast(s as double) * s / n) * 1e6, 0) as bigint)"))
+          " - cast(s as double) * s / n"))
+      .withColumn("sse", expr(
+        "cast(q2 as double) - cast(s as double) * s / n"))
+      .withColumn("grel1_u", expr(
+        "cast(round(case when sse > 0 then gain1d / sse else 0 end" +
+          " * 1e6, 0) as bigint)"))
       .withColumn("rn", row_number().over(wPick1))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("k").as("b"), col("slft").as("sb"),
-        col("day").as("day_b"), col("gain1_u"))
+        col("day").as("day_b"), col("gain1d"), col("sse"))
     val cand = idx
       .join(broadcast(best), Seq("event_type"))
       .filter(col("k") =!= col("b") && col("k") < col("n"))
-      .withColumn("gain2_u", expr(
-        "cast(round((case when k < b" +
+      .withColumn("gain2d", expr(
+        "case when k < b" +
           " then cast(slft as double) * slft / k" +
           " + cast(sb - slft as double) * (sb - slft) / (b - k)" +
           " - cast(sb as double) * sb / b" +
           " else cast(slft - sb as double) * (slft - sb) / (k - b)" +
           " + cast(s - slft as double) * (s - slft) / (n - k)" +
-          " - cast(s - sb as double) * (s - sb) / (n - b) end)" +
+          " - cast(s - sb as double) * (s - sb) / (n - b) end"))
+      .withColumn("grel2_u", expr(
+        "cast(round(case when sse > 0 then gain2d / sse else 0 end" +
           " * 1e6, 0) as bigint)"))
     val wPick2 = Window.partitionBy("event_type").orderBy(
-      desc("gain2_u"), asc("day"))
+      desc("grel2_u"), asc("day"))
     cand.withColumn("rn", row_number().over(wPick2))
       .filter(col("rn") === 1)
       .withColumn("k1", least(col("k"), col("b")))
@@ -148,8 +170,8 @@ object Breadth11 {
         expr("round(cast(c1 as double) / k1, 6)").as("m1"),
         expr("round(cast(c2 - c1 as double) / (k2 - k1), 6)").as("m2"),
         expr("round(cast(s - c2 as double) / (n - k2), 6)").as("m3"),
-        expr("round(gain1_u / 1e6, 6)").as("gain_first"),
-        expr("round(gain2_u / 1e6, 6)").as("gain_second"))
+        expr("round(gain1d, 6)").as("gain_first"),
+        expr("round(gain2d, 6)").as("gain_second"))
       .orderBy("event_type")
   }
 
@@ -315,6 +337,11 @@ object Breadth11 {
     val scored = dots
       .join(broadcast(cNorms), Seq("c_label"))
       .join(v2, Seq("vec_id"))
+      // zero-norm guard (mirrors q387's scale_m > 0): an all-zero
+      // embedding would make cos = 0/0 = NaN, which Spark's non-ANSI
+      // bigint cast silently zeroes while DuckDB errors — filter the
+      // (non-occurring but possible) zero vectors out on BOTH sides
+      .filter(col("v2") > 0)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("v2").cast("double")) * sqrt(col("c2").cast("double"))))
     val per = scored.groupBy("vec_id", "label")
@@ -423,24 +450,28 @@ object Breadth11 {
         |         p AS (PARTITION BY event_type)),
         |g AS (
         |  SELECT *,
-        |         CAST(round((CAST(slft AS DOUBLE) * slft / k
+        |         (CAST(slft AS DOUBLE) * slft / k
         |           + CAST(s - slft AS DOUBLE) * (s - slft) / (n - k)
-        |           - CAST(s AS DOUBLE) * s / n) * 1e6, 0) AS BIGINT)
-        |           AS gain_u
+        |           - CAST(s AS DOUBLE) * s / n) AS gaind,
+        |         (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           AS sse
         |  FROM idx WHERE k < n),
+        |gu AS (
+        |  SELECT *,
+        |         CAST(round(CASE WHEN sse > 0 THEN gaind / sse
+        |           ELSE 0 END * 1e6, 0) AS BIGINT) AS grel_u
+        |  FROM g),
         |best AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type
-        |           ORDER BY gain_u DESC, day) AS rn
-        |  FROM g)
+        |           ORDER BY grel_u DESC, day) AS rn
+        |  FROM gu)
         |SELECT event_type, n AS n_days, day AS split_day,
         |       round(CAST(slft AS DOUBLE) / k, 6) AS mean_left,
         |       round(CAST(s - slft AS DOUBLE) / (n - k), 6)
         |         AS mean_right,
-        |       round(gain_u / 1e6, 6) AS gain,
-        |       CASE WHEN CAST(q2 AS DOUBLE)
-        |                 - CAST(s AS DOUBLE) * s / n > 0
-        |            THEN round(gain_u / 1e6 / (CAST(q2 AS DOUBLE)
-        |                 - CAST(s AS DOUBLE) * s / n), 6) END AS eta2
+        |       round(gaind, 6) AS gain,
+        |       CASE WHEN sse > 0
+        |            THEN round(grel_u / 1e6, 6) END AS eta2
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q383_curation_funnel" -> {
       val stops = FunnelStops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -508,25 +539,33 @@ object Breadth11 {
         |         CAST(sum(x) OVER (w ROWS UNBOUNDED PRECEDING)
         |              AS BIGINT) AS slft,
         |         CAST(sum(x) OVER p AS BIGINT) AS s,
-        |         CAST(count(*) OVER p AS BIGINT) AS n
+        |         CAST(count(*) OVER p AS BIGINT) AS n,
+        |         CAST(sum(x * x) OVER p AS HUGEINT) AS q2
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
         |         p AS (PARTITION BY event_type)),
         |g1 AS (
         |  SELECT *,
-        |         CAST(round((CAST(slft AS DOUBLE) * slft / k
+        |         (CAST(slft AS DOUBLE) * slft / k
         |           + CAST(s - slft AS DOUBLE) * (s - slft) / (n - k)
-        |           - CAST(s AS DOUBLE) * s / n) * 1e6, 0) AS BIGINT)
-        |           AS gain1_u
+        |           - CAST(s AS DOUBLE) * s / n) AS gain1d,
+        |         (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |           AS sse
         |  FROM idx WHERE k < n),
+        |g1u AS (
+        |  SELECT *,
+        |         CAST(round(CASE WHEN sse > 0 THEN gain1d / sse
+        |           ELSE 0 END * 1e6, 0) AS BIGINT) AS grel1_u
+        |  FROM g1),
         |best AS (
-        |  SELECT event_type, k AS b, slft AS sb, day AS day_b, gain1_u
+        |  SELECT event_type, k AS b, slft AS sb, day AS day_b,
+        |         gain1d, sse
         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-        |          ORDER BY gain1_u DESC, day) AS rn FROM g1)
+        |          ORDER BY grel1_u DESC, day) AS rn FROM g1u)
         |  WHERE rn = 1),
         |g2 AS (
-        |  SELECT i.*, t.b, t.sb, t.day_b, t.gain1_u,
-        |         CAST(round((CASE WHEN i.k < t.b
+        |  SELECT i.*, t.b, t.sb, t.day_b, t.gain1d, t.sse,
+        |         (CASE WHEN i.k < t.b
         |           THEN CAST(i.slft AS DOUBLE) * i.slft / i.k
         |             + CAST(t.sb - i.slft AS DOUBLE) * (t.sb - i.slft)
         |               / (t.b - i.k)
@@ -536,14 +575,18 @@ object Breadth11 {
         |             + CAST(i.s - i.slft AS DOUBLE) * (i.s - i.slft)
         |               / (i.n - i.k)
         |             - CAST(i.s - t.sb AS DOUBLE) * (i.s - t.sb)
-        |               / (i.n - t.b) END)
-        |           * 1e6, 0) AS BIGINT) AS gain2_u
+        |               / (i.n - t.b) END) AS gain2d
         |  FROM idx i JOIN best t USING (event_type)
         |  WHERE i.k <> t.b AND i.k < i.n),
+        |g2u AS (
+        |  SELECT *,
+        |         CAST(round(CASE WHEN sse > 0 THEN gain2d / sse
+        |           ELSE 0 END * 1e6, 0) AS BIGINT) AS grel2_u
+        |  FROM g2),
         |pick AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type
-        |           ORDER BY gain2_u DESC, day) AS rn
-        |  FROM g2),
+        |           ORDER BY grel2_u DESC, day) AS rn
+        |  FROM g2u),
         |win AS (
         |  SELECT *,
         |         least(k, b) AS k1, greatest(k, b) AS k2,
@@ -556,8 +599,8 @@ object Breadth11 {
         |       round(CAST(c1 AS DOUBLE) / k1, 6) AS m1,
         |       round(CAST(c2 - c1 AS DOUBLE) / (k2 - k1), 6) AS m2,
         |       round(CAST(s - c2 AS DOUBLE) / (n - k2), 6) AS m3,
-        |       round(gain1_u / 1e6, 6) AS gain_first,
-        |       round(gain2_u / 1e6, 6) AS gain_second
+        |       round(gain1d, 6) AS gain_first,
+        |       round(gain2d, 6) AS gain_second
         |FROM win ORDER BY event_type""".stripMargin,
     "q386_simplified_silhouette" ->
       """WITH ex AS (
@@ -588,7 +631,8 @@ object Breadth11 {
         |         CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.v2 AS DOUBLE))
         |           * sqrt(CAST(c.c2 AS DOUBLE))) AS cos
         |  FROM dots d JOIN v2 v USING (vec_id) JOIN c2 c
-        |    USING (c_label)),
+        |    USING (c_label)
+        |  WHERE v.v2 > 0),
         |per AS (
         |  SELECT vec_id, label,
         |         max(CASE WHEN c_label = label THEN cos END) AS cos_own,

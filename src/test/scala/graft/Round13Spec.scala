@@ -27,26 +27,29 @@ class Round13Spec extends SparkTestBase {
       val n = xs.length
       val s = xs.sum
       val q2 = xs.map(x => BigInt(x) * x).sum
-      // exhaustive sequential gain scan — not the window formulation
+      // exhaustive sequential gain scan — not the window formulation;
+      // argmax on the micro-quantized RELATIVE gain (gain/SSE_total,
+      // bounded in [0,1] — round 14, ADVICE r13), ties by earliest day
+      val sse = q2.toDouble - s.toDouble * s / n
       val gains = (1 until n).map { k =>
         val sl = xs.take(k).sum
         val g = sl.toDouble * sl / k +
           (s - sl).toDouble * (s - sl) / (n - k) - s.toDouble * s / n
-        k -> math.round(g * 1e6)
+        (k, if (sse > 0) math.round(g / sse * 1e6) else 0L, g)
       }
-      val (bestK, bestG) = gains.minBy { case (k, g) => (-g, k) }
+      val (bestK, _, bestG) =
+        gains.minBy { case (k, gu, _) => (-gu, k) }
       assert(r.getLong(1) == n, "n_days")
       val daysSorted = daily.filter(_._1 == r.getString(0))
         .map(_._2).sorted(
           Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
       assert(r.getDate(2).toLocalDate == daysSorted(bestK - 1),
         s"${r.getString(0)} split day")
-      assert(math.abs(r.getDouble(5) - bestG / 1e6) < 1e-9, "gain")
-      val sse = q2.toDouble - s.toDouble * s / n
+      assert(math.abs(r.getDouble(5) - bestG) < 1e-6, "gain")
       if (sse > 0) {
         val eta2 = r.getDouble(6)
         assert(eta2 > 0 && eta2 <= 1 + 1e-9, s"eta2 $eta2 out of (0,1]")
-        assert(math.abs(eta2 - bestG / 1e6 / sse) < 1e-6)
+        assert(math.abs(eta2 - bestG / sse) < 1e-6)
       }
     }
   }
@@ -66,25 +69,32 @@ class Round13Spec extends SparkTestBase {
       val xs = seq.map(_._3)
       val n = xs.length
       val s = xs.sum
-      def gainU(lo: Int, hi: Int, k: Int): Long = {
+      // both levels quantize RELATIVE to the same per-type SSE_total
+      // (round 14, ADVICE r13 — bounded argmax key)
+      val sse = xs.map(x => BigInt(x) * x).sum.toDouble -
+        s.toDouble * s / n
+      def gainD(lo: Int, hi: Int, k: Int): Double = {
         // within-segment gain for split at local prefix k of xs(lo until hi)
         val seg = xs.slice(lo, hi)
         val st = seg.sum
         val sl = seg.take(k).sum
-        math.round((sl.toDouble * sl / k +
+        sl.toDouble * sl / k +
           (st - sl).toDouble * (st - sl) / (seg.length - k) -
-          st.toDouble * st / seg.length) * 1e6)
+          st.toDouble * st / seg.length
       }
-      val g1 = (1 until n).map(k => k -> gainU(0, n, k))
-      val (b, bestG1) = g1.minBy { case (k, g) => (-g, k) }
+      def rel(g: Double): Long =
+        if (sse > 0) math.round(g / sse * 1e6) else 0L
+      val g1 = (1 until n).map(k => (k, rel(gainD(0, n, k)),
+        gainD(0, n, k)))
+      val (b, _, bestG1) = g1.minBy { case (k, gu, _) => (-gu, k) }
       // level 2: candidates are global indices != b, expressed as
       // within-segment splits
       val g2 = (1 until n).filter(_ != b).map { k =>
-        val g = if (k < b) gainU(0, b, k) else gainU(b, n, k - b)
-        (k, g)
+        val g = if (k < b) gainD(0, b, k) else gainD(b, n, k - b)
+        (k, rel(g), g)
       }
-      val (k2g, bestG2) = g2.minBy { case (k, g) =>
-        (-g, seq(k - 1)._2.toEpochDay)
+      val (k2g, _, bestG2) = g2.minBy { case (k, gu, _) =>
+        (-gu, seq(k - 1)._2.toEpochDay)
       }
       val (k1, k2) = (math.min(b, k2g), math.max(b, k2g))
       assert(r.getLong(1) == n)
@@ -96,10 +106,9 @@ class Round13Spec extends SparkTestBase {
         (c2 - c1).toDouble / (k2 - k1)) < 1e-6, "m2")
       assert(math.abs(r.getDouble(6) -
         (s - c2).toDouble / (n - k2)) < 1e-6, "m3")
-      assert(math.abs(r.getDouble(7) - bestG1 / 1e6) < 1e-9, "gain_first")
-      assert(math.abs(r.getDouble(8) - bestG2 / 1e6) < 1e-9,
-        "gain_second")
-      assert(bestG1 >= 0 && bestG2 >= 0)
+      assert(math.abs(r.getDouble(7) - bestG1) < 1e-6, "gain_first")
+      assert(math.abs(r.getDouble(8) - bestG2) < 1e-6, "gain_second")
+      assert(bestG1 >= -1e-9 && bestG2 >= -1e-9)
     }
   }
 

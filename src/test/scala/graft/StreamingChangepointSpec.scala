@@ -57,17 +57,22 @@ class StreamingChangepointSpec extends SparkTestBase {
         val xs = byType(tpe)
         val n = xs.length
         val s = xs.sum
+        // relative-gain argmax (gain/SSE_total) — mirrors the
+        // registered q382 (round 14, ADVICE r13 bounded argmax)
+        val sse = xs.map(x => BigInt(x) * x).sum.toDouble -
+          s.toDouble * s / n
         val gains = (1 until n).map { k =>
           val sl = xs.take(k).sum
-          k -> math.round((sl.toDouble * sl / k +
-            (s - sl).toDouble * (s - sl) / (n - k) -
-            s.toDouble * s / n) * 1e6)
+          val g = sl.toDouble * sl / k +
+            (s - sl).toDouble * (s - sl) / (n - k) - s.toDouble * s / n
+          (k, if (sse > 0) math.round(g / sse * 1e6) else 0L, g)
         }
-        val (bestK, bestG) = gains.minBy { case (k, g) => (-g, k) }
+        val (bestK, _, bestG) =
+          gains.minBy { case (k, gu, _) => (-gu, k) }
         val days = state.keys.filter(_._1 == tpe).map(_._2).toSeq.sorted
         assert(r.getLong(1) == n, s"$tpe n_days")
         assert(r.getDate(2).toString == days(bestK - 1), s"$tpe split")
-        assert(math.abs(r.getDouble(5) - bestG / 1e6) < 1e-9, s"$tpe gain")
+        assert(math.abs(r.getDouble(5) - bestG) < 1e-6, s"$tpe gain")
       }
     } finally q.stop()
   }
