@@ -183,6 +183,17 @@ object Explain {
     "q388_changepoint2",     // q382 recursion depth 2: one more pass
                              // over the calendar-bounded profile;
                              // type-grain best-split broadcast
+    "q389_training_materialization", // the composed gate→dedup→
+                             // decontam→sample→pack lineage: every
+                             // pair blocked on a content key, bench
+                             // grams broadcast, prefix-sum sample,
+                             // one scalar crossJoin footer
+    "q390_cross_modal_audit", // pair corpus union → sig64 map stage →
+                              // two content-key groupBys; NO pairwise
+                              // step in either modality
+    "q391_video_frame_dedup", // sampled-frame fingerprint sets; df-cap
+                              // guard then frame-key equi-join — the
+                              // q32 blocking class, never pairwise
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)

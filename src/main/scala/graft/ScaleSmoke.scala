@@ -360,6 +360,9 @@ object ScaleSmoke {
         "q384_token_budget_sample", "q385_boilerplate_prefix",
         "q386_simplified_silhouette", "q387_int8_quant_audit",
         "q388_changepoint2",
+        // round-14 additions
+        "q389_training_materialization", "q390_cross_modal_audit",
+        "q391_video_frame_dedup",
         "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
         "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+

@@ -202,10 +202,14 @@ object Breadth11 {
     * is bit-deterministic; ONE scan, one conditional fold per source,
     * no joins, no windows — embarrassingly parallel at any corpus
     * size. */
-  def q383CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds `words`/`n_words`/`n_wchars` and the five q383 gate flags
+    * `r1..r5` to a documents frame — ONE definition of the funnel
+    * rules, shared by q383 (the attrition report) and q389 (the
+    * composed materialization pipeline, which must apply EXACTLY the
+    * rules the report describes). */
+  private[operators] def funnelGateCols(d: DataFrame): DataFrame = {
     val stops = FunnelStops.map(s => s"'$s'").mkString("array(", ", ", ")")
-    val d = Tables.documents(spark, dir)
-      .withColumn("words",
+    d.withColumn("words",
         filter(split(col("text"), " "), w => length(w) > 0))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("n_wchars",
@@ -219,6 +223,10 @@ object Breadth11 {
       .withColumn("r5",
         lit(FunnelTtrDen) * size(array_distinct(col("words"))) >=
           lit(FunnelTtrNum) * col("n_words"))
+  }
+
+  def q383CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = funnelGateCols(Tables.documents(spark, dir))
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

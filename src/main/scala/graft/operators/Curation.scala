@@ -78,7 +78,7 @@ object Curation {
 
   /** Distinct word 5-grams per document — the shingle unit both
     * contamination checks (q66 exact-join, q103 bloom-pruned) key on. */
-  private def grams5(df: DataFrame): DataFrame = df
+  private[operators] def grams5(df: DataFrame): DataFrame = df
     .withColumn("ws", words)
     .withColumn("gram", explode(expr(
       """CASE WHEN size(ws) >= 5

@@ -80,7 +80,7 @@ object Dedup {
     hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
-  private def bandsFromShingles(sh: DataFrame): DataFrame = {
+  private[operators] def bandsFromShingles(sh: DataFrame): DataFrame = {
     val sigs = sigs16(sh)
     val bandStructs = (0 to 3).map { b =>
       val sig = md5(concat_ws("_",

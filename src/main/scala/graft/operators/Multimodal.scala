@@ -162,15 +162,12 @@ object Multimodal {
     * oracle replicates banding + verify EXACTLY, so the output is
     * deterministic, not recall-gated). Scale: q33's machinery — one
     * narrow signature pass, band-key equi-join, no pairwise anything. */
-  def q164PhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val originals = mediaItems(spark, dir)
-    val variants = originals.map { m =>
-      val p = m.payload.clone()
-      if (p.nonEmpty) p(0) = 'z'.toByte
-      MediaItem(m.doc_id + VariantOffset, p, m.meta)
-    }
-    val sigs = sampleGrid(originals.unionAll(variants))
+  /** 64-bit perceptual signature per media item (the q164 dHash/pHash
+    * core: sample grid thresholded by its own mean, exact integer
+    * compare) — factored so the near-dup pairing (q164) and the
+    * cross-modal consistency audit (q390) share one definition. */
+  private def sig64(items: Dataset[MediaItem]): DataFrame =
+    sampleGrid(items)
       .select(col("doc_id"),
         expr("aggregate(s, 0L, (a, x) -> a + x)").as("tot"), col("s"))
       .select(col("doc_id"),
@@ -180,6 +177,16 @@ object Multimodal {
         expr("""aggregate(transform(slice(s, 33, 32),
                |  (x, j) -> IF(64 * x > tot, shiftleft(1L, j), 0L)),
                |  0L, (a, x) -> a + x)""".stripMargin).as("sig_hi"))
+
+  def q164PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val originals = mediaItems(spark, dir)
+    val variants = originals.map { m =>
+      val p = m.payload.clone()
+      if (p.nonEmpty) p(0) = 'z'.toByte
+      MediaItem(m.doc_id + VariantOffset, p, m.meta)
+    }
+    val sigs = sig64(originals.unionAll(variants))
     val cached = graft.sources.DfCache.df(spark, s"phash_sigs|$dir")(sigs)
     val bands = cached.select(col("doc_id"), posexplode(array(
       col("sig_lo").bitwiseAND(65535),
@@ -205,10 +212,169 @@ object Multimodal {
       .orderBy("id1", "id2")
   }
 
+  /** q390 pair-corpus id offsets (disjoint from q164's
+    * [[VariantOffset]] family for clarity). */
+  private[graft] val RecapOffset = 20000000L
+  private[graft] val StockOffset = 30000000L
+
+  /** q390 — CROSS-MODAL CONSISTENCY AUDIT (VERDICT r13 #6, the
+    * caption↔image join): every (image, caption) pair keyed by BOTH
+    * modal fingerprints — image = the exact 64-bit perceptual
+    * signature [[sig64]] (q164's dHash core: re-encode-stable), caption
+    * = md5 of the text — and the two failure-mode group reports a
+    * multimodal training set audits before captions are trusted as
+    * labels:
+    *
+    *   image_dup_caption_mismatch — one perceptual image, ≥2 distinct
+    *     captions (alt-text spam / caption churn on re-posts);
+    *   caption_dup_image_mismatch — one caption, ≥2 perceptually
+    *     distinct images (stock boilerplate captions).
+    *
+    * The synthetic pair corpus plants both modes deterministically:
+    * originals (caption = its own text), a RE-CAPTIONED copy of every
+    * 7th document (same payload, caption "photo number <id>"), and a
+    * STOCK-CAPTION copy of every 11th (byte-reversed payload — a
+    * different "image" — same caption). Scale: no pairwise step at
+    * all — both reports are groupBys on a content key (the signature /
+    * the caption hash), so the audit is two shuffles at any corpus
+    * size; grouping on the EXACT signature is the strict form, and
+    * relaxing to banded near-match would reuse q164's band join
+    * unchanged. */
+  def q390CrossModalAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val orig = docs.select(col("doc_id").as("pair_id"),
+      col("text").as("img_text"), col("text").as("caption"))
+    val recap = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + RecapOffset).as("pair_id"),
+        col("text").as("img_text"),
+        concat(lit("photo number "), col("doc_id").cast("string"))
+          .as("caption"))
+    val stock = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + StockOffset).as("pair_id"),
+        reverse(col("text")).as("img_text"), col("text").as("caption"))
+    val pairs = orig.unionAll(recap).unionAll(stock)
+    val items = pairs
+      .select(col("pair_id").as("doc_id"),
+        encode(col("img_text"), "UTF-8").as("payload"),
+        struct(length(col("img_text")).cast("long").as("width"),
+          lit(1L).as("height"), lit("utf8-text").as("kind")).as("meta"))
+      .as[MediaItem]
+    val keyed = pairs
+      .select(col("pair_id"), md5(col("caption")).as("cap"))
+      .join(sig64(items).withColumnRenamed("doc_id", "pair_id"),
+        Seq("pair_id"))
+      .withColumn("img",
+        concat(col("sig_lo").cast("string"), lit("_"),
+          col("sig_hi").cast("string")))
+    val imgGroups = keyed.groupBy("img")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("cap")).as("n_other_keys"),
+        min(col("pair_id")).as("first_pair"))
+      .filter(col("n_pairs") >= 2 && col("n_other_keys") > 1)
+      .select(lit("image_dup_caption_mismatch").as("modality"),
+        col("img").as("group_key"), col("n_pairs"),
+        col("n_other_keys"), col("first_pair"))
+    val capGroups = keyed.groupBy("cap")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("img")).as("n_other_keys"),
+        min(col("pair_id")).as("first_pair"))
+      .filter(col("n_pairs") >= 2 && col("n_other_keys") > 1)
+      .select(lit("caption_dup_image_mismatch").as("modality"),
+        col("cap").as("group_key"), col("n_pairs"),
+        col("n_other_keys"), col("first_pair"))
+    imgGroups.unionAll(capGroups)
+      .orderBy("modality", "group_key")
+  }
+
+  /** q391 corpus/threshold constants. */
+  private[graft] val ReencOffset = 40000000L
+  /** frames more ubiquitous than this (distinct videos) are dropped
+    * before pairing — the boilerplate-frame guard that keeps every
+    * bucket bounded (intros/outros/test cards shared by thousands of
+    * videos would otherwise quadratically dominate candidates while
+    * carrying no identity signal; the same df-cap move as q33's band
+    * caps and PPJoin's prefix filter). */
+  private[graft] val FrameDfCap = 50L
+  /** containment floor: 5·shared ≥ 4·min(n1, n2), i.e. ≥ 80%, as an
+    * exact integer cross-product (never a division). */
+  private[graft] val FrameOverlapNum = 4L
+  private[graft] val FrameOverlapDen = 5L
+
+  /** q391 — VIDEO FRAME-SET NEAR-DUP (re-encode/segment detection):
+    * each payload is treated as a video, sampled to every 4th
+    * fixed-width frame (q76's sampler), each sampled frame reduced to
+    * a fingerprint, and two videos are flagged when the DISTINCT
+    * fingerprint sets of one contain ≥ 80% of the smaller — the
+    * frame-level containment check video dedup runs where whole-asset
+    * hashing (q31) and whole-asset perceptual hashing (q164) both
+    * fail: a re-encode that corrupts ONE frame, or a clip that shares
+    * most frames, still pairs. The corpus plants exactly that: a
+    * re-encoded copy of every 5th document with its FIRST frame
+    * overwritten — copies with ≥ 5 sampled frames clear the 80% floor
+    * (4/5 at 5 frames), shorter ones honestly miss (the corrupt frame
+    * itself collides across every copy, so the df cap drops it — the
+    * guard doing real work), and organically frame-sharing document
+    * pairs surface alongside the planted ones. The frame fingerprint
+    * is the exact
+    * frame md5 (the [[decodeBatches]] stand-in convention: a real
+    * pipeline swaps in a per-frame pHash; the set-containment plumbing
+    * downstream is codec-independent).
+    *
+    * Scale: pairs meet ONLY on a shared frame fingerprint (content-key
+    * blocking, q32's class) AFTER the [[FrameDfCap]] document-frequency
+    * guard bounds every bucket; sizes and overlaps are exact integer
+    * folds; the threshold is a cross-product. No global anything. */
+  def q391VideoFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + ReencOffset).as("doc_id"),
+          expr("concat(repeat('z', 16), substring(text, 17))")
+            .as("text")))
+    // q76's sampler: 16-char frames, every 4th kept; exact-md5
+    // fingerprint per sampled frame, SET semantics per video
+    val frames = corpus
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1),
+          |               i -> substring(text, i * 16 + 1, 16))
+          |END""".stripMargin)).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), md5(col("frame")).as("f"))
+      .distinct()
+    val rare = frames.groupBy("f")
+      .agg(countDistinct(col("doc_id")).as("fdf"))
+      .filter(col("fdf") <= FrameDfCap)
+      .select("f")
+    val kept = frames.join(rare, Seq("f"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val shared = kept.select(col("doc_id").as("id1"), col("f"))
+      .join(kept.select(col("doc_id").as("id2"), col("f")), Seq("f"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id1"), col("nf").as("n1")),
+        Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("nf").as("n2")),
+        Seq("id2"))
+      .filter(lit(FrameOverlapDen) * col("n_shared") >=
+        lit(FrameOverlapNum) * least(col("n1"), col("n2")))
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"),
+        col("n2"),
+        expr("n_shared * 1000000 div least(n1, n2)").as("overlap_ppm"),
+        (col("id2") === col("id1") + ReencOffset).as("is_reenc_pair"))
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_multimodal_decode" -> (q43MultimodalDecode _),
     "q76_frame_sample" -> (q76FrameSample _),
-    "q164_phash_dedup" -> (q164PhashDedup _))
+    "q164_phash_dedup" -> (q164PhashDedup _),
+    "q390_cross_modal_audit" -> (q390CrossModalAudit _),
+    "q391_video_frame_dedup" -> (q391VideoFrameDedup _))
 
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
@@ -274,5 +440,96 @@ object Multimodal {
         |               CAST(ceil(length(text) / 16.0) AS BIGINT) - 1)) AS i
         |      FROM documents)
         |WHERE i % 4 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q390_cross_modal_audit" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS pair_id, text AS img_text, text AS caption
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $RecapOffset, text,
+         |         'photo number ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $StockOffset, reverse(text), text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |base AS (SELECT pair_id, img_text, caption,
+         |                length(img_text) AS n
+         |         FROM corpus),
+         |samp AS (
+         |  SELECT pair_id, caption,
+         |         list_transform(range(0, 64),
+         |           j -> ascii(substr(img_text,
+         |                  CAST((j*(n-1))//63 AS INT)+1, 1))) AS s
+         |  FROM base),
+         |sig AS (
+         |  SELECT pair_id, caption,
+         |         CAST(list_sum(list_transform(range(0, 32),
+         |           j -> CASE WHEN 64*s[j+1] > CAST(list_sum(s) AS BIGINT)
+         |                THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+         |           AS BIGINT) AS sig_lo,
+         |         CAST(list_sum(list_transform(range(0, 32),
+         |           j -> CASE WHEN 64*s[j+33] > CAST(list_sum(s) AS BIGINT)
+         |                THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END))
+         |           AS BIGINT) AS sig_hi
+         |  FROM samp),
+         |keyed AS (
+         |  SELECT pair_id, md5(caption) AS cap,
+         |         CAST(sig_lo AS VARCHAR) || '_'
+         |           || CAST(sig_hi AS VARCHAR) AS img
+         |  FROM sig)
+         |SELECT modality, group_key, n_pairs, n_other_keys, first_pair
+         |FROM (
+         |  SELECT 'image_dup_caption_mismatch' AS modality,
+         |         img AS group_key,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(count(DISTINCT cap) AS BIGINT) AS n_other_keys,
+         |         CAST(min(pair_id) AS BIGINT) AS first_pair
+         |  FROM keyed GROUP BY img
+         |  HAVING count(*) >= 2 AND count(DISTINCT cap) > 1
+         |  UNION ALL
+         |  SELECT 'caption_dup_image_mismatch', cap,
+         |         CAST(count(*) AS BIGINT),
+         |         CAST(count(DISTINCT img) AS BIGINT),
+         |         CAST(min(pair_id) AS BIGINT)
+         |  FROM keyed GROUP BY cap
+         |  HAVING count(*) >= 2 AND count(DISTINCT img) > 1)
+         |ORDER BY modality, group_key""".stripMargin,
+    "q391_video_frame_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ReencOffset,
+         |         repeat('z', 16) || substr(text, 17)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |frames AS (
+         |  SELECT DISTINCT doc_id,
+         |         md5(substr(text, CAST(i AS INT) * 16 + 1, 16)) AS f
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(0,
+         |                 CAST(ceil(length(text) / 16.0) AS BIGINT) - 1))
+         |                 AS i
+         |        FROM corpus)
+         |  WHERE i % 4 = 0),
+         |rare AS (
+         |  SELECT f FROM (SELECT f, count(DISTINCT doc_id) AS fdf
+         |                 FROM frames GROUP BY f)
+         |  WHERE fdf <= $FrameDfCap),
+         |kept AS (SELECT doc_id, f FROM frames JOIN rare USING (f)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |          FROM kept GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_shared, s1.nf AS n1, s2.nf AS n2,
+         |       n_shared * 1000000 // least(s1.nf, s2.nf)
+         |         AS overlap_ppm,
+         |       id2 = id1 + $ReencOffset AS is_reenc_pair
+         |FROM shared JOIN sizes s1 ON s1.doc_id = id1
+         |JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE $FrameOverlapDen * n_shared
+         |      >= $FrameOverlapNum * least(s1.nf, s2.nf)
+         |ORDER BY id1, id2""".stripMargin)
 }

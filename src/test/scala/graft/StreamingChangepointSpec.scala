@@ -74,6 +74,53 @@ class StreamingChangepointSpec extends SparkTestBase {
         assert(r.getDate(2).toString == days(bestK - 1), s"$tpe split")
         assert(math.abs(r.getDouble(5) - bestG) < 1e-6, s"$tpe gain")
       }
+      // DEPTH-2 read-off (VERDICT r13 #8): the level-2 recursion of
+      // q388 is ALSO a pure function of the same per-(type, day)
+      // count state — no second corpus pass, no extra streaming state.
+      // Replaying it over the final state must reproduce the
+      // registered q388 rows (both split days, all three segment
+      // means, both gains), proving the two-level segmentation is
+      // incrementally maintainable end-to-end.
+      val got2 = Breadth11.q388Changepoint2(spark, sf).collect()
+      assert(got2.length ==
+        byType.count(_._2.length > 2), "q388 row count")
+      got2.foreach { r =>
+        val tpe = r.getString(0)
+        val xs = byType(tpe)
+        val n = xs.length
+        val s = xs.sum
+        val sse = xs.map(x => BigInt(x) * x).sum.toDouble -
+          s.toDouble * s / n
+        def gainD(lo: Int, hi: Int, k: Int): Double = {
+          val seg = xs.slice(lo, hi)
+          val st = seg.sum
+          val sl = seg.take(k).sum
+          sl.toDouble * sl / k +
+            (st - sl).toDouble * (st - sl) / (seg.length - k) -
+            st.toDouble * st / seg.length
+        }
+        def rel(g: Double): Long =
+          if (sse > 0) math.round(g / sse * 1e6) else 0L
+        val days = state.keys.filter(_._1 == tpe).map(_._2).toSeq.sorted
+        val (b, _, bestG1) = (1 until n)
+          .map(k => (k, rel(gainD(0, n, k)), gainD(0, n, k)))
+          .minBy { case (k, gu, _) => (-gu, k) }
+        val (k2g, _, bestG2) = (1 until n).filter(_ != b).map { k =>
+          val g = if (k < b) gainD(0, b, k) else gainD(b, n, k - b)
+          (k, rel(g), g)
+        }.minBy { case (k, gu, _) => (-gu, days(k - 1)) }
+        val (k1, k2) = (math.min(b, k2g), math.max(b, k2g))
+        assert(r.getDate(2).toString == days(k1 - 1), s"$tpe split_day_1")
+        assert(r.getDate(3).toString == days(k2 - 1), s"$tpe split_day_2")
+        val (c1, c2) = (xs.take(k1).sum, xs.take(k2).sum)
+        assert(math.abs(r.getDouble(4) - c1.toDouble / k1) < 1e-6)
+        assert(math.abs(r.getDouble(5) -
+          (c2 - c1).toDouble / (k2 - k1)) < 1e-6)
+        assert(math.abs(r.getDouble(6) -
+          (s - c2).toDouble / (n - k2)) < 1e-6)
+        assert(math.abs(r.getDouble(7) - bestG1) < 1e-6, s"$tpe gain1")
+        assert(math.abs(r.getDouble(8) - bestG2) < 1e-6, s"$tpe gain2")
+      }
     } finally q.stop()
   }
 }
