@@ -122,14 +122,41 @@ object Curation {
     * corpora. Output: per-source clean/contaminated accounting over the
     * corpus slice. */
   def q103BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    // cached: the count job, the bloom build, and the exact-verify
-    // broadcast all read this frame — without it each would re-shred
-    // the benchmark slice from parquet (code-review r04)
-    val bench = graft.sources.DfCache.df(spark, s"bench_grams|$dir")(
-      grams5(docs.filter(col("doc_id") % 97 === 0))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val contaminated =
+      bloomContaminatedIds(spark, benchGrams(spark, dir), grams5(corpus))
+        .withColumn("contam", lit(1))
+    corpus.join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(col("contam")).as("n_contaminated"))
+      .withColumn("n_clean", col("n_docs") - col("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** The held-out benchmark's distinct 5-gram set (doc_id % 97 == 0
+    * slice). Cached per (session, dir): the bloom's count job, the
+    * bloom build, and the exact-verify broadcast all read this frame —
+    * without it each would re-shred the benchmark slice from parquet
+    * (code-review r04). Shared by q103 and q389's stage 4. */
+  private[operators] def benchGrams(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"bench_grams|$dir")(
+      grams5(Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
         .select(col("gram")).distinct())
+
+  /** The q103 bloom-prune kernel, factored so any consumer with a
+    * (doc_id, gram) corpus frame gets the 100 TB decontamination shape
+    * (q389's stage 4 reuses it, VERDICT r14 #3): benchmark grams →
+    * compact BloomFilter built driver-side (the benchmark side is small
+    * by construction — suites, not corpora), corpus grams pruned by the
+    * codegen `graft_bloom_contains` probe IN THE SCAN STAGE before any
+    * shuffle, survivors exact-verified against the broadcast benchmark
+    * set. Bit-identical to the exact join — the bloom only prunes. */
+  private[operators] def bloomContaminatedIds(spark: SparkSession,
+      bench: DataFrame, corpusGrams: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     val benchHashes = bench.select(xxhash64(col("gram")).as("h"))
     // expectedNumItems sizes the bit array; the exact count is one tiny
     // job over the benchmark side (never the corpus side)
@@ -138,20 +165,11 @@ object Curation {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val bloomBytes = bos.toByteArray
-    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-    val candidates = grams5(corpus)
+    corpusGrams
       .filter(call_function("graft_bloom_contains",
         lit(bloomBytes), xxhash64(col("gram"))))
-    val contaminated = candidates
       .join(broadcast(bench), Seq("gram"))      // kills bloom FPs exactly
       .select(col("doc_id")).distinct()
-      .withColumn("contam", lit(1))
-    corpus.join(contaminated, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-           count(col("contam")).as("n_contaminated"))
-      .withColumn("n_clean", col("n_docs") - col("n_contaminated"))
-      .orderBy("source")
   }
 
   /** q104 — context-window chunking: every document split into

@@ -15,8 +15,11 @@ import graft.sources.Tables
   *   1_gate          — q383's five curation rules, in order
   *   2_exact_dedup   — q31's canonical-per-identical-text (min doc_id)
   *   3_near_dedup    — q32's MinHash 16-perm / 4-band LSH; a doc is
-  *                     dropped iff an earlier (smaller-id) survivor
-  *                     shares ≥ [[NearDupBands]] of 4 bands
+  *                     dropped iff ANY smaller-id EXACT-dedup survivor
+  *                     shares ≥ [[NearDupBands]] of 4 bands — including
+  *                     one that is itself near-dup-dropped (no
+  *                     transitive canonicalization: in a chain A~B~C
+  *                     both B and C drop even when A≁C)
   *   4_decontaminate — q66's held-out benchmark slice (doc_id % 97 ==
   *                     0): the holdout itself AND every survivor
   *                     sharing a word 5-gram with it leave the corpus
@@ -38,8 +41,10 @@ import graft.sources.Tables
   *
   * Scale shape: no new plan class. The gates are one scan; exact dedup
   * one hash groupBy on md5(text); near-dup pairs meet ONLY on a shared
-  * (band, band_sig) content key (q32's blocking); decontamination
-  * broadcasts the benchmark grams (benchmark-sized by construction);
+  * (band, band_sig) content key (q32's blocking); decontamination is
+  * q103's bloom-pruned probe — the corpus side is filtered in its scan
+  * stage, and only survivors meet the broadcast benchmark grams
+  * (benchmark-sized by construction) for the exact verify;
   * the sample's prefix sum is the two-job range-partition primitive
   * (#partitions driver scalars, no global window); packing windows
   * partition by shard. The stage flags are computed as ONE lineage
@@ -95,15 +100,16 @@ object Materialize {
       .withColumn("nd_drop", lit(true))
     val f2 = f1.join(dropped, Seq("doc_id"), "left")
       .withColumn("nd", col("e") && col("nd_drop").isNull)
-    // 4: decontamination — q66's benchmark slice; the corpus side is
-    // only the near-dedup survivors (the docs that could still train)
-    val bench = Curation.grams5(docs.filter(col("doc_id") % 97 === 0))
-      .select(col("gram")).distinct()
-    val contam = Curation.grams5(
-        f2.filter(col("nd") && col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), col("text")))
-      .join(broadcast(bench), Seq("gram"))
-      .select(col("doc_id")).distinct()
+    // 4: decontamination — q103's bloom-pruned kernel (VERDICT r14 #3):
+    // the corpus side is only the near-dedup survivors (the docs that
+    // could still train), pruned by the scan-stage bloom probe before
+    // any shuffle; exact verify keeps the result bit-identical to the
+    // q66-style exact join the oracle runs
+    val contam = Curation.bloomContaminatedIds(spark,
+        Curation.benchGrams(spark, dir),
+        Curation.grams5(
+          f2.filter(col("nd") && col("doc_id") % 97 =!= 0)
+            .select(col("doc_id"), col("text"))))
       .withColumn("contam", lit(true))
     val f3 = f2.join(contam, Seq("doc_id"), "left")
       .withColumn("dc", col("nd") && col("doc_id") % 97 =!= 0 &&
