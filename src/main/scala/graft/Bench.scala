@@ -99,13 +99,17 @@ object Bench {
     // band (round 13 — the r12 driver run showed 3.3x single-query
     // swings on a contended host that best-of-2 didn't filter; a row
     // with spread >> 1 says "this number is host noise, not a plan").
-    // Worst-20 only: the driver artifact keeps a stdout tail, so the
-    // full 387-entry map would evict query rows from BENCH_r{N}.json.
-    val spreads = names.flatMap { case (name, _) =>
+    // The SIDECAR files carry every query's spread (VERDICT r14 #4 —
+    // BenchRegressionSpec needs a per-query noise band for ALL rows,
+    // not a 1.0 fallback for the mid-pack); the STDOUT line keeps only
+    // the worst 20, because the driver artifact keeps a stdout tail
+    // and a full map would evict query rows from BENCH_r{N}.json.
+    val allSpreads = names.flatMap { case (name, _) =>
       val ts = runs.flatMap(_._1.toMap.apply(name))
       if (ts.size >= 2 && ts.min > 0) Some(name -> ts.max / ts.min)
       else None
-    }.sortBy(-_._2).take(20)
+    }
+    val spreads = allSpreads.sortBy(-_._2).take(20)
     // setup rows: min across reps per cache key; the "|<dir>" suffix is
     // dropped for readability (one bench run measures one dir)
     val setupRows = runs.flatMap(_._2.toSeq)
@@ -134,11 +138,14 @@ object Bench {
     // build seconds TWICE (inside the first consumer's wall AND as a
     // setup row), so r13 totals overstate by roughly sum(setup).
     val total = results.map(_._2).sum + setupRows.map(_._2).sum
-    val spread = spreads
+    def spreadJson(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
-    val line =
+    def jsonLine(spread: String): String =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"setup":$setup,"spread":$spread,"sf":"$sfDir"}"""
+    // stdout: worst-20 spread (truncation-safe); sidecars: all queries
+    val line = jsonLine(spreadJson(spreads))
+    val fileLine = jsonLine(spreadJson(allSpreads.sortBy(_._1)))
     println(line)
     // the driver's captured stdout keeps only a tail, which truncated the
     // front of the r2/r3 metric lines (round totals unrecoverable from the
@@ -146,7 +153,7 @@ object Bench {
     // be committed alongside the round
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line + "\n")
+      fileLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
@@ -170,7 +177,7 @@ object Bench {
       val dir = java.nio.file.Paths.get("docs", "bench")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(
-        dir.resolve(f"r${maxRound + 1}%02d.json"), line + "\n")
+        dir.resolve(f"r${maxRound + 1}%02d.json"), fileLine + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write round sidecar: ${e.getMessage}")
     }

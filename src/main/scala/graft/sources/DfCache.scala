@@ -32,12 +32,19 @@ private[graft] object DfCache {
   // keep the lazy persist (a consumer that reads only part of a
   // cached frame must not pay a full materialization there). Nested
   // builds (a cached df whose builder reads another cached df, e.g.
-  // ann_brute -> ann_qsel) each record their own wall time, so the
-  // outer row double-counts the inner — inner rows here are
-  // millisecond-scale id/model tables; acceptable and documented.
+  // ann_brute -> ann_qsel) do NOT overlap: the inner df() call runs
+  // while the OUTER BUILDER expression is being evaluated — i.e.
+  // before the outer's persist/count window even opens — and the
+  // inner's count() materializes every persisted partition, so the
+  // outer's timed count() only READS the inner's cached blocks. Each
+  // key's recorded seconds are therefore disjoint wall windows and
+  // Bench's per-query sum-subtraction is exact
+  // (DfCacheNestingSpec pins this).
   private val buildTimes = TrieMap.empty[(String, String), Double]
   @volatile private var timeBuilds = false
   private[graft] def enableBuildTiming(): Unit = { timeBuilds = true }
+  // test hygiene only (DfCacheNestingSpec): Bench never turns it off
+  private[graft] def disableBuildTiming(): Unit = { timeBuilds = false }
 
   /** Remove and return this session's recorded build times (key ->
     * seconds), for one bench rep. */

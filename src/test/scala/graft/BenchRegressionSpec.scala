@@ -23,8 +23,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * external contention, or a driver single-run overwrite at the round
   * handoff) moves every query together and must not read as 388
   * regressions; a real plan regression moves ONE query against the
-  * field. `spread(q)` is the worst recorded rep-to-rep band for q in
-  * either file (1.0 when unrecorded — only the worst 20 are kept).
+  * field. hostShift is CLAMPED to [1, 2] (ADVICE r14): a sub-1 median
+  * (field got faster) must not inflate an unchanged query into a
+  * "regression", and a >2x median is failed outright instead of
+  * silently absorbing a fleet-wide slowdown. `spread(q)` is the worst
+  * recorded rep-to-rep band for q in either file (the r15+ sidecars
+  * carry EVERY query's spread; 1.0 when truly unrecorded, e.g. a
+  * pre-r15 comparison side).
   * Setup rows get the same treatment at a 2.0×/1.0 s threshold
   * (builds have no spread rows and JIT-order-dependent variance).
   *
@@ -33,13 +38,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * doubling" question has a machine verdict either way. */
 class BenchRegressionSpec extends AnyFunSuite {
 
-  /** Intentional plan changes: name -> (round it changed, why). Prune
-    * entries once the sidecar they excuse is two rounds old. */
-  private val allowlist: Map[String, String] = Map(
-    // round 14: per-QUERY setup draining — r13 per-query values for
-    // shared-build first-consumers carried the build seconds, so r14
-    // values drop broadly; no regression is expected from this change
-    // (improvements are never flagged), entry kept for documentation
+  /** Intentional plan changes: name -> (round it changed, why). The
+    * staleness test below FAILS any entry older than one round behind
+    * the current sidecar, so excuses cannot accumulate silently
+    * (VERDICT r14 #9). r14's per-QUERY setup-draining accounting
+    * change needed no entries (it only made queries faster, and
+    * improvements are never flagged). */
+  private val allowlist: Map[String, (Int, String)] = Map(
   )
 
   private def read(p: String): Option[String] = {
@@ -95,8 +100,25 @@ class BenchRegressionSpec extends AnyFunSuite {
       s"only ${common.size} common queries — not comparable sidecars")
     val ratios = common.toSeq.map(q => cur.queries(q) / prev.queries(q))
       .sorted
-    val hostShift = math.max(ratios(ratios.size / 2), 1e-9)
-    info(f"common=${common.size} hostShift(median ratio)=$hostShift%.3f")
+    // CLAMPED to [1, 2] (ADVICE r14): dividing by a sub-1 median would
+    // flag a genuinely-unchanged query whenever the rest of the field
+    // improves (norm inflation), so a faster-host/faster-field shift is
+    // never divided out — improvements are simply not flagged. And a
+    // median shift beyond 2x is no longer believable as host noise on
+    // best-of-3 minima: rather than silently excusing a fleet-wide
+    // slowdown, the gate itself fails and demands a quiet-window rerun
+    // or a real diagnosis.
+    val medianShift = ratios(ratios.size / 2)
+    assert(medianShift <= 2.0,
+      f"median ratio $medianShift%.3f vs the previous sidecar — a " +
+        "fleet-wide slowdown this large is not host noise on best-of-3 " +
+        "minima; rerun Bench in a quiet window or diagnose the change")
+    val hostShift = math.max(medianShift, 1.0)
+    if (medianShift > 1.3)
+      info(f"NOTE: median shift $medianShift%.3f > 1.3 — whole-file " +
+        "movement is being absorbed as host shift; eyeball the window")
+    info(f"common=${common.size} hostShift(median ratio, clamped)=" +
+      f"$hostShift%.3f")
 
     def spreadOf(q: String): Double =
       math.max(cur.spread.getOrElse(q, 1.0), prev.spread.getOrElse(q, 1.0))
@@ -106,8 +128,8 @@ class BenchRegressionSpec extends AnyFunSuite {
       val norm = c / hostShift
       if (!(norm > p * 1.25 && norm - p > 0.5)) None
       else if (allowlist.contains(q))
-        Some(f"$q: $p%.2f -> $c%.2f (norm $norm%.2f) — allow-listed: " +
-          allowlist(q))
+        Some(f"$q: $p%.2f -> $c%.2f (norm $norm%.2f) — allow-listed " +
+          f"(r${allowlist(q)._1}): ${allowlist(q)._2}")
       else if (norm <= p * spreadOf(q))
         Some(f"$q: $p%.2f -> $c%.2f (norm $norm%.2f) — inside its " +
           f"recorded ${spreadOf(q)}%.1fx rep spread")
@@ -131,5 +153,20 @@ class BenchRegressionSpec extends AnyFunSuite {
       "per-query regressions beyond the noise band:\n" +
         regressions.mkString("\n") +
         "\n(fix the plan, or allow-list with the reason if intentional)")
+  }
+
+  test("allowlist entries are pruned once the sidecar they excuse is " +
+      "two rounds old (no stale excuses)") {
+    val benchDir = Paths.get("docs", "bench")
+    val curRound = Files.list(benchDir).toArray.toSeq
+      .map(_.toString)
+      .flatMap("r(\\d+)\\.json$".r.findFirstMatchIn(_).map(_.group(1).toInt))
+      .maxOption.getOrElse(cancel("no round sidecars"))
+    val stale = allowlist.filter { case (_, (round, _)) =>
+      round < curRound - 1 }
+    assert(stale.isEmpty,
+      s"allowlist entries from r<${curRound - 1} must be pruned: " +
+        stale.map { case (q, (r, why)) => s"$q (r$r: $why)" }
+          .mkString(", "))
   }
 }
