@@ -139,28 +139,38 @@ object Graph2 {
     * link-analysis pair, and the bipartite fixture is the shape HITS
     * was defined on.
     *
-    * Scale shape per half-step: one join of scores to the
-    * src-partitioned edge table + one groupBy shuffle on the opposite
-    * key, then an L2 norm as a broadcast 1-row aggregate (scalar
-    * join, never a driver collect — the q138 dangling-mass
-    * discipline). localCheckpoint per full sweep keeps the recurrence
-    * plan flat. */
+    * Scale shape per half-step (re-planned round 15 after a stage
+    * profile): one join of scores to the src-partitioned edge table +
+    * one groupBy shuffle on the opposite key, materialized ONCE as a
+    * localCheckpoint of the RAW aggregate; the L2 norm then comes off
+    * that checkpoint as a 1-row driver scalar (one tiny scan-only
+    * job) and rides back into the plan as a LITERAL divisor — the
+    * q138 scalar-per-round discipline. The previous shape normalized
+    * via crossJoin(broadcast(norm)) BEFORE checkpointing, which paid
+    * a separate broadcast-build job per half-step that re-ran the
+    * aggregate subtree (the profile showed ~14 stages/sweep, half of
+    * them duplicate 0.2-0.3 s broadcast builds); the checkpoint-first
+    * shape computes each half-step's shuffle exactly once. Dividing
+    * by a collected literal is bit-identical to dividing by the
+    * broadcast row — same double, same per-row operation — and the
+    * norm's sum runs over the same checkpoint partition order the
+    * broadcast aggregate consumed, so scores and hashes are
+    * unchanged. */
   def q144Hits(spark: SparkSession, dir: String): DataFrame = {
     val edges = Graph.shipmentEdges(spark, dir)
     val hubs0 = graft.sources.DfCache.df(spark, s"hits_hubs|$dir")(
       edges.select(col("src").as("node")).distinct()
         .repartition(col("node")))
+    // h/a are NORMALIZED views over the raw checkpoints (lazy literal
+    // division — never re-materialized)
     var h = hubs0.withColumn("h", lit(1.0))
     var a: DataFrame = null
-    // Convergence gate, delta FOLDED into the sweep (VERDICT r09 #2):
-    // the previous hub score joins onto the supplier-sized hraw table
-    // BEFORE normalization (hub nodes == distinct srcs on both sides,
-    // so the inner join is row-preserving), rides the checkpoint as
-    // h_prev, and the L1 delta becomes a scan-only 1-row aggregate —
-    // no separate scores⋈prev-scores join job per sweep. Early exit
-    // only on delta == 0.0, a TRUE bit-exact fixed point, so skipped
-    // sweeps are exact no-ops and the oracle's full unroll matches
-    // bit-for-bit (ADVICE r09). The output flag keeps `< eps`.
+    // Convergence gate (VERDICT r09 #2): the L1 delta is a tiny
+    // node-table join of this sweep's and the previous sweep's
+    // normalized views (both lazy selects over checkpoints). Early
+    // exit only on delta == 0.0, a TRUE bit-exact fixed point, so
+    // skipped sweeps are exact no-ops and the oracle's full unroll
+    // matches bit-for-bit (ADVICE r09). The output flag keeps `< eps`.
     var delta = Double.MaxValue
     var it = 0
     while (it < HitsIterations && delta != 0.0) {
@@ -168,30 +178,31 @@ object Graph2 {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h")).as("a"))
-      val anorm = araw.agg(sqrt(sum(col("a") * col("a"))).as("nrm"))
-      a = araw.crossJoin(broadcast(anorm))
-        .select(col("node"), (col("a") / col("nrm")).as("a"))
         .localCheckpoint()
+      // norm over the RAW aggregate's checkpoint (stored partition
+      // order == the aggregate's own output order, so the float sum
+      // keeps its exact order for the cross-engine hash)
+      val aNrm = araw.agg(sqrt(sum(col("a") * col("a"))))
+        .collect()(0).getDouble(0)
+      a = araw.select(col("node"), (col("a") / lit(aNrm)).as("a"))
       val hagg = edges.join(a.select(col("node").as("dst"), col("a")),
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("a")).as("h"))
-      // norm over the RAW aggregate (not the joined frame): the join
-      // is row-preserving but reorders rows, and a float sum must keep
-      // its exact order for the cross-engine hash to hold
-      val hnorm = hagg.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
-      val hraw = hagg
-        .join(h.select(col("node"), col("h").as("h_prev")), Seq("node"))
-      val hnext = hraw.crossJoin(broadcast(hnorm))
-        .select(col("node"), (col("h") / col("nrm")).as("h"),
-          col("h_prev"))
         .localCheckpoint()
-      // even rounds + final only — same rationale as q143
+      val hNrm = hagg.agg(sqrt(sum(col("h") * col("h"))))
+        .collect()(0).getDouble(0)
+      val hPrev = h
+      h = hagg.select(col("node"), (col("h") / lit(hNrm)).as("h"))
+      // even rounds + final only — same rationale as q143; the join is
+      // node-table-sized (two checkpoint scans), row-preserving (hub
+      // nodes == distinct srcs on both sides every sweep)
       if ((it + 1) % 2 == 0 || it + 1 == HitsIterations)
-        delta = hnext
+        delta = h
+          .join(hPrev.select(col("node"), col("h").as("h_prev")),
+            Seq("node"))
           .agg(coalesce(sum(abs(col("h") - col("h_prev"))), lit(0.0)))
           .collect()(0).getDouble(0)
-      h = hnext.drop("h_prev")
       it += 1
     }
     val conv = lit(delta < Graph.ConvergenceEps).as("converged")
