@@ -207,7 +207,7 @@ object Breadth11 {
     * rules, shared by q383 (the attrition report) and q389 (the
     * composed materialization pipeline, which must apply EXACTLY the
     * rules the report describes). */
-  private[operators] def funnelGateCols(d: DataFrame): DataFrame = {
+  private[graft] def funnelGateCols(d: DataFrame): DataFrame = {
     val stops = FunnelStops.map(s => s"'$s'").mkString("array(", ", ", ")")
     d.withColumn("words",
         filter(split(col("text"), " "), w => length(w) > 0))

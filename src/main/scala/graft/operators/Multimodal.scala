@@ -325,7 +325,11 @@ object Multimodal {
     * blocking, q32's class) AFTER the [[FrameDfCap]] document-frequency
     * guard bounds every bucket; sizes and overlaps are exact integer
     * folds; the threshold is a cross-product. No global anything. */
-  def q391VideoFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The q391/q392 shared frame lineage: re-encode-planted corpus →
+    * q76-sampled 16-char frames → exact-md5 fingerprints (SET semantics
+    * per video) → [[FrameDfCap]] document-frequency guard. Returns the
+    * KEPT (doc_id, f) fingerprint rows both consumers pair on. */
+  private def keptFrames(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpus = docs
       .select(col("doc_id"), col("text"))
@@ -348,7 +352,11 @@ object Multimodal {
       .agg(countDistinct(col("doc_id")).as("fdf"))
       .filter(col("fdf") <= FrameDfCap)
       .select("f")
-    val kept = frames.join(rare, Seq("f"))
+    frames.join(rare, Seq("f"))
+  }
+
+  def q391VideoFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keptFrames(spark, dir)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val shared = kept.select(col("doc_id").as("id1"), col("f"))
       .join(kept.select(col("doc_id").as("id2"), col("f")), Seq("f"))
@@ -367,6 +375,73 @@ object Multimodal {
         expr("n_shared * 1000000 div least(n1, n2)").as("overlap_ppm"),
         (col("id2") === col("id1") + ReencOffset).as("is_reenc_pair"))
       .orderBy("id1", "id2")
+  }
+
+  /** q392 — VIDEO DEDUP RECALL ACCOUNTING (VERDICT r14 #6): the q391
+    * detector's recall over the PLANTED re-encode pairs, made
+    * machine-visible. q391's corpus plants a corrupted re-encode of
+    * every 5th document; some of those pairs are honestly undetectable
+    * — the corrupt first frame is shared by every copy, so the
+    * [[FrameDfCap]] guard drops it BY DESIGN, and a video whose only
+    * sampled frame was the corrupted one has nothing left to pair on.
+    * This query audits every planted pair against the same kept-frame
+    * lineage and reports, per outcome class, how many pairs landed
+    * there:
+    *
+    *   - `detected`            — the pair clears q391's 80% floor
+    *     (membership here is exactly q391's `is_reenc_pair` predicate,
+    *     pinned by MultimodalSpec)
+    *   - `no_surviving_frames` — the copy's kept fingerprint set is
+    *     EMPTY after sampling + the df cap (a ≤ 4-frame video's only
+    *     sampled frame is the corrupted, df-capped one): undetectable
+    *     at any threshold, the honest-miss class the r14 verdict asked
+    *     to surface
+    *   - `below_floor`         — frames survived but the overlap missed
+    *     the 4/5 containment floor (empty at every measured SF: a
+    *     copy's surviving frames are by construction a subset of the
+    *     original's, so any non-empty survivor set is 100% contained —
+    *     the class exists so a future threshold/corpus change that
+    *     opens the gap is VISIBLE, not silently folded into a count)
+    *
+    * Scale: strictly cheaper than q391 — the pair probe joins each
+    * original's kept frames against ONLY its own copy's (the join key
+    * carries the pair identity: copy doc_id − [[ReencOffset]]), so
+    * there is no generic candidate generation at all; everything else
+    * is the shared lineage plus per-pair counts. */
+  def q392VideoDedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val kept = keptFrames(spark, dir)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val planted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("orig_id"))
+    // per-pair shared-fingerprint count: copy rows are re-keyed to the
+    // original they were planted from, so the join IS the pair
+    val shared = kept.select(col("doc_id").as("orig_id"), col("f"))
+      .join(kept.select((col("doc_id") - ReencOffset).as("orig_id"),
+        col("f")), Seq("orig_id", "f"))
+      .groupBy("orig_id").agg(count(lit(1)).as("n_shared"))
+    planted
+      .join(sizes.select(col("doc_id").as("orig_id"),
+        col("nf").as("n1")), Seq("orig_id"), "left")
+      .join(sizes.select((col("doc_id") - ReencOffset).as("orig_id"),
+        col("nf").as("n2")), Seq("orig_id"), "left")
+      .join(shared, Seq("orig_id"), "left")
+      .select(col("orig_id"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("status",
+        when(col("n_shared") > 0 &&
+          lit(FrameOverlapDen) * col("n_shared") >=
+            lit(FrameOverlapNum) * least(col("n1"), col("n2")),
+          lit("detected"))
+          .when(col("n2") === 0, lit("no_surviving_frames"))
+          .otherwise(lit("below_floor")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("n2")).as("min_copy_frames"),
+        max(col("n2")).as("max_copy_frames"))
+      .orderBy("status")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

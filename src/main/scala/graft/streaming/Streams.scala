@@ -475,6 +475,67 @@ object Streams {
       }
   }
 
+  /** Per-text-hash dedup-card state for [[runningMaterializeCard]]:
+    * the canonical (min doc_id so far) gate-surviving doc and its
+    * token count, plus arrival/gate tallies — O(1) per DISTINCT text,
+    * the same bound as batch q389's exact-dedup groupBy state. */
+  case class DedupCardState(canonId: Long, canonTokens: Long,
+      nSeen: Long, nGate: Long, tGate: Long)
+
+  /** Streaming twin of q389's INCREMENTAL PREFIX (stages 1_gate +
+    * 2_exact_dedup — VERDICT r14 #8 stretch): documents arriving in
+    * micro-batches fold into per-text-hash state via
+    * `mapGroupsWithState`, so the materialization pipeline's front
+    * half is maintainable online without ever re-scanning the corpus —
+    * the running DATA CARD (rows_in, gate rows_out, exact-dedup
+    * rows_out, tokens_out) is a pure fold of the emitted state. The
+    * gate is q383's five stateless rules
+    * ([[graft.operators.Breadth11.funnelGateCols]] — the SAME column
+    * expressions batch stage 1 runs); the canonical per hash is the
+    * MIN gate-surviving doc_id seen so far (not merely first-arrival),
+    * so the final state is bit-equal to batch q389's min-doc_id
+    * canonicalization REGARDLESS of arrival order. Emits
+    * (text_hash, canon_id, canon_tokens, n_seen, n_gate) per touched
+    * key; canon_id = -1 while no gate survivor has arrived.
+    * StreamingMaterializeSpec pins per-batch card parity against a
+    * driver replay (including an out-of-order feed) and the final
+    * card against the registered q389 stage rows. Emission is
+    * (text_hash, canon_id, canon_tokens, n_seen, n_gate,
+    * gate_tokens). */
+  def runningMaterializeCard(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long,
+        Long)] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sess = docs.sparkSession
+    import sess.implicits._
+    graft.operators.Breadth11.funnelGateCols(docs)
+      .select(col("doc_id").cast("long"), md5(col("text")).as("th"),
+        col("n_words").cast("long"),
+        (col("r1") && col("r2") && col("r3") && col("r4") &&
+          col("r5")).as("g"))
+      .as[(Long, String, Long, Boolean)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[DedupCardState,
+        (String, Long, Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (th: String, rows: Iterator[(Long, String, Long, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[DedupCardState])
+           =>
+          var s = state.getOption
+            .getOrElse(DedupCardState(-1L, 0L, 0L, 0L, 0L))
+          rows.foreach { case (id, _, toks, g) =>
+            val takes = g && (s.canonId < 0L || id < s.canonId)
+            s = DedupCardState(
+              if (takes) id else s.canonId,
+              if (takes) toks else s.canonTokens,
+              s.nSeen + 1L, s.nGate + (if (g) 1L else 0L),
+              s.tGate + (if (g) toks else 0L))
+          }
+          state.update(s)
+          (th, s.canonId, s.canonTokens, s.nSeen, s.nGate, s.tGate)
+      }
+  }
+
   /** File-based streaming source over a DIRECTORY of arriving events
     * parquet files — the production entry (micro-batch tailing; each
     * newly-landed file becomes a batch, the streaming upgrade of the
