@@ -28,9 +28,12 @@ object Profile {
             val wall = (for { s <- si.submissionTime; c <- si.completionTime }
               yield (c - s) / 1000.0).getOrElse(-1.0)
             val cpu = si.taskMetrics.executorRunTime / 1000.0
+            val where = si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Profile"))
+              .getOrElse("").trim.take(90)
             println(f"[stage] id=${si.stageId}%4d wall=$wall%6.2fs " +
               f"taskSum=$cpu%7.2fs tasks=${si.numTasks}%3d " +
-              si.name.linesIterator.next().take(100))
+              si.name.linesIterator.next().take(60) + " | " + where)
           }
         })
     // SPARK_GRAFT_PROFILE_BENCHMODE=1: reproduce Bench's per-query

@@ -114,18 +114,30 @@ object Materialize {
     val f3 = f2.join(contam, Seq("doc_id"), "left")
       .withColumn("dc", col("nd") && col("doc_id") % 97 =!= 0 &&
         col("contam").isNull)
+    // Materialize the NARROW flag spine once (the q138/q144 checkpoint
+    // discipline): downstream of here sit 4+ independent jobs — the
+    // PPS sample's range-partition sampling + prefix-sum checkpoint,
+    // the stats fold, the pack arm's broadcast build — and without a
+    // materialization point EACH re-evaluates the whole gate → dedup →
+    // band-join → decontamination lineage (measured: ~+4 s/run at
+    // sf0.1, paid inside single-task broadcast-build jobs). The spine
+    // is doc_id + n_tokens + 4 booleans — O(docs) narrow, the exact
+    // artifact (per-doc keep/drop flags) a production materialization
+    // run persists anyway before sampling.
+    val spine = f3.select("doc_id", "n_tokens", "g", "e", "nd", "dc")
+      .localCheckpoint()
     // 5: token-budget PPS sample over the clean corpus (q384's Madow
     // systematic pick on a salted-hash order — deterministic, exactly
     // one pick per TokenStride of corpus mass)
     val stride = Breadth11.TokenStride
     val picked = DistributedRank.withRunningTotal(
-        f3.filter(col("dc")).select(col("doc_id"), col("n_tokens"))
+        spine.filter(col("dc")).select(col("doc_id"), col("n_tokens"))
           .withColumn("h", md5(concat(lit("matsample:"),
             col("doc_id").cast("string")))),
         "n_tokens", "cum", asc("h"), asc("doc_id"))
       .filter(expr(s"cum div $stride > (cum - n_tokens) div $stride"))
       .select(col("doc_id")).withColumn("sm_pick", lit(true))
-    f3.join(picked, Seq("doc_id"), "left")
+    spine.join(picked, Seq("doc_id"), "left")
       .withColumn("sm", col("dc") && col("sm_pick").isNotNull)
       .select("doc_id", "n_tokens", "g", "e", "nd", "dc", "sm")
   }
