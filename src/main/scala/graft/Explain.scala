@@ -194,6 +194,16 @@ object Explain {
     "q391_video_frame_dedup", // sampled-frame fingerprint sets; df-cap
                               // guard then frame-key equi-join — the
                               // q32 blocking class, never pairwise
+    "q392_video_dedup_recall", // planted-pair audit: copy frames
+                               // re-keyed to their original, so the
+                               // probe join IS the pair — no candidate
+                               // generation at all
+    "q34_dedup_ngram_jaccard", // r15: set sizes carried THROUGH the
+                               // shingle explode as a column — no
+                               // per-doc size join/broadcast remains
+    "q106_jaccard_prefix", // same r15 contract on the PPJoin twin: the
+                           // only remaining joins are prefix-key
+                           // candidate + pair-bounded verify
     "q235_km_survival",  // user min/max fold → duration histogram;
                          // granted day-spine at-risk/product windows
     "q236_mann_kendall", // daily-profile pair self-join (calendar²)
@@ -360,6 +370,19 @@ object Explain {
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n```\n$plan```\n")
       }
+    }
+    // q389 reads its flag spine through a localCheckpoint (measured
+    // r15 fix), which cuts the gate→dedup→decontamination lineage out
+    // of the registered plan above — dump the un-checkpointed spine
+    // separately so the audit keeps the full declarative lineage
+    // visible (incl. the graft_bloom_contains scan-stage probe in the
+    // decontamination arm).
+    locally {
+      val df = graft.operators.Materialize.flagSpinePlan(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb.append("\n## q389_training_materialization — flag-spine " +
+        "lineage (pre-checkpoint)\n\n```\n" + plan + "```\n")
     }
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.writeString(Paths.get(out), sb.toString)

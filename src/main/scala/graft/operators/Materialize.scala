@@ -68,11 +68,14 @@ object Materialize {
   /** Packing budget (tokens per bin) — q98's literal. */
   private[graft] val PackBudget = 2048L
 
-  /** The per-doc stage-flag frame: doc_id, n_tokens, and cumulative
-    * survival flags g (gates) ⊇ e (exact) ⊇ nd (near) ⊇ dc (decontam)
-    * ⊇ sm (sampled). One lineage; each stage's drop set left-joins
-    * onto the spine. */
-  private def stageFlags(spark: SparkSession, dir: String): DataFrame = {
+  /** The UN-CHECKPOINTED gate → exact-dedup → near-dedup →
+    * decontamination flag lineage (doc_id, n_tokens, g ⊇ e ⊇ nd ⊇ dc) —
+    * factored out so the plan audit (`graft.Explain`) can still dump
+    * the full declarative lineage (including the `graft_bloom_contains`
+    * scan-stage probe in the decontamination arm) even though the
+    * registered query reads it through a checkpoint. */
+  private[graft] def flagSpinePlan(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val base = Breadth11.funnelGateCols(docs)
       .withColumn("g",
@@ -114,18 +117,25 @@ object Materialize {
     val f3 = f2.join(contam, Seq("doc_id"), "left")
       .withColumn("dc", col("nd") && col("doc_id") % 97 =!= 0 &&
         col("contam").isNull)
+    f3.select("doc_id", "n_tokens", "g", "e", "nd", "dc")
+  }
+
+  /** The per-doc stage-flag frame: doc_id, n_tokens, and cumulative
+    * survival flags g (gates) ⊇ e (exact) ⊇ nd (near) ⊇ dc (decontam)
+    * ⊇ sm (sampled). One lineage; each stage's drop set left-joins
+    * onto the spine. */
+  private def stageFlags(spark: SparkSession, dir: String): DataFrame = {
     // Materialize the NARROW flag spine once (the q138/q144 checkpoint
     // discipline): downstream of here sit 4+ independent jobs — the
-    // PPS sample's range-partition sampling + prefix-sum checkpoint,
-    // the stats fold, the pack arm's broadcast build — and without a
-    // materialization point EACH re-evaluates the whole gate → dedup →
-    // band-join → decontamination lineage (measured: ~+4 s/run at
-    // sf0.1, paid inside single-task broadcast-build jobs). The spine
-    // is doc_id + n_tokens + 4 booleans — O(docs) narrow, the exact
-    // artifact (per-doc keep/drop flags) a production materialization
-    // run persists anyway before sampling.
-    val spine = f3.select("doc_id", "n_tokens", "g", "e", "nd", "dc")
-      .localCheckpoint()
+    // PPS sample's range-partition sampling pass and prefix-sum
+    // checkpoint, the stats fold, the pack arm's broadcast build — and
+    // without a materialization point EACH re-evaluates the whole
+    // gate → dedup → band-join → decontamination lineage (measured:
+    // ~+4 s/run at sf0.1, paid inside single-task broadcast-build
+    // jobs). The spine is doc_id + n_tokens + 4 booleans — O(docs)
+    // narrow, the exact artifact (per-doc keep/drop flags) a
+    // production materialization run persists anyway before sampling.
+    val spine = flagSpinePlan(spark, dir).localCheckpoint()
     // 5: token-budget PPS sample over the clean corpus (q384's Madow
     // systematic pick on a salted-hash order — deterministic, exactly
     // one pick per TokenStride of corpus mass)
