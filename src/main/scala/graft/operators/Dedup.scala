@@ -53,10 +53,27 @@ object Dedup {
   /** Distinct word-3-gram shingles per document — computed once per
     * (session, dir) and persisted, since MinHash (q32) and Jaccard (q34)
     * both consume it (at 100 TB this is the materialized shingle table a
-    * dedup campaign writes once and reuses across methods). */
+    * dedup campaign writes once and reuses across methods).
+    *
+    * The cached table is HASH-PARTITIONED BY `shingle`: every consumer
+    * that generates candidates joins on the shingle content key
+    * (q34/q106 Jaccard, q158/q202 containment, q106's rarity groupBy),
+    * so partitioning the materialization by that key makes the pair
+    * self-joins exchange-free on both sides. Before r15 the partition
+    * profile came from shingleRows' corpus-wide `.distinct()` as a
+    * side effect; when the sz-through-the-explode change removed that
+    * shuffle, the cache silently inherited the SCAN's partition count
+    * and the pair joins' map sides under-parallelized — measured 3.4×
+    * on q158's pathological twins corpus (267 s → 89 s with this
+    * repartition, vs 78 s for the r14 shape on the same host; q34's
+    * twins row improves past BOTH: 176 s → 67 s vs r14's 130–250 s,
+    * because the content-key partitioning is what the pair join
+    * actually wants, where the old distinct's (doc_id, shingle) hash
+    * still had to re-shuffle). */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DfCache.df(spark, s"shingles|$dir")(
-      shingleRows(Tables.documents(spark, dir)))
+      shingleRows(Tables.documents(spark, dir))
+        .repartition(col("shingle")))
 
   /** q31 — exact dedup: canonical id = min doc_id per identical text
     * (hash-groupBy; the mandatory first pass before any LSH). */
