@@ -363,6 +363,8 @@ object ScaleSmoke {
         // round-14 additions
         "q389_training_materialization", "q390_cross_modal_audit",
         "q391_video_frame_dedup",
+        // round-15 additions
+        "q392_video_dedup_recall",
         "q62_ntile", "q205_ranking_auc", "q262_pr_auc",
         "q279_otsu_threshold", "q260_rank_overlap")
         .map(n => n -> SparkEntry.queries(n)) :+

@@ -449,7 +449,8 @@ object Multimodal {
     "q76_frame_sample" -> (q76FrameSample _),
     "q164_phash_dedup" -> (q164PhashDedup _),
     "q390_cross_modal_audit" -> (q390CrossModalAudit _),
-    "q391_video_frame_dedup" -> (q391VideoFrameDedup _))
+    "q391_video_frame_dedup" -> (q391VideoFrameDedup _),
+    "q392_video_dedup_recall" -> (q392VideoDedupRecall _))
 
   val oracles: Map[String, String] = Map(
     "q43_multimodal_decode" ->
@@ -606,5 +607,55 @@ object Multimodal {
          |JOIN sizes s2 ON s2.doc_id = id2
          |WHERE $FrameOverlapDen * n_shared
          |      >= $FrameOverlapNum * least(s1.nf, s2.nf)
-         |ORDER BY id1, id2""".stripMargin)
+         |ORDER BY id1, id2""".stripMargin,
+    "q392_video_dedup_recall" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ReencOffset,
+         |         repeat('z', 16) || substr(text, 17)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |frames AS (
+         |  SELECT DISTINCT doc_id,
+         |         md5(substr(text, CAST(i AS INT) * 16 + 1, 16)) AS f
+         |  FROM (SELECT doc_id, text,
+         |               unnest(generate_series(0,
+         |                 CAST(ceil(length(text) / 16.0) AS BIGINT) - 1))
+         |                 AS i
+         |        FROM corpus)
+         |  WHERE i % 4 = 0),
+         |rare AS (
+         |  SELECT f FROM (SELECT f, count(DISTINCT doc_id) AS fdf
+         |                 FROM frames GROUP BY f)
+         |  WHERE fdf <= $FrameDfCap),
+         |kept AS (SELECT doc_id, f FROM frames JOIN rare USING (f)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+         |          FROM kept GROUP BY doc_id),
+         |planted AS (SELECT doc_id AS orig_id FROM documents
+         |            WHERE doc_id % 5 = 0),
+         |pshared AS (
+         |  SELECT a.doc_id AS orig_id, CAST(count(*) AS BIGINT)
+         |           AS n_shared
+         |  FROM kept a JOIN kept b
+         |    ON b.doc_id = a.doc_id + $ReencOffset AND a.f = b.f
+         |  GROUP BY 1),
+         |audit AS (
+         |  SELECT p.orig_id,
+         |         coalesce(s1.nf, 0) AS n1, coalesce(s2.nf, 0) AS n2,
+         |         coalesce(ps.n_shared, 0) AS n_shared
+         |  FROM planted p
+         |  LEFT JOIN sizes s1 ON s1.doc_id = p.orig_id
+         |  LEFT JOIN sizes s2 ON s2.doc_id = p.orig_id + $ReencOffset
+         |  LEFT JOIN pshared ps ON ps.orig_id = p.orig_id),
+         |cls AS (
+         |  SELECT CASE
+         |    WHEN n_shared > 0 AND $FrameOverlapDen * n_shared
+         |         >= $FrameOverlapNum * least(n1, n2) THEN 'detected'
+         |    WHEN n2 = 0 THEN 'no_surviving_frames'
+         |    ELSE 'below_floor' END AS status, n2
+         |  FROM audit)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(min(n2) AS BIGINT) AS min_copy_frames,
+         |       CAST(max(n2) AS BIGINT) AS max_copy_frames
+         |FROM cls GROUP BY status ORDER BY status""".stripMargin)
 }
