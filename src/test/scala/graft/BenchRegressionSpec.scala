@@ -49,8 +49,8 @@ class BenchRegressionSpec extends AnyFunSuite {
       "build: per-row array_distinct+size replaces the corpus-wide " +
       "distinct (deletes the per-doc size join/broadcast, VERDICT r14 " +
       "#1) and the materialization is hash-partitioned by shingle so " +
-      "the pair self-joins are exchange-free; consumers q106 -3.6s, " +
-      "q249 -1.9s, q34/q158 also down - net total -44s vs r14"),
+      "the pair self-joins are exchange-free; consumers q106 -3.3s, " +
+      "q389 -3.0s, q158/q202 -1s each vs r14"),
     "setup:minhash_day0" -> (15, "same r15 shingleRows change " +
       "(per-row array_distinct+size) on the per-day incremental-dedup " +
       "sketch build"),
