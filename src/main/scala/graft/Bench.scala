@@ -20,8 +20,16 @@ object Bench {
     // compilation (generated classes are cached by source, so the same
     // plan shapes at sfDir hit the cache). sf0.001 keys differ from
     // sfDir's, so the timed run still pays its own fact/shingle builds.
+    // SPARK_GRAFT_BENCH_ONLY=q393,q394 times a comma-separated subset
+    // (exact names or prefixes) — for appending newly-registered
+    // queries to an existing full-run sidecar without a full re-run.
+    // Subset output is NOT a full sidecar; never copy it over one.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(n: String): Boolean =
+      only.forall(_.exists(p => n == p || n.startsWith(p)))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
         try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(e) =>
@@ -55,6 +63,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     graft.sources.DfCache.enableBuildTiming()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1))
     val runs = (1 to reps).map { _ =>
       graft.sources.DfCache.clear(spark)
       graft.sources.DfCache.drainBuildTimes(spark) // discard warmup/stale

@@ -198,6 +198,13 @@ object Explain {
                                // re-keyed to their original, so the
                                // probe join IS the pair — no candidate
                                // generation at all
+    "q393_leakage_free_split", // cached pair table + cluster labels +
+                               // per-doc hash splits; three 3-row
+                               // aggregates on an enum spine
+    "q394_repetition_profile", // ONE scan: per-row trigram distinct
+                               // count, source-key rollup — no joins
+    "q395_embedding_outlier_audit", // dim-keyed moments (64 rows) →
+                                    // bounded broadcast → per-vec fold
     "q34_dedup_ngram_jaccard", // r15: set sizes carried THROUGH the
                                // shingle explode as a column — no
                                // per-doc size join/broadcast remains

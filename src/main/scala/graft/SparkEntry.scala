@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Breadth6, Breadth7, Breadth8, Breadth9, Breadth10, Breadth11, Curation, Curation2, Dedup, DedupClusters, DedupEmbedding, Drift, Expectations, Multimodal, Graph, Graph2, Materialize, Relational, Similarity, SketchAlgebra, Skew, StorageLayout, TextEncode, TextOps, TimeSeries, TimeSeries2, TrainingPipeline, XmlShred}
+import graft.operators.{AnnIncremental, AnnIndex, AnnRetrieval, Breadth, Breadth2, Breadth3, Breadth4, Breadth5, Breadth6, Breadth7, Breadth8, Breadth9, Breadth10, Breadth11, Curation, Curation2, CurationHardening, Dedup, DedupClusters, DedupEmbedding, Drift, Expectations, Multimodal, Graph, Graph2, Materialize, Relational, Similarity, SketchAlgebra, Skew, StorageLayout, TextEncode, TextOps, TimeSeries, TimeSeries2, TrainingPipeline, XmlShred}
 import graft.operators.{Affinity, Audit, Calibration, Contribution, Coreset, CrossCorr, Cuped, Evaluation, Evaluation2, ExactSubstr, Experiment, FeaturePrep, Governance, Graph3, Hierarchy, InfoTheory, InvertedIndex, Keyphrase, Lifecycle, Linkage, MaxCover, Mmr, Pca, SessionState, TextProfile, Vocabulary}
 import graft.streaming.Streams
 
@@ -28,7 +28,7 @@ object SparkEntry {
       TextOps.queries ++ TextEncode.queries ++ Similarity.queries ++ AnnIndex.queries ++
       AnnRetrieval.queries ++ AnnIncremental.queries ++
       Multimodal.queries ++ Streams.queries ++ XmlShred.queries ++
-      TrainingPipeline.queries ++ Materialize.queries ++ Curation.queries ++ Curation2.queries ++ SketchAlgebra.queries ++ Skew.queries ++
+      TrainingPipeline.queries ++ Materialize.queries ++ Curation.queries ++ Curation2.queries ++ CurationHardening.queries ++ SketchAlgebra.queries ++ Skew.queries ++
       StorageLayout.queries ++ Graph.queries ++ Graph2.queries ++ Drift.queries ++ TimeSeries.queries ++ TimeSeries2.queries ++ InvertedIndex.queries ++ Governance.queries ++ Hierarchy.queries ++ Pca.queries ++ MaxCover.queries ++ Experiment.queries ++ SessionState.queries ++ Cuped.queries ++ Calibration.queries ++ Expectations.queries ++ Audit.queries ++ Affinity.queries ++ Lifecycle.queries ++ Contribution.queries ++ FeaturePrep.queries ++ Linkage.queries ++ ExactSubstr.queries ++ Evaluation.queries ++ Evaluation2.queries ++ CrossCorr.queries ++ Mmr.queries ++ Vocabulary.queries ++ InfoTheory.queries ++ Coreset.queries ++ Graph3.queries ++ Keyphrase.queries ++ TextProfile.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,6 +40,6 @@ object SparkEntry {
       TextOps.oracles ++ TextEncode.oracles ++ Similarity.oracles ++ AnnIndex.oracles ++
       AnnRetrieval.oracles ++ AnnIncremental.oracles ++
       Multimodal.oracles ++ Streams.oracles ++ XmlShred.oracles ++
-      TrainingPipeline.oracles ++ Materialize.oracles ++ Curation.oracles ++ Curation2.oracles ++ SketchAlgebra.oracles ++ Skew.oracles ++
+      TrainingPipeline.oracles ++ Materialize.oracles ++ Curation.oracles ++ Curation2.oracles ++ CurationHardening.oracles ++ SketchAlgebra.oracles ++ Skew.oracles ++
       StorageLayout.oracles ++ Graph.oracles ++ Graph2.oracles ++ Drift.oracles ++ TimeSeries.oracles ++ TimeSeries2.oracles ++ InvertedIndex.oracles ++ Governance.oracles ++ Hierarchy.oracles ++ Pca.oracles ++ MaxCover.oracles ++ Experiment.oracles ++ SessionState.oracles ++ Cuped.oracles ++ Calibration.oracles ++ Expectations.oracles ++ Audit.oracles ++ Affinity.oracles ++ Lifecycle.oracles ++ Contribution.oracles ++ FeaturePrep.oracles ++ Linkage.oracles ++ ExactSubstr.oracles ++ Evaluation.oracles ++ Evaluation2.oracles ++ CrossCorr.oracles ++ Mmr.oracles ++ Vocabulary.oracles ++ InfoTheory.oracles ++ Coreset.oracles ++ Graph3.oracles ++ Keyphrase.oracles ++ TextProfile.oracles
 }
