@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for named queries, one file
+  * per query — the per-round optimization evidence trail
+  * (plans/r{N}/<query>_<suffix>.txt), complementing docs/PLANS.md's
+  * single-file audit.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <query>...
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <query>...")
+    val Array(sfDir, outDir, suffix) = args.take(3)
+    val names = args.drop(3).toSeq
+    val spark = DevSession.make()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+          println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}
