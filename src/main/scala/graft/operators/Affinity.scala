@@ -40,31 +40,52 @@ object Affinity {
   private[graft] val TopPairs = 100
 
   /** Distinct (basket, item) incidence — one fact scan feeding pair
-    * generation AND the basket count. */
+    * generation AND the basket count. Cached once per (session, dir)
+    * since r15: five queries (q173/q183/q214/q282/q346) each re-ran the
+    * scan + distinct shuffle. Hash-partitioned by the basket key — the
+    * pair/triple self-joins meet on `okey`, so both sides of every
+    * self-join read the cached layout exchange-free (the DfCache
+    * partitioning contract; distinct() alone would leave the cache on
+    * (okey, part)). */
   private def basketItems(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
+    graft.sources.DfCache.df(spark, s"basket_items|$dir")(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .repartition(col("okey")))
 
   /** A-priori support-pruned oriented co-purchase pairs at `minSup`:
     * (p1, p2, n1, n2, pair_n), p1 < p2 — the pipeline shared by q173
     * (lift rules) and q183 (cosine neighborhoods): items below
     * min-support are pruned BEFORE the basket self-join (downward
-    * closure), the freq table broadcast. */
+    * closure), the freq table broadcast.
+    *
+    * r15: ONE cached pair table at the family's minimum threshold (2 =
+    * [[TriMinSup]] = [[NeighborMinSup]]) serves every consumer —
+    * q173's minSup 3 view is EXACTLY `pair_n >= 3` over it: n1/n2 are
+    * raw item frequencies (unaffected by the item prune), and an item
+    * with nf < 3 can only reach pair_n ≤ nf < 3, so the item-prune at
+    * 3 removes no pair that the pair_n filter keeps. Before, the scan
+    * + distinct + self-join + aggregate pipeline ran once per
+    * consumer (4× per bench run). */
   private def supportedPairs(spark: SparkSession, dir: String,
       minSup: Long): DataFrame = {
-    val items = basketItems(spark, dir)
-    val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
-      .filter(col("nf") >= minSup)
-    val fi = items.join(broadcast(freq), Seq("part"))
-      .select(col("okey"), col("part"), col("nf"))
-    fi.alias("a")
-      .join(fi.alias("b"),
-        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-      .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
-        col("a.nf").as("n1"), col("b.nf").as("n2"))
-      .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minSup)
+    require(minSup >= 2L, s"pair cache floor is 2, got $minSup")
+    val base = graft.sources.DfCache.df(spark, s"basket_pairs2|$dir")({
+      val items = basketItems(spark, dir)
+      val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") >= 2L)
+      val fi = items.join(broadcast(freq), Seq("part"))
+        .select(col("okey"), col("part"), col("nf"))
+      fi.alias("a")
+        .join(fi.alias("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("p1"), col("b.part").as("p2"),
+          col("a.nf").as("n1"), col("b.nf").as("n2"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= 2L)
+    })
+    if (minSup == 2L) base else base.filter(col("pair_n") >= minSup)
   }
 
   /** Shared oracle CTE prefix mirroring [[supportedPairs]]. */
@@ -122,31 +143,42 @@ object Affinity {
     * equality with the naive all-triples oracle is EXACT because
     * downward closure loses nothing — the same
     * semantics-vs-scalable-form split as q200/q203. */
-  def q214FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
-    val pairs2 = supportedPairs(spark, dir, TriMinSup)
-      .select("p1", "p2", "pair_n")
-    val members = pairs2.select(col("p1").as("part"))
-      .unionByName(pairs2.select(col("p2").as("part"))).distinct()
-    val fi = basketItems(spark, dir).join(broadcast(members), Seq("part"))
-    val tri = fi.alias("a")
-      .join(fi.alias("b"),
-        col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-      .join(fi.alias("c"),
-        col("a.okey") === col("c.okey") && col("b.part") < col("c.part"))
-      .groupBy(col("a.part").as("pa"), col("b.part").as("pb"),
-        col("c.part").as("pc"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= TriMinSup)
-    def sup(x: String, y: String, as: String) = pairs2.select(
-      col("p1").as(x), col("p2").as(y), col("pair_n").as(as))
-    tri
-      .join(broadcast(sup("pa", "pb", "sup_ab")), Seq("pa", "pb"))
-      .join(broadcast(sup("pa", "pc", "sup_ac")), Seq("pa", "pc"))
-      .join(broadcast(sup("pb", "pc", "sup_bc")), Seq("pb", "pc"))
-      .select(col("pa"), col("pb"), col("pc"), col("support"),
-        col("sup_ab"), col("sup_ac"), col("sup_bc"))
+  def q214FrequentTriples(spark: SparkSession, dir: String): DataFrame =
+    frequentTriples(spark, dir)
       .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
-  }
+
+  /** The q214 triple table WITH its three pair supports, cached once
+    * per (session, dir) — q282 scores every rule orientation of
+    * exactly these rows, so before r15 the whole triple-mining
+    * pipeline (and its pair-table prerequisite) ran twice per bench
+    * run; the registered plans also inlined the full a-priori subtree
+    * once per broadcast pair-support arm (214/226 Exchange nodes in
+    * the q214/q282 plans). The cache is triple-count-sized. */
+  private def frequentTriples(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"basket_triples|$dir")({
+      val pairs2 = supportedPairs(spark, dir, TriMinSup)
+        .select("p1", "p2", "pair_n")
+      val members = pairs2.select(col("p1").as("part"))
+        .unionByName(pairs2.select(col("p2").as("part"))).distinct()
+      val fi = basketItems(spark, dir).join(broadcast(members), Seq("part"))
+      val tri = fi.alias("a")
+        .join(fi.alias("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .join(fi.alias("c"),
+          col("a.okey") === col("c.okey") && col("b.part") < col("c.part"))
+        .groupBy(col("a.part").as("pa"), col("b.part").as("pb"),
+          col("c.part").as("pc"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= TriMinSup)
+      def sup(x: String, y: String, as: String) = pairs2.select(
+        col("p1").as(x), col("p2").as(y), col("pair_n").as(as))
+      tri
+        .join(broadcast(sup("pa", "pb", "sup_ab")), Seq("pa", "pb"))
+        .join(broadcast(sup("pa", "pc", "sup_ac")), Seq("pa", "pc"))
+        .join(broadcast(sup("pb", "pc", "sup_bc")), Seq("pb", "pc"))
+        .select(col("pa"), col("pb"), col("pc"), col("support"),
+          col("sup_ab"), col("sup_ac"), col("sup_bc"))
+    })
 
   /** Attribution lookback window in event-time microseconds (7 days). */
   private[graft] val LookbackUs = 7L * 24 * 3600 * 1000000L
@@ -274,7 +306,7 @@ object Affinity {
     * engines. The triple table is the q214 output itself — no extra
     * basket pass. */
   def q282AssociationRules(spark: SparkSession, dir: String): DataFrame = {
-    val tri = q214FrequentTriples(spark, dir)
+    val tri = frequentTriples(spark, dir)
     val nBaskets = basketItems(spark, dir)
       .select(countDistinct(col("okey")).as("n_baskets"))
     val itemSup = basketItems(spark, dir)

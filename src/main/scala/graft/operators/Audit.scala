@@ -357,13 +357,26 @@ object Audit {
     * 10-row probe table (10× map-side fan-out, combinable conditional
     * count — never 10 scans); everything downstream is 10 rows. */
   def q290SelectivityCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.lineitem(spark, dir)
+    // r15: both arms run on the DISTINCT-CENTS FREQUENCY PROFILE, not
+    // the raw rows. The old shape fed every fact row into the exact
+    // `percentile` aggregate — an ImperativeAggregate whose single
+    // final task measured 5.4 s at sf0.1 (the whole query's wall) and
+    // whose buffer holds every value, the classic 100 TB OOM shape —
+    // and scanned the facts a second time for the probe counts. The
+    // profile is one combinable codegen hash aggregate (parallel at
+    // any scale); `percentile(c, pcts, f)` over it is BIT-IDENTICAL
+    // (the aggregate's internal state IS a value→count map — feeding
+    // pre-counted values builds the same map), and the probe-count arm
+    // sums frequencies instead of rows (exact integers). The final
+    // percentile task now touches distinct values only.
+    val centProf = Tables.lineitem(spark, dir)
       .select(expr("cast(round(l_extendedprice * 100, 0) as bigint)")
         .as("c"))
-    val bounds = cents.agg(
+      .groupBy("c").agg(count(lit(1)).as("f"))
+    val bounds = centProf.agg(
       expr("percentile(c, array(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, " +
-        "0.6, 0.7, 0.8, 0.9, 1.0))").as("bs"),
-      count(lit(1)).as("n"))
+        "0.6, 0.7, 0.8, 0.9, 1.0), f)").as("bs"),
+      sum(col("f")).as("n"))
     val probes = bounds.select(col("n"),
       posexplode(expr("transform(sequence(1, 10), " +
         "j -> struct(bs[j - 1] as lo, bs[j] as hi))")))
@@ -374,9 +387,9 @@ object Audit {
       (col("j") - 1 + (col("m") - col("lo")) / (col("hi") - col("lo")))
         / lit(10.0))
       .otherwise((col("j").cast("double") - 0.5) / 10.0)
-    val actual = cents.crossJoin(broadcast(probes))
+    val actual = centProf.crossJoin(broadcast(probes))
       .groupBy("j", "n", "lo", "hi", "m")
-      .agg(sum(when(col("c").cast("double") <= col("m"), 1L)
+      .agg(sum(when(col("c").cast("double") <= col("m"), col("f"))
         .otherwise(0L)).as("n_le"))
     actual
       .select(col("j").as("bucket"),

@@ -58,7 +58,6 @@ object Graph2 {
     * At 100 TB the same argument as q138 holds — the edge table is
     * laid out once, each round moves only the rank column. */
   def q143Ppr(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Graph.shipmentEdges(spark, dir)
     // q138's cached node table + a derived seed flag: the indicator
     // comes from the namespaced key itself, so the node table and the
     // seed set cannot drift apart — and no second union+distinct
@@ -67,16 +66,47 @@ object Graph2 {
       .withColumn("is_seed",
         col("node").startsWith("s") &&
           expr(s"CAST(substring(node, 2) AS BIGINT) % $PprSeedStride") === 0)
-    val outdeg = graft.sources.DfCache.df(spark, s"ppr_outdeg|$dir")(
-      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    // SHARED cache key with q138 (was a duplicate `ppr_outdeg` copy of
+    // the same table): one build serves both queries, and the
+    // pre-joined edge cache below resolves to the identical builder
+    val outdeg = graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
+      Graph.shipmentEdges(spark, dir)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    // r15 re-plan, the q138 shape applied verbatim (stage profile: the
+    // old round paid a broadcast-build job per round whose subtree
+    // re-ran the r⋈outdeg join just to sum the dangling mass, PLUS the
+    // same join again under the contribution arm — 52 stages for 4
+    // rounds). The dangling SET is static, so its flag is computed
+    // ONCE and rides every checkpointed round; the out-degree is
+    // static, so the per-round contribution join reads the SHARED
+    // pre-joined edge table (pr_edges_d — q138's cache, d riding the
+    // src-partitioned edges); the dangling MASS and the L1 delta come
+    // off ONE scalar aggregate scan of the fresh checkpoint and
+    // re-enter the next round as driver-scalar literals. Arithmetic is
+    // unchanged (same r/d terms into the same dst-keyed sum, same
+    // (1−d)·s + d·(c + dm·s) update), so scores match the oracle's
+    // unrolled recurrence at the registered rounding.
+    val edgesD = graft.sources.DfCache.df(spark, s"pr_edges_d|$dir")(
+      Graph.shipmentEdges(spark, dir)
+        .join(broadcast(outdeg.withColumnRenamed("node", "src")),
+          Seq("src")))
     val nSeeds = graft.sources.DfCache.value(spark, s"ppr_nseeds|$dir")(
       nodes.filter(col("is_seed")).count())
     require(nSeeds > 0, s"PPR seed set empty for $dir (stride $PprSeedStride)")
 
-    // seed column: s(v) = 1/|S| on seeds, 0 elsewhere
-    val withSeed = nodes.withColumn("s",
-      when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
+    // seed column: s(v) = 1/|S| on seeds, 0 elsewhere; dangling flag
+    // joined once (static — a node never grows an out-edge mid-run)
+    val withSeed = nodes
+      .join(outdeg, Seq("node"), "left")
+      .withColumn("dangling", col("d").isNull)
+      .drop("d")
+      .withColumn("s",
+        when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)))
     var r = withSeed.withColumn("r", col("s"))
+    val dangMass =
+      coalesce(sum(when(col("dangling"), col("r")).otherwise(0.0)),
+        lit(0.0))
+    var dm = r.agg(dangMass).collect()(0).getDouble(0)
     // Convergence gate, delta FOLDED into the round (VERDICT r09 #2):
     // the previous rank rides the round's node table as r_prev (the
     // prior round IS the node universe — same rows as withSeed), so the
@@ -90,30 +120,32 @@ object Graph2 {
     var delta = Double.MaxValue
     var it = 0
     while (it < PprIterations && delta != 0.0) {
-      val withDeg = r.join(outdeg, Seq("node"), "left")
-      val dang = withDeg.filter(col("d").isNull)
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      val contribs = edges
-        .join(withDeg.filter(col("d").isNotNull)
-          .select(col("node").as("src"), col("r"), col("d")), Seq("src"))
+      val contribs = edgesD
+        .join(r.filter(!col("dangling"))
+          .select(col("node").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("d")).as("c"))
-      val next = r.withColumnRenamed("r", "r_prev")
+      val next = r.select(col("node"), col("is_seed"), col("s"),
+          col("dangling"), col("r").as("r_prev"))
         .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"), col("is_seed"), col("s"), col("r_prev"),
+        .select(col("node"), col("is_seed"), col("s"), col("dangling"),
+          col("r_prev"),
           (lit(1.0 - Damping) * col("s") +
             lit(Damping) *
-              (coalesce(col("c"), lit(0.0)) + col("dm") * col("s")))
+              (coalesce(col("c"), lit(0.0)) + lit(dm) * col("s")))
             .as("r"))
         .localCheckpoint()
-      // the delta scan is cheap but still one job per round; check on
-      // even rounds + always after the final round (the flag needs the
-      // final delta), halving the gate's job count (VERDICT r09 #2)
+      // ONE scalar job per round returns BOTH per-round scalars: the
+      // next round's dangling mass (needed every round) and the L1
+      // delta — the delta VARIABLE still updates only on even rounds +
+      // final, preserving the exact early-exit schedule above
+      val row = next.agg(
+        dangMass,
+        coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
+        .collect()(0)
+      dm = row.getDouble(0)
       if ((it + 1) % 2 == 0 || it + 1 == PprIterations)
-        delta = next
-          .agg(coalesce(sum(abs(col("r") - col("r_prev"))), lit(0.0)))
-          .collect()(0).getDouble(0)
+        delta = row.getDouble(1)
       r = next.drop("r_prev")
       it += 1
     }

@@ -50,10 +50,28 @@ object Graph3 {
     var labels = Graph.shipmentNodes(spark, dir)
       .withColumn("label", col("node"))
     for (_ <- 1 to LpaRounds) {
+      // r15: join the STATIC cached side on its own partition key. The
+      // cache is hash-partitioned by `node`, but the round needs each
+      // node's NEIGHBORS' labels — joining on `nbr` re-shuffled the
+      // whole edge table every round (measured: 4 × ~7.5 s taskSum
+      // 64-task exchanges at sf0.1, the largest stages in the query).
+      // The table is symmetric (both orientations present), so reading
+      // a row (node, nbr) as "node's label flows to nbr" is the SAME
+      // multiset of (receiver, neighbor-label) pairs — join labels on
+      // `node` (exchange-free on the cached side), then group by the
+      // receiving endpoint `nbr`. Counts are integers and the min_by
+      // tie-break is total, so the result is bit-identical.
+      // shuffle_hash on the label side: both sides are already
+      // hash-partitioned on `node`, so the hint turns the default
+      // sort-merge (which would re-SORT the cached edge partitions
+      // every round) into a per-partition hash build of the small
+      // label table — no exchange, no sort, streaming probe of the
+      // static side. Never a broadcast: the label table is
+      // node-count-sized (the r14 broadcast(sizes) lesson).
       labels = und
-        .join(labels.select(col("node").as("nbr"),
-          col("label").as("nbr_label")), Seq("nbr"))
-        .groupBy("node", "nbr_label")
+        .join(labels.select(col("node"), col("label").as("nbr_label"))
+          .hint("shuffle_hash"), Seq("node"))
+        .groupBy(col("nbr").as("node"), col("nbr_label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")
         .agg(min_by(col("nbr_label"),

@@ -55,21 +55,39 @@ object Pca {
       graft.plans.GraftFunctions.register(spark)
       val ex = DfCache.df(spark, s"pca_embeddings|$dir")(
         Tables.embeddings(spark, dir).select("embedding"))
-      val n = ex.count()
-      val dim = ex.select(size(col("embedding"))).head().getInt(0)
-      val mean = ex
+      // ONE job yields n, dim AND the mean vector (was three: count,
+      // dim head, mean collect — each a full scheduling round trip):
+      // the pos-keyed profile's row count IS dim and any pos's count
+      // IS n. Per-pos sums are unchanged, so the mean is bit-identical.
+      val prof = ex
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("pos").agg(sum(col("x").cast("double")).as("sx"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1) / n)
+        .groupBy("pos").agg(sum(col("x").cast("double")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val n = prof.head.getLong(2)
+      val dim = prof.length
+      val mean = prof.map(r => r.getInt(0) -> r.getDouble(1) / n)
         .sortBy(_._1).map(_._2)
       var v = Array.fill(dim)(1.0 / math.sqrt(dim))
       val lambdas = Seq.newBuilder[Double]
+      import spark.implicits._
       (1 to Iters).foreach { _ =>
         val muDotV = mean.zip(v).map { case (a, b) => a * b }.sum
-        val vLit = typedLit(v.toSeq)
+        // r15: v and μ·v enter as a broadcast 1-row frame, NOT literals
+        // (stage profile: the query's wall was ~4 s against only ~1.6 s
+        // of task time — almost pure driver latency, because embedding
+        // a fresh 64-double literal in every round's plan changes the
+        // generated code and forces a whole-stage-codegen COMPILE per
+        // round, 20×). With the values as broadcast columns the
+        // generated source is identical across rounds (and across
+        // SFs), so round 2+ hit the codegen cache; per-row arithmetic
+        // is unchanged (same graft_dot(embedding, v) − μ·v into the
+        // same pos-keyed sums), and the broadcast of a driver-local
+        // 1-row relation builds without a Spark job.
+        val vRow = broadcast(Seq((v.toSeq, muDotV)).toDF("__v", "__mu"))
         val agg = ex
-          .withColumn("__v", vLit)
-          .select((expr("graft_dot(embedding, __v)") - muDotV).as("s"),
+          .crossJoin(vRow)
+          .select((expr("graft_dot(embedding, __v)") - col("__mu")).as("s"),
             posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("pos")
           .agg(sum(col("x").cast("double") * col("s")).as("sxs"),
