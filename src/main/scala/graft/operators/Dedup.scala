@@ -72,7 +72,18 @@ object Dedup {
     * still had to re-shuffle). */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.sources.DfCache.df(spark, s"shingles|$dir")(
-      shingleRows(Tables.documents(spark, dir))
+      // repartition the RAW documents before the shingling transform
+      // (r15): the test corpus is one single-row-group parquet file, so
+      // the whole compute-heavy shingle derivation (split + transform +
+      // array_distinct + explode) ran as ONE task inside the scan stage
+      // — a measured 3.1 s single-task stage, the guide's input-skew
+      // case (one unsplittable input feeding heavy per-row work). The
+      // doc_id exchange moves only raw text bytes — a small fraction of
+      // the shingle-row exchange this builder already pays below — and
+      // removes the straggler at any scale where a split is larger than
+      // ideal; at healthy scan parallelism it is one extra cheap pass
+      // inside a one-time cached build.
+      shingleRows(Tables.documents(spark, dir).repartition(col("doc_id")))
         .repartition(col("shingle")))
 
   /** q31 — exact dedup: canonical id = min doc_id per identical text
@@ -229,8 +240,11 @@ object Dedup {
   private def minhashBandsForDay(spark: SparkSession, dir: String,
       day: Int): DataFrame =
     graft.sources.DfCache.df(spark, s"minhash_day$day|$dir")(
+      // same input-skew guard as [[shingles]]: parallelize the
+      // compute-heavy shingling off the single-split day scan
       bandsFromShingles(shingleRows(
-        Tables.documents(spark, dir).filter(col("doc_id") % 2 === day))))
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === day)
+          .repartition(col("doc_id")))))
 
   /** q102 — incremental cross-batch near-dup discovery: today's (day-1)
     * band table joined against yesterday's PERSISTED band table on the

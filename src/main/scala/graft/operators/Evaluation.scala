@@ -407,13 +407,31 @@ object Evaluation {
         expr("cast(round(value * 100, 0) as bigint)").as("cents"),
         Hashing.md5Hash60(concat(lit("mboot:"), col("event_id")))
           .as("h"))
+    // r15 (the q290 lesson): the 33 exact-percentile aggregates are
+    // ImperativeAggregates whose buffers hold a value→count map and
+    // whose per-row update runs interpreted — feeding them every EVENT
+    // row paid 33 map updates per row into |types| single-threaded
+    // merge tasks. The (type, cents) frequency profile does the
+    // counting in ONE combinable codegen hash aggregate; the same 33
+    // percentiles then run frequency-weighted over profile rows —
+    // bit-identical (a percentile's state IS the value→count map, and
+    // Spark's Percentile skips non-positive frequencies, so a cents
+    // value absent from replicate b contributes exactly nothing, as
+    // the old CASE WHEN null did).
+    val profAggs = count(lit(1)).as("f_full") +:
+      (0 until StabilityReps).map { b =>
+        sum(expr(s"case when (shiftright(h, $b) & 1) = 1 " +
+          "then 1L else 0L end")).as(s"f$b")
+      }
+    val profile = base.groupBy("event_type", "cents")
+      .agg(profAggs.head, profAggs.tail: _*)
     val repAggs = (0 until StabilityReps).map { b =>
-      expr(s"percentile(case when (shiftright(h, $b) & 1) = 1 " +
-        s"then cents end, 0.5d)").as(s"m$b")
+      expr(s"percentile(cents, 0.5d, f$b)").as(s"m$b")
     }
-    val wide = base.groupBy("event_type")
-      .agg(count(lit(1)).as("n_full"),
-        (expr("percentile(cents, 0.5d)").as("med_full") +: repAggs): _*)
+    val wide = profile.groupBy("event_type")
+      .agg(sum(col("f_full")).as("n_full"),
+        (expr("percentile(cents, 0.5d, f_full)").as("med_full")
+          +: repAggs): _*)
     wide.select(col("event_type"), col("n_full"), col("med_full"),
         explode(array((0 until StabilityReps).map(b => col(s"m$b")): _*))
           .as("m"))

@@ -316,8 +316,9 @@ object Graph {
     val edges = copurchaseEdges(spark, dir)
     val und = edges.select(col("p1").as("a"), col("p2").as("w"))
       .unionAll(edges.select(col("p2").as("a"), col("p1").as("w")))
-    val degrees = und.groupBy(col("w").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // r15: the shared cached degree table (identical values — each
+    // undirected edge contributes once per endpoint in both builds)
+    val degrees = copurchaseDegrees(spark, dir)
     val centerDeg = degrees.filter(col("deg") <= HubDegreeCap)
       .select(col("node").as("w"), col("deg"))
     // filter und to capped centers BEFORE the self-join: the quadratic

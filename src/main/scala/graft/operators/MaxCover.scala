@@ -45,6 +45,7 @@ object MaxCover {
     * (gain DESC, doc_id tie-break), its shingles marked covered.
     * Output: (round, doc_id, gain, covered_total) — exact integers. */
   def q163MaxCover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     var remaining = Dedup.shingles(spark, dir)
     // gains are aggregated ONCE from the full pair table, then
     // delta-maintained (docs with zero remaining gain drop out, as in
@@ -60,14 +61,25 @@ object MaxCover {
       val (docId, gain) = (top.getLong(0), top.getLong(1))
       coveredTotal += gain
       picks += ((r, docId, gain, coveredTotal))
-      // one shingle-key shuffle marks which remaining pairs the
-      // winner's (still-uncovered) shingles hit; the SAME marked
-      // table feeds both the gain decrements and the survivor filter
-      val won = remaining.filter(col("doc_id") === docId)
-        .select(col("shingle"), lit(1).as("hit"))
-      val marked = remaining.join(won, Seq("shingle"), "left")
-        .localCheckpoint() // eager: flatten the shrinking recurrence
-      val delta = marked.filter(col("hit") === 1)
+      // r15: the winner's still-uncovered postings are DOC-BOUNDED
+      // (≤ one document's shingle count), so they come to the driver
+      // once and re-enter as a broadcast local relation — the old
+      // shape localCheckpoint'ed the ENTIRE remaining pair table every
+      // round just to read the winner's hits out of it (K full
+      // materializations of a corpus-sized table; measured as the
+      // bulk of the query's 3.3 s own time). Now the decrement join
+      // and the survivor filter are map-side broadcast hash joins over
+      // the winner's postings; `remaining` stays a LAZY chain of K
+      // doc-bounded anti-joins off the cached shingle table (linear
+      // plan depth — the exponential-replan hazard needed the same
+      // subtree referenced twice per round, which the driver-collected
+      // postings break). Gains stay delta-maintained on doc-sized
+      // checkpoints; picks and decrements are exact integers, so the
+      // greedy trajectory is unchanged.
+      val wonShingles = remaining.filter(col("doc_id") === docId)
+        .select("shingle").as[String].collect().toSeq
+      val won = broadcast(wonShingles.toDF("shingle"))
+      val delta = remaining.join(won, Seq("shingle"))
         .groupBy("doc_id").agg(count(lit(1)).as("dec"))
       gains = gains.join(delta, Seq("doc_id"), "left")
         .filter(col("doc_id") =!= docId)
@@ -75,8 +87,8 @@ object MaxCover {
           (col("gain") - coalesce(col("dec"), lit(0L))).as("gain"))
         .filter(col("gain") > 0)
         .localCheckpoint()
-      remaining = marked.filter(col("hit").isNull &&
-        col("doc_id") =!= docId).drop("hit")
+      remaining = remaining.join(won, Seq("shingle"), "left_anti")
+        .filter(col("doc_id") =!= docId)
     }
     import spark.implicits._
     picks.result().toDF("round", "doc_id", "gain", "covered_total")
