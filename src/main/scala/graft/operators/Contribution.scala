@@ -509,10 +509,16 @@ object Contribution {
       .select(col("p_brand"),
         expr("cast(round((l_extendedprice / (l_quantity * p_retailprice)" +
           " - 1.0) * 1e6, 0) as bigint)").as("mu"))
-    lines.groupBy("p_brand")
-      .agg(count(lit(1)).as("n_lines"),
-        expr("percentile(mu, 0.5)").as("med_mu"),
-        sum(when(col("mu") < 0, 1L).otherwise(0L)).as("n_below"))
+    // r15 (the q290/q254 lesson): count the (brand, mu) profile in one
+    // combinable codegen aggregate, then run the median frequency-
+    // weighted over profile rows — bit-identical, and the value-
+    // buffering percentile no longer sees one row per fact line
+    val prof = lines.groupBy("p_brand", "mu")
+      .agg(count(lit(1)).as("f"))
+    prof.groupBy("p_brand")
+      .agg(sum(col("f")).as("n_lines"),
+        expr("percentile(mu, 0.5, f)").as("med_mu"),
+        sum(when(col("mu") < 0, col("f")).otherwise(0L)).as("n_below"))
       .select(col("p_brand"), col("n_lines"),
         round(col("med_mu") / 1e6, 6).as("median_markup"),
         round(col("n_below").cast("double") / col("n_lines"), 6)

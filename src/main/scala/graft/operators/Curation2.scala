@@ -104,7 +104,11 @@ object Curation2 {
     // (raw counts, target counts, scoring): 28.3s at pseudo-sf1 for a
     // scan-shaped pass — the classic uncached-DAG-reuse tax.
     val docBuckets = graft.sources.DfCache.df(spark, s"dsir_db|$dir") {
-      val docs = Tables.documents(spark, dir)
+      // repartition the raw docs before the compute-heavy tokenize +
+      // bigram explode (r15, the shingles input-skew guard): the
+      // single-row-group test file otherwise runs the whole feature
+      // derivation as one task inside the scan stage
+      val docs = Tables.documents(spark, dir).repartition(col("doc_id"))
         .withColumn("ws",
           expr("filter(split(trim(text), ' '), w -> length(w) > 0)"))
         .filter(size(col("ws")) >= 1)
