@@ -20,17 +20,17 @@ object PlanDump {
     val spark = DevSession.make()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // an unknown name must fail the run (ADVICE r15): a typo in the
+    // evidence pipeline would otherwise silently produce no plan file
+    // while the tool exits 0 and the round's claims go unbacked
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          val df = fn(spark, sfDir)
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-          Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
-          println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
-        case None =>
-          System.err.println(s"[plandump] unknown query: $name")
-      }
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+      println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
     }
     spark.stop()
   }

@@ -16,8 +16,9 @@ import graft.sources.Tables
   * BEFORE the basket self-join (an infrequent item cannot be in a
   * frequent pair), so the quadratic step runs on the filtered basket,
   * and TPC-H baskets are bounded (≤7 lines), making the per-basket
-  * blow-up O(1); the item-frequency table is dimension-sized and
-  * broadcast to both sides of the lift computation. q174 is ONE window
+  * blow-up O(1); the item-frequency table is dimension-sized (it
+  * scales with SF, so its join strategy is left to AQE — broadcast
+  * while small, shuffle beyond). q174 is ONE window
   * pass per user (range frame over event-time micros) — the join
   * formulation (conversions × touches within 7 days) would shuffle a
   * pair row per (conversion, touch), quadratic in per-user activity,
@@ -58,7 +59,7 @@ object Affinity {
     * (p1, p2, n1, n2, pair_n), p1 < p2 — the pipeline shared by q173
     * (lift rules) and q183 (cosine neighborhoods): items below
     * min-support are pruned BEFORE the basket self-join (downward
-    * closure), the freq table broadcast.
+    * closure); the freq join strategy is AQE's pick.
     *
     * r15: ONE cached pair table at the family's minimum threshold (2 =
     * [[TriMinSup]] = [[NeighborMinSup]]) serves every consumer —
@@ -75,7 +76,11 @@ object Affinity {
       val items = basketItems(spark, dir)
       val freq = items.groupBy("part").agg(count(lit(1)).as("nf"))
         .filter(col("nf") >= 2L)
-      val fi = items.join(broadcast(freq), Seq("part"))
+      // UNHINTED (r16, VERDICT r15 #1): freq is item-dimension-sized —
+      // it scales linearly with SF, so a forced broadcast is an OOM at
+      // the 100 TB design point; AQE broadcasts while small and falls
+      // back to shuffle/SMJ beyond. One-time cached build either way.
+      val fi = items.join(freq, Seq("part"))
         .select(col("okey"), col("part"), col("nf"))
       fi.alias("a")
         .join(fi.alias("b"),
@@ -158,9 +163,13 @@ object Affinity {
     graft.sources.DfCache.df(spark, s"basket_triples|$dir")({
       val pairs2 = supportedPairs(spark, dir, TriMinSup)
         .select("p1", "p2", "pair_n")
+      // members / pair supports UNHINTED (r16, VERDICT r15 #1): both
+      // are item-/pair-count-sized and scale with SF — strategy left
+      // to AQE inside this one-time cached build (at sf0.1 it still
+      // picks broadcast at runtime from real sizes, not estimates)
       val members = pairs2.select(col("p1").as("part"))
         .unionByName(pairs2.select(col("p2").as("part"))).distinct()
-      val fi = basketItems(spark, dir).join(broadcast(members), Seq("part"))
+      val fi = basketItems(spark, dir).join(members, Seq("part"))
       val tri = fi.alias("a")
         .join(fi.alias("b"),
           col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
@@ -173,9 +182,9 @@ object Affinity {
       def sup(x: String, y: String, as: String) = pairs2.select(
         col("p1").as(x), col("p2").as(y), col("pair_n").as(as))
       tri
-        .join(broadcast(sup("pa", "pb", "sup_ab")), Seq("pa", "pb"))
-        .join(broadcast(sup("pa", "pc", "sup_ac")), Seq("pa", "pc"))
-        .join(broadcast(sup("pb", "pc", "sup_bc")), Seq("pb", "pc"))
+        .join(sup("pa", "pb", "sup_ab"), Seq("pa", "pb"))
+        .join(sup("pa", "pc", "sup_ac"), Seq("pa", "pc"))
+        .join(sup("pb", "pc", "sup_bc"), Seq("pb", "pc"))
         .select(col("pa"), col("pb"), col("pc"), col("support"),
           col("sup_ab"), col("sup_ac"), col("sup_bc"))
     })
@@ -324,8 +333,10 @@ object Affinity {
     val conf = col("support").cast("double") / col("sup_ant")
     val lift = conf * col("n_baskets").cast("double") / col("item_n")
     rules
-      .join(broadcast(itemSup.select(col("part").as("cons"),
-        col("item_n"))), Seq("cons"))
+      // itemSup UNHINTED (r16): item-dimension-sized, scales with SF —
+      // AQE picks the strategy; the rules side is triple-count-sized
+      .join(itemSup.select(col("part").as("cons"), col("item_n")),
+        Seq("cons"))
       .crossJoin(broadcast(nBaskets))
       .select(col("ant1"), col("ant2"), col("cons"), col("support"),
         col("sup_ant"), col("item_n"),

@@ -54,9 +54,7 @@ object Graph {
     val nodes = shipmentNodes(spark, dir)
     // persisted like edges/nodes: every round's checkpoint job reads it,
     // and an unpersisted outdeg would re-run the groupBy 5 times
-    val outdeg = graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
-      edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("d")))
+    val outdeg = shipmentOutdeg(spark, dir)
     val n = graft.sources.DfCache.value(spark, s"pr_n|$dir")(nodes.count())
     // Final ranks are DfCache'd so repeated calls skip the loop.
     val ranks = graft.sources.DfCache.df(spark, s"pr_ranks|$dir")(
@@ -95,6 +93,31 @@ object Graph {
         .distinct()
         .repartition(col("node")))
 
+  /** Out-degree of [[shipmentEdges]], cached node-keyed once per
+    * (session, dir). ONE builder shared by q138 and Graph2's q143
+    * (ADVICE r15: DfCache is first-build-wins, so a second verbatim
+    * builder copy under the same key is a silent-drift hazard). The
+    * table is supplier-dimension-sized — it scales linearly with SF. */
+  private[operators] def shipmentOutdeg(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
+      shipmentEdges(spark, dir).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d")))
+
+  /** [[shipmentEdges]] pre-joined with the static out-degree, cached
+    * once per (session, dir) so the per-round contribution join of
+    * q138/q143 moves only the rank column. UNHINTED since r16 (VERDICT
+    * r15 #1): the out-degree side scales linearly with SF, so a forced
+    * broadcast is an OOM at the 100 TB design point — AQE broadcasts
+    * while it is small and falls back to shuffle/SMJ beyond (the
+    * SCALE.md "SF-scaling dims are left to AQE" rule). The build is
+    * one-time and cached either way; the join output keeps the edge
+    * table's src partitioning contract through the persist. */
+  private[operators] def shipmentEdgesD(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DfCache.df(spark, s"pr_edges_d|$dir")(
+      shipmentEdges(spark, dir).join(
+        shipmentOutdeg(spark, dir).withColumnRenamed("node", "src"),
+        Seq("src")))
+
   /** The synchronous PageRank recurrence with an L1-delta early exit
     * (q142's fixed-point discipline applied to the continuous case):
     * a converged graph stops paying for the remaining rounds — at scale
@@ -117,19 +140,17 @@ object Graph {
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame,
       outdeg: DataFrame, n: Long, cacheDir: Option[String] = None): DataFrame = {
     // the out-degree is STATIC, so it pre-joins onto the persisted
-    // edge table ONCE (broadcast of the supplier-sized outdeg; the
-    // result keeps the src partitioning) instead of re-joining
-    // r⋈outdeg inside every round's contribution subtree — per round
-    // the contribs join now moves only the rank column. Arithmetic is
-    // unchanged (same r/d terms into the same dst-keyed sum), so
-    // ranks stay bit-identical to the oracle's unrolled recurrence.
-    def buildEdgesD =
-      edges.join(broadcast(outdeg.withColumnRenamed("node", "src")),
-        Seq("src"))
+    // edge table ONCE (strategy left to AQE — the outdeg side is
+    // supplier-sized and scales with SF; see [[shipmentEdgesD]])
+    // instead of re-joining r⋈outdeg inside every round's contribution
+    // subtree — per round the contribs join now moves only the rank
+    // column. Arithmetic is unchanged (same r/d terms into the same
+    // dst-keyed sum), so ranks stay bit-identical to the oracle's
+    // unrolled recurrence.
     val edgesD = cacheDir match {
-      case Some(dir) => graft.sources.DfCache.df(nodes.sparkSession,
-        s"pr_edges_d|$dir")(buildEdgesD)
-      case None => buildEdgesD
+      case Some(dir) => shipmentEdgesD(nodes.sparkSession, dir)
+      case None =>
+        edges.join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
     }
     // the dangling SET is static (a node with no out-edges never grows
     // one mid-iteration), so the flag is joined ONCE and rides every

@@ -66,12 +66,11 @@ object Graph2 {
       .withColumn("is_seed",
         col("node").startsWith("s") &&
           expr(s"CAST(substring(node, 2) AS BIGINT) % $PprSeedStride") === 0)
-    // SHARED cache key with q138 (was a duplicate `ppr_outdeg` copy of
-    // the same table): one build serves both queries, and the
-    // pre-joined edge cache below resolves to the identical builder
-    val outdeg = graft.sources.DfCache.df(spark, s"pr_outdeg|$dir")(
-      Graph.shipmentEdges(spark, dir)
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d")))
+    // SHARED builder with q138 (r16, ADVICE r15: the r15 shape kept a
+    // verbatim COPY of the builder under the shared cache key —
+    // first-build-wins, so an edit to one copy would silently decide
+    // what both queries see; now there is exactly one builder)
+    val outdeg = Graph.shipmentOutdeg(spark, dir)
     // r15 re-plan, the q138 shape applied verbatim (stage profile: the
     // old round paid a broadcast-build job per round whose subtree
     // re-ran the r⋈outdeg join just to sum the dangling mass, PLUS the
@@ -86,10 +85,7 @@ object Graph2 {
     // unchanged (same r/d terms into the same dst-keyed sum, same
     // (1−d)·s + d·(c + dm·s) update), so scores match the oracle's
     // unrolled recurrence at the registered rounding.
-    val edgesD = graft.sources.DfCache.df(spark, s"pr_edges_d|$dir")(
-      Graph.shipmentEdges(spark, dir)
-        .join(broadcast(outdeg.withColumnRenamed("node", "src")),
-          Seq("src")))
+    val edgesD = Graph.shipmentEdgesD(spark, dir)
     val nSeeds = graft.sources.DfCache.value(spark, s"ppr_nseeds|$dir")(
       nodes.filter(col("is_seed")).count())
     require(nSeeds > 0, s"PPR seed set empty for $dir (stride $PprSeedStride)")

@@ -155,15 +155,19 @@ object Graph3 {
     * homophily defined).
     *
     * Scale shape: the same [[Graph.copurchaseEdges]] artifact as
-    * q140/q285 (content-keyed, support-pruned), two broadcast brand
-    * lookups, then everything is a brand-grain (≤ |brands|) fold. */
+    * q140/q285 (content-keyed, support-pruned), two AQE-planned brand
+    * lookups (part scales with SF — no forced broadcast), then
+    * everything is a brand-grain (≤ |brands|) fold. */
   def q292BrandHomophily(spark: SparkSession, dir: String): DataFrame = {
+    // brand lookups UNHINTED (r16, VERDICT r15 #1 class): part is an
+    // SF-scaling dimension, so the strategy is AQE's pick (broadcast
+    // while small, shuffle beyond — the SCALE.md dims rule)
     val brands = Tables.part(spark, dir).select("p_partkey", "p_brand")
     val e = Graph.copurchaseEdges(spark, dir)
-      .join(broadcast(brands.select(col("p_partkey").as("p1"),
-        col("p_brand").as("b1"))), Seq("p1"))
-      .join(broadcast(brands.select(col("p_partkey").as("p2"),
-        col("p_brand").as("b2"))), Seq("p2"))
+      .join(brands.select(col("p_partkey").as("p1"),
+        col("p_brand").as("b1")), Seq("p1"))
+      .join(brands.select(col("p_partkey").as("p2"),
+        col("p_brand").as("b2")), Seq("p2"))
     val m = e.agg(count(lit(1)).as("n_edges"),
       sum(when(col("b1") === col("b2"), 1L).otherwise(0L)).as("same"))
     val degb = e.select(explode(array(col("b1"), col("b2"))).as("b"))

@@ -40,6 +40,24 @@ object MaxCover {
     * recurrence mechanically (the q138 pattern). */
   private[graft] val K = 5
 
+  /** Hard cap on the per-round driver collect of the winner's posting
+    * list (VERDICT r15 #6): the collect is bounded by ONE document's
+    * distinct-shingle count — fine for any sane document (shingles ≈
+    * tokens), but a pathological mega-document would otherwise pull
+    * its whole posting list to the driver unannounced. 4M shingle
+    * strings ≈ 100 MB collected — well inside the 1 GB default
+    * spark.driver.maxResultSize; beyond it the query fails loudly
+    * instead of OOMing the driver. */
+  private[graft] val MaxDriverPostings = 4_000_000L
+
+  /** Re-materialize the lazy `remaining` anti-join chain every this
+    * many rounds (ADVICE r15): the chain is K stacked doc-bounded
+    * anti-joins re-executed from the cached shingle table on every
+    * round's postings collect — O(K²) rescans, fine at the registered
+    * K=5 (the cadence never fires, so the bench shape is unchanged)
+    * but a latent plan-depth cliff for a large-K variant. */
+  private val CheckpointEvery = 8
+
   /** q163 — greedy max-cover over distinct word-3-gram shingles: per
     * round the doc with the most not-yet-covered shingles
     * (gain DESC, doc_id tie-break), its shingles marked covered.
@@ -76,6 +94,12 @@ object MaxCover {
       // postings break). Gains stay delta-maintained on doc-sized
       // checkpoints; picks and decrements are exact integers, so the
       // greedy trajectory is unchanged.
+      // the winner's gain IS its uncovered posting count, so the
+      // driver-collect bound is checkable BEFORE collecting
+      require(gain <= MaxDriverPostings,
+        s"q163 round $r winner $docId has $gain uncovered shingles — " +
+          s"over the $MaxDriverPostings driver-collect cap (see " +
+          "docs/SCALE.md q163)")
       val wonShingles = remaining.filter(col("doc_id") === docId)
         .select("shingle").as[String].collect().toSeq
       val won = broadcast(wonShingles.toDF("shingle"))
@@ -89,6 +113,11 @@ object MaxCover {
         .localCheckpoint()
       remaining = remaining.join(won, Seq("shingle"), "left_anti")
         .filter(col("doc_id") =!= docId)
+      // bound the lazy anti-join chain's depth for large-K variants;
+      // never fires at the registered K=5, so no extra materialization
+      // job enters the benched shape (same rows either way — a
+      // checkpoint only truncates lineage)
+      if (r % CheckpointEvery == 0) remaining = remaining.localCheckpoint()
     }
     import spark.implicits._
     picks.result().toDF("round", "doc_id", "gain", "covered_total")

@@ -65,6 +65,14 @@ object Pca {
           count(lit(1)).as("cnt"))
         .collect()
       val n = prof.head.getLong(2)
+      // n is read off ONE position's profile row, which equals the
+      // embedding row count only when every vector has the same length
+      // and none is null (posexplode drops nulls). Assert that instead
+      // of assuming it (ADVICE r15): a ragged or null embedding must
+      // fail loudly, not silently skew n/dim and the mean.
+      require(prof.forall(_.getLong(2) == n),
+        s"ragged embedding corpus in $dir: per-position counts " +
+          s"${prof.map(_.getLong(2)).distinct.sorted.mkString(",")}")
       val dim = prof.length
       val mean = prof.map(r => r.getInt(0) -> r.getDouble(1) / n)
         .sortBy(_._1).map(_._2)

@@ -104,7 +104,7 @@ object StorageLayout {
     val maxes = base.agg(max("l_partkey"), max("l_suppkey"))
       .collect().head
     val (pMax, sMax) = (maxes.getLong(0), maxes.getLong(1))
-    graft.sources.DfCache.value(spark, s"zorder_layout|$dir") {
+    graft.sources.DfCache.timedValue(spark, s"zorder_layout|$dir") {
       base.repartitionByRange(16, col("l_partkey"))
         .sortWithinPartitions("l_partkey")
         .write.mode("overwrite").parquet(s"$root/single")
@@ -149,7 +149,7 @@ object StorageLayout {
       .select(col("vec_id"), col("embedding"),
         DedupEmbedding.normExpr.as("nrm"))
     val centroids = ivfCentroids(spark, dir, all)
-    graft.sources.DfCache.value(spark, s"cell_layout|$dir") {
+    graft.sources.DfCache.timedValue(spark, s"cell_layout|$dir") {
       nearestCells(all, centroids, 1, "crank")
         .select(col("cent_id").as("cell"), col("vec_id"), col("embedding"))
         .write.mode("overwrite").partitionBy("cell").parquet(root)
@@ -223,7 +223,7 @@ object StorageLayout {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val ordT = s"graft_bucketed_orders_$tag"
     val liT = s"graft_bucketed_lineitem_$tag"
-    graft.sources.DfCache.value(spark, s"bucket_layout|$dir") {
+    graft.sources.DfCache.timedValue(spark, s"bucket_layout|$dir") {
       Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
         .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$root/orders")
@@ -295,7 +295,7 @@ object StorageLayout {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val custT = s"graft_bucketed_customer_$tag"
     val ordT = s"graft_bucketed_orders_cust_$tag"
-    graft.sources.DfCache.value(spark, s"dim_bucket_layout|$dir") {
+    graft.sources.DfCache.timedValue(spark, s"dim_bucket_layout|$dir") {
       Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
         .write.bucketBy(16, "c_custkey").sortBy("c_custkey")
         .option("path", s"$root/customer")

@@ -410,11 +410,12 @@ object TextOps {
   }
 
   /** The trained tokenizer, built once per (session, dir): q137
-    * reports it, q149 (TextEncode) applies it — whoever runs first
-    * pays for training. */
+    * reports it, q149 (TextEncode) applies it. Timed as its own bench
+    * setup row since r16 (VERDICT r15 #3 class) — before, whichever
+    * consumer ran first silently absorbed the training wall. */
   private[graft] def bpeCached(spark: SparkSession,
       dir: String): (Seq[(Int, String, String, Long)], Long, Long) =
-    graft.sources.DfCache.value(spark, s"bpe_train|$dir")(
+    graft.sources.DfCache.timedValue(spark, s"bpe_train|$dir")(
       bpeTrain(spark, dir, BpeMerges))
 
   /** q137 — BPE tokenizer training as a registered query. The summary
